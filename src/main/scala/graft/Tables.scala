@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's deterministic testdata tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. Reads go
+  * through `spark.read.parquet` so Catalyst's parquet source handles column
+  * pruning and predicate pushdown (verified via `.explain` — see
+  * `PlanSpec`). At cluster scale these would be multi-file partitioned
+  * datasets; nothing here assumes a single file.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
+    * reader rejects outright. Read it as a raw nanosecond long
+    * (`nanosAsLong`) and convert to a microsecond TIMESTAMP in the plan
+    * (integer floor-division — deterministic truncation; sub-µs precision
+    * is below every grain our queries use, and orderings always tiebreak
+    * on `event_id`, never on `ts`).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

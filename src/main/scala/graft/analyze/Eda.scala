@@ -1,0 +1,469 @@
+package graft.analyze
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.util.Det._
+
+/** Batch EDA / relational operator family.
+  *
+  * Re-expresses the reference's exploratory-analysis surface (SURVEY.md §2.2,
+  * §2.4–§2.7: groupBy-count/sum aggregations, ordering, top-k, window
+  * functions, unions, filters, casts) Spark-first over the driver's star
+  * schema, plus the joins the reference never needed but a complete engine
+  * owes (inner equi-join, semi/anti — SURVEY.md §2.3).
+  *
+  * Scale notes (100 TB design intent):
+  *  - Aggregations are plain `groupBy.agg` → Catalyst partial+final hash
+  *    aggregation; one shuffle keyed on the grouping columns, map-side
+  *    combine for free.
+  *  - Dimension joins (`nation`, `region`, `customer`) are broadcast — no
+  *    shuffle of the fact table.
+  *  - Top-k is `orderBy.limit` → `TakeOrderedAndProject` (no full sort).
+  *  - Every ORDER BY carries a unique tiebreak so output order is total
+  *    (the oracle hash-compare needs identical row order).
+  */
+object Eda {
+
+  /** Posts-per-subreddit analog: events per type, most active first.
+    * Reference: NB cell 21 (ln 1341) `groupby('Subreddit').count()` +
+    * NB cell 21 `orderBy(desc)`. (A1+O1)
+    */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("event_type"))
+
+  private val q01Sql =
+    """SELECT event_type, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin
+
+  /** Two-key group-by with a date-part key. Reference: NB cell 58
+    * (`groupby('Subreddit','post_hour')`) + NB cell 48 `F.hour`. (A2+D3)
+    */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "hr")
+
+  private val q02Sql =
+    """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
+
+  /** Grouped sums with aliases (TPC-H Q1 shape). Reference: NB cell 25/29
+    * `agg(F.sum(..).alias(..))`. Sums go through decimal for exact,
+    * order-insensitive accumulation (see Det). (A3)
+    */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q03Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top-k by measure: `orderBy(desc).limit` → TakeOrderedAndProject, not a
+    * full sort. Reference: NB cell 32 (top-10 titles by upvotes). (O4)
+    */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  private val q04Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Top-1-per-group via row_number window then rank==1 filter.
+    * Reference: NB cell 58 (ln 2231) peak posting hour per subreddit. (W1+P5)
+    */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(desc("n"), asc("hr"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("event_type")
+  }
+
+  private val q05Sql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, hr, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rn
+      |  FROM c)
+      |SELECT event_type, hr, n FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** Running per-key count: the reference's cross-batch author-activity
+    * counter (S/kinesis_processing_2.py:43,98-100) as an unbounded-preceding
+    * window frame (SURVEY W2/A7). Ordered by the unique event_id so the
+    * frame is total — ns-vs-µs timestamp precision can't reorder ties.
+    */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("rc"))
+      .orderBy("event_id")
+  }
+
+  private val q06Sql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Union of per-shard frames then aggregate — the 33-CSV concat
+    * (NB cell 7 ln 170) as `unionByName`. (U1)
+    */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val parts = Seq("A", "N", "R").map(f => li.filter(col("l_returnflag") === f))
+    parts.reduce(_ unionByName _)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q07Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM (
+      |  SELECT * FROM lineitem WHERE l_returnflag = 'A'
+      |  UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'N'
+      |  UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Star join: fact `orders` ⋈ broadcast dims customer→nation→region,
+    * revenue per region. The dims are broadcast so the 100 TB fact table
+    * never shuffles for the join — only the final 5-group aggregation does.
+    * (SURVEY §2.3 inner equi-join)
+    */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = broadcast(Tables.customer(s, d))
+    val n = broadcast(Tables.nation(s, d))
+    val r = broadcast(Tables.region(s, d))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  private val q08Sql =
+    """SELECT r_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that placed at least one order,
+    * counted per nation. (SURVEY §2.3)
+    */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val n = broadcast(Tables.nation(s, d))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
+  private val q09Sql =
+    """SELECT n_name, count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  private val q10Sql =
+    """SELECT c_mktsegment, count(*) AS n
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Conjunctive filter + projection; both predicates and the 3-column
+    * read schema reach the parquet scan (PushedFilters — see PlanSpec).
+    * Reference: S/process_dynamo.py:23 (`score > 1`), NB cell 44
+    * (string-equality filter). (P1+P3+P4)
+    */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") > 150.0 && col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  private val q11Sql =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE value > 150.0 AND event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Cast-projection (NB cell 24/28 `cast(IntegerType)`): floor-to-int
+    * bucketing then count. Explicit floor() because bare double→int CAST
+    * truncates in Spark but rounds in DuckDB. (P9)
+    */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(floor(col("l_quantity")).cast("long").as("qty_int"))
+      .groupBy("qty_int")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qty_int")
+
+  private val q12Sql =
+    """SELECT CAST(floor(l_quantity) AS BIGINT) AS qty_int, count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Date-part feature engineering + aggregation. Reference: NB cells
+    * 40/48 (`F.year/month`), cells 49/52 (posts per year/month). (D3+A1)
+    */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("y", "m")
+
+  private val q14Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
+
+  /** Conditional bucketing: the reference's day/night time-of-day rule
+    * (S/kinesis_processing_2.py:96) and media/text CASE
+    * (S/kinesis_processing_2.py:93). (D6+M4)
+    */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(hour(col("ts")).between(6, 17), "day").otherwise("night").as("tod"),
+        when(col("event_type").isin("view", "click"), "passive")
+          .otherwise("active").as("kind"))
+      .groupBy("tod", "kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tod", "kind")
+
+  private val q15Sql =
+    """SELECT CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END AS tod,
+      |  CASE WHEN event_type IN ('view','click') THEN 'passive' ELSE 'active' END AS kind,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY tod, kind""".stripMargin
+
+  /** Timestamp→string formatting and re-parsing round trip (the reference
+    * stores all timestamps as 'yyyy-MM-dd HH:mm:ss' strings — S/kin.py:36,
+    * NB cell 39). (F11+D2+D7)
+    */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ds"))
+      .groupBy("ds")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ds")
+      .limit(50)
+
+  private val q16Sql =
+    """SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ds, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY ds LIMIT 50""".stripMargin
+
+  /** Keyed slice: ordered limit (NB cell 18 `LIMIT 5`, S/batch.py:68
+    * `[:100]`). (O3+O7+P13)
+    */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  private val q17Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  /** Z-score anomaly flags, group-local statistics — the reference's
+    * per-batch anomaly detector (S/kinesis_processing_2.py:104-119, M2)
+    * with event_type standing in for the micro-batch. Sample stddev
+    * (ddof=1) like pandas `.std()`; moments from exact decimal sums so the
+    * doubles are bit-identical to the oracle's.
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val dec = col("value").cast("decimal(12,2)")
+    val sx = sum(dec).over(w).cast("double")
+    val sx2 = sum((dec * dec).cast("decimal(30,4)")).over(w).cast("double")
+    val cnt = count(lit(1)).over(w).cast("double")
+    val mean = sx / cnt
+    val std = sqrt((sx2 * cnt - sx * sx) / (cnt * (cnt - lit(1.0))))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - mean) / std).as("z"))
+      .filter(abs(col("z")) > 2.5)
+      .orderBy("event_id")
+  }
+
+  private val q18Sql =
+    """WITH s AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(30,4))) OVER (PARTITION BY event_type) AS DOUBLE) AS sx2,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+      |  FROM events)
+      |SELECT event_id, event_type, value,
+      |  (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) AS z
+      |FROM s
+      |WHERE abs((value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0)))) > 2.5
+      |ORDER BY event_id""".stripMargin
+
+  /** Population stats per group: mean + sample stddev (the Z-score inputs,
+    * S/kinesis_processing_2.py:115; pandas `.std()` is ddof=1). (A5)
+    */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dmean(col("value")).as("mean_v"),
+        dstddev(col("value")).as("std_v"))
+      .orderBy("event_type")
+
+  private val q19Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean_v,
+      |  CASE WHEN count(value) > 1 THEN
+      |    sqrt((CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) * CAST(count(value) AS DOUBLE)
+      |          - CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE))
+      |         / (CAST(count(value) AS DOUBLE) * (CAST(count(value) AS DOUBLE) - 1.0)))
+      |  END AS std_v
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Popularity score — the reference's engineered metric
+    * score×upvote_ratio + 0.5×num_comments (S/kinesis_processing_2.py:90)
+    * with events stand-ins: value×(k/100) + 0.5×(event_id mod 97).
+    * Missing ratio defaults to 0 via coalesce (S/proc.py `.get(…, 0)`).
+    * Top-20. (M1+P12+O4)
+    */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        (col("value") * coalesce(
+          expr("try_cast(get_json_object(props, '$.k') as double)") / 100.0,
+          lit(0.0))
+          + lit(0.5) * (col("event_id") % 97).cast("double")).as("pop"))
+      .orderBy(desc("pop"), asc("event_id"))
+      .limit(20)
+
+  private val q20Sql =
+    """SELECT event_id,
+      |  value * coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0, 0.0)
+      |    + 0.5 * CAST(event_id % 97 AS DOUBLE) AS pop
+      |FROM events ORDER BY pop DESC, event_id LIMIT 20""".stripMargin
+
+  /** Distinct aggregation (beyond-reference completeness): exact distinct
+    * user count per type. Expands to a two-phase aggregate in Spark.
+    */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val q21Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Analytic lag: per-user value delta between consecutive events
+    * (beyond-reference window completeness: lag + frame ordering).
+    */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy("event_id")
+  }
+
+  private val q22Sql =
+    """SELECT event_id, user_id,
+      |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+      |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin
+
+  /** Ranked top-3 per group with rank() (beyond-reference: rank vs
+    * row_number tie semantics).
+    */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  private val q23Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(rank() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_count_by_type", q01, Some(q01Sql), "A1+O1 groupBy-count ordered"),
+    QueryDef("q02_count_type_hour", q02, Some(q02Sql), "A2+D3 two-key count with hour()"),
+    QueryDef("q03_grouped_sums", q03, Some(q03Sql), "A3 aliased sums, TPC-H Q1 shape"),
+    QueryDef("q05_top1_per_group", q05, Some(q05Sql), "W1 row_number top-1-per-group"),
+    QueryDef("q04_topk", q04, Some(q04Sql), "O4 orderBy.limit top-k"),
+    QueryDef("q06_running_count", q06, Some(q06Sql), "W2/A7 running per-key count"),
+    QueryDef("q07_union_shards", q07, Some(q07Sql), "U1 unionByName of shards"),
+    QueryDef("q08_star_join", q08, Some(q08Sql), "inner equi-join, broadcast dims"),
+    QueryDef("q09_semi_join", q09, Some(q09Sql), "left-semi EXISTS"),
+    QueryDef("q10_anti_join", q10, Some(q10Sql), "left-anti NOT EXISTS"),
+    QueryDef("q11_filter_project", q11, Some(q11Sql), "P3+P4 pushed filters"),
+    QueryDef("q12_cast_bucket", q12, Some(q12Sql), "P9 cast projection"),
+    QueryDef("q14_date_parts", q14, Some(q14Sql), "D3 year/month feature agg"),
+    QueryDef("q15_cond_bucket", q15, Some(q15Sql), "D6+M4 CASE bucketing"),
+    QueryDef("q16_date_roundtrip", q16, Some(q16Sql), "F11 date_format grouping"),
+    QueryDef("q17_limit_slice", q17, Some(q17Sql), "O3 ordered limit"),
+    QueryDef("q18_zscore_anomaly", q18, Some(q18Sql), "M2 group-local z-score"),
+    QueryDef("q19_mean_std", q19, Some(q19Sql), "A5 mean + sample stddev"),
+    QueryDef("q20_popularity_topk", q20, Some(q20Sql), "M1 popularity score top-k"),
+    QueryDef("q21_distinct_agg", q21, Some(q21Sql), "countDistinct completeness"),
+    QueryDef("q22_lag_delta", q22, Some(q22Sql), "lag() analytic"),
+    QueryDef("q23_rank_topn", q23, Some(q23Sql), "rank() top-3 per group"))
+}

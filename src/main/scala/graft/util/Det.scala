@@ -1,0 +1,86 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism toolkit for DuckDB-oracle hash parity.
+  *
+  * The driver compares our parquet output against DuckDB results by value
+  * hash, so every emitted cell must be bit-identical across engines. Doubles
+  * summed in nondeterministic partial-aggregation order are NOT (IEEE
+  * addition is order-sensitive); these helpers route every aggregate through
+  * exact arithmetic:
+  *
+  *  - [[dsum]]: sum through `DECIMAL(18,6)` (exact, order-insensitive) and
+  *    cast the final total back to double (a single deterministic rounding).
+  *  - [[dmean]] / [[dstddev]]: derive moments from exact decimal sums, then
+  *    do the scalar double math (deterministic given identical inputs).
+  *  - [[seqDot]] and friends: sequential left-to-right folds over arrays so
+  *    both engines add in the same order.
+  *
+  * At 100 TB scale these stay fully distributed: decimal sums use the same
+  * partial/final hash-aggregation as double sums (Spark's `Sum` over
+  * `DecimalType` is codegen'd), and the folds are per-row expressions inside
+  * whole-stage codegen.
+  */
+object Det {
+
+  /** Exact sum of a double column: decimal(18,4) accumulation → double.
+    *
+    * Scale 4 is deliberate twice over: (1) the testdata carries at most 2
+    * real decimal digits, so per-row casts are never near a rounding tie;
+    * (2) the summed integer representation stays < 2^53 (up to ~9e11 in
+    * sum magnitude), so the final decimal→double conversion is a single
+    * correctly-rounded step in BOTH engines — Spark goes through
+    * BigDecimal.doubleValue, DuckDB divides the int128 by 10^scale; they
+    * only agree when that int128 is itself exactly representable.
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic mean: exact decimal sum divided by count, in doubles. */
+  def dmean(c: Column): Column =
+    dsum(c) / count(c)
+
+  /** Deterministic sample stddev from exact decimal moments:
+    * sqrt((n*Σx² − (Σx)²) / (n·(n−1))). Matches `stddev_samp` (ddof=1 —
+    * pandas `.std()` semantics, SURVEY §7.4) but with order-insensitive
+    * accumulation. x is cast at scale 2 (the data's true scale) so squares
+    * have exactly 4 decimals — no per-row rounding at all — and sums stay
+    * exactly double-representable (see [[dsum]]).
+    */
+  def dstddev(c: Column): Column = {
+    val n = count(c).cast("double")
+    val x = c.cast("decimal(12,2)")
+    val s = sum(x).cast("double")
+    val s2 = sum((x * x).cast("decimal(30,4)")).cast("double")
+    when(count(c) > 1, sqrt((s2 * n - s * s) / (n * (n - lit(1.0)))))
+  }
+
+  /** Sequential dot product of two float/double arrays. `zip_with` then a
+    * left fold — both engines accumulate in index order, so the result is
+    * bit-identical. Used by cosine similarity (similarity/Similarity.scala).
+    */
+  def seqDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Sequential sum of squares of one array (for norms). */
+  def seqNormSq(a: Column): Column = seqDot(a, a)
+
+  /** Polynomial rolling hash of a string, char-by-char:
+    * fold(acc = seed; acc = (acc*31 + codepoint) mod 1_000_000_007).
+    * Pure integer math — bit-exact in any engine; intermediate values stay
+    * below 2^35 so 64-bit overflow is impossible. Runs inside whole-stage
+    * codegen (no UDF). DuckDB equivalent:
+    * `list_reduce(list_prepend(seed, list_transform(string_split(t,''),
+    *   c -> unicode(c))), (a,b) -> (a*31+b) % 1000000007)`.
+    */
+  def polyHash(s: Column, seed: Long = 7L): Column =
+    aggregate(
+      split(s, ""),
+      lit(seed),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+}

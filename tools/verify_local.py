@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev loop only; the
+engine itself is pure Scala/Spark). Usage:
+
+    python3 tools/verify_local.py <sfDir> <outDir>
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), runs each SQL in
+DuckDB over the parquet tables in <sfDir>, loads the corresponding Spark
+result parquet, sorts columns by name + rows by all columns, and compares
+values exactly. Prints per-query PASS/FAIL."""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = p.split("/")[-1].removesuffix(".parquet")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        n_fail += 1
+        continue
+    try:
+        got = pd.read_parquet(f"{out_dir}/{name}")
+    except Exception as e:
+        print(f"FAIL {name}: spark result missing: {e}")
+        n_fail += 1
+        continue
+    want = want.reindex(sorted(want.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(want.columns) != list(got.columns):
+        print(f"FAIL {name}: columns differ: oracle={list(want.columns)} spark={list(got.columns)}")
+        n_fail += 1
+        continue
+    if len(want) != len(got):
+        print(f"FAIL {name}: row count differs: oracle={len(want)} spark={len(got)}")
+        n_fail += 1
+        continue
+    ws = want.sort_values(list(want.columns), na_position="first").reset_index(drop=True)
+    gs = got.sort_values(list(got.columns), na_position="first").reset_index(drop=True)
+    diffs = []
+    for c in ws.columns:
+        a, b = ws[c], gs[c]
+        try:
+            eq = (a == b) | (a.isna() & b.isna())
+        except Exception:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            bad = (~eq).idxmax()
+            diffs.append(f"col {c}: {int((~eq).sum())} cells differ, first at row {bad}: oracle={a[bad]!r} spark={b[bad]!r}")
+    # dtype note (driver may hash dtypes too)
+    dt = [f"{c}: oracle={ws[c].dtype} spark={gs[c].dtype}" for c in ws.columns if str(ws[c].dtype) != str(gs[c].dtype)]
+    if diffs:
+        print(f"FAIL {name}: " + "; ".join(diffs[:3]))
+        n_fail += 1
+    else:
+        note = f"  [dtype diff: {'; '.join(dt)}]" if dt else ""
+        print(f"PASS {name} ({len(want)} rows){note}")
+        n_pass += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
