@@ -1,7 +1,178 @@
 package graft.clean
 
-import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.{QueryDef, Tables}
+import graft.util.Det
+
+/** Text-analysis operator family over the `documents` table: the
+  * reference's NLP surface (SURVEY §2.8: clean chain, tokenize, stopwords,
+  * word frequency) plus the training-data-pipeline text analyzers
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is a pure column expression — no UDFs — so the whole
+  * family runs inside whole-stage codegen and scales linearly with input
+  * (no shuffle except where a groupBy is the semantics, e.g. word counts).
+  */
 object TextQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** clean_post chain (F1+F2+F3, NB cell 36). */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.cleanPost(col("text")).as("cleaned"))
+      .orderBy("doc_id")
+
+  private val q30Sql =
+    s"""SELECT doc_id, ${TextOps.cleanPostSql("text")} AS cleaned
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Word frequency top-15 (A6+F4+A8: NB cell 45's nltk.FreqDist +
+    * nlargest as explode→groupBy→top-k).
+    */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(15)
+
+  private val q31Sql =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT word, count(*) AS n FROM w WHERE word != ''
+      |GROUP BY word ORDER BY n DESC, word LIMIT 15""".stripMargin
+
+  /** Stopword removal (F6/U1) as a native array filter, rejoined to text. */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(TextOps.removeStopwords(TextOps.tokens(col("text"))), " ")
+          .as("body"))
+      .orderBy("doc_id")
+
+  private val q32Sql =
+    s"""SELECT doc_id,
+       |  array_to_string(list_filter(string_split(text, ' '),
+       |    t -> NOT list_contains(${TextOps.stopwordSqlList}, t)), ' ') AS body
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting (training-pipeline operator): whitespace tokens,
+    * regex word tokens (BPE-ish [a-z0-9]+ pieces), characters.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .orderBy("doc_id")
+
+  private val q33Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      |  CAST(length(text) AS BIGINT) AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring (training-pipeline operator): token count, mean word
+    * length, stopword ratio, and a composite score — all rational
+    * arithmetic over integers (no transcendentals, which are not
+    * bit-reproducible across engines' libm).
+    */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val totLen = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+    val nStop = size(filter(toks, t => array_contains(TextOps.stopwordArray, t)))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        (totLen.cast("double") / n).as("avg_word_len"),
+        (nStop.cast("double") / n).as("stop_ratio"),
+        ((lit(1.0) - nStop.cast("double") / n) * least(n, lit(100)).cast("double") / 100.0)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val q34Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text,' '), t -> length(t))), (a,b) -> a+b) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${TextOps.stopwordSqlList}, t))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stop_ratio,
+       |  (1.0 - CAST(len(list_filter(string_split(text,' '), t -> list_contains(${TextOps.stopwordSqlList}, t))) AS DOUBLE)
+       |    / len(string_split(text,' ')))
+       |    * CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID (training-pipeline operator): marker-word overlap argmax
+    * with a fixed preference order for ties. The n-gram-profile approach in
+    * miniature — deterministic, join-free, codegen'd.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo", "bu"))
+
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val toksD = array_distinct(TextOps.tokens(col("text")))
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> size(array_intersect(toksD, array(ms.map(lit): _*)))
+    }
+    val pred = scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, sc), acc) =>
+        val isMax = scores.map(_._2).foldLeft(lit(true)) { (c, other) => c && sc >= other }
+        when(isMax && sc > 0, l).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val q35Sql = {
+    def sc(ms: Seq[String]) =
+      s"len(list_intersect(list_distinct(string_split(text,' ')), ${ms.map(m => s"'$m'").mkString("[", ",", "]")}))"
+    val cases = langMarkers.map { case (l, ms) =>
+      val cond = langMarkers.map { case (_, o) => s"${sc(ms)} >= ${sc(o)}" }.mkString(" AND ")
+      s"WHEN $cond AND ${sc(ms)} > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting (training-pipeline operator): full-text
+    * polynomial rolling hash + min-token-hash (a 1-permutation minhash).
+    * Pure 64-bit integer math, bit-exact in any engine.
+    */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Det.polyHash(col("text")).as("fp"),
+        array_min(transform(TextOps.tokens(col("text")), t => Det.polyHash(t)))
+          .as("min_token_hash"))
+      .orderBy("doc_id")
+
+  private val q36Sql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+      |  list_min(list_transform(string_split(text,' '),
+      |    t -> list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007))) AS min_token_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
+    QueryDef("q31_word_freq", q31, Some(q31Sql), "A6 word frequency top-15"),
+    QueryDef("q32_stopword_remove", q32, Some(q32Sql), "F6 native stopword filter"),
+    QueryDef("q33_token_counts", q33, Some(q33Sql), "token counting (ws + regex)"),
+    QueryDef("q34_quality_score", q34, Some(q34Sql), "text quality scoring"),
+    QueryDef("q35_langid", q35, Some(q35Sql), "marker-based language ID"),
+    QueryDef("q36_fingerprint", q36, Some(q36Sql), "rolling-hash fingerprint"))
 }

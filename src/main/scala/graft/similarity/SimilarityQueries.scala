@@ -1,7 +1,125 @@
 package graft.similarity
 
-import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.{QueryDef, Tables}
+import graft.util.Det
+
+/** Similarity-search operator family over `embeddings` (Array[Float], 64-d):
+  * cosine near-dup pairs, brute-force ANN top-k, and a partition-pruned
+  * (IVF-style) ANN variant.
+  *
+  * Determinism: cosine is a sequential left-to-right fold over the vector
+  * (Det.seqDot) — IEEE doubles added in index order are bit-identical in
+  * any engine, so even raw cosine values and order-by-cosine rankings
+  * hash-match the oracle (ties broken by vec_id regardless).
+  *
+  * Scale: brute-force is the correctness baseline (broadcast the query
+  * set, scan candidates once — linear, no shuffle of the corpus). The
+  * partitioned variant is the 100 TB path: a coarse quantizer assigns each
+  * vector to a partition (here the provided `label`; k-means centroids in
+  * production), the corpus is stored partitioned by it, and each query
+  * probes only its own partition — IVF with nprobe=1.
+  */
 object SimilarityQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private def cosine(a: Column, b: Column): Column =
+    Det.seqDot(a, b) / (sqrt(Det.seqNormSq(a)) * sqrt(Det.seqNormSq(b)))
+
+  /** DuckDB mirror of Det.seqDot: sequential fold over the zipped lists. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4 within a label block. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q46Sql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${sqlCos("a.embedding", "b.embedding")} AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine ANN: top-5 neighbors for each query vector
+    * (vec_id < 20). The query set is broadcast; the corpus is scanned once.
+    */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+    cand.crossJoin(q)
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q47Sql =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ${sqlCos("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Partition-pruned ANN (IVF, nprobe=1): identical to q47 but each query
+    * probes only its own coarse partition (`label` as the provided
+    * quantizer assignment). Scans |corpus|/k per query instead of |corpus|.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("qv")))
+    val cand = e.select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("cv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+    cand.join(q, Seq("label"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q48Sql =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ${sqlCos("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON c.label = q.label AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q46_cosine_pairs", q46, Some(q46Sql), "blocked cosine near-dup pairs"),
+    QueryDef("q47_ann_bruteforce", q47, Some(q47Sql), "brute-force cosine top-5"),
+    QueryDef("q48_ann_partitioned", q48, Some(q48Sql), "IVF-style partition-pruned top-3"))
 }
