@@ -1,7 +1,101 @@
 package graft.multimodal
 
-import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.{QueryDef, Tables}
+import graft.util.Det
+
+/** Multimodal-column operator family: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata structs, plus per-partition batch
+  * "decode"/feature-extraction plumbing.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (see [[MediaStub]]); everything
+  * Spark-side — binary column handling, metadata schema, partition-batched
+  * UDF shape, feature schema — is real and tested. Swapping the stub for a
+  * JNI/codec call changes one function.
+  *
+  * Scale: media payloads dominate row size, so the rule at 100 TB is:
+  * never shuffle the binary column. Metadata-only projections run first
+  * (column pruning keeps bytes out of the scan when unused), and
+  * feature-extraction is mapPartitions — per-partition batching, no
+  * driver involvement, no shuffle.
+  */
 object MultimodalQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Media metadata extraction over binary payloads (documents.text encoded
+    * as UTF-8 bytes stands in for image bytes): byte length, magic-prefix
+    * hex, content checksum, and a metadata struct. All deterministic
+    * expressions → fully oracled.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(col("source").as("origin"), col("lang").as("tag")).as("meta"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lower(hex(substring(col("payload"), 1, 8))).as("magic_hex"),
+        Det.polyHash(col("payload").cast("string")).as("checksum"),
+        col("meta.origin").as("origin"))
+      .orderBy("doc_id")
+
+  private val q65Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS magic_hex,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+      |  source AS origin
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Partition-batched media decode + feature extraction: the
+    * `mapInPandas`-shaped path (iterator of batches in, iterator of
+    * batches out) as Scala `mapPartitions` over a typed Dataset. The
+    * decode kernel is [[MediaStub.decode]] — STUB. Deterministic, but the
+    * decode semantics aren't SQL — rows-only check + MultimodalSpec.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition batch processing: one decoder instance per
+        // partition (the expensive-init shape real codecs need)
+        val decoder = new MediaStub
+        batch.map { case (id, bytes) =>
+          val f = decoder.decode(bytes)
+          (id, f.width, f.height, f.nFrames, f.meanLuma)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "mean_luma")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_media_meta", q65, Some(q65Sql), "binary payload + metadata projection"),
+    QueryDef("q66_media_decode", q66, None, "mapPartitions batched decode (STUB kernel)"))
+}
+
+/** STUB media decoder — the container ships no image/audio libraries
+  * (builder prompt), so this produces deterministic fake features derived
+  * from the payload bytes. The partition-batched call shape, schemas, and
+  * typed Dataset plumbing around it are the real engineering surface; a
+  * production build replaces `decode` with an actual codec.
+  */
+final class MediaStub {
+  final case class Features(width: Int, height: Int, nFrames: Int, meanLuma: Double)
+
+  def decode(payload: Array[Byte]): Features = {
+    val n = payload.length
+    // ??? real codec goes here — deterministic fake derived from bytes:
+    val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+    Features(
+      width = 64 + (n % 577),
+      height = 64 + (n % 433),
+      nFrames = 1 + (n % 7),
+      meanLuma = (sum % 25600L).toDouble / 100.0)
+  }
 }

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+import graft.enrich.Features
+import graft.util.Det
+
+/** The hot path (SURVEY §3.1) as Structured Streaming: micro-batch source →
+  * row-local enrichment → foreachBatch{keyed upsert + batch-local anomaly} +
+  * cross-batch author-activity state.
+  *
+  * Semantics owed (SURVEY §2.12):
+  *  - ST1: micro-batching — bounded batches via MemoryStream slices (the
+  *    poll-loop `Limit=100`) or file-source triggers.
+  *  - ST3: per-record enrich then sink write — enrichment is a `select`,
+  *    the sink is `foreachBatch`.
+  *  - ST4: anomaly Z-scores use *batch-local* mean/std — computed inside
+  *    `foreachBatch` on the micro-batch, NOT a global streaming agg.
+  *  - ST5: author activity count accumulates across batches for the
+  *    process lifetime and each row carries the as-of value —
+  *    `flatMapGroupsWithState` (exact per-row parity, not just
+  *    `groupBy.count` update mode).
+  *  - S10: keyed upsert (DynamoDB put_item) — last-write-wins by key via
+  *    read∪batch → row_number dedup → overwrite (a Delta/Hudi MERGE at
+  *    cluster scale; plain parquet rewrite here).
+  */
+object Pipeline {
+
+  /** A collected event row for MemoryStream feeding (ts as floor-epoch
+    * seconds — the reference serializes timestamps as strings and reparses,
+    * SURVEY §1.2; second precision is its grain).
+    */
+  case class StreamEvent(event_id: Long, ts_sec: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Per-row as-of output of the stateful author counter. */
+  case class AuthorCount(event_id: Long, user_id: Long, rc: Long)
+
+  /** Collect the first `n` events (by event_id) as MemoryStream feed.
+    * Bounded by construction — the driver-side collect is the test
+    * harness's stand-in for the Kinesis poll loop, not an engine operator.
+    */
+  def collectEvents(spark: SparkSession, sfDir: String, n: Int): Seq[StreamEvent] = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+      .limit(n)
+      .as[StreamEvent]
+      .collect()
+      .toSeq
+  }
+
+  /** Enrichment select over a (streaming or batch) events frame. */
+  def enrich(df: DataFrame): DataFrame = {
+    val ts = timestamp_seconds(col("ts_sec"))
+    val upvoteRatio = expr("try_cast(get_json_object(props, '$.k') as double)") / 100.0
+    df.select(col("event_id"), col("user_id"), col("value"),
+      Features.popularityScore(col("value"), upvoteRatio,
+        col("event_id") % 97).as("pop"),
+      Features.timeOfDay(ts).as("time_of_day"))
+  }
+
+  /** Keyed last-write-wins upsert of a micro-batch into a parquet dir.
+    * Reads current state, unions the batch, keeps the highest event_id per
+    * user, rewrites. At cluster scale this is a Delta MERGE on a table
+    * partitioned by bucket(user_id); the read-modify-write here preserves
+    * identical semantics.
+    */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val existing =
+      if (Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        spark.read.parquet(dir)
+      else batch.limit(0)
+    val w = Window.partitionBy("user_id").orderBy(desc("event_id"))
+    val merged = existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    // rewrite to a fresh dir then swap (parquet has no transactional MERGE)
+    val tmp = dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** Batch-local Z-score anomalies (ST4): mean/std of THIS micro-batch
+    * only, via exact decimal moments (Det), flag |z| > 2.5.
+    */
+  def batchAnomalies(batch: DataFrame, batchId: Long): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    val dec = col("value").cast("decimal(12,2)")
+    val sx = sum(dec).over(w).cast("double")
+    val sx2 = sum((dec * dec).cast("decimal(30,4)")).over(w).cast("double")
+    val cnt = count(lit(1)).over(w).cast("double")
+    val mean = sx / cnt
+    val std = sqrt((sx2 * cnt - sx * sx) / (cnt * (cnt - lit(1.0))))
+    batch
+      .select(col("event_id"), col("user_id"), col("value"),
+        ((col("value") - mean) / std).as("z"))
+      .filter(abs(col("z")) > 2.5)
+      .withColumn("batch_id", lit(batchId))
+  }
+
+  /** Cross-batch stateful author counter (ST5): per-row as-of counts with
+    * process-lifetime state. Rows within a (group, batch) are counted in
+    * event_id order so results are independent of shuffle order.
+    */
+  def authorCounts(events: Dataset[StreamEvent]): Dataset[AuthorCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[StreamEvent], state: GroupState[Long]) => {
+          var c = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            c += 1
+            AuthorCount(e.event_id, user, c)
+          }
+          state.update(c)
+          out.iterator
+        })
+  }
+
+  /** Drive a MemoryStream through `build` in fixed-size slices, blocking
+    * per batch so micro-batch boundaries are exactly the slices.
+    */
+  def runSliced[T](spark: SparkSession, events: Seq[StreamEvent], sliceSize: Int,
+      sinkName: String)(build: Dataset[StreamEvent] => DataFrame)(
+      foreach: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
+    import spark.implicits._
+    spark.catalog.dropTempView(sinkName)
+    val stream = MemoryStream[StreamEvent](spark)
+    val transformed = build(stream.toDS())
+    val query: StreamingQuery = foreach match {
+      case Some(fn) =>
+        transformed.writeStream.outputMode("update")
+          .foreachBatch((b: DataFrame, id: Long) => fn(b, id))
+          .queryName(sinkName).start()
+      case None =>
+        transformed.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName).start()
+    }
+    events.grouped(sliceSize).foreach { slice =>
+      stream.addData(slice)
+      query.processAllAvailable()
+    }
+    query.stop()
+    query.awaitTermination()
+    if (foreach.isEmpty) spark.table(sinkName) else spark.emptyDataFrame
+  }
+
+  /** Streaming schema for the file-source path (ts read as raw ns long —
+    * see Tables.events).
+    */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source streaming read of the events table (S8/ST2: the Kinesis
+    * consumer as `readStream`; `latest`/`TRIM_HORIZON` ↔ file-source
+    * catch-up semantics).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsFileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,7 +1,134 @@
 package graft.streaming
 
-import graft.QueryDef
+import java.nio.file.Files
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.util.Det
+
+/** Streaming operator family. Each query RUNS a genuine Structured
+  * Streaming job (file source or MemoryStream micro-batches) and returns
+  * the final materialized result, which — because the inputs are bounded
+  * and batch slicing is pinned — is deterministic and hash-comparable
+  * against a batch SQL oracle. This is the strongest correctness statement
+  * available for streaming: stream result ≡ batch result over the same
+  * (bounded) input.
+  */
 object StreamingQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Event-time 5-minute tumbling window aggregation with watermark (ST6
+    * upgraded: the reference is processing-time-only; we add event-time
+    * windows + watermark as engine hygiene) over the file-source stream.
+    * Complete output mode materializes every window for the bounded input.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val sinkName = "graft_q60_sink"
+    s.catalog.dropTempView(sinkName)
+    val agg = Pipeline.eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    s.table(sinkName)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_v"))
+      .orderBy("win_start", "event_type")
+  }
+
+  private val q60Sql =
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Keyed streaming upsert (S10/ST3): enrich each micro-batch (100-row
+    * slices — the reference's get_records Limit=100) and upsert into a
+    * keyed store, last write per user_id wins. Stream-equals-batch oracle:
+    * the final store is exactly "latest event per user, enriched".
+    */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val dir = Files.createTempDirectory("graft_upsert_").toString
+    Pipeline.runSliced(s, eventsSeq, 100, "graft_q61_sink")(
+      ds => Pipeline.enrich(ds.toDF()))(
+      Some((batch, _) => Pipeline.upsertBatch(s, batch, dir)))
+    s.read.parquet(dir)
+      .select("user_id", "event_id", "value", "pop", "time_of_day")
+      .orderBy("user_id")
+  }
+
+  private val q61Sql =
+    """WITH head AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
+      |ranked AS (
+      |  SELECT user_id, event_id, value,
+      |    value * coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0, 0.0)
+      |      + 0.5 * CAST(event_id % 97 AS DOUBLE) AS pop,
+      |    CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END AS time_of_day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM head)
+      |SELECT user_id, event_id, value, pop, time_of_day
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Cross-batch stateful author counts (ST5/A7): flatMapGroupsWithState
+    * accumulating per-user totals across 4 MemoryStream micro-batches,
+    * emitting the as-of count on every row. Stream ≡ batch running count.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    Pipeline.runSliced(s, eventsSeq, 250, "graft_q62_sink")(
+      ds => Pipeline.authorCounts(ds).toDF())(None)
+      .orderBy("event_id")
+  }
+
+  private val q62Sql =
+    """WITH head AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+      |SELECT event_id, user_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+      |FROM head ORDER BY event_id""".stripMargin
+
+  /** Batch-local anomaly detection (ST4/M2): Z-scores computed per
+    * micro-batch (250-row slices) inside foreachBatch — NOT a global
+    * streaming aggregate; the stats reset every batch exactly like the
+    * reference's pandas-per-poll (S/kinesis_processing_2.py:104-119).
+    */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val dir = Files.createTempDirectory("graft_anomaly_").toString
+    Pipeline.runSliced(s, eventsSeq, 250, "graft_q63_sink")(_.toDF())(
+      Some((batch, id) =>
+        Pipeline.batchAnomalies(batch, id).write.mode("append").parquet(dir)))
+    s.read.parquet(dir)
+      .select("batch_id", "event_id", "user_id", "value", "z")
+      .orderBy("event_id")
+  }
+
+  private val q63Sql =
+    """WITH head AS (
+      |  SELECT *, CAST((row_number() OVER (ORDER BY event_id) - 1) // 250 AS BIGINT) AS batch_id
+      |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 1000)),
+      |s AS (
+      |  SELECT batch_id, event_id, user_id, value,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY batch_id) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(30,4))) OVER (PARTITION BY batch_id) AS DOUBLE) AS sx2,
+      |    CAST(count(*) OVER (PARTITION BY batch_id) AS DOUBLE) AS n
+      |  FROM head)
+      |SELECT batch_id, event_id, user_id, value,
+      |  (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) AS z
+      |FROM s
+      |WHERE abs((value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0)))) > 2.5
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
+    QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
+    QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),
+    QueryDef("q63_stream_batch_anomaly", q63, Some(q63Sql), "ST4 batch-local z-score in foreachBatch"))
 }
