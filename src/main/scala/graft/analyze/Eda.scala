@@ -329,7 +329,8 @@ object Eda {
     val std = sqrt((sx2 * cnt - sx * sx) / (cnt * (cnt - lit(1.0))))
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"),
-        ((col("value") - mean) / std).as("z"))
+        // zero-variance guard — see Pipeline.batchAnomalies
+        when(std > 0, (col("value") - mean) / std).as("z"))
       .filter(abs(col("z")) > 2.5)
       .orderBy("event_id")
   }
@@ -342,9 +343,11 @@ object Eda {
       |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
       |  FROM events)
       |SELECT event_id, event_type, value,
-      |  (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) AS z
+      |  CASE WHEN sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) > 0
+      |    THEN (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) END AS z
       |FROM s
-      |WHERE abs((value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0)))) > 2.5
+      |WHERE abs(CASE WHEN sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) > 0
+      |  THEN (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) END) > 2.5
       |ORDER BY event_id""".stripMargin
 
   /** Population stats per group: mean + sample stddev (the Z-score inputs,

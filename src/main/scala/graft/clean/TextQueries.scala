@@ -159,13 +159,11 @@ object TextQueries {
       .orderBy("doc_id")
 
   private val q36Sql =
-    """SELECT doc_id,
-      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
-      |  list_min(list_transform(string_split(text,' '),
-      |    t -> list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
-      |      (a, b) -> (a * 31 + b) % 1000000007))) AS min_token_hash
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${Det.polyHashSql("text")} AS fp,
+       |  list_min(list_transform(string_split(text,' '),
+       |    t -> ${Det.polyHashSql("t")})) AS min_token_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),

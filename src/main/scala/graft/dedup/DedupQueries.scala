@@ -180,7 +180,7 @@ object DedupQueries {
 
   private val q45Sql = {
     val hs = "list_transform(list_distinct(string_split(text,' ')), " +
-      "t -> list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))), (a,b) -> (a*31+b) % 1000000007))"
+      s"t -> ${Det.polyHashSql("t")})"
     val terms = (0 until 32).map { i =>
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, x -> ((x >> $i) & 1) * 2 - 1)), (a,b) -> a+b) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")

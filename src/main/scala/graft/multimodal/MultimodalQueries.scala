@@ -42,13 +42,12 @@ object MultimodalQueries {
       .orderBy("doc_id")
 
   private val q65Sql =
-    """SELECT doc_id,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |  lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS magic_hex,
-      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
-      |  source AS origin
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       |  lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS magic_hex,
+       |  ${Det.polyHashSql("text")} AS checksum,
+       |  source AS origin
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Partition-batched media decode + feature extraction: the
     * `mapInPandas`-shaped path (iterator of batches in, iterator of

@@ -106,7 +106,10 @@ object Pipeline {
     val std = sqrt((sx2 * cnt - sx * sx) / (cnt * (cnt - lit(1.0))))
     batch
       .select(col("event_id"), col("user_id"), col("value"),
-        ((col("value") - mean) / std).as("z"))
+        // zero-variance guard: a constant batch has no outliers (the
+        // reference's pandas yields NaN z-scores there, which its >3
+        // comparison drops); also keeps ANSI mode from raising /0
+        when(std > 0, (col("value") - mean) / std).as("z"))
       .filter(abs(col("z")) > 2.5)
       .withColumn("batch_id", lit(batchId))
   }

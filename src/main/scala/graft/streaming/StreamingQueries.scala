@@ -121,9 +121,11 @@ object StreamingQueries {
       |    CAST(count(*) OVER (PARTITION BY batch_id) AS DOUBLE) AS n
       |  FROM head)
       |SELECT batch_id, event_id, user_id, value,
-      |  (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) AS z
+      |  CASE WHEN sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) > 0
+      |    THEN (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) END AS z
       |FROM s
-      |WHERE abs((value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0)))) > 2.5
+      |WHERE abs(CASE WHEN sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) > 0
+      |  THEN (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) END) > 2.5
       |ORDER BY event_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

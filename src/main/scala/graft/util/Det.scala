@@ -80,7 +80,19 @@ object Det {
     */
   def polyHash(s: Column, seed: Long = 7L): Column =
     aggregate(
-      split(s, ""),
+      // drop empty-char artifacts: split("","") yields [""] in Spark while
+      // ascii("")=0 and DuckDB's unicode('')=-1 — filtering empties makes
+      // polyHash("") = seed identically in both engines
+      filter(split(s, ""), ch => ch =!= ""),
       lit(seed),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** The DuckDB mirror of [[polyHash]] over a SQL expression. Every oracle
+    * that fingerprints text MUST build its SQL through this helper so the
+    * two implementations can never drift.
+    */
+  def polyHashSql(e: String, seed: Long = 7L): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c != ''), " +
+      "c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale story is only real if Catalyst
+  * actually produces the plans the Scaladoc promises. These lock in
+  * pushdown, broadcast, and top-k physical strategies so a refactor that
+  * silently degrades the plan fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def physicalPlan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q11 filters and projection are pushed to the parquet scan") {
+    val plan = physicalPlan("q11_filter_project")
+    assert(plan.contains("PushedFilters"), "expected parquet PushedFilters")
+    assert(plan.contains("GreaterThan(value") || plan.contains("GreaterThan(`value`"),
+      s"value>150 not pushed:\n$plan")
+    assert(plan.contains("EqualTo(event_type") || plan.contains("EqualTo(`event_type`"),
+      s"event_type= not pushed:\n$plan")
+  }
+
+  test("q08 star join broadcasts every dimension (no fact shuffle for the join)") {
+    val plan = physicalPlan("q08_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("q04 top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val plan = physicalPlan("q04_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
+  test("q01 aggregation uses partial (map-side) aggregation") {
+    val plan = physicalPlan("q01_count_by_type")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("q33 reads only the columns it needs (column pruning)") {
+    val plan = physicalPlan("q33_token_counts")
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("lang"), s"lang should be pruned from the documents scan:\n$plan")
+  }
+
+  test("q47 broadcasts the query-vector side") {
+    val plan = physicalPlan("q47_ann_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+}

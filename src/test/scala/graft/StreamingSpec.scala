@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Pipeline
+import graft.streaming.Pipeline.StreamEvent
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, value: Double = 1.0): StreamEvent =
+    StreamEvent(id, 1719792000L + id, user, "view", value, s"""{"k": ${id % 100}}""")
+
+  test("stateful author counts accumulate across micro-batches (ST5)") {
+    val events = Seq(
+      ev(1, 10), ev(2, 20), ev(3, 10), // batch 1
+      ev(4, 10), ev(5, 20), ev(6, 30), // batch 2
+      ev(7, 10), ev(8, 30), ev(9, 20)) // batch 3
+    val out = Pipeline.runSliced(spark, events, 3, "spec_author_sink")(
+      ds => Pipeline.authorCounts(ds).toDF())(None)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // per-row as-of counts, state carried across batches
+    assert(out == Map(1L -> 1L, 3L -> 2L, 4L -> 3L, 7L -> 4L, // user 10
+      2L -> 1L, 5L -> 2L, 9L -> 3L, // user 20
+      6L -> 1L, 8L -> 2L)) // user 30
+  }
+
+  test("keyed upsert: last write per user wins across batches (S10)") {
+    val events = Seq(ev(1, 10, 1.0), ev(2, 20, 2.0), ev(3, 10, 3.0),
+      ev(4, 20, 4.0), ev(5, 10, 5.0))
+    val dir = Files.createTempDirectory("spec_upsert_").toString
+    Pipeline.runSliced(spark, events, 2, "spec_upsert_sink")(
+      ds => Pipeline.enrich(ds.toDF()))(
+      Some((b, _) => Pipeline.upsertBatch(spark, b, dir)))
+    val state = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(state == Map(10L -> 5L, 20L -> 4L))
+  }
+
+  test("batch anomalies use batch-local stats, not global (ST4)") {
+    // batch 1 contains an outlier relative to ITS batch; batch 2's values
+    // would make it unremarkable globally
+    val batch1 = Seq(ev(1, 1, 10.0), ev(2, 1, 10.2), ev(3, 1, 9.9),
+      ev(4, 1, 10.1), ev(5, 1, 300.0))
+    val flags = Pipeline.batchAnomalies(
+      batch1.toDF(), 0L).collect().map(_.getAs[Long]("event_id")).toSeq
+    // z of 300 within batch: mean≈68, std≈129 → z≈1.79 < 2.5 with n=5...
+    // use a tighter batch to force |z|>2.5: 12 near-constant + 1 outlier
+    val tight = (1 to 12).map(i => ev(i.toLong, 1, 10.0 + 0.01 * i)) :+ ev(13, 1, 50.0)
+    val flags2 = Pipeline.batchAnomalies(tight.toDF(), 1L)
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(flags2 == Seq(13L))
+    assert(flags.isEmpty)
+  }
+
+  test("anomaly flags are always a subset of the batch (property)") {
+    val batch = (1 to 50).map(i => ev(i.toLong, i % 5, (i * 37 % 11).toDouble))
+    val ids = Pipeline.batchAnomalies(batch.toDF(), 0L)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(ids.subsetOf(batch.map(_.event_id).toSet))
+  }
+
+  test("zero-variance batch yields no flags (std=0 edge — FIXTURES §3)") {
+    val flat = (1 to 10).map(i => ev(i.toLong, 1, 42.0))
+    val flags = Pipeline.batchAnomalies(flat.toDF(), 0L).collect()
+    assert(flags.isEmpty) // z = x/0 → NaN; abs(NaN) > 2.5 is false
+  }
+}
