@@ -16,6 +16,7 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     analyze.Eda.defs ++
+      ingest.SourceQueries.defs ++
       clean.TextQueries.defs ++
       enrich.EnrichQueries.defs ++
       serve.ServeQueries.defs ++

@@ -320,14 +320,21 @@ object Eda {
     * doubles are bit-identical to the oracle's.
     */
   private def q18(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
+    // two-pass shape, not a window: a whole-partition window caps
+    // parallelism at #groups (5 here) and buffers each group on one task —
+    // the groupBy+broadcast-join form computes the same exact decimal
+    // moments with full map-side parallelism and scales to any group size
     val dec = col("value").cast("decimal(12,2)")
-    val sx = sum(dec).over(w).cast("double")
-    val sx2 = sum((dec * dec).cast("decimal(30,4)")).over(w).cast("double")
-    val cnt = count(lit(1)).over(w).cast("double")
-    val mean = sx / cnt
-    val std = sqrt((sx2 * cnt - sx * sx) / (cnt * (cnt - lit(1.0))))
+    val stats = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(dec).cast("double").as("sx"),
+        sum((dec * dec).cast("decimal(30,4)")).cast("double").as("sx2"),
+        count(lit(1)).cast("double").as("cnt"))
+    val mean = col("sx") / col("cnt")
+    val std = sqrt((col("sx2") * col("cnt") - col("sx") * col("sx"))
+      / (col("cnt") * (col("cnt") - lit(1.0))))
     Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),
         // zero-variance guard — see Pipeline.batchAnomalies
         when(std > 0, (col("value") - mean) / std).as("z"))
@@ -446,7 +453,31 @@ object Eda {
       |  FROM orders) t
       |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
 
+  /** Salted two-phase aggregation — the skew-mitigation pattern at 100 TB:
+    * phase 1 aggregates on (key, salt) so one hot key spreads over 16
+    * reducers; phase 2 merges the partials per key. Decimal partials merge
+    * exactly, so the result is identical to the direct groupBy — which is
+    * exactly what the (unsalted) oracle asserts.
+    */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(sum(col("value").cast("decimal(18,4)")).as("part_sum"),
+        count(lit(1)).as("part_n"))
+      .groupBy("event_type")
+      .agg(sum(col("part_sum")).cast("double").as("sum_v"),
+        sum(col("part_n")).as("n"))
+      .orderBy("event_type")
+
+  private val q24Sql =
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q24_salted_agg", q24, Some(q24Sql), "two-phase salted skew aggregation"),
     QueryDef("q01_count_by_type", q01, Some(q01Sql), "A1+O1 groupBy-count ordered"),
     QueryDef("q02_count_type_hour", q02, Some(q02Sql), "A2+D3 two-key count with hour()"),
     QueryDef("q03_grouped_sums", q03, Some(q03Sql), "A3 aliased sums, TPC-H Q1 shape"),

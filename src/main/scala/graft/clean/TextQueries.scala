@@ -165,8 +165,20 @@ object TextQueries {
        |    t -> ${Det.polyHashSql("t")})) AS min_token_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Porter stemming over token lists (F7/U5, NB cell 65). No DuckDB
+    * oracle (the fts/stem extension is unavailable offline) — rows-only
+    * check + pinned-value tests in StemmerSpec.
+    */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(Stemmer.stemTokens(TextOps.tokens(col("text"))), " ")
+          .as("stemmed"))
+      .orderBy("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
+    QueryDef("q49_stem_tokens", q49, None, "F7 Porter stemmer UDF (see StemmerSpec)"),
     QueryDef("q31_word_freq", q31, Some(q31Sql), "A6 word frequency top-15"),
     QueryDef("q32_stopword_remove", q32, Some(q32Sql), "F6 native stopword filter"),
     QueryDef("q33_token_counts", q33, Some(q33Sql), "token counting (ws + regex)"),

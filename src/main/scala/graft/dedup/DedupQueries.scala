@@ -1,7 +1,10 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.GraftFunctions.sortedIntersectCount
 
 import graft.{QueryDef, Tables}
 import graft.util.Det
@@ -16,15 +19,29 @@ import graft.util.Det
   * (bit-identical in any engine). Hashes are the polynomial rolling hash
   * (Det.polyHash) — pure 64-bit integer math.
   *
+  * Performance: token/shingle sets are hashed to LONG arrays once per
+  * document before any join (bench: dropped the pairwise stage from
+  * 158 s to ~25 s at sf0.1 for bigrams) — per-pair set intersection then
+  * runs on primitive longs instead of re-hashing strings 2.5M times.
+  * Collisions (p ≈ |vocab|²/2e9) hit both engines identically, so oracle
+  * parity is unaffected.
+  *
   * Scale: the oracled pairwise queries are *blocked* (by `lang` here; by
-  * any cheap partition key in production) so the join is co-partitioned and
-  * each block is quadratic only locally. The LSH query is the real 100 TB
-  * path: signature → band keys → shuffle on band key → candidate pairs →
-  * exact verify; cost is Θ(candidates), not Θ(n²).
+  * any cheap partition key in production) so the join is co-partitioned
+  * and each block is quadratic only locally. The LSH query is the real
+  * 100 TB path: signature → band keys → shuffle on band key → candidate
+  * pairs → exact verify; cost is Θ(candidates), not Θ(n²).
   */
 object DedupQueries {
 
-  private def toksDistinct(c: Column): Column = array_distinct(split(c, " "))
+  /** Distinct tokens hashed to longs (shared by q42/q44; mirrored in SQL
+    * by [[hashedToksSql]]).
+    */
+  private def hashedToks(text: Column): Column =
+    sort_array(transform(array_distinct(split(text, " ")), t => Det.polyHash(t)))
+
+  private val hashedToksSql: String =
+    s"list_transform(list_distinct(string_split(text, ' ')), t -> ${Det.polyHashSql("t")})"
 
   /** Exact dedup (hash-groupBy on content): canonical id + group size.
     * One shuffle on the text hash; at scale, group on a 128-bit content
@@ -47,10 +64,11 @@ object DedupQueries {
     */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), toksDistinct(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
+      .cache() // evaluate token hashing once per doc, not per pair (see q43)
     val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("toks").as("toks_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val inter = sortedIntersectCount(col("toks_a"), col("toks_b"))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
     a.join(b, Seq("lang"))
       .filter(col("id_a") < col("id_b"))
@@ -61,35 +79,59 @@ object DedupQueries {
   }
 
   private val q42Sql =
-    """WITH t AS (
-      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
-      |  FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE 10 * len(list_intersect(a.toks, b.toks))
-      |  >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks
+       |  FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE 10 * len(list_intersect(a.toks, b.toks))
+       |  >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Word-bigram (shingle) Jaccard ≥ 0.1 — n-gram dedup variant; shingles
     * are far more discriminative than token sets on small vocabularies.
+    * Bigrams are hashed longs: h(w_i)·31 + h(w_{i+1}) mod p, built from
+    * the per-token hash array (each token hashed once, not once per
+    * shingle).
     */
   private def q43(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val bigrams = array_distinct(
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array()))
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), bigrams.as("bg"))
-    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("bg").as("bg_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("bg").as("bg_b"))
-    val inter = size(array_intersect(col("bg_a"), col("bg_b")))
-    val union = size(col("bg_a")) + size(col("bg_b")) - inter
-    a.join(b, Seq("lang"))
+    // Shingles are built RELATIONALLY (posexplode → lead window), not as an
+    // array expression: `element_at(transform(...), i)` looks innocent but
+    // Catalyst inlines lambda-bound subtrees, so the whole token-hash array
+    // is re-evaluated for EVERY index — O(tokens²) per doc (the plan dump
+    // showed the polyhash transform appearing four times inside the bigram
+    // lambda; 78 s at sf0.1). The relational build hashes each token once
+    // and pairs neighbors with one narrow window shuffle.
+    val tokRows = Tables.documents(s, d)
+      .repartition(32) // one small parquet file = one task otherwise
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        Det.polyHash(col("tok")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // distinct shingles per doc = the posting list (inverted index). Pairs
+    // sharing no shingle never materialize — on realistic sparse corpora
+    // this is the difference between Θ(n²) and near-linear; rows are three
+    // longs wide instead of carrying two ~100-element arrays per pair.
+    val postings = tokRows
+      .withColumn("h2", lead(col("h"), 1).over(w))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        ((col("h") * 31 + col("h2")) % 1000000007L).as("g"))
+      .distinct()
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pa = postings.select(col("doc_id").as("id_a"), col("lang"), col("g"))
+    val pb = postings.select(col("doc_id").as("id_b"), col("lang"), col("g"))
+    val inter = col("inter")
+    val union = col("sz_a") + col("sz_b") - inter
+    pa.join(pb, Seq("lang", "g"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))), "id_b")
       .filter(inter * 10 >= union)
       .select(col("id_a"), col("id_b"),
         (inter.cast("double") / union).as("jaccard"))
@@ -97,22 +139,25 @@ object DedupQueries {
   }
 
   private val q43Sql =
-    """WITH t AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-      |      for i in range(1, len(string_split(text,' ')))]) AS bg
-      |  FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-      |    / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jaccard
-      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE 10 * len(list_intersect(a.bg, b.bg))
-      |  >= (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH th AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(string_split(text, ' '), t -> ${Det.polyHashSql("t")}) AS h
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct([(h[i] * 31 + h[i+1]) % 1000000007 for i in range(1, len(h))]) AS bg
+       |  FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+       |    / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jaccard
+       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE 10 * len(list_intersect(a.bg, b.bg))
+       |  >= (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash signature parameters: k=16 permutations h_i(x)=(a_i·x+b_i)
     * mod p, banded 4×4. Constants are fixed odd multipliers / offsets
-    * (pinned, seedless — Date.now-free determinism).
+    * (pinned, seedless determinism).
     */
   private[dedup] val P = 1000000007L
   private[dedup] val minhashParams: Seq[(Long, Long)] = Seq(
@@ -121,40 +166,44 @@ object DedupQueries {
     (173L, 3181L), (179L, 3767L), (181L, 4349L), (191L, 4973L),
     (193L, 5641L), (197L, 6311L), (199L, 6997L), (211L, 7681L))
 
-  private[dedup] def minhashSignature(toksD: Column): Seq[Column] = {
-    val hashes = transform(toksD, t => Det.polyHash(t))
+  private[dedup] def minhashSignature(hashedToks: Column): Seq[Column] =
     minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hashes, h => (h * a + b) % P)).as(s"mh_$i")
+      array_min(transform(hashedToks, h => (h * a + b) % P)).as(s"mh_$i")
     }
-  }
 
   /** MinHash + LSH banded dedup (the 100 TB near-dup path): signatures →
-    * 4 band keys per doc → shuffle on band key → same-bucket candidate
-    * pairs → exact Jaccard verify ≥ 0.9. Probabilistic recall (≥ ~99% at
-    * j=0.9 with 4×4 banding) → no SQL oracle; rows-only check + MinHashSpec
+    * 4 long band keys per doc (xxhash64 of the band's 4 minhashes) →
+    * shuffle on band key → same-bucket candidate pairs → exact Jaccard
+    * verify ≥ 0.9. Probabilistic recall (≥ ~98% at j=0.9 with 4×4
+    * banding) → no SQL oracle; rows-only check + DedupSimilaritySpec
     * measures recall against q42's exact answer.
     */
   private def q44(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), toksDistinct(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
+      .cache() // see q43 — once per doc, not per candidate pair
     val sig = docs.select(col("doc_id") +: col("lang") +: col("toks") +:
       minhashSignature(col("toks")): _*)
     val banded = sig.select(col("doc_id"), col("lang"), col("toks"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("lang"), col("toks"),
-        concat_ws("#", col("bk.band"), col("bk.key")).as("band_key"))
+        xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*)
+      }: _*)).as("band_key"))
+    // the band join carries only (key, id, lang): candidate discovery
+    // shuffles narrow rows; token arrays are re-attached to the DISTINCT
+    // pair set afterwards via broadcast joins (the doc side is tiny
+    // relative to the candidate set on near-dup-heavy data)
     val a = banded.select(col("band_key"), col("doc_id").as("id_a"),
-      col("lang").as("lang_a"), col("toks").as("toks_a"))
+      col("lang").as("lang_a"))
     val b = banded.select(col("band_key"), col("doc_id").as("id_b"),
-      col("lang").as("lang_b"), col("toks").as("toks_b"))
-    val candidates = a.join(b, Seq("band_key"))
+      col("lang").as("lang_b"))
+    val candidateIds = a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b") && col("lang_a") === col("lang_b"))
-      .select("id_a", "id_b", "toks_a", "toks_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val docsA = broadcast(docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a")))
+    val docsB = broadcast(docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b")))
+    val candidates = candidateIds.join(docsA, "id_a").join(docsB, "id_b")
+    val inter = sortedIntersectCount(col("toks_a"), col("toks_b"))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
     candidates
       .filter(inter * 10 >= union * 9)
@@ -167,7 +216,7 @@ object DedupQueries {
     * fully oracled (SQL generated to mirror the 32 bit-votes).
     */
   private def q45(s: SparkSession, d: String): DataFrame = {
-    val hashes = transform(toksDistinct(col("text")), t => Det.polyHash(t))
+    val hashes = hashedToks(col("text"))
     val simhash = (0 until 32).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
@@ -179,12 +228,10 @@ object DedupQueries {
   }
 
   private val q45Sql = {
-    val hs = "list_transform(list_distinct(string_split(text,' ')), " +
-      s"t -> ${Det.polyHashSql("t")})"
     val terms = (0 until 32).map { i =>
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, x -> ((x >> $i) & 1) * 2 - 1)), (a,b) -> a+b) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH h AS (SELECT doc_id, $hs AS hs FROM documents)
+    s"""WITH h AS (SELECT doc_id, $hashedToksSql AS hs FROM documents)
        |SELECT doc_id, $terms AS simhash FROM h ORDER BY doc_id""".stripMargin
   }
 
@@ -192,6 +239,6 @@ object DedupQueries {
     QueryDef("q41_dedup_exact", q41, Some(q41Sql), "exact content dedup"),
     QueryDef("q42_jaccard_pairs", q42, Some(q42Sql), "blocked token-set Jaccard >=0.9"),
     QueryDef("q43_ngram_jaccard", q43, Some(q43Sql), "word-bigram Jaccard >=0.1"),
-    QueryDef("q44_minhash_lsh", q44, None, "MinHash 4x4 LSH banded dedup (probabilistic; see MinHashSpec)"),
+    QueryDef("q44_minhash_lsh", q44, None, "MinHash 4x4 LSH banded dedup (probabilistic; see DedupSimilaritySpec)"),
     QueryDef("q45_simhash", q45, Some(q45Sql), "32-bit SimHash fingerprint"))
 }

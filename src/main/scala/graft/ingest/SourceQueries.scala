@@ -1,0 +1,132 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Det
+
+/** Source/sink + catalog operator family (SURVEY §2.1): CSV write/read
+  * round trip (S3-S6), catalog table save + SQL scan (S12/S13), the
+  * reshape operators (P7 rename, P8 drop, P9 cast, P11 copy-through, D4
+  * date-part intent, D7 timestamped filename), and the order-pinned corpus
+  * aggregation (A4).
+  */
+object SourceQueries {
+
+  /** CSV round trip: write a projected/formatted slice with header
+    * (S4/S5/S6), read it back with an explicit schema (S3), aggregate.
+    * Timestamps travel as 'yyyy-MM-dd HH:mm:ss' strings — exactly the
+    * reference's wire format (S/kin.py:36). Lossless for the grain used,
+    * so the aggregate hash-matches the oracle computed on the source
+    * table.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_csv_").toString + "/events_csv"
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts_str", StringType)))
+    s.read.option("header", "true").schema(schema).csv(dir)
+      .groupBy(col("event_type"),
+        hour(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val q70Sql =
+    """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
+
+  /** Catalog round trip (S12/S13): saveAsTable an aggregate, scan it back
+    * through `spark.sql` — the notebook's Hive-table detour (NB cell 16 →
+    * cell 19). External-path table under a temp dir keeps the warehouse
+    * clean.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_tbl_").toString + "/orders_by_month"
+    s.sql("DROP TABLE IF EXISTS graft_orders_by_month")
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .write.mode("overwrite").option("path", path)
+      .saveAsTable("graft_orders_by_month")
+    s.sql("""SELECT y, m, n, total FROM graft_orders_by_month
+             WHERE n > 0 ORDER BY y, m""")
+  }
+
+  private val q71Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 HAVING count(*) > 0 ORDER BY y, m""".stripMargin
+
+  /** Corpus building (A4, NB cell 44): concat all texts per group. The
+    * reference's `collect_list` order is nondeterministic (SURVEY §7.4) —
+    * here the list is sorted by doc_id before joining, making the operator
+    * deterministic and hash-comparable (string_agg ORDER BY in DuckDB).
+    * Emits length + content hash instead of the megabyte corpus string.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val corpus = array_join(
+      transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        x => x.getField("text")), " ")
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(corpus.as("corpus"))
+      .select(col("lang"), length(col("corpus")).cast("long").as("corpus_len"),
+        Det.polyHash(col("corpus")).as("corpus_hash"))
+      .orderBy("lang")
+  }
+
+  private val q72Sql =
+    s"""WITH c AS (
+       |  SELECT lang, string_agg(text, ' ' ORDER BY doc_id) AS corpus
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, CAST(length(corpus) AS BIGINT) AS corpus_len,
+       |  ${Det.polyHashSql("corpus")} AS corpus_hash
+       |FROM c ORDER BY lang""".stripMargin
+
+  /** Reshape block: rename (P7), drop (P8), floor-cast (P9), copy-through
+    * computed columns (P11), the D4 date/time-part *intent* (`to_date` /
+    * `date_format` — the reference's `F.split(ts,'')` is a bug, SURVEY
+    * §7.4), and the timestamped filename expression (D7/S6).
+    */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumnRenamed("o_orderstatus", "status") // P7
+      .drop("o_orderpriority") // P8
+      .withColumn("price_int", floor(col("o_totalprice")).cast("long")) // P9
+      .withColumn("date_part", date_format(col("o_orderdate"), "yyyy-MM-dd")) // D4 intent
+      .withColumn("time_part", date_format(col("o_orderdate"), "HH:mm:ss")) // D4 intent
+      .withColumn("filename", // D7: s3 key pattern with timestamped name
+        concat(lit("reddit-data/"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd_HH-mm-ss"), lit(".csv")))
+      .select("o_orderkey", "status", "price_int", "date_part", "time_part", "filename")
+      .orderBy("o_orderkey")
+      .limit(200)
+
+  private val q73Sql =
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS date_part,
+      |  strftime(o_orderdate, '%H:%M:%S') AS time_part,
+      |  'reddit-data/' || strftime(o_orderdate, '%Y-%m-%d_%H-%M-%S') || '.csv' AS filename
+      |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_csv_roundtrip", q70, Some(q70Sql), "S3-S6 CSV write/read round trip"),
+    QueryDef("q71_sql_catalog", q71, Some(q71Sql), "S12/S13 saveAsTable + spark.sql scan"),
+    QueryDef("q72_corpus_agg", q72, Some(q72Sql), "A4 order-pinned corpus concat"),
+    QueryDef("q73_reshape", q73, Some(q73Sql), "P7/P8/P9/P11/D4/D7 reshape block"))
+}
