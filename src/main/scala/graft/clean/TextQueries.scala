@@ -176,9 +176,133 @@ object TextQueries {
           .as("stemmed"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling (training-pipeline operator):
+    * hash-mod selection — `polyHash(doc_id) mod 100 < 20` keeps a stable
+    * pseudo-random 20% per stratum with zero coordination; the 100 TB
+    * sampling pattern (no RNG state, reproducible across runs/engines,
+    * pushes down to a scan filter).
+    */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(pmod(Det.polyHash(col("doc_id").cast("string")), lit(100)) < 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
+  private val q52Sql =
+    s"""SELECT lang, count(*) AS n_sampled FROM documents
+       |WHERE ${Det.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 20
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Exact length percentiles per language (p50/p90) computed via
+    * row_number against group size — the interpolation-free formulation
+    * that is identical in every engine (percentile_cont interpolation
+    * rules differ across engines; nearest-rank does not).
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val ranked = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), col("doc_id"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("lang")).as("n"))
+    ranked
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("n_chars"))).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
+  private val q53Sql =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang,
+      |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_chars END) AS p90,
+      |  count(*) AS n
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Treebank-style tokenization (F5, NB cell 63) approximated with the
+    * published treebank rules expressible as regex: split off punctuation,
+    * keep contractions ("don't" → "do" + "n't"). Same RE2∩Java patterns on
+    * both sides (documented divergence from nltk's full treebank rules —
+    * SURVEY §2.8 F5).
+    */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val prepared = regexp_replace(
+      regexp_replace(col("text"), "([a-z])(n't)", "$1 $2"),
+      "([.,!?;:])", " $1 ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(regexp_replace(prepared, " +", " ")), " "))
+          .cast("long").as("n_treebank_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q54Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(trim(regexp_replace(
+      |    regexp_replace(regexp_replace(text, '([a-z])(n''t)', '\1 \2', 'g'),
+      |    '([.,!?;:])', ' \1 ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_treebank_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF keyword extraction (training-pipeline operator): term
+    * frequency × inverse document frequency, top-3 terms per doc. The idf
+    * is the raw ratio n_docs/df (a division of exact integers — identical
+    * doubles everywhere) rather than its log: log is a monotone transform,
+    * so rankings are unchanged, and libm log is not bit-reproducible
+    * across engines (Det's no-transcendentals rule).
+    */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "word", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val q57Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word != '' GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    CAST(tf.tf AS DOUBLE) * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df USING (word)),
+      |ranked AS (
+      |  SELECT doc_id, word, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, word, score, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
     QueryDef("q49_stem_tokens", q49, None, "F7 Porter stemmer UDF (see StemmerSpec)"),
+    QueryDef("q57_tfidf_topk", q57, Some(q57Sql), "TF-IDF top-3 keywords per doc"),
+    QueryDef("q52_hash_sample", q52, Some(q52Sql), "deterministic stratified sampling"),
+    QueryDef("q53_len_percentiles", q53, Some(q53Sql), "exact nearest-rank percentiles"),
+    QueryDef("q54_treebank_tokens", q54, Some(q54Sql), "F5 treebank-style tokenization"),
     QueryDef("q31_word_freq", q31, Some(q31Sql), "A6 word frequency top-15"),
     QueryDef("q32_stopword_remove", q32, Some(q32Sql), "F6 native stopword filter"),
     QueryDef("q33_token_counts", q33, Some(q33Sql), "token counting (ws + regex)"),

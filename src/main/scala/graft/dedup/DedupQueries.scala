@@ -235,7 +235,50 @@ object DedupQueries {
        |SELECT doc_id, $terms AS simhash FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicate clustering: connected components over the near-dup pair
+    * graph (q42's edges), labels = min doc_id per component — the step
+    * that turns pairwise dedup into "keep one canonical doc per cluster".
+    * Iterative min-label propagation over DataFrames (the standard
+    * large-graph CC: each round is one shuffle join; rounds ≈ graph
+    * diameter, checked with an early-exit count). Deterministic fixpoint
+    * (min-label is iteration-order independent) but not ANSI-SQL-
+    * expressible in DuckDB 1.0 (no aggregates in recursive CTEs) →
+    * rows-only check + DedupSimilaritySpec invariants.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val pairs = q42(s, d).select("id_a", "id_b").cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val vertices = Tables.documents(s, d).select(col("doc_id"))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      // candidate label per vertex = min(own, min over neighbors' labels)
+      val next = labels
+        .join(edges, labels("doc_id") === edges("id_b"), "left")
+        .select(col("id_a").as("nbr"), col("label"))
+        .unionByName(labels.select(col("doc_id").as("nbr"), col("label")))
+        .filter(col("nbr").isNotNull)
+        .groupBy(col("nbr").as("doc_id"))
+        .agg(min("label").as("label"))
+        .cache()
+      changed = next.alias("n")
+        .join(labels.alias("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("label").as("canonical_id"), col("cluster_size"))
+      .orderBy("canonical_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_dup_clusters", q58, None, "connected-components dup clustering (see DedupSimilaritySpec)"),
     QueryDef("q41_dedup_exact", q41, Some(q41Sql), "exact content dedup"),
     QueryDef("q42_jaccard_pairs", q42, Some(q42Sql), "blocked token-set Jaccard >=0.9"),
     QueryDef("q43_ngram_jaccard", q43, Some(q43Sql), "word-bigram Jaccard >=0.1"),

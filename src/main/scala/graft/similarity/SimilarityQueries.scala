@@ -145,7 +145,40 @@ object SimilarityQueries {
        |SELECT q_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Centroid computation (the k-means/IVF "train" step): element-wise
+    * mean per label. Float sums are NOT routed through decimal (binary
+    * fractions round untrustworthily at any decimal scale) — instead each
+    * (label, dim) cell collects its values ordered by vec_id and folds
+    * sequentially: deterministic in any engine, and the relational
+    * explode→group shape scales to arbitrary corpus size (shuffle rows
+    * are (label, dim, value) triples).
+    */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < 8) // representative slice keeps output compact
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy("label", "dim")
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+          x => x.getField("v").cast("double")),
+        lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mean_v"))
+      .orderBy("label", "dim")
+
+  private val q55Sql =
+    """WITH expl AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim, embedding[i] AS v
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+      |  WHERE i - 1 < 8)
+      |SELECT label, dim,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+      |    (a, b) -> a + b) / count(*) AS mean_v
+      |FROM expl GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_centroids", q55, Some(q55Sql), "k-means/IVF centroid train step"),
     QueryDef("q46_cosine_pairs", q46, Some(q46Sql), "blocked cosine near-dup pairs"),
     QueryDef("q47_ann_bruteforce", q47, Some(q47Sql), "brute-force cosine top-5"),
     QueryDef("q48_ann_partitioned", q48, Some(q48Sql), "IVF-style partition-pruned top-3"))

@@ -128,7 +128,37 @@ object StreamingQueries {
       |  THEN (value - sx / n) / sqrt((sx2 * n - sx * sx) / (n * (n - 1.0))) END) > 2.5
       |ORDER BY event_id""".stripMargin
 
+  /** Streaming deduplication: `dropDuplicates` keyed state over
+    * overlapping micro-batches (each 150-row slice re-sends the previous
+    * slice's last 50 rows — the at-least-once redelivery a real queue
+    * produces). Every event_id must be emitted exactly once, so the final
+    * sink equals plain DISTINCT over the bounded input.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 500)
+    // overlapping slices: [0,150), [100,250), [200,350), ... — 50% resend
+    val slices = (0 until 500 by 100).map(i => eventsSeq.slice(i, i + 150))
+      .filter(_.nonEmpty)
+    import s.implicits._
+    s.catalog.dropTempView("graft_q64_sink")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Pipeline.StreamEvent](s)
+    val q = stream.toDS().dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_q64_sink").start()
+    slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
+    q.stop(); q.awaitTermination()
+    s.table("graft_q64_sink").orderBy("event_id")
+  }
+
+  private val q64Sql =
+    """SELECT event_id, user_id, value
+      |FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_stream_dedup", q64, Some(q64Sql), "stateful streaming dropDuplicates"),
     QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),

@@ -40,6 +40,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pt.foreach { case (q, c) => assert(c <= bf(q) + 1e-15) }
   }
 
+  test("dup clustering: CC labels are component minima and cover every doc") {
+    val pairs = Registry.queries("q42_jaccard_pairs")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Registry.queries("q58_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Registry.queries("q41_dedup_exact")(spark, sf).count()
+    // partition covers every doc exactly once
+    assert(clusters.values.sum == nDocs)
+    // reference CC via union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.map(find).distinct
+      .map(root => root -> parent.keys.count(k => find(k) == root))
+    expected.foreach { case (root, size) =>
+      // every non-singleton component appears with min-id label + exact size
+      val canonical = parent.keys.filter(k => find(k) == root).min
+      assert(clusters.get(canonical).contains(size.toLong),
+        s"component $canonical expected size $size, got ${clusters.get(canonical)}")
+    }
+  }
+
   test("simhash: near-identical token sets give near hamming distance") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
