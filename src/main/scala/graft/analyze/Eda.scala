@@ -476,7 +476,69 @@ object Eda {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ROLLUP hierarchy totals (beyond-reference completeness: grouping
+    * sets). The NULL subtotal rows are made hash-stable by coalescing the
+    * grouped keys to sentinel strings in both engines.
+    */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .rollup(col("event_type"),
+        when(hour(col("ts")).between(6, 17), "day").otherwise("night").as("tod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("tod"), lit("<all>")).as("tod"),
+        col("n"), col("sum_v"))
+      .orderBy("event_type", "tod")
+
+  private val q25Sql =
+    """SELECT coalesce(event_type, '<all>') AS event_type,
+      |  coalesce(tod, '<all>') AS tod, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM (SELECT event_type,
+      |        CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END AS tod,
+      |        value
+      |      FROM events)
+      |GROUP BY ROLLUP (event_type, tod)
+      |ORDER BY event_type, tod""".stripMargin
+
+  /** Pivot-shaped aggregation (conditional aggregation — the portable
+    * form of PIVOT): per-hour counts of each event type as columns.
+    */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      .orderBy("hr")
+
+  private val q26Sql =
+    """SELECT CAST(hour(ts) AS BIGINT) AS hr,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+      |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
+
+  /** Approximate distinct (HLL++): sketch implementations differ across
+    * engines, so no value oracle — rows-only check plus the relative-error
+    * bound asserted against exact counts in EdaSpec.
+    */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q25_rollup", q25, Some(q25Sql), "ROLLUP grouping-set totals"),
+    QueryDef("q26_pivot_counts", q26, Some(q26Sql), "pivot-shaped conditional agg"),
+    QueryDef("q27_approx_distinct", q27, None, "HLL approx distinct (see EdaSpec)"),
     QueryDef("q24_salted_agg", q24, Some(q24Sql), "two-phase salted skew aggregation"),
     QueryDef("q01_count_by_type", q01, Some(q01Sql), "A1+O1 groupBy-count ordered"),
     QueryDef("q02_count_type_hour", q02, Some(q02Sql), "A2+D3 two-key count with hour()"),

@@ -81,4 +81,25 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedLongIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Runtime installation into an ALREADY-BUILT session — the path for
+    * environments that construct the SparkSession themselves (the driver's
+    * Verify/Bench harness). Build-time wiring via [[GraftExtensions]] is
+    * preferred when you own the builder; this does the same two things
+    * through public/stable surfaces: the optimizer rule goes into
+    * `spark.experimental.extraOptimizations`, the SQL function into the
+    * session's function registry. Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(IntersectCountRewrite)) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ IntersectCountRewrite
+    }
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_count",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(children(0), children(1)),
+      "built-in")
+  }
 }
