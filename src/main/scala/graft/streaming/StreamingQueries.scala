@@ -135,9 +135,9 @@ object StreamingQueries {
     * sink equals plain DISTINCT over the bounded input.
     */
   private def q64(s: SparkSession, d: String): DataFrame = {
-    val eventsSeq = Pipeline.collectEvents(s, d, 500)
-    // overlapping slices: [0,150), [100,250), [200,350), ... — 50% resend
-    val slices = (0 until 500 by 100).map(i => eventsSeq.slice(i, i + 150))
+    val eventsSeq = Pipeline.collectEvents(s, d, 300)
+    // overlapping slices: [0,150), [100,250), [200,300) — 50% resend
+    val slices = (0 until 300 by 100).map(i => eventsSeq.slice(i, i + 150))
       .filter(_.nonEmpty)
     import s.implicits._
     s.catalog.dropTempView("graft_q64_sink")
@@ -154,7 +154,7 @@ object StreamingQueries {
 
   private val q64Sql =
     """SELECT event_id, user_id, value
-      |FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+      |FROM (SELECT * FROM events ORDER BY event_id LIMIT 300)
       |ORDER BY event_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
