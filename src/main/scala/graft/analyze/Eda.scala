@@ -535,7 +535,56 @@ object Eda {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Set operations beyond UNION (SURVEY §2.7 notes the reference has
+    * none — owed for engine completeness): INTERSECT and EXCEPT with
+    * distinct-set semantics.
+    */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    def usersOf(tpe: String) = Tables.events(s, d)
+      .filter(col("event_type") === tpe && col("value") > 180.0)
+      .select("user_id")
+    val (buyers, clickers, errorers) =
+      (usersOf("purchase"), usersOf("click"), usersOf("error"))
+    buyers.intersect(clickers).except(errorers)
+      .orderBy("user_id")
+  }
+
+  private val q28Sql =
+    """(SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180.0
+      | INTERSECT
+      | SELECT user_id FROM events WHERE event_type = 'click' AND value > 180.0)
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 180.0
+      |ORDER BY user_id""".stripMargin
+
+  /** Analytic completeness: RANGE frame running sum and ntile quartiles.
+    * The range frame sums all rows within ±50 of the current value —
+    * value-based, not row-based (a genuinely different frame semantics
+    * than W2's ROWS frame).
+    */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val wRange = Window.partitionBy("event_type").orderBy("value")
+      .rangeBetween(-50, 0)
+    val wTile = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("event_type"), col("value"),
+        count(lit(1)).over(wRange).as("n_within_50"),
+        ntile(4).over(wTile).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
+  private val q29Sql =
+    """SELECT event_id, event_type, value,
+      |  count(*) OVER (PARTITION BY event_type ORDER BY value
+      |    RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS n_within_50,
+      |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile
+      |FROM events WHERE user_id < 10 ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q28_setops", q28, Some(q28Sql), "INTERSECT/EXCEPT distinct set ops"),
+    QueryDef("q29_range_ntile", q29, Some(q29Sql), "RANGE frame + ntile analytics"),
     QueryDef("q25_rollup", q25, Some(q25Sql), "ROLLUP grouping-set totals"),
     QueryDef("q26_pivot_counts", q26, Some(q26Sql), "pivot-shaped conditional agg"),
     QueryDef("q27_approx_distinct", q27, None, "HLL approx distinct (see EdaSpec)"),

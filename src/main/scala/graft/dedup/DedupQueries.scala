@@ -278,8 +278,36 @@ object DedupQueries {
       .orderBy("canonical_id")
   }
 
+  /** Edit-distance near-dup detection: Levenshtein over 16-char prefixes
+    * within lang blocks (prefix-bounded DP keeps the per-pair cost at
+    * 256 cells — full-text edit distance is quadratic in length and is
+    * never what you run at scale; prefix screening + verify is). Pure
+    * integer DP → identical in both engines.
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 16).as("pfx"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("pfx").as("pfx_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("pfx").as("pfx_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q59Sql =
+    """WITH p AS (SELECT doc_id, lang, substring(text, 1, 16) AS pfx FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_dup_clusters", q58, None, "connected-components dup clustering (see DedupSimilaritySpec)"),
+    QueryDef("q59_edit_distance", q59, Some(q59Sql), "prefix-bounded Levenshtein near-dup"),
     QueryDef("q41_dedup_exact", q41, Some(q41Sql), "exact content dedup"),
     QueryDef("q42_jaccard_pairs", q42, Some(q42Sql), "blocked token-set Jaccard >=0.9"),
     QueryDef("q43_ngram_jaccard", q43, Some(q43Sql), "word-bigram Jaccard >=0.1"),
