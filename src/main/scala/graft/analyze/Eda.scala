@@ -582,7 +582,41 @@ object Eda {
       |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile
       |FROM events WHERE user_id < 10 ORDER BY event_id""".stripMargin
 
+  /** Correlated scalar subquery (TPC-H Q17 shape) through the `spark.sql`
+    * surface: small-quantity lineitems vs 0.5× their part's mean quantity.
+    * Catalyst decorrelates this into an aggregate + join — asserted in
+    * PlanSpec (no per-row subquery execution survives). The mean uses the
+    * decimal-exact formulation on both sides (Det rules).
+    */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
+        |  count(*) AS n
+        |FROM graft_lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |  FROM graft_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val q13Sql =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
+      |  count(*) AS n
+      |FROM lineitem l1
+      |WHERE l_quantity < (
+      |  SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey
+      |LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q13_correlated_subq", q13, Some(q13Sql), "correlated scalar subquery (decorrelated)"),
     QueryDef("q28_setops", q28, Some(q28Sql), "INTERSECT/EXCEPT distinct set ops"),
     QueryDef("q29_range_ntile", q29, Some(q29Sql), "RANGE frame + ntile analytics"),
     QueryDef("q25_rollup", q25, Some(q25Sql), "ROLLUP grouping-set totals"),

@@ -47,6 +47,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("lang"), s"lang should be pruned from the documents scan:\n$plan")
   }
 
+  test("q13 correlated subquery is decorrelated into a join (no per-row subquery)") {
+    val plan = physicalPlan("q13_correlated_subq")
+    assert(!plan.contains("ScalarSubquery"), s"subquery survived decorrelation:\n$plan")
+    assert(plan.contains("Join"), s"expected a decorrelated join:\n$plan")
+  }
+
   test("q47 broadcasts the query-vector side") {
     val plan = physicalPlan("q47_ann_bruteforce")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
