@@ -615,7 +615,44 @@ object Eda {
       |ORDER BY l_partkey
       |LIMIT 100""".stripMargin
 
+  /** Range (interval) join: each purchase matched to the same user's
+    * clicks in the preceding 10 minutes. The time predicate compares
+    * FLOOR-EPOCH-SECONDS — exact integers on both engines, immune to the
+    * ns-vs-µs precision gap of raw timestamp comparison. Equi on user +
+    * inequality on time → sort-merge join with a band condition; at scale
+    * this is the shape to co-partition by user and, for pure time-time
+    * joins, to bucketize into overlapping time ranges.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_sec").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_sec").as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - 600 && col("c_ts") < col("p_ts"))
+      .select("user_id", "purchase_id", "click_id")
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val q76Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events)
+      |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM ev p JOIN ev c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts_sec >= p.ts_sec - 600 AND c.ts_sec < p.ts_sec
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_range_join", q76, Some(q76Sql), "time-band interval join"),
     QueryDef("q13_correlated_subq", q13, Some(q13Sql), "correlated scalar subquery (decorrelated)"),
     QueryDef("q28_setops", q28, Some(q28Sql), "INTERSECT/EXCEPT distinct set ops"),
     QueryDef("q29_range_ntile", q29, Some(q29Sql), "RANGE frame + ntile analytics"),

@@ -124,7 +124,72 @@ object SourceQueries {
       |  'reddit-data/' || strftime(o_orderdate, '%Y-%m-%d_%H-%M-%S') || '.csv' AS filename
       |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin
 
+  /** Bucketed co-located join: both sides written bucketed on the join key
+    * (8 buckets), so the join needs NO shuffle exchange — the pattern that
+    * turns a recurring 100 TB fact⋈fact join from the dominant cost into a
+    * local merge. PlanSpec asserts the absence of Exchange above the scans.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_bucketed_").toString
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    s.sql("DROP TABLE IF EXISTS graft_customer_b")
+    Tables.orders(s, d)
+      .write.mode("overwrite").option("path", s"$wh/orders_b")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    Tables.customer(s, d)
+      .write.mode("overwrite").option("path", s"$wh/customer_b")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+    s.table("graft_orders_b")
+      .join(s.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q74Sql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Partition-pruned layout: events written partitioned by event_type;
+    * a filtered read must scan only the matching partition directories
+    * (PartitionFilters in the scan — asserted in PlanSpec). The layout
+    * decision that bounds every selective 100 TB query.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_part_").toString + "/events_by_type"
+    Tables.events(s, d)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  private val q75Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM events WHERE event_type IN ('purchase', 'signup')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Internal: the bucketed join DataFrame without the aggregation, for
+    * PlanSpec's no-Exchange assertion.
+    */
+  private[graft] def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
+    q74(s, d) // ensures tables exist
+    s.table("graft_orders_b")
+      .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),
+    QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),
     QueryDef("q70_csv_roundtrip", q70, Some(q70Sql), "S3-S6 CSV write/read round trip"),
     QueryDef("q71_sql_catalog", q71, Some(q71Sql), "S12/S13 saveAsTable + spark.sql scan"),
     QueryDef("q72_corpus_agg", q72, Some(q72Sql), "A4 order-pinned corpus concat"),

@@ -114,6 +114,32 @@ object Pipeline {
       .withColumn("batch_id", lit(batchId))
   }
 
+  /** Per-user session accumulator for [[sessionize]]. */
+  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** Event-time sessionization with custom state: sessions split at gaps
+    * > `gapSec`. Emits a (user, sessions-so-far, events-so-far) snapshot
+    * per group per batch; the final snapshot per user (highest nEvents) is
+    * the answer. State lives for the process lifetime — the
+    * mapGroupsWithState pattern the reference's author-activity dict
+    * gestures at, applied to the classic sessionization problem.
+    */
+  def sessionize(events: Dataset[StreamEvent], gapSec: Long): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[StreamEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val isNew = st.lastTs == Long.MinValue || e.ts_sec - st.lastTs > gapSec
+            st = SessionState(e.ts_sec,
+              st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          Iterator((user, st.nSessions, st.nEvents))
+        })
+  }
+
   /** Cross-batch stateful author counter (ST5): per-row as-of counts with
     * process-lifetime state. Rows within a (group, batch) are counted in
     * event_id order so results are independent of shuffle order.

@@ -157,7 +157,91 @@ object StreamingQueries {
       |FROM (SELECT * FROM events ORDER BY event_id LIMIT 300)
       |ORDER BY event_id""".stripMargin
 
+  /** Streaming sessionization (custom state machine per key): sessions
+    * split at >30-minute gaps, counted across 4 micro-batches. The final
+    * per-user snapshot (highest event count) must equal the batch gap-flag
+    * formulation — lag() + cumulative sum — over the same bounded input.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val snapshots = Pipeline.runSliced(s, eventsSeq, 250, "graft_q68_sink")(
+      ds => Pipeline.sessionize(ds, 1800L).toDF("user_id", "n_sessions", "n_events"))(None)
+    // final snapshot per user: n_events strictly increases, so max(struct)
+    // picks the last state deterministically
+    snapshots
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
+      .select(col("user_id"), col("fin.n_sessions").as("n_sessions"),
+        col("fin.n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q68Sql =
+    """WITH head AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events ORDER BY event_id LIMIT 1000),
+      |flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |           OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM head)
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Watermarked stream-stream self-join: purchases joined to the same
+    * user's clicks within the preceding 10 minutes, both sides streaming
+    * (4 micro-batches; matches span batch boundaries through join state).
+    * Second-precision event times make the interval condition exactly the
+    * oracle's integer-seconds band. Watermarks bound the join state — the
+    * piece that makes this viable on an unbounded 100 TB/day stream.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    s.catalog.dropTempView("graft_q69_sink")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Pipeline.StreamEvent](s)
+    val base = stream.toDS()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_q69_sink").start()
+    eventsSeq.grouped(250).foreach { sl => stream.addData(sl); q.processAllAvailable() }
+    q.stop(); q.awaitTermination()
+    s.table("graft_q69_sink")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val q69Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events ORDER BY event_id LIMIT 1000)
+      |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM ev p JOIN ev c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts_sec >= p.ts_sec - 600 AND c.ts_sec < p.ts_sec
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q69_stream_stream_join", q69, Some(q69Sql), "watermarked stream-stream interval join"),
+    QueryDef("q68_sessionization", q68, Some(q68Sql), "stateful streaming sessionization"),
     QueryDef("q64_stream_dedup", q64, Some(q64Sql), "stateful streaming dropDuplicates"),
     QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),

@@ -53,6 +53,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), s"expected a decorrelated join:\n$plan")
   }
 
+  test("bucketed join runs without a shuffle exchange") {
+    // at test scale Catalyst rightly prefers broadcast; disable it to see
+    // the plan a non-broadcastable (100 TB) side would get — bucketing
+    // must then give a SortMergeJoin with NO shuffle exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.ingest.SourceQueries.bucketedJoinPlan(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned layout read shows partition filters, not data filters") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_part_").toString + "/e"
+    Registry.queries("q01_count_by_type")(spark, sf) // warm events conf
+    graft.Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+  }
+
   test("q47 broadcasts the query-vector side") {
     val plan = physicalPlan("q47_ann_bruteforce")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
