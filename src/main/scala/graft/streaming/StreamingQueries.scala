@@ -192,7 +192,8 @@ object StreamingQueries {
 
   /** Watermarked stream-stream self-join: purchases joined to the same
     * user's clicks within the preceding 10 minutes, both sides streaming
-    * (4 micro-batches; matches span batch boundaries through join state).
+    * (2 micro-batches — enough to prove matches span batch boundaries
+    * through join state; per-batch state-store cost is the bench budget).
     * Second-precision event times make the interval condition exactly the
     * oracle's integer-seconds band. Watermarks bound the join state — the
     * piece that makes this viable on an unbounded 100 TB/day stream.
@@ -220,7 +221,7 @@ object StreamingQueries {
         col("c_ts") < col("p_ts"))
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("graft_q69_sink").start()
-    eventsSeq.grouped(250).foreach { sl => stream.addData(sl); q.processAllAvailable() }
+    eventsSeq.grouped(500).foreach { sl => stream.addData(sl); q.processAllAvailable() }
     q.stop(); q.awaitTermination()
     s.table("graft_q69_sink")
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
