@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingestion robustness: the behaviors a 100 TB pipeline hits on day one —
+  * malformed rows in the middle of a feed, and schema drift between
+  * historical partitions.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("PERMISSIVE csv read quarantines malformed rows instead of failing the job") {
+    val dir = Files.createTempDirectory("graft_badcsv_").toString
+    Files.writeString(Paths.get(dir, "part.csv"),
+      """id,score
+        |1,10.5
+        |2,notanumber
+        |3,7.25
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("score", DoubleType),
+      StructField("_corrupt", StringType)))
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(dir)
+      .cache() // corrupt-record column requires materialization before filter
+    assert(df.count() == 3)
+    val bad = df.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[Long]("id") == 2)
+    val good = df.filter(col("_corrupt").isNull)
+    assert(good.agg(sum("score")).head.getDouble(0) == 17.75)
+    df.unpersist()
+  }
+
+  test("FAILFAST csv read raises on the malformed row") {
+    val dir = Files.createTempDirectory("graft_badcsv2_").toString
+    Files.writeString(Paths.get(dir, "part.csv"), "id,score\n1,ok_not_num\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema(schema).csv(dir).collect()
+    }
+    // Spark 4 wraps the malformed-record error in FAILED_READ_FILE; the
+    // root cause chain carries the malformed-CSV detail
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && (m.contains("MALFORMED") || m.contains("Malformed") ||
+        m.contains("FAILED_READ_FILE"))))
+  }
+
+  test("mergeSchema unifies drifted parquet partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift_").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/day=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "day"))
+    val row1 = merged.filter(col("id") === 1).collect().head
+    assert(row1.isNullAt(row1.fieldIndex("score"))) // old partition: null-filled
+    assert(merged.count() == 2)
+  }
+}
