@@ -651,7 +651,82 @@ object Eda {
       | AND c.ts_sec >= p.ts_sec - 600 AND c.ts_sec < p.ts_sec
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Analytic-function completeness: percent_rank / cume_dist (rational
+    * formulas over exact integers — deterministic), first/last value over
+    * an explicit frame with a total order.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(wFrame).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFrame).as("priciest_key"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q77Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key,
+      |  last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+      |FROM orders WHERE o_orderkey < 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Date arithmetic completeness: day diffs vs a fixed date, month adds,
+    * month-end snapping, day-of-week.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        datediff(lit("2024-06-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_before_cutoff"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+
+  private val q78Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS BIGINT) AS days_before_cutoff,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  /** Map-typed columns: build a map per row, explode entries back to rows,
+    * aggregate — the map construction/flattening surface.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(explode(map(
+        lit("type"), col("event_type"),
+        lit("tod"), when(hour(col("ts")).between(6, 17), "day").otherwise("night")))
+        .as(Seq("k", "v")))
+      .groupBy("k", "v")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k", "v")
+
+  private val q79Sql =
+    """SELECT k, v, count(*) AS n FROM (
+      |  SELECT 'type' AS k, event_type AS v FROM events
+      |  UNION ALL
+      |  SELECT 'tod' AS k,
+      |    CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END AS v
+      |  FROM events)
+      |GROUP BY k, v ORDER BY k, v""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q77_window_extras", q77, Some(q77Sql), "percent_rank/cume_dist/first/last"),
+    QueryDef("q78_date_math", q78, Some(q78Sql), "date arithmetic family"),
+    QueryDef("q79_map_explode", q79, Some(q79Sql), "map build + entry explode"),
     QueryDef("q76_range_join", q76, Some(q76Sql), "time-band interval join"),
     QueryDef("q13_correlated_subq", q13, Some(q13Sql), "correlated scalar subquery (decorrelated)"),
     QueryDef("q28_setops", q28, Some(q28Sql), "INTERSECT/EXCEPT distinct set ops"),
