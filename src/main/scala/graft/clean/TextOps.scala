@@ -3,7 +3,6 @@ package graft.clean
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.util.Det
 
 /** Text-cleaning column macros — the reference's `clean_post` pipeline
   * (NB cell 36 ln 1720: 7 chained `F.regexp_replace` + lower + a stopword
@@ -77,7 +76,4 @@ object TextOps {
     */
   def removeStopwords(tokensCol: Column): Column =
     filter(tokensCol, t => !array_contains(stopwordArray, t))
-
-  /** Per-token polynomial hash (used by minhash/simhash/fingerprint). */
-  def tokenHash(t: Column): Column = Det.polyHash(t)
 }

@@ -25,14 +25,12 @@ import graft.util.Det
   */
 object SimilarityQueries {
 
-  private def cosine(a: Column, b: Column): Column =
-    Det.seqDot(a, b) / (sqrt(Det.seqNormSq(a)) * sqrt(Det.seqNormSq(b)))
-
   /** Cosine with pre-computed norms: the join carries `sqrt(Σx²)` per side
     * so each pair costs one fold instead of three (bench: 3× on the
-    * pairwise queries). Values are identical to [[cosine]] — the norm is
-    * the same sequential fold, just evaluated once per vector before the
-    * join instead of once per pair.
+    * pairwise queries). Values are identical to computing both norms
+    * inline — the norm is the same sequential fold, just evaluated once
+    * per vector before the join instead of once per pair, and the
+    * expression shape `dot / (normA * normB)` matches the oracle exactly.
     */
   private def cosinePre(dot: Column, normA: Column, normB: Column): Column =
     dot / (normA * normB)
