@@ -175,7 +175,57 @@ object SimilarityQueries {
       |    (a, b) -> a + b) / count(*) AS mean_v
       |FROM expl GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Random-hyperplane LSH for embedding near-dups — the third leg of the
+    * near-dup trio (exact blocked q46, IVF-partitioned q48, and this: the
+    * shape that scales when no partition key exists). 8 tables × 2-bit
+    * signatures: bucket on (table, sign-pair), candidate pairs within a
+    * bucket, verify with exact cosine ≥ 0.4. Hyperplanes are pinned
+    * pseudo-random constants (integer LCG over the index — seedless,
+    * reproducible). Probabilistic recall (~98% at cos 0.4 with 8×2) → no
+    * SQL oracle; rows-only + recall/precision bounds in
+    * DedupSimilaritySpec.
+    */
+  private val hyperplanes: Seq[Seq[Double]] =
+    (0 until 16).map { i =>
+      (0 until 64).map { d =>
+        val x = (i * 64 + d + 1) * 2654435761L % 4093
+        (x.toDouble / 4093.0) * 2.0 - 1.0
+      }
+    }
+
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    val buckets = (0 until 8).map { t =>
+      val b0 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t))) >= 0).cast("int")
+      val b1 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t + 1))) >= 0).cast("int")
+      struct(lit(t).as("tbl"), (b0 * 2 + b1).as("sig"))
+    }
+    val banded = e.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array(buckets: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        (col("bk.tbl") * 4 + col("bk.sig")).as("bucket"))
+    val a = banded.select(col("bucket"), col("vec_id").as("id_a"))
+    val b = banded.select(col("bucket"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val ea = broadcast(e.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("norm_a")))
+    val eb = broadcast(e.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("norm_b")))
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosinePre(Det.seqDot(col("va"), col("vb")),
+          col("norm_a"), col("norm_b")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q80_ann_rplsh", q80, None, "random-hyperplane LSH near-dup (see DedupSimilaritySpec)"),
     QueryDef("q55_centroids", q55, Some(q55Sql), "k-means/IVF centroid train step"),
     QueryDef("q46_cosine_pairs", q46, Some(q46Sql), "blocked cosine near-dup pairs"),
     QueryDef("q47_ann_bruteforce", q47, Some(q47Sql), "brute-force cosine top-5"),

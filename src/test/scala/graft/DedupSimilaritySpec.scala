@@ -40,6 +40,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pt.foreach { case (q, c) => assert(c <= bf(q) + 1e-15) }
   }
 
+  test("RP-LSH near-dup: perfect precision after verify, high recall vs exact") {
+    // q46 is label-BLOCKED; RP-LSH is global, so the reference here is an
+    // unblocked driver-side brute force with the same sequential fold
+    // arithmetic (bit-identical to the engine's cosine)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exact = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))).toSet
+    val lsh = Registry.queries("q80_ann_rplsh")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.6, f"RP-LSH recall $recall%.2f below 0.6 (${exact.size} exact pairs)")
+    }
+  }
+
   test("dup clustering: CC labels are component minima and cover every doc") {
     val pairs = Registry.queries("q42_jaccard_pairs")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
