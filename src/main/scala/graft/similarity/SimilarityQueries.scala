@@ -186,7 +186,7 @@ object SimilarityQueries {
     * DedupSimilaritySpec.
     */
   private val hyperplanes: Seq[Seq[Double]] =
-    (0 until 16).map { i =>
+    (0 until 8).map { i =>
       (0 until 64).map { d =>
         val x = (i * 64 + d + 1) * 2654435761L % 4093
         (x.toDouble / 4093.0) * 2.0 - 1.0
@@ -197,7 +197,7 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
-    val buckets = (0 until 8).map { t =>
+    val buckets = (0 until 4).map { t =>
       val b0 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t))) >= 0).cast("int")
       val b1 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t + 1))) >= 0).cast("int")
       struct(lit(t).as("tbl"), (b0 * 2 + b1).as("sig"))
