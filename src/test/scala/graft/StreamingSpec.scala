@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.subsetOf(batch.map(_.event_id).toSet))
   }
 
+  test("file sink + checkpoint: query restart resumes offsets exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = Files.createTempDirectory("spec_ckpt_out_").toString
+    val ckpt = Files.createTempDirectory("spec_ckpt_").toString
+    val stream = MemoryStream[StreamEvent](spark)
+    def start() = stream.toDS()
+      .select($"event_id", $"user_id", $"value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val q1 = start()
+    stream.addData((1 to 5).map(i => ev(i.toLong, i.toLong)))
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    // restart against the same checkpoint; feed more data
+    val q2 = start()
+    stream.addData((6 to 9).map(i => ev(i.toLong, i.toLong)))
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 9L), s"expected each event exactly once, got $ids")
+  }
+
   test("zero-variance batch yields no flags (std=0 edge — FIXTURES §3)") {
     val flat = (1 to 10).map(i => ev(i.toLong, 1, 42.0))
     val flags = Pipeline.batchAnomalies(flat.toDF(), 0L).collect()
