@@ -215,17 +215,20 @@ object DedupQueries {
     * proximity fingerprints for near-dup bucketing. Pure integer math →
     * fully oracled (SQL generated to mirror the 32 bit-votes).
     */
-  private def q45(s: SparkSession, d: String): DataFrame = {
+  /** The 32-bit SimHash column expression (shared by q45 and q81). */
+  private def simhashExpr: Column = {
     val hashes = hashedToks(col("text"))
-    val simhash = (0 until 32).map { i =>
+    (0 until 32).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
       when(vote >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhash.as("simhash"))
-      .orderBy("doc_id")
   }
+
+  private def q45(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhashExpr.as("simhash"))
+      .orderBy("doc_id")
 
   private val q45Sql = {
     val terms = (0 until 32).map { i =>
@@ -305,7 +308,50 @@ object DedupQueries {
       |WHERE levenshtein(a.pfx, b.pfx) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SimHash near-dup PAIRS via pigeonhole byte-blocks: hamming ≤ 1 on the
+    * 32-bit simhash means at least 3 of the 4 bytes match exactly, so
+    * bucketing each doc under its 4 (block, byte) keys and joining finds
+    * every qualifying pair — unlike MinHash banding this has GUARANTEED
+    * 100% recall, which is why this query gets a full brute-force SQL
+    * oracle. Candidates share a byte; the verify is one xor+popcount.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(32)
+      .select(col("doc_id"), simhashExpr.as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("sh"), i * 8).bitwiseAND(lit(255L)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        (col("bk.blk") * 256 + col("bk.bv")).as("bucket"))
+    val a = banded.select(col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q81Sql = {
+    val terms = (0 until 32).map { i =>
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, x -> ((x >> $i) & 1) * 2 - 1)), (a,b) -> a+b) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, $hashedToksSql AS hs FROM documents),
+       |sh AS (SELECT doc_id, $terms AS simhash FROM h)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_simhash_pairs", q81, Some(q81Sql), "pigeonhole simhash pairs (exact recall)"),
     QueryDef("q58_dup_clusters", q58, None, "connected-components dup clustering (see DedupSimilaritySpec)"),
     QueryDef("q59_edit_distance", q59, Some(q59Sql), "prefix-bounded Levenshtein near-dup"),
     QueryDef("q41_dedup_exact", q41, Some(q41Sql), "exact content dedup"),
