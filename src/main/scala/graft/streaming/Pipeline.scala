@@ -33,6 +33,19 @@ import graft.util.Det
   */
 object Pipeline {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the previous value after. Stateful streaming queries
+    * instantiate one state store per shuffle partition per batch; with
+    * ~150 distinct keys, 32 partitions is pure fixed overhead — 8 halves
+    * the per-batch cost without touching results (state partitioning
+    * never affects content, only layout).
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** A collected event row for MemoryStream feeding (ts as floor-epoch
     * seconds — the reference serializes timestamps as strings and reparses,
     * SURVEY §1.2; second precision is its grain).

@@ -55,9 +55,11 @@ object StreamingQueries {
   private def q61(s: SparkSession, d: String): DataFrame = {
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
     val dir = Files.createTempDirectory("graft_upsert_").toString
-    Pipeline.runSliced(s, eventsSeq, 100, "graft_q61_sink")(
-      ds => Pipeline.enrich(ds.toDF()))(
-      Some((batch, _) => Pipeline.upsertBatch(s, batch, dir)))
+    Pipeline.withShufflePartitions(s, 8) {
+      Pipeline.runSliced(s, eventsSeq, 100, "graft_q61_sink")(
+        ds => Pipeline.enrich(ds.toDF()))(
+        Some((batch, _) => Pipeline.upsertBatch(s, batch, dir)))
+    }
     s.read.parquet(dir)
       .select("user_id", "event_id", "value", "pop", "time_of_day")
       .orderBy("user_id")
@@ -82,9 +84,10 @@ object StreamingQueries {
   private def q62(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
-    Pipeline.runSliced(s, eventsSeq, 250, "graft_q62_sink")(
-      ds => Pipeline.authorCounts(ds).toDF())(None)
-      .orderBy("event_id")
+    Pipeline.withShufflePartitions(s, 8) {
+      Pipeline.runSliced(s, eventsSeq, 250, "graft_q62_sink")(
+        ds => Pipeline.authorCounts(ds).toDF())(None)
+    }.orderBy("event_id")
   }
 
   private val q62Sql =
@@ -102,9 +105,11 @@ object StreamingQueries {
   private def q63(s: SparkSession, d: String): DataFrame = {
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
     val dir = Files.createTempDirectory("graft_anomaly_").toString
-    Pipeline.runSliced(s, eventsSeq, 250, "graft_q63_sink")(_.toDF())(
-      Some((batch, id) =>
-        Pipeline.batchAnomalies(batch, id).write.mode("append").parquet(dir)))
+    Pipeline.withShufflePartitions(s, 8) {
+      Pipeline.runSliced(s, eventsSeq, 250, "graft_q63_sink")(_.toDF())(
+        Some((batch, id) =>
+          Pipeline.batchAnomalies(batch, id).write.mode("append").parquet(dir)))
+    }
     s.read.parquet(dir)
       .select("batch_id", "event_id", "user_id", "value", "z")
       .orderBy("event_id")
@@ -143,12 +148,14 @@ object StreamingQueries {
     s.catalog.dropTempView("graft_q64_sink")
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Pipeline.StreamEvent](s)
-    val q = stream.toDS().dropDuplicates("event_id")
-      .select(col("event_id"), col("user_id"), col("value"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName("graft_q64_sink").start()
-    slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
-    q.stop(); q.awaitTermination()
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = stream.toDS().dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_q64_sink").start()
+      slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
+      q.stop(); q.awaitTermination()
+    }
     s.table("graft_q64_sink").orderBy("event_id")
   }
 
@@ -164,8 +171,10 @@ object StreamingQueries {
     */
   private def q68(s: SparkSession, d: String): DataFrame = {
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
-    val snapshots = Pipeline.runSliced(s, eventsSeq, 250, "graft_q68_sink")(
-      ds => Pipeline.sessionize(ds, 1800L).toDF("user_id", "n_sessions", "n_events"))(None)
+    val snapshots = Pipeline.withShufflePartitions(s, 8) {
+      Pipeline.runSliced(s, eventsSeq, 250, "graft_q68_sink")(
+        ds => Pipeline.sessionize(ds, 1800L).toDF("user_id", "n_sessions", "n_events"))(None)
+    }
     // final snapshot per user: n_events strictly increases, so max(struct)
     // picks the last state deterministically
     snapshots
@@ -219,10 +228,12 @@ object StreamingQueries {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
         col("c_ts") < col("p_ts"))
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName("graft_q69_sink").start()
-    eventsSeq.grouped(500).foreach { sl => stream.addData(sl); q.processAllAvailable() }
-    q.stop(); q.awaitTermination()
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName("graft_q69_sink").start()
+      eventsSeq.grouped(500).foreach { sl => stream.addData(sl); q.processAllAvailable() }
+      q.stop(); q.awaitTermination()
+    }
     s.table("graft_q69_sink")
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
       .orderBy("purchase_id", "click_id")
