@@ -249,6 +249,10 @@ object DedupQueries {
     * shuffle. (Un-blocked graphs need the iterative min-label/pointer-
     * jumping form — measured here at 320 s vs 3 s for the blocked one at
     * sf0.1, its O(diameter) rounds each paying fixed job overhead.)
+    * Memory bound: each block runs as ONE task holding that block's
+    * union-find map (8 B/vertex + overhead) — fine while the largest
+    * block's vertex set fits an executor (~100 M vertices/task); beyond
+    * that, sub-block by a second key or switch to the iterative form.
     * Deterministic (min doc_id per component is order-independent); not
     * ANSI-SQL-expressible in DuckDB 1.0 (no aggregates in recursive CTEs)
     * → rows-only check + DedupSimilaritySpec union-find reference.
@@ -264,9 +268,16 @@ object DedupQueries {
     val labeled = edges.groupByKey(_._1).cogroup(vertices.groupByKey(_._1)) {
       (_, es, vs) =>
         val parent = scala.collection.mutable.Map[Long, Long]()
+        // iterative find (loop to root, then compress): chained unions can
+        // build O(component)-deep parent chains before compression, and a
+        // recursive find would overflow the executor stack on a large
+        // component — each block runs in ONE task, so stack depth is real
         def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
         }
         es.foreach { case (_, a, b) =>
           val (ra, rb) = (find(a), find(b))

@@ -31,7 +31,10 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 
   private def isDistinctLongArray(e: Expression): Boolean = e match {
     case ArrayDistinct(c) => c.dataType match {
-      case ArrayType(LongType, _) => true
+      // containsNull must be false: ArrayData.getLong reads a NULL slot as 0
+      // in the merge loop, whereas array_intersect treats NULL as a distinct
+      // element — the rewrite would miscount arrays holding NULLs.
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     }
     case _ => false
@@ -39,8 +42,10 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), legacy) if isDistinctLongArray(a) && isDistinctLongArray(b) =>
-        val _ = legacy
+      // legacySizeOfNull=false only: under the legacy flag size(NULL) = -1,
+      // but SortedLongIntersectCount is null-propagating — firing there
+      // would change NULL-input results from -1 to NULL.
+      case Size(ArrayIntersect(a, b), false) if isDistinctLongArray(a) && isDistinctLongArray(b) =>
         SortedLongIntersectCount(
           SortArray(a, Literal(true)), SortArray(b, Literal(true)))
     }

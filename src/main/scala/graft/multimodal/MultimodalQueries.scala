@@ -28,6 +28,12 @@ object MultimodalQueries {
     * as UTF-8 bytes stands in for image bytes): byte length, magic-prefix
     * hex, content checksum, and a metadata struct. All deterministic
     * expressions → fully oracled.
+    *
+    * CONTRACT: ASCII input only (like [[graft.util.Det.polyHash]]). The
+    * magic-prefix mirror takes 8 BYTES here (substring over binary) but 8
+    * CHARS in the DuckDB SQL (substring over VARCHAR, then cast) — byte ==
+    * char only on single-byte text. The driver testdata is pure ASCII; for
+    * multi-byte payloads, mirror by slicing the BLOB on the SQL side too.
     */
   private def q65(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

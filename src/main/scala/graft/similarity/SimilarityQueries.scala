@@ -177,13 +177,13 @@ object SimilarityQueries {
 
   /** Random-hyperplane LSH for embedding near-dups — the third leg of the
     * near-dup trio (exact blocked q46, IVF-partitioned q48, and this: the
-    * shape that scales when no partition key exists). 8 tables × 2-bit
-    * signatures: bucket on (table, sign-pair), candidate pairs within a
-    * bucket, verify with exact cosine ≥ 0.4. Hyperplanes are pinned
-    * pseudo-random constants (integer LCG over the index — seedless,
-    * reproducible). Probabilistic recall (~98% at cos 0.4 with 8×2) → no
-    * SQL oracle; rows-only + recall/precision bounds in
-    * DedupSimilaritySpec.
+    * shape that scales when no partition key exists). 4 tables × 2-bit
+    * signatures (8 pinned hyperplanes): bucket on (table, sign-pair),
+    * candidate pairs within a bucket, verify with exact cosine ≥ 0.4.
+    * Hyperplanes are pinned pseudo-random constants (integer LCG over the
+    * index — seedless, reproducible). Probabilistic recall (~0.87 per-pair
+    * at the low 0.4 bar with 4×2) → no SQL oracle; rows-only +
+    * recall/precision bounds in DedupSimilaritySpec.
     */
   private val hyperplanes: Seq[Seq[Double]] =
     (0 until 8).map { i =>

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * addition is order-sensitive); these helpers route every aggregate through
   * exact arithmetic:
   *
-  *  - [[dsum]]: sum through `DECIMAL(18,6)` (exact, order-insensitive) and
+  *  - [[dsum]]: sum through `DECIMAL(18,4)` (exact, order-insensitive) and
   *    cast the final total back to double (a single deterministic rounding).
   *  - [[dmean]] / [[dstddev]]: derive moments from exact decimal sums, then
   *    do the scalar double math (deterministic given identical inputs).
@@ -77,6 +77,15 @@ object Det {
     * codegen (no UDF). DuckDB equivalent:
     * `list_reduce(list_prepend(seed, list_transform(string_split(t,''),
     *   c -> unicode(c))), (a,b) -> (a*31+b) % 1000000007)`.
+    *
+    * CONTRACT: ASCII/BMP input only. Spark's `split(s, "")` yields UTF-16
+    * code units — a non-BMP character (emoji, astral CJK) becomes TWO lone
+    * surrogates and `ascii` sees each separately, while DuckDB's
+    * `string_split` yields ONE codepoint — the mirrors diverge. The driver
+    * testdata is pure ASCII (TESTDATA.md), where code unit == codepoint ==
+    * byte and the two sides are provably identical. To extend past the BMP,
+    * hash UTF-8 bytes on both sides (`encode(s,'utf-8')` here, `encode(s)`
+    * in DuckDB) instead of characters.
     */
   def polyHash(s: Column, seed: Long = 7L): Column =
     aggregate(
