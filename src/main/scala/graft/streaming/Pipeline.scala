@@ -100,7 +100,11 @@ object Pipeline {
       .drop("rn")
     // rewrite to a fresh dir then swap (parquet has no transactional MERGE)
     val tmp = dir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    // one file per rewrite: the keyed store here is tiny (≤ |distinct keys|
+    // rows), and N-file writes make the NEXT batch's read list N files — at
+    // cluster scale the store is bucketed by key and MERGE touches only
+    // changed buckets, so single-file here mirrors "one bucket rewritten"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))

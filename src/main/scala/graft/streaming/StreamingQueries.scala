@@ -31,10 +31,12 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName).start()
-    q.processAllAvailable()
-    q.stop(); q.awaitTermination()
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName).start()
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+    }
     s.table(sinkName)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_v"))
