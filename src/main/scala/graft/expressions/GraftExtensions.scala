@@ -67,5 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "graft_intersect_count"),
       (children: Seq[Expression]) =>
         SortedLongIntersectCount(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_seq_dot"),
+      new ExpressionInfo(classOf[SeqDotProduct].getName, "graft_seq_dot"),
+      (children: Seq[Expression]) =>
+        SeqDotProduct(children(0), children(1))))
   }
 }

@@ -82,6 +82,10 @@ object GraftFunctions {
     ExpressionUtils.column(
       SortedLongIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def seqDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SeqDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Runtime installation into an ALREADY-BUILT session — the path for
     * environments that construct the SparkSession themselves (the driver's
     * Verify/Bench harness). Build-time wiring via [[GraftExtensions]] is
@@ -100,6 +104,11 @@ object GraftFunctions {
       "graft_intersect_count",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(children(0), children(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_seq_dot",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SeqDotProduct(children(0), children(1)),
       "built-in")
   }
 }

@@ -57,15 +57,17 @@ object Det {
     when(count(c) > 1, sqrt((s2 * n - s * s) / (n * (n - lit(1.0)))))
   }
 
-  /** Sequential dot product of two float/double arrays. `zip_with` then a
-    * left fold — both engines accumulate in index order, so the result is
-    * bit-identical. Used by cosine similarity (similarity/Similarity.scala).
+  /** Sequential dot product of two float/double arrays — both engines
+    * accumulate in index order, so the result is bit-identical. Backed by
+    * the native codegen expression [[org.apache.spark.sql.graft.SeqDotProduct]],
+    * which performs the exact IEEE operation sequence of the reference
+    * fold `aggregate(zip_with(a,b,(x,y) -> double(x)*double(y)), 0.0, +)`
+    * (equivalence pinned in ExpressionSpec) without the interpreted
+    * higher-order-function cost. Used by cosine similarity
+    * (similarity/SimilarityQueries.scala).
     */
   def seqDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftFunctions.seqDot(a, b)
 
   /** Sequential sum of squares of one array (for norms). */
   def seqNormSq(a: Column): Column = seqDot(a, a)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.GraftFunctions.sortedIntersectCount
+import org.apache.spark.sql.graft.GraftFunctions.{seqDot, sortedIntersectCount}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ExpressionSpec extends AnyFunSuite {
@@ -42,6 +42,52 @@ class ExpressionSpec extends AnyFunSuite {
       .select(sortedIntersectCount(col("a"), col("b")))
       .as[Option[Int]].head()
     assert(got.isEmpty)
+  }
+
+  test("seqDot is bit-exact with the interpreted zip_with/aggregate fold") {
+    // the HOF composition is the determinism REFERENCE (what the DuckDB
+    // oracle mirrors); the native expression must match it to the last ulp
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Seq.fill(n)(rnd.nextFloat() * 2 - 1), Seq.fill(n)((rnd.nextDouble() * 2 - 1)))
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      seqDot(col("a"), col("b")).as("fast"), hof(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("seqDot null contract: null input, length mismatch, null element") {
+    val gotNullInput = Seq((Some(Seq(1.0f)), Option.empty[Seq[Double]]))
+      .toDF("a", "b").select(seqDot(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(gotNullInput.isEmpty)
+    val gotMismatch = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b").select(seqDot(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(gotMismatch.isEmpty)
+    val gotNullElem = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b").select(seqDot(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(gotNullElem.isEmpty)
+  }
+
+  test("seqDot codegen path is exercised and sums in index order") {
+    val df = spark.range(100)
+      .select(col("id"),
+        transform(sequence(lit(1), lit(8)), i => i.cast("double") + col("id")).as("a"),
+        transform(sequence(lit(1), lit(8)), i => i.cast("double")).as("b"))
+      .select(seqDot(col("a"), col("b")).as("d"), col("id"))
+    val hasWsc = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    // Σ i*(i+id) for i=1..8 = 204 + 36*id
+    assert(df.collect().forall(r => r.getDouble(0) == 204.0 + 36.0 * r.getLong(1)))
   }
 
   test("codegen path is exercised (no fallback)") {
