@@ -23,7 +23,9 @@ object Registry {
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++
       multimodal.MultimodalQueries.defs ++
-      streaming.StreamingQueries.defs
+      streaming.StreamingQueries.defs ++
+      relational.OperatorQueries.defs ++
+      pipeline.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Training-data pipeline operators beyond the reference: sequence packing
+  * for LLM pretraining batches and inverted-index construction. Both are
+  * single-shuffle relational shapes — nothing here materializes per-group
+  * state on the driver.
+  */
+object PipelineQueries {
+
+  /** Sequence packing (concatenate-and-chunk): documents are concatenated
+    * in (lang, doc_id) order and chunked into fixed 512-token training
+    * sequences; each document is attributed to the pack where it STARTS
+    * (pack_id = floor(tokens-before / 512) — the standard packed-dataset
+    * construction). One window per lang computes the running token offset;
+    * integer arithmetic only, so the oracle is exact.
+    *
+    * Scale: the window's running sum is a single shuffle on the pack
+    * stream key (lang here; (source, shard) in production). Packs stay
+    * bounded by construction, so the downstream "write one training shard
+    * per pack" is an even repartition — no skew regardless of document
+    * length distribution.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
+  private val q84Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |off AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM toks)
+      |SELECT lang, CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM off GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+
+  /** Inverted-index build (the search-engine/RAG ingestion operator):
+    * distinct (doc, token) postings → per-token document frequency and a
+    * deterministic fingerprint of the sorted posting list (the driver
+    * compare needs scalar cells, so the posting array is emitted as an
+    * order-pinned polynomial hash rather than a list column). Top 25
+    * tokens by (df desc, token asc).
+    *
+    * Scale: one shuffle on token; posting lists build with map-side
+    * distinct. Hot tokens (stopwords) are the classic skew — production
+    * caps postings per token per shard and merges, same as the fold here.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        aggregate(sort_array(collect_list(col("doc_id"))), lit(7L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("postings_hash"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(25)
+
+  private val q85Sql =
+    """WITH posting AS (
+      |  SELECT DISTINCT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents))
+      |SELECT token, count(*) AS df,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list(doc_id ORDER BY doc_id)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS postings_hash,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM posting GROUP BY token
+      |ORDER BY df DESC, token LIMIT 25""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_sequence_packing", q84, Some(q84Sql), "concat-and-chunk LLM sequence packing"),
+    QueryDef("q85_inverted_index", q85, Some(q85Sql), "inverted-index build with posting fingerprints"))
+}

@@ -1,0 +1,128 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Relational operators beyond the reference's surface: point-in-time
+  * (as-of) join and bounded grouped top-k via a typed Aggregator — the two
+  * classic "Spark lacks this as a primitive" operators, both built the
+  * scale-first way (single shuffle, no per-key materialization).
+  */
+object OperatorQueries {
+
+  /** AS-OF JOIN (point-in-time lookup): each purchase event picks up the
+    * same user's most recent click at-or-before its timestamp.
+    *
+    * Implementation is the scalable union-window form, NOT a range join:
+    * tag build rows (clicks) and probe rows (purchases), union, one window
+    * per user ordered by (ts, side) with `last(click_*, ignoreNulls)` over
+    * an unbounded-preceding frame — each probe row sees exactly the latest
+    * build row at-or-before it. One shuffle on the key, linear in rows,
+    * no candidate pairs: at 100 TB this is the difference between an
+    * as-of join and an exploding interval join (compare q76, which owes
+    * ALL matches in a band, not the latest). Clicks are deduped to one per
+    * (user, second) — max event_id wins — so the as-of value is uniquely
+    * defined and the DuckDB `ASOF LEFT JOIN` oracle is deterministic.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+    val clickW = Window.partitionBy("user_id", "ts_sec").orderBy(desc("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(clickW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_sec"), lit(0).as("side"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_sec"), lit(1).as("side"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        col("event_id").as("purchase_id"))
+    // (ts_sec, side) ordering puts the click first at equal timestamps —
+    // exactly ASOF's `probe.ts >= build.ts` inclusivity
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts_sec"),
+        col("asof_click"), col("asof_value"))
+      .orderBy("purchase_id")
+  }
+
+  private val q82Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+      |  FROM events),
+      |c0 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec ORDER BY event_id DESC) AS rn
+      |  FROM ev WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts_sec, event_id AS click_id, value AS click_value
+      |      FROM c0 WHERE rn = 1),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts_sec
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.ts_sec,
+      |  c.click_id AS asof_click, c.click_value AS asof_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+      |ORDER BY purchase_id""".stripMargin
+
+  /** One (price, key) candidate for the bounded top-k buffer. */
+  case class PK(price: Double, key: Long)
+
+  /** Bounded top-3 typed Aggregator: the buffer holds AT MOST k elements
+    * at every step — grouped top-k without window-sorting each group
+    * (row_number ranks and sorts every row of every group; this keeps k
+    * per partial aggregate and merges map-side, the shape that survives a
+    * billion-row group). Total order (price desc, key asc) on unique keys
+    * makes reduce/merge associative-commutative → deterministic output.
+    */
+  object Top3Agg extends Aggregator[PK, Seq[PK], Seq[PK]] {
+    private val k = 3
+    private def ord(p: PK): (Double, Long) = (-p.price, p.key)
+    override def zero: Seq[PK] = Seq.empty
+    override def reduce(b: Seq[PK], a: PK): Seq[PK] =
+      (b :+ a).sortBy(ord).take(k)
+    override def merge(x: Seq[PK], y: Seq[PK]): Seq[PK] =
+      (x ++ y).sortBy(ord).take(k)
+    override def finish(r: Seq[PK]): Seq[PK] = r
+    override def bufferEncoder: Encoder[Seq[PK]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[PK]] = ExpressionEncoder()
+  }
+
+  /** Grouped top-k through the custom Aggregator (UDAF surface): top-3
+    * orders by total price per order priority. The window-function
+    * formulation is the ORACLE; the Aggregator is the engine path.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(Top3Agg)
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.key").as("o_orderkey"), col("t.price").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  private val q83Sql =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_asof_join", q82, Some(q82Sql), "as-of join via union-window (vs DuckDB ASOF JOIN)"),
+    QueryDef("q83_grouped_topk", q83, Some(q83Sql), "bounded top-k typed Aggregator"))
+}

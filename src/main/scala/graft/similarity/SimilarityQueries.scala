@@ -151,18 +151,29 @@ object SimilarityQueries {
     * explode→group shape scales to arbitrary corpus size (shuffle rows
     * are (label, dim, value) triples).
     */
-  private def q55(s: SparkSession, d: String): DataFrame =
+  /** The 8-dim slice of every embedding as (vec_id, label, dim, v) rows —
+    * shared by the centroid train step (q55) and the assignment step (q86).
+    */
+  private def dimRows(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .filter(col("dim") < 8) // representative slice keeps output compact
       .withColumn("dim", col("dim").cast("long"))
+
+  /** Per-(label, dim) centroid means via the order-pinned sequential fold
+    * (see q55 doc).
+    */
+  private def centroidFrame(s: SparkSession, d: String): DataFrame =
+    dimRows(s, d)
       .groupBy("label", "dim")
       .agg((aggregate(
         transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
           x => x.getField("v").cast("double")),
         lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mean_v"))
-      .orderBy("label", "dim")
+
+  private def q55(s: SparkSession, d: String): DataFrame =
+    centroidFrame(s, d).orderBy("label", "dim")
 
   private val q55Sql =
     """WITH expl AS (
@@ -174,6 +185,62 @@ object SimilarityQueries {
       |    list(CAST(v AS DOUBLE) ORDER BY vec_id)),
       |    (a, b) -> a + b) / count(*) AS mean_v
       |FROM expl GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  /** k-means ASSIGNMENT step (Lloyd E-step), completing the train/assign
+    * loop with q55: each vector goes to the nearest centroid by squared
+    * euclidean distance on the 8-dim slice, ties broken by label.
+    *
+    * Determinism: per-(vec, centroid) distances are sequential dim-order
+    * folds of squared diffs (both engines add the same 8 doubles in the
+    * same order); the argmin is a row_number over (d2, label) so equal
+    * distances resolve identically.
+    *
+    * Scale: centroids are broadcast (k rows); distance terms are a
+    * narrow (vec, label, dim) expansion — Θ(n·k·dims) with no shuffle of
+    * the corpus beyond the per-vec aggregation, the standard distributed
+    * Lloyd iteration shape.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val cent = centroidFrame(s, d).withColumnRenamed("label", "c_label")
+    val terms = dimRows(s, d).drop("label")
+      .join(broadcast(cent), "dim")
+      .select(col("vec_id"), col("c_label"), col("dim"),
+        (col("v").cast("double") - col("mean_v")).as("diff"))
+    val d2 = terms.groupBy("vec_id", "c_label")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("dim"), col("diff")))),
+          x => x.getField("diff") * x.getField("diff")),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("c_label"))
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("label_assigned"), col("d2"))
+      .orderBy("vec_id")
+  }
+
+  private val q86Sql =
+    """WITH expl AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim, embedding[i] AS v
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+      |  WHERE i - 1 < 8),
+      |cent AS (
+      |  SELECT label AS c_label, dim,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(v AS DOUBLE) ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS mean_v
+      |  FROM expl GROUP BY label, dim),
+      |terms AS (
+      |  SELECT e.vec_id, c.c_label, e.dim, CAST(e.v AS DOUBLE) - c.mean_v AS diff
+      |  FROM expl e JOIN cent c ON e.dim = c.dim),
+      |d2s AS (
+      |  SELECT vec_id, c_label,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(diff * diff ORDER BY dim)),
+      |      (a, b) -> a + b) AS d2
+      |  FROM terms GROUP BY vec_id, c_label),
+      |ranked AS (
+      |  SELECT vec_id, c_label, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |  FROM d2s)
+      |SELECT vec_id, c_label AS label_assigned, d2 FROM ranked WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
 
   /** Random-hyperplane LSH for embedding near-dups — the third leg of the
     * near-dup trio (exact blocked q46, IVF-partitioned q48, and this: the
@@ -227,6 +294,7 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q80_ann_rplsh", q80, None, "random-hyperplane LSH near-dup (see DedupSimilaritySpec)"),
     QueryDef("q55_centroids", q55, Some(q55Sql), "k-means/IVF centroid train step"),
+    QueryDef("q86_kmeans_assign", q86, Some(q86Sql), "k-means assignment step (Lloyd E-step)"),
     QueryDef("q46_cosine_pairs", q46, Some(q46Sql), "blocked cosine near-dup pairs"),
     QueryDef("q47_ann_bruteforce", q47, Some(q47Sql), "brute-force cosine top-5"),
     QueryDef("q48_ann_partitioned", q48, Some(q48Sql), "IVF-style partition-pruned top-3"))

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.relational.OperatorQueries.{PK, Top3Agg}
+
+/** Unit-level checks for the round-2 relational/pipeline operators (the
+  * driver oracle is the integration gate; these pin the algebraic
+  * properties the oracle can't see).
+  */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Top3Agg: merge of any partitioning equals top-3 of the whole") {
+    val vals = Seq(PK(5.0, 1), PK(9.0, 2), PK(9.0, 3), PK(1.0, 4), PK(7.0, 5), PK(9.0, 6))
+    val expected = vals.sortBy(p => (-p.price, p.key)).take(3)
+    // every 2-way split of the input must merge to the same top-3
+    (0 to vals.size).foreach { cut =>
+      val (l, r) = vals.splitAt(cut)
+      val bufL = l.foldLeft(Top3Agg.zero)(Top3Agg.reduce)
+      val bufR = r.foldLeft(Top3Agg.zero)(Top3Agg.reduce)
+      assert(Top3Agg.finish(Top3Agg.merge(bufL, bufR)) == expected, s"cut=$cut")
+    }
+    // buffer never exceeds k
+    val big = (1 to 50).map(i => PK(i.toDouble, i.toLong))
+    assert(big.foldLeft(Top3Agg.zero)(Top3Agg.reduce).size == 3)
+  }
+
+  test("q82 as-of join matches the brute-force latest-click-at-or-before reference") {
+    val got = Registry.queries("q82_asof_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    // reference: full interval join + per-purchase argmax over (ts, click_id)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val expected = ev.filter(_._3 == "purchase").map { case (pid, u, _, pts) =>
+      val cands = clicks.filter(c => c._2 == u && c._4 <= pts)
+      pid -> (if (cands.isEmpty) None else Some(cands.maxBy(c => (c._4, c._1))._1))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("q84 packing conserves documents and tokens, packs are disjoint in doc ranges") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect()
+    val packs = Registry.queries("q84_sequence_packing")(spark, sf).collect()
+    assert(packs.map(_.getLong(2)).sum == docs.length) // n_docs conserved
+    assert(packs.map(_.getLong(3)).sum == docs.map(_.getLong(1)).sum) // tokens conserved
+    // within a lang, first_doc strictly increases with pack_id (chunking
+    // follows doc order; packs never interleave)
+    packs.groupBy(_.getString(0)).foreach { case (_, ps) =>
+      val ordered = ps.sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(ordered.sameElements(ordered.sorted) && ordered.distinct.length == ordered.length)
+    }
+  }
+
+  test("q86 assigns every vector exactly once to a real centroid with minimal distance") {
+    val assigned = Registry.queries("q86_kmeans_assign")(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(assigned.length == nVecs)
+    assert(assigned.forall(_.getDouble(2) >= 0.0))
+    val labels = Tables.embeddings(spark, sf).select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(assigned.forall(r => labels.contains(r.getInt(1))))
+  }
+}
