@@ -122,7 +122,111 @@ object OperatorQueries {
       |FROM ranked WHERE rn <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** Bloom-filter semi-join reduction (runtime-filter pattern): the
+    * selective dimension (suppliers with acctbal > 9000) builds a 1024-bit
+    * bloom filter RELATIONALLY (two integer hash positions per key,
+    * bit_or-aggregated into 16 words), which is broadcast and applied to
+    * the fact table BEFORE the exact semi-join — at 100 TB the bloom
+    * kills almost every non-matching fact row pre-shuffle, which is the
+    * entire cost of a large semi-join. False positives are then removed
+    * by the exact join, so the result (and the oracle) is exactly the
+    * plain semi-join; BloomSpec pins the pre-filter's selectivity.
+    * Integer-only hashing — no engine divergence possible.
+    */
+  private val BloomBits = 1024L
+  private def bloomPos(key: org.apache.spark.sql.Column, salt: Long) =
+    pmod(key * lit(2654435761L) + lit(salt), lit(BloomBits))
+
+  private[graft] def bloomWords(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 9000)
+      .select(col("s_suppkey").as("k"))
+    val positions = keys.select(explode(array(
+      bloomPos(col("k"), 0L), bloomPos(col("k"), 7919L))).as("pos"))
+    val setBits = positions
+      .groupBy((col("pos") / 64).cast("long").as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))).as("bits"))
+    s.range(BloomBits / 64).select(col("id").as("word_idx"))
+      .join(setBits, Seq("word_idx"), "left")
+      .select(col("word_idx"), coalesce(col("bits"), lit(0L)).as("bits"))
+  }
+
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val bloom = bloomWords(s, d)
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("word_idx"), col("bits")))),
+        x => x.getField("bits")).as("bloom"))
+    def mightContain(key: org.apache.spark.sql.Column, salt: Long) = {
+      val pos = bloomPos(key, salt)
+      (element_at(col("bloom"), (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int")))) =!= 0L
+    }
+    val dim = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      .select(col("s_suppkey"))
+    val candidates = Tables.lineitem(s, d)
+      .crossJoin(broadcast(bloom))
+      // the runtime filter: evaluated scan-side, before any shuffle
+      .filter(mightContain(col("l_suppkey"), 0L) && mightContain(col("l_suppkey"), 7919L))
+      .drop("bloom")
+    candidates
+      .join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q87Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: collapse each
+    * user's event stream into versioned activity-type intervals — a new
+    * version opens whenever event_type changes; `valid_to_sec` is the next
+    * version's start (NULL = current row). The lag-filter + lead-window
+    * pair is the standard warehouse CDC-compaction shape: one shuffle on
+    * the key, linear, no state on the driver. Time order is (ts, event_id)
+    * so concurrent events resolve identically in both engines.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+    val changes = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_sec", lead(col("ts_sec"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts_sec").as("valid_from_sec"), col("valid_to_sec"),
+        when(col("valid_to_sec").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private val q88Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+      |  FROM ev),
+      |changes AS (SELECT * FROM marked WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT) AS version,
+      |  event_type AS state, ts_sec AS valid_from_sec,
+      |  lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS valid_to_sec,
+      |  CAST(CASE WHEN lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM changes ORDER BY user_id, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q82_asof_join", q82, Some(q82Sql), "as-of join via union-window (vs DuckDB ASOF JOIN)"),
-    QueryDef("q83_grouped_topk", q83, Some(q83Sql), "bounded top-k typed Aggregator"))
+    QueryDef("q83_grouped_topk", q83, Some(q83Sql), "bounded top-k typed Aggregator"),
+    QueryDef("q87_bloom_semijoin", q87, Some(q87Sql), "bloom-filter runtime semi-join reduction"),
+    QueryDef("q88_scd2_history", q88, Some(q88Sql), "SCD2 versioned history build (CDC compaction)"))
 }

@@ -61,6 +61,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q87 bloom filter: zero false negatives, genuinely selective") {
+    import org.apache.spark.sql.Row
+    // sf0.01: the smallest SF where suppliers clear the 9000 acctbal bar
+    val sf = "/root/testdata/sf0.01"
+    val words = graft.relational.OperatorQueries.bloomWords(spark, sf)
+      .orderBy("word_idx").collect().map { case Row(_, bits: Long) => bits }
+    assert(words.length == 16)
+    def contains(k: Long): Boolean = Seq(0L, 7919L).forall { salt =>
+      val pos = (((k * 2654435761L + salt) % 1024) + 1024) % 1024
+      (words(pos.toInt / 64) & (1L << (pos % 64).toInt)) != 0
+    }
+    val dimKeys = Tables.supplier(spark, sf).filter(col("s_acctbal") > 9000)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    assert(dimKeys.nonEmpty && dimKeys.forall(contains)) // no false negatives
+    val allKeys = Tables.supplier(spark, sf).select("s_suppkey")
+      .collect().map(_.getLong(0))
+    val passRate = allKeys.count(contains).toDouble / allKeys.length
+    val trueRate = dimKeys.length.toDouble / allKeys.length
+    // the pre-filter must actually prune: pass rate near the true match
+    // rate, far from "everything passes"
+    assert(passRate < trueRate + 0.2, s"passRate=$passRate trueRate=$trueRate")
+  }
+
   test("q86 assigns every vector exactly once to a real centroid with minimal distance") {
     val assigned = Registry.queries("q86_kmeans_assign")(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()
