@@ -203,6 +203,40 @@ object Eda {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Outer-join family: customers-per-nation FULL OUTER suppliers-per-
+    * nation (either side may be missing a nation), then nation LEFT OUTER
+    * onto the result so nations with neither appear as 0/0. Completes the
+    * join-type inventory (inner q08, semi q09, anti q10, range q76,
+    * as-of q82). Aggregate-then-outer-join keeps both shuffles narrow —
+    * the outer join sees one row per nation, not one per customer.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    val fo = cn.join(sn, Seq("nationkey"), "full_outer")
+    broadcast(Tables.nation(s, d))
+      .join(fo, col("n_nationkey") === col("nationkey"), "left_outer")
+      .select(col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("n_name")
+  }
+
+  private val q89Sql =
+    """WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      |            FROM customer GROUP BY 1),
+      |sn AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      |       FROM supplier GROUP BY 1),
+      |fo AS (SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey, n_cust, n_supp
+      |       FROM cn FULL OUTER JOIN sn USING (nationkey))
+      |SELECT n_name, coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM nation LEFT OUTER JOIN fo ON n_nationkey = nationkey
+      |ORDER BY n_name""".stripMargin
+
   /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -745,6 +779,7 @@ object Eda {
     QueryDef("q08_star_join", q08, Some(q08Sql), "inner equi-join, broadcast dims"),
     QueryDef("q09_semi_join", q09, Some(q09Sql), "left-semi EXISTS"),
     QueryDef("q10_anti_join", q10, Some(q10Sql), "left-anti NOT EXISTS"),
+    QueryDef("q89_outer_joins", q89, Some(q89Sql), "FULL OUTER + LEFT OUTER with coalesce repair"),
     QueryDef("q11_filter_project", q11, Some(q11Sql), "P3+P4 pushed filters"),
     QueryDef("q12_cast_bucket", q12, Some(q12Sql), "P9 cast projection"),
     QueryDef("q14_date_parts", q14, Some(q14Sql), "D3 year/month feature agg"),

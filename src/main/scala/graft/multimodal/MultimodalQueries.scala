@@ -79,9 +79,39 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Resize + frame-sampling plumbing (the remaining two kernels of the
+    * multimodal mandate): decode → resize to a 32×32 thumbnail → sample
+    * every-k-th frame, all inside ONE mapPartitions pass so payload bytes
+    * never cross an operator boundary (at 100 TB the binary column is the
+    * row; one pass per partition is the only affordable shape). Frame rows
+    * are emitted with flatMap — one output row per sampled frame, the
+    * UDTF-shaped batch contract `mapInPandas` uses. Kernels are STUBS
+    * ([[MediaStub.resize]]/[[MediaStub.sampleFrames]]); schema, batching,
+    * and flatten plumbing are real. Deterministic → rows + MultimodalSpec.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val decoder = new MediaStub
+        batch.flatMap { case (id, bytes) =>
+          val f = decoder.decode(bytes)
+          val (tw, th) = decoder.resize(f.width, f.height, 32)
+          decoder.sampleFrames(f.nFrames, every = 2).map { frameIdx =>
+            (id, frameIdx, tw, th, decoder.frameChecksum(bytes, frameIdx))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "thumb_w", "thumb_h", "frame_checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_media_meta", q65, Some(q65Sql), "binary payload + metadata projection"),
-    QueryDef("q66_media_decode", q66, None, "mapPartitions batched decode (STUB kernel)"))
+    QueryDef("q66_media_decode", q66, None, "mapPartitions batched decode (STUB kernel)"),
+    QueryDef("q67_media_frames", q67, None, "one-pass resize + frame-sample flatMap (STUB kernels)"))
 }
 
 /** STUB media decoder — the container ships no image/audio libraries
@@ -103,4 +133,21 @@ final class MediaStub {
       nFrames = 1 + (n % 7),
       meanLuma = (sum % 25600L).toDouble / 100.0)
   }
+
+  /** Aspect-preserving thumbnail dimensions (integer math; a real build
+    * would also produce the resampled pixels — ??? stub).
+    */
+  def resize(w: Int, h: Int, maxSide: Int): (Int, Int) =
+    if (w >= h) (maxSide, math.max(1, h * maxSide / w))
+    else (math.max(1, w * maxSide / h), maxSide)
+
+  /** Every-k-th frame indices (0-based), always including frame 0. */
+  def sampleFrames(nFrames: Int, every: Int): Seq[Int] =
+    (0 until nFrames by every)
+
+  /** Deterministic per-frame checksum stand-in for "decode frame i and
+    * hash it" (??? real frame extraction goes here).
+    */
+  def frameChecksum(payload: Array[Byte], frameIdx: Int): Long =
+    payload.foldLeft(7L + frameIdx)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
 }
