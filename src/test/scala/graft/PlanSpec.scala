@@ -84,4 +84,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("q82 as-of join is one key shuffle, no join operator at all") {
+    val plan = physicalPlan("q82_asof_join")
+    assert(!plan.contains("Join"), s"as-of must not produce candidate pairs:\n$plan")
+    // exactly one hash-partitioning exchange on user_id for the main window
+    // (the click-dedup window shares it; the final orderBy adds only a
+    // rangepartitioning)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2, s"expected <=2 hash exchanges, got $hashExchanges:\n$plan")
+  }
+
+  test("q87 bloom pre-filter sits scan-side, below the semi-join") {
+    val plan = physicalPlan("q87_bloom_semijoin")
+    val filterIdx = plan.indexOf("Filter")
+    val joinIdx = plan.indexOf("Join")
+    assert(filterIdx >= 0 && joinIdx >= 0, plan)
+    // executedPlan prints parents first: the semi-join must appear BEFORE
+    // (above) the bloom filter stage feeding it
+    assert(joinIdx < plan.lastIndexOf("Filter"),
+      s"bloom filter not below the join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact semi-join missing:\n$plan")
+  }
+
+  test("q83 Aggregator keeps partial (map-side) aggregation") {
+    val plan = physicalPlan("q83_grouped_topk")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_top3agg") || plan.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation for the UDAF:\n$plan")
+  }
+
+  test("q84 packing reads only doc_id, lang, text") {
+    val plan = physicalPlan("q84_sequence_packing")
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("n_chars"), s"n_chars should be pruned:\n$plan")
+    assert(!plan.contains("source"), s"source should be pruned:\n$plan")
+  }
 }
