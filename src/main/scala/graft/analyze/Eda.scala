@@ -237,6 +237,34 @@ object Eda {
       |FROM nation LEFT OUTER JOIN fo ON n_nationkey = nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** Higher-order array function family (filter/exists/forall/slice +
+    * sequential reduce) over per-row integer sequences — the lambda-based
+    * array surface a pipeline uses for token/feature lists, with integer-
+    * only DuckDB mirrors (list_filter / len / list_reduce). Booleans are
+    * emitted as BIGINT 0/1 so both engines agree on dtype.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val arr = sequence(lit(1L), col("event_id") % 10 + 1)
+    Tables.events(s, d)
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        size(filter(arr, x => x % 2 === 0)).cast("long").as("n_even"),
+        exists(arr, x => x > 5).cast("long").as("has_gt5"),
+        forall(arr, x => x < 20).cast("long").as("all_lt20"),
+        aggregate(slice(arr, 1, 3), lit(0L), (a, x) => a + x).as("head3_sum"))
+      .orderBy("event_id")
+  }
+
+  private val q91Sql =
+    """WITH t AS (SELECT event_id, range(1, event_id % 10 + 2) AS arr
+      |           FROM events WHERE event_id <= 2000)
+      |SELECT event_id,
+      |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+      |  CAST(CASE WHEN len(list_filter(arr, x -> x > 5)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_gt5,
+      |  CAST(CASE WHEN len(list_filter(arr, x -> NOT (x < 20))) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_lt20,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), arr[1:3]), (a, x) -> a + x) AS head3_sum
+      |FROM t ORDER BY event_id""".stripMargin
+
   /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -780,6 +808,7 @@ object Eda {
     QueryDef("q09_semi_join", q09, Some(q09Sql), "left-semi EXISTS"),
     QueryDef("q10_anti_join", q10, Some(q10Sql), "left-anti NOT EXISTS"),
     QueryDef("q89_outer_joins", q89, Some(q89Sql), "FULL OUTER + LEFT OUTER with coalesce repair"),
+    QueryDef("q91_array_hof", q91, Some(q91Sql), "higher-order array function family"),
     QueryDef("q11_filter_project", q11, Some(q11Sql), "P3+P4 pushed filters"),
     QueryDef("q12_cast_bucket", q12, Some(q12Sql), "P9 cast projection"),
     QueryDef("q14_date_parts", q14, Some(q14Sql), "D3 year/month feature agg"),

@@ -89,7 +89,48 @@ object PipelineQueries {
       |FROM posting GROUP BY token
       |ORDER BY df DESC, token LIMIT 25""".stripMargin
 
+  /** Distributed contiguous row ids (the shard-and-index operator): global
+    * ids 0..n−1 in event_id order WITHOUT a single global-window sort.
+    * Two-level rank: bucket rows by EXPLICIT key ranges (equal-width over
+    * min..max — one scalar agg, broadcast; production uses a quantile
+    * sketch for equal-depth, same shape), rank within each bucket in
+    * parallel, then add per-bucket offsets (a tiny B-row cumulative sum).
+    * Output is identical for ANY bucket boundaries — boundaries decide
+    * where work happens, never the global order — so the oracle is plain
+    * row_number()−1. NOT `repartitionByRange` + `spark_partition_id`: the
+    * range sampler re-runs per subtree, and two evaluations can pick
+    * different boundaries, silently skewing offsets (measured). Explicit
+    * buckets make the pid a pure function of the key.
+    * (`monotonically_increasing_id` gives non-contiguous ids; a bare
+    * global window gives one task for the whole dataset.)
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val bounds = ev.agg(min("event_id").as("lo"), max("event_id").as("hi"))
+    val bucketed = ev.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        floor((col("event_id") - col("lo")) * 8 / (col("hi") - col("lo") + 1)))
+      .drop("lo", "hi")
+    val perPart = Window.partitionBy("pid").orderBy("event_id")
+    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(offW), lit(0L)))
+      .select("pid", "offset")
+    bucketed
+      .withColumn("rn", row_number().over(perPart).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("offset") + col("rn") - 1).as("global_id"))
+      .orderBy("event_id")
+  }
+
+  private val q90Sql =
+    """SELECT event_id, event_type, value,
+      |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS global_id
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_sequence_packing", q84, Some(q84Sql), "concat-and-chunk LLM sequence packing"),
-    QueryDef("q85_inverted_index", q85, Some(q85Sql), "inverted-index build with posting fingerprints"))
+    QueryDef("q85_inverted_index", q85, Some(q85Sql), "inverted-index build with posting fingerprints"),
+    QueryDef("q90_global_ids", q90, Some(q90Sql), "distributed contiguous row ids (two-level rank)"))
 }
