@@ -265,6 +265,61 @@ object Eda {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), arr[1:3]), (a, x) -> a + x) AS head3_sum
       |FROM t ORDER BY event_id""".stripMargin
 
+  /** Conditional / selective aggregate family: count_if, max_by/min_by
+    * (with a composite struct key so price ties resolve by orderkey —
+    * argmax determinism), bool_and/bool_or (as BIGINT 0/1). DuckDB 1.0's
+    * arg_max can't take a struct key, so the oracle mirrors the argmax
+    * semantics with ranked CTEs — same result, different spelling.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+        bool_and(col("o_totalprice") > 0).cast("long").as("all_positive"),
+        bool_or(col("o_totalprice") > 400000).cast("long").as("any_huge"))
+      .orderBy("o_orderpriority")
+
+  private val q92Sql =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  count(*) FILTER (o_totalprice > 100000) AS n_big,
+      |  max(o_orderkey) FILTER (rd = 1) AS top_order,
+      |  max(o_orderkey) FILTER (ra = 1) AS bottom_order,
+      |  CAST(CASE WHEN bool_and(o_totalprice > 0) THEN 1 ELSE 0 END AS BIGINT) AS all_positive,
+      |  CAST(CASE WHEN bool_or(o_totalprice > 400000) THEN 1 ELSE 0 END AS BIGINT) AS any_huge
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** UNPIVOT/melt (the inverse of q26's pivot): part's numeric metrics as
+    * (key, metric, val) long-form rows via the `stack` generator — the
+    * reshape every feature store needs going INTO training. Generator
+    * output, no shuffle until the final sort.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .selectExpr("p_partkey",
+        """stack(2,
+          |  'retailprice', cast(p_retailprice as double),
+          |  'size', cast(p_size as double)) as (metric, val)""".stripMargin)
+      .orderBy("p_partkey", "metric")
+
+  private val q93Sql =
+    """SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -809,6 +864,8 @@ object Eda {
     QueryDef("q10_anti_join", q10, Some(q10Sql), "left-anti NOT EXISTS"),
     QueryDef("q89_outer_joins", q89, Some(q89Sql), "FULL OUTER + LEFT OUTER with coalesce repair"),
     QueryDef("q91_array_hof", q91, Some(q91Sql), "higher-order array function family"),
+    QueryDef("q92_conditional_aggs", q92, Some(q92Sql), "count_if/max_by/min_by/bool aggs"),
+    QueryDef("q93_unpivot", q93, Some(q93Sql), "UNPIVOT/melt via stack generator"),
     QueryDef("q11_filter_project", q11, Some(q11Sql), "P3+P4 pushed filters"),
     QueryDef("q12_cast_bucket", q12, Some(q12Sql), "P9 cast projection"),
     QueryDef("q14_date_parts", q14, Some(q14Sql), "D3 year/month feature agg"),

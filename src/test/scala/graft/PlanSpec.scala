@@ -121,4 +121,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("n_chars"), s"n_chars should be pruned:\n$plan")
     assert(!plan.contains("source"), s"source should be pruned:\n$plan")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the 100 TB skew story: one hot key gets 90% of the left side; AQE
+    // must detect the oversized shuffle partition after the map stage and
+    // split it across tasks instead of letting one task run the join
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).map { case (k, v) =>
+      val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev
+    }
+    try {
+      val left = spark.range(0, 300000)
+        .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() runs THIS df's QueryExecution (count() would build its
+      // own plan and leave this one unexecuted / non-final)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, prev) =>
+      prev match { case Some(v) => spark.conf.set(k, v); case None => spark.conf.unset(k) }
+    }
+  }
 }
