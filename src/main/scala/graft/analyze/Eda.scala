@@ -320,6 +320,65 @@ object Eda {
       |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Time-series gap-fill + forward-fill: the date spine per priority is
+    * generated with sequence/explode (no calendar table needed), missing
+    * days left-join to NULL, and `last(total, ignoreNulls)` over an
+    * unbounded-preceding frame carries the previous day's value forward —
+    * the standard feature-store repair for irregular time series. One
+    * shuffle on the series key; the spine is generated, never scanned.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+    val spine = daily.groupBy("o_orderpriority")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("o_orderpriority"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("o_orderpriority", "d"), "left")
+      .select(col("o_orderpriority"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        last(col("total"), ignoreNulls = true).over(w).as("total_filled"),
+        when(col("total").isNull, 1L).otherwise(0L).as("was_missing"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  private val q94Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 1, 2),
+      |bounds AS (SELECT o_orderpriority, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT o_orderpriority, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM bounds),
+      |j AS (SELECT s.o_orderpriority, s.d, daily.total
+      |      FROM spine s LEFT JOIN daily
+      |        ON s.o_orderpriority = daily.o_orderpriority AND s.d = daily.d)
+      |SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS day,
+      |  last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_filled,
+      |  CAST(CASE WHEN total IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_missing
+      |FROM j ORDER BY o_orderpriority, day""".stripMargin
+
+  /** Fixed-width histogram (10 buckets of 20 over `value`, clamped): the
+    * profiling primitive; pure integer/floor arithmetic so both engines
+    * bucket identically.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(least(greatest(floor(col("value") / 20), lit(0L)), lit(9L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  private val q96Sql =
+    """SELECT least(greatest(CAST(floor(value / 20) AS BIGINT), 0), 9) AS bucket,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -866,6 +925,8 @@ object Eda {
     QueryDef("q91_array_hof", q91, Some(q91Sql), "higher-order array function family"),
     QueryDef("q92_conditional_aggs", q92, Some(q92Sql), "count_if/max_by/min_by/bool aggs"),
     QueryDef("q93_unpivot", q93, Some(q93Sql), "UNPIVOT/melt via stack generator"),
+    QueryDef("q94_gap_fill", q94, Some(q94Sql), "date-spine gap-fill + forward-fill"),
+    QueryDef("q96_histogram", q96, Some(q96Sql), "fixed-width histogram profile"),
     QueryDef("q11_filter_project", q11, Some(q11Sql), "P3+P4 pushed filters"),
     QueryDef("q12_cast_bucket", q12, Some(q12Sql), "P9 cast projection"),
     QueryDef("q14_date_parts", q14, Some(q14Sql), "D3 year/month feature agg"),

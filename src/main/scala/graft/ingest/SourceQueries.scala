@@ -47,6 +47,37 @@ object SourceQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
 
+  /** JSON-lines source round trip (the S7/S9 serialization surface at the
+    * SOURCE level, complementing q40's to_json/from_json functions):
+    * events written as JSONL, read back with an explicit schema, then
+    * aggregated — the result must equal aggregating the parquet directly,
+    * proving the write→read loop is value-preserving (Jackson emits
+    * shortest round-trippable doubles). At 100 TB the lesson is schema-on-
+    * read with an EXPLICIT StructType: schema inference reads the data
+    * twice and infers per-file types that can disagree across shards.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_jsonl_").toString + "/events_json"
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).json(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        Det.dsum(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  private val q95Sql =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Catalog round trip (S12/S13): saveAsTable an aggregate, scan it back
     * through `spark.sql` — the notebook's Hive-table detour (NB cell 16 →
     * cell 19). External-path table under a temp dir keeps the warehouse
@@ -193,5 +224,6 @@ object SourceQueries {
     QueryDef("q70_csv_roundtrip", q70, Some(q70Sql), "S3-S6 CSV write/read round trip"),
     QueryDef("q71_sql_catalog", q71, Some(q71Sql), "S12/S13 saveAsTable + spark.sql scan"),
     QueryDef("q72_corpus_agg", q72, Some(q72Sql), "A4 order-pinned corpus concat"),
-    QueryDef("q73_reshape", q73, Some(q73Sql), "P7/P8/P9/P11/D4/D7 reshape block"))
+    QueryDef("q73_reshape", q73, Some(q73Sql), "P7/P8/P9/P11/D4/D7 reshape block"),
+    QueryDef("q95_jsonl_roundtrip", q95, Some(q95Sql), "JSONL source write/read round trip"))
 }
