@@ -33,6 +33,31 @@ import graft.util.Det
   */
 object Pipeline {
 
+  /** Throwaway streaming checkpoint dirs prefer tmpfs (/dev/shm):
+    * checkpoint commit logs are rename/sync-heavy, so host disk-latency
+    * spikes otherwise dominate micro-batch cost and make bench numbers
+    * hostage to IO weather. Durability is irrelevant for these — a
+    * production deployment points checkpointLocation at HDFS/S3; the
+    * checkpoint-recovery spec (StreamingSpec) still uses a real on-disk
+    * location explicitly.
+    */
+  def checkpointDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    (if (Files.isDirectory(shm)) Files.createTempDirectory(shm, prefix)
+     else Files.createTempDirectory(prefix)).toString
+  }
+
+  /** Remove a throwaway checkpoint after the query stops (tmpfs is RAM —
+    * leftovers from repeated runs would otherwise accumulate there).
+    */
+  def dropCheckpoint(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
     * restoring the previous value after. Stateful streaming queries
     * instantiate one state store per shuffle partition per batch; with
@@ -186,13 +211,16 @@ object Pipeline {
     spark.catalog.dropTempView(sinkName)
     val stream = MemoryStream[StreamEvent](spark)
     val transformed = build(stream.toDS())
+    val ckpt = checkpointDir(s"ckpt_$sinkName")
     val query: StreamingQuery = foreach match {
       case Some(fn) =>
         transformed.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
           .foreachBatch((b: DataFrame, id: Long) => fn(b, id))
           .queryName(sinkName).start()
       case None =>
         transformed.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
           .format("memory").queryName(sinkName).start()
     }
     events.grouped(sliceSize).foreach { slice =>
@@ -201,6 +229,7 @@ object Pipeline {
     }
     query.stop()
     query.awaitTermination()
+    dropCheckpoint(ckpt)
     if (foreach.isEmpty) spark.table(sinkName) else spark.emptyDataFrame
   }
 

@@ -31,12 +31,15 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+    val ckpt = Pipeline.checkpointDir("ckpt_q60")
     Pipeline.withShufflePartitions(s, 8) {
       val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
         .format("memory").queryName(sinkName).start()
       q.processAllAvailable()
       q.stop(); q.awaitTermination()
     }
+    Pipeline.dropCheckpoint(ckpt)
     s.table(sinkName)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_v"))
@@ -150,14 +153,17 @@ object StreamingQueries {
     s.catalog.dropTempView("graft_q64_sink")
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Pipeline.StreamEvent](s)
+    val ckpt = Pipeline.checkpointDir("ckpt_q64")
     Pipeline.withShufflePartitions(s, 8) {
       val q = stream.toDS().dropDuplicates("event_id")
         .select(col("event_id"), col("user_id"), col("value"))
         .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
         .format("memory").queryName("graft_q64_sink").start()
       slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
       q.stop(); q.awaitTermination()
     }
+    Pipeline.dropCheckpoint(ckpt)
     s.table("graft_q64_sink").orderBy("event_id")
   }
 
@@ -230,12 +236,15 @@ object StreamingQueries {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
         col("c_ts") < col("p_ts"))
+    val ckpt = Pipeline.checkpointDir("ckpt_q69")
     Pipeline.withShufflePartitions(s, 8) {
       val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
         .format("memory").queryName("graft_q69_sink").start()
       eventsSeq.grouped(500).foreach { sl => stream.addData(sl); q.processAllAvailable() }
       q.stop(); q.awaitTermination()
     }
+    Pipeline.dropCheckpoint(ckpt)
     s.table("graft_q69_sink")
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
       .orderBy("purchase_id", "click_id")
