@@ -320,6 +320,62 @@ object Eda {
       |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** CUBE grouping sets (all four subtotal combinations, completing q25's
+    * ROLLUP): order counts and exact-decimal revenue by priority × status.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        col("n"), col("revenue"))
+      .orderBy("priority", "status")
+
+  private val q97Sql =
+    """SELECT coalesce(o_orderpriority, '<all>') AS priority,
+      |  coalesce(o_orderstatus, '<all>') AS status, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** One typed row of the events table for the Dataset[T] pipeline. */
+  private[graft] case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+  /** Typed per-user aggregate produced by mapGroups. */
+  private[graft] case class UserAgg(user_id: Long, n: Long, sum_v: Double)
+
+  /** Typed Dataset[T] pipeline (the case-class Encoder API surface):
+    * filter → groupByKey → mapGroups with an event_id-ordered sequential
+    * fold, so the double sum is deterministic and the result equals the
+    * relational GROUP BY the oracle runs. mapGroups is object-mode (no
+    * codegen) — the right tool when per-group logic is genuinely
+    * imperative; anything expressible as an aggregate should stay
+    * relational (see q01/q03), which is why only this one query pays the
+    * typed path.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .filter((e: Ev) => e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, rows) =>
+        val ordered = rows.toSeq.sortBy(_.event_id)
+        UserAgg(uid, ordered.size.toLong,
+          ordered.foldLeft(0.0)((acc, e) => acc + e.value))
+      }
+      .toDF()
+      .orderBy("user_id")
+  }
+
+  private val q98Sql =
+    """SELECT user_id, count(*) AS n,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(value ORDER BY event_id)),
+      |    (a, b) -> a + b) AS sum_v
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Time-series gap-fill + forward-fill: the date spine per priority is
     * generated with sequence/explode (no calendar table needed), missing
     * days left-join to NULL, and `last(total, ignoreNulls)` over an
@@ -927,6 +983,8 @@ object Eda {
     QueryDef("q93_unpivot", q93, Some(q93Sql), "UNPIVOT/melt via stack generator"),
     QueryDef("q94_gap_fill", q94, Some(q94Sql), "date-spine gap-fill + forward-fill"),
     QueryDef("q96_histogram", q96, Some(q96Sql), "fixed-width histogram profile"),
+    QueryDef("q97_cube", q97, Some(q97Sql), "CUBE grouping sets"),
+    QueryDef("q98_typed_dataset", q98, Some(q98Sql), "typed Dataset filter/groupByKey/mapGroups"),
     QueryDef("q11_filter_project", q11, Some(q11Sql), "P3+P4 pushed filters"),
     QueryDef("q12_cast_bucket", q12, Some(q12Sql), "P9 cast projection"),
     QueryDef("q14_date_parts", q14, Some(q14Sql), "D3 year/month feature agg"),
