@@ -5,6 +5,66 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSimilaritySpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
+  test("PassJoin pigeonhole (q59): every 16-char pair with lev<=3 shares a segment key") {
+    // the q59 candidate filter in pure form: a-side keys are the 4 fixed
+    // 4-char segments; b-side keys are 4-grams starting within +-3 of the
+    // segment's home position. The pigeonhole argument says lev<=3 implies
+    // a shared key — fuzz it with adversarial small-alphabet edits.
+    def segKeys(s: String): Set[(Int, String)] =
+      (0 until 4).map(g => g -> s.substring(4 * g, 4 * g + 4)).toSet
+    def winKeys(s: String): Set[(Int, String)] =
+      (0 until 4).flatMap { g =>
+        (math.max(0, 4 * g - 3) to math.min(12, 4 * g + 3)).map(p =>
+          g -> s.substring(p, p + 4))
+      }.toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    def randChar = ('a' + rnd.nextInt(3)).toChar // tiny alphabet: hardest case
+    var checked = 0
+    (1 to 3000).foreach { _ =>
+      val base = List.fill(24)(randChar).mkString
+      // <=3 random edits on the underlying text, then re-take 16 chars
+      var t = base
+      (1 to rnd.nextInt(4)).foreach { _ =>
+        val i = rnd.nextInt(t.length)
+        t = rnd.nextInt(3) match {
+          case 0 => t.updated(i, randChar)
+          case 1 => t.take(i) + randChar + t.drop(i)
+          case 2 if t.length > 17 => t.take(i) + t.drop(i + 1)
+          case _ => t
+        }
+      }
+      val (a, b) = (base.take(16), t.take(16))
+      if (lev(a, b) <= 3) {
+        checked += 1
+        assert(segKeys(a).intersect(winKeys(b)).nonEmpty,
+          s"filter would miss: a=$a b=$b lev=${lev(a, b)}")
+      }
+    }
+    assert(checked > 1000, s"generator produced too few qualifying pairs: $checked")
+  }
+
+  test("q81 pigeonhole: hamming<=1 pairs always collide in a half, and are emitted once") {
+    val rnd = new scala.util.Random(5)
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextLong() & 0xFFFFFFFFL
+      val y = if (rnd.nextBoolean()) x else x ^ (1L << rnd.nextInt(32))
+      val lowMatch = (x & 0xFFFFL) == (y & 0xFFFFL)
+      val highMatch = (x >> 16) == (y >> 16)
+      assert(lowMatch || highMatch) // recall: at least one bucket shared
+      // canonical-discovery: block-0 hit kept always; block-1 hit kept only
+      // when the low halves differ → exactly one emission
+      val emissions = (if (lowMatch) 1 else 0) + (if (highMatch && !lowMatch) 1 else 0)
+      assert(emissions == 1)
+    }
+  }
+
   test("minhash LSH candidates are a high-recall, zero-false-positive " +
     "subset of the exact jaccard answer") {
     val exact = Registry.queries("q42_jaccard_pairs")(spark, sf)
