@@ -120,8 +120,12 @@ object MultimodalQueries {
   * typed Dataset plumbing around it are the real engineering surface; a
   * production build replaces `decode` with an actual codec.
   */
-final class MediaStub {
+object MediaStub {
   final case class Features(width: Int, height: Int, nFrames: Int, meanLuma: Double)
+}
+
+final class MediaStub {
+  import MediaStub.Features
 
   def decode(payload: Array[Byte]): Features = {
     val n = payload.length

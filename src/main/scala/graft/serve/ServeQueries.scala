@@ -80,6 +80,24 @@ object ServeQueries {
       |    '$.user_id') AS BIGINT) AS user_back
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The serving sink (S14): publish a result as ONE headered CSV at a
+    * stable path, replacing the Lambda's run-query → poll → copy-object →
+    * delete-temp dance (S/reddit_lambda.py:71-108) with a single
+    * write-then-atomic-swap. `coalesce(1)` is correct HERE because a
+    * serving extract is small by definition (QuickSight reads one file);
+    * it would be wrong for bulk output — the rest of the engine never
+    * single-partitions bulk writes.
+    */
+  def publishLatest(df: DataFrame, stableDir: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = stableDir + ".tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stable = new org.apache.hadoop.fs.Path(stableDir)
+    fs.delete(stable, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), stable)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q39_serving_quality", q39, Some(q39Sql), "P6+P10+M3 try_cast quality filter"),
     QueryDef("q40_json_roundtrip", q40, Some(q40Sql), "J1+J2 to_json/from_json"))

@@ -40,6 +40,23 @@ class SourcesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("publishLatest: one headered CSV at a stable path, re-publish replaces it") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("serve_pub_").toString + "/latest-data"
+    val df1 = Tables.nation(TestSpark.spark, TestSpark.sf)
+      .select(col("n_name")).orderBy("n_name").limit(3)
+    graft.serve.ServeQueries.publishLatest(df1, dir)
+    def csvFiles = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(csvFiles.length == 1, "serving extract must be exactly one file")
+    val rows1 = TestSpark.spark.read.option("header", "true").csv(dir).count()
+    assert(rows1 == 3)
+    // re-publish with different content: stable path keeps working, old run gone
+    graft.serve.ServeQueries.publishLatest(df1.limit(2), dir)
+    assert(csvFiles.length == 1)
+    assert(TestSpark.spark.read.option("header", "true").csv(dir).count() == 2)
+    assert(!new java.io.File(dir + ".tmp").exists(), "temp dir must be swapped away")
+  }
+
   test("FAILFAST csv read raises on the malformed row") {
     val dir = Files.createTempDirectory("graft_badcsv2_").toString
     Files.writeString(Paths.get(dir, "part.csv"), "id,score\n1,ok_not_num\n")
