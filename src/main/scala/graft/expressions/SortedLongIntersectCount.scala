@@ -86,6 +86,9 @@ object GraftFunctions {
     ExpressionUtils.column(
       SeqDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def polyHash(s: Column, seed: Long): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s), seed))
+
   /** Runtime installation into an ALREADY-BUILT session — the path for
     * environments that construct the SparkSession themselves (the driver's
     * Verify/Bench harness). Build-time wiring via [[GraftExtensions]] is

@@ -90,6 +90,13 @@ object Det {
     * in DuckDB) instead of characters.
     */
   def polyHash(s: Column, seed: Long = 7L): Column =
+    org.apache.spark.sql.graft.GraftFunctions.polyHash(s, seed)
+
+  /** The HOF reference form of [[polyHash]] — kept as the spec's
+    * equivalence baseline (ExpressionSpec pins the native expression
+    * against it); queries use the native one.
+    */
+  def polyHashHof(s: Column, seed: Long = 7L): Column =
     aggregate(
       // drop empty-char artifacts: split("","") yields [""] in Spark while
       // ascii("")=0 and DuckDB's unicode('')=-1 — filtering empties makes

@@ -90,6 +90,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(df.collect().forall(r => r.getDouble(0) == 204.0 + 36.0 * r.getLong(1)))
   }
 
+  test("native polyHash is bit-exact with the HOF reference on adversarial strings") {
+    val rnd = new scala.util.Random(13)
+    val pool = "abc XYZ09_.,!?\té中" // ASCII + punctuation + BMP unicode
+    val strs = Seq("", " ", "a", "é中") ++
+      (1 to 300).map(_ => (1 to rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val df = strs.toDF("s")
+    val diff = df.select(
+      graft.util.Det.polyHash(col("s")).as("fast"),
+      graft.util.Det.polyHashHof(col("s")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+    // fixed value pin: polyHash("ab") = ((7*31+97)*31+98) % p
+    val pinned = Seq("ab").toDF("s")
+      .select(graft.util.Det.polyHash(col("s"))).as[Long].head()
+    assert(pinned == ((7L * 31 + 'a') * 31 + 'b') % 1000000007L)
+  }
+
   test("codegen path is exercised (no fallback)") {
     // a range source keeps the projection out of ConvertToLocalRelation so
     // WholeStageCodegen must actually cover the expression
