@@ -129,8 +129,75 @@ object PipelineQueries {
       |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS global_id
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Count-Min sketch, built relationally: d=4 hash rows × w=256 counters.
+    * Each event contributes one increment per hash row (explode 4 cells →
+    * one groupBy); estimates are the min over a key's 4 cells. The sketch
+    * build is a bounded-size aggregation — THE shape for approximate
+    * frequencies over an unbounded 100 TB stream where exact per-key
+    * counts don't fit (cf. exact q20). Pure integer hashing (pinned odd
+    * multipliers, mod-prime-then-mod-width) → the DuckDB oracle rebuilds
+    * the identical sketch, so even the estimates hash-match. The CMS
+    * guarantee est ≥ exact (never under) is also asserted per row via the
+    * emitted `over` column being non-negative — for the 20 probe keys the
+    * output carries (key, est, exact, over).
+    */
+  private val cmsParams: Seq[(Long, Long)] =
+    Seq((131L, 7L), (137L, 89L), (139L, 283L), (149L, 659L))
+
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val P = 1000000007L
+    val W = 256L
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val cells = ev.select(explode(array(cmsParams.zipWithIndex.map {
+      case ((a, b), r) =>
+        struct(lit(r).as("row"), (((col("user_id") * a + b) % P) % W).as("cell"))
+    }: _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+    val sketch = cells.groupBy("row", "cell").agg(count(lit(1)).as("c"))
+    val probes = ev.filter(col("user_id") < 20).distinct()
+      .select(col("user_id").as("k"))
+    val probeCells = probes.select(col("k") +: cmsParams.zipWithIndex.map {
+      case ((a, b), r) => (((col("k") * a + b) % P) % W).as(s"cell_$r")
+    }: _*)
+    val est = cmsParams.indices.foldLeft(probeCells) { (df, r) =>
+      df.join(broadcast(sketch.filter(col("row") === r)
+          .select(col("cell").as(s"cell_$r"), col("c").as(s"c_$r"))),
+        Seq(s"cell_$r"), "left")
+    }.select(col("k"),
+      least(cmsParams.indices.map(r => coalesce(col(s"c_$r"), lit(0L))): _*).as("est"))
+    val exact = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("exact"))
+    est.join(exact, "k")
+      .select(col("k"), col("est"), col("exact"), (col("est") - col("exact")).as("over"))
+      .orderBy("k")
+  }
+
+  private val q99Sql = {
+    val P = 1000000007L
+    val W = 256L
+    val cellRows = cmsParams.zipWithIndex.map { case ((a, b), r) =>
+      s"SELECT $r AS row, ((user_id * $a + $b) % $P) % $W AS cell FROM events"
+    }.mkString(" UNION ALL ")
+    val joins = cmsParams.zipWithIndex.map { case ((a, b), r) =>
+      s"LEFT JOIN sketch s$r ON s$r.row = $r AND s$r.cell = ((p.k * $a + $b) % $P) % $W"
+    }.mkString(" ")
+    val ests = cmsParams.indices.map(r => s"coalesce(s$r.c, 0)").mkString(", ")
+    s"""WITH cells AS ($cellRows),
+       |sketch AS (SELECT row, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id < 20),
+       |est AS (
+       |  SELECT p.k, least($ests) AS est
+       |  FROM probes p $joins),
+       |exact AS (SELECT user_id AS k, count(*) AS exact FROM events
+       |          WHERE user_id < 20 GROUP BY 1)
+       |SELECT e.k, e.est, x.exact, e.est - x.exact AS over
+       |FROM est e JOIN exact x ON e.k = x.k
+       |ORDER BY e.k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_sequence_packing", q84, Some(q84Sql), "concat-and-chunk LLM sequence packing"),
     QueryDef("q85_inverted_index", q85, Some(q85Sql), "inverted-index build with posting fingerprints"),
-    QueryDef("q90_global_ids", q90, Some(q90Sql), "distributed contiguous row ids (two-level rank)"))
+    QueryDef("q90_global_ids", q90, Some(q90Sql), "distributed contiguous row ids (two-level rank)"),
+    QueryDef("q99_countmin", q99, Some(q99Sql), "Count-Min sketch build + probe (est >= exact)"))
 }
