@@ -435,6 +435,51 @@ object Eda {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Correlation/covariance family from exact decimal moments: built-in
+    * `corr`/`covar_samp` sum doubles in partition order (nondeterministic
+    * at the ulp level), so the moments are accumulated exactly — value at
+    * decimal(12,2), hour as integer, products exact — and the closed-form
+    * corr/covar arithmetic runs once on deterministic scalars. Magnitude
+    * check: Σvalue² int-rep ≈ 4e8/row·|rows| stays < 2^53 through sf10.
+    * Same partial/final distributed aggregation as any sum.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("decimal(12,2)")
+    val h = hour(col("ts")).cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), x.as("x"), h.as("h"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("h")).cast("double").as("sh"),
+        sum((col("x") * col("h")).cast("decimal(20,2)")).cast("double").as("sxh"),
+        sum((col("x") * col("x")).cast("decimal(30,4)")).cast("double").as("sx2"),
+        sum(col("h") * col("h")).cast("double").as("sh2"))
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("sxh") - col("sx") * col("sh")) /
+          (col("n") * (col("n") - 1))).as("covar"),
+        ((col("n") * col("sxh") - col("sx") * col("sh")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("sh2") - col("sh") * col("sh")))).as("corr"))
+      .orderBy("event_type")
+  }
+
+  private val q100Sql =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sh,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * hour(ts) AS DECIMAL(20,2))) AS DOUBLE) AS sxh,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(hour(ts) AS BIGINT) * hour(ts)) AS DOUBLE) AS sh2
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  (n * sxh - sx * sh) / (n * (n - 1)) AS covar,
+      |  (n * sxh - sx * sh) /
+      |    (sqrt(n * sx2 - sx * sx) * sqrt(n * sh2 - sh * sh)) AS corr
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -982,6 +1027,7 @@ object Eda {
     QueryDef("q92_conditional_aggs", q92, Some(q92Sql), "count_if/max_by/min_by/bool aggs"),
     QueryDef("q93_unpivot", q93, Some(q93Sql), "UNPIVOT/melt via stack generator"),
     QueryDef("q94_gap_fill", q94, Some(q94Sql), "date-spine gap-fill + forward-fill"),
+    QueryDef("q100_corr", q100, Some(q100Sql), "corr/covar from exact decimal moments"),
     QueryDef("q96_histogram", q96, Some(q96Sql), "fixed-width histogram profile"),
     QueryDef("q97_cube", q97, Some(q97Sql), "CUBE grouping sets"),
     QueryDef("q98_typed_dataset", q98, Some(q98Sql), "typed Dataset filter/groupByKey/mapGroups"),
