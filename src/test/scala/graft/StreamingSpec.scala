@@ -28,6 +28,32 @@ class StreamingSpec extends AnyFunSuite {
       6L -> 1L, 8L -> 2L)) // user 30
   }
 
+  test("stateful results are identical under the RocksDB state store (large-state path)") {
+    // HDFS-backed state lives on the executor heap — fine for bounded key
+    // spaces, fatal when streaming state outgrows memory at 100 TB/day.
+    // The same queries must run unchanged on the RocksDB provider (state
+    // spills to local disk); results may not differ by a single row.
+    val events = Seq(
+      ev(1, 10), ev(2, 20), ev(3, 10),
+      ev(4, 10), ev(5, 20), ev(6, 30),
+      ev(7, 10), ev(8, 30), ev(9, 20))
+    def run(sink: String) = Pipeline.runSliced(spark, events, 3, sink)(
+      ds => Pipeline.authorCounts(ds).toDF())(None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val default = run("spec_rocks_base_sink")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run("spec_rocks_sink")
+      assert(rocks == default)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("keyed upsert: last write per user wins across batches (S10)") {
     val events = Seq(ev(1, 10, 1.0), ev(2, 20, 2.0), ev(3, 10, 3.0),
       ev(4, 20, 4.0), ev(5, 10, 5.0))
