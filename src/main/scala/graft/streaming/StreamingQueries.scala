@@ -172,6 +172,45 @@ object StreamingQueries {
       |FROM (SELECT * FROM events ORDER BY event_id LIMIT 300)
       |ORDER BY event_id""".stripMargin
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * evicts a key's dedup state once the watermark passes it — the only
+    * dedup that survives an unbounded 100 TB/day stream (q64's plain
+    * `dropDuplicates` keeps every key forever). Redeliveries here arrive
+    * within one slice of the original (well inside the 1-hour delay), so
+    * the bounded-state result still equals plain DISTINCT and the same
+    * oracle applies; at-least-once delivery outside the watermark is the
+    * documented (and inherent) trade.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 300)
+    val slices = (0 until 300 by 100).map(i => eventsSeq.slice(i, i + 150))
+      .filter(_.nonEmpty)
+    import s.implicits._
+    s.catalog.dropTempView("graft_q101_sink")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Pipeline.StreamEvent](s)
+    val ckpt = Pipeline.checkpointDir("ckpt_q101")
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = stream.toDS()
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("graft_q101_sink").start()
+      slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
+      q.stop(); q.awaitTermination()
+    }
+    Pipeline.dropCheckpoint(ckpt)
+    s.table("graft_q101_sink").orderBy("event_id")
+  }
+
+  private val q101Sql =
+    """SELECT event_id, user_id, value
+      |FROM (SELECT * FROM events ORDER BY event_id LIMIT 300)
+      |ORDER BY event_id""".stripMargin
+
   /** Streaming sessionization (custom state machine per key): sessions
     * split at >30-minute gaps, counted across 4 micro-batches. The final
     * per-user snapshot (highest event count) must equal the batch gap-flag
@@ -266,6 +305,7 @@ object StreamingQueries {
     QueryDef("q69_stream_stream_join", q69, Some(q69Sql), "watermarked stream-stream interval join"),
     QueryDef("q68_sessionization", q68, Some(q68Sql), "stateful streaming sessionization"),
     QueryDef("q64_stream_dedup", q64, Some(q64Sql), "stateful streaming dropDuplicates"),
+    QueryDef("q101_stream_dedup_wm", q101, Some(q101Sql), "bounded-state dedup within watermark"),
     QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),
