@@ -182,6 +182,44 @@ object Pipeline {
         })
   }
 
+  /** The author counter as a Spark 4 `StatefulProcessor` — the
+    * transformWithState successor API to flatMapGroupsWithState: typed
+    * named state cells (ValueState here; List/Map state and timers for
+    * richer operators), explicit TTL, and a RocksDB-backed store
+    * requirement — the API built for state that outgrows executor memory.
+    * Semantics identical to [[authorCounts]]; q102's oracle pins that.
+    */
+  class AuthorCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, AuthorCount] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var countState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[StreamEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AuthorCount] = {
+      var c = if (countState.exists()) countState.get() else 0L
+      val out = rows.toSeq.sortBy(_.event_id).map { e =>
+        c += 1
+        AuthorCount(e.event_id, user, c)
+      }
+      countState.update(c)
+      out.iterator
+    }
+  }
+
+  /** [[authorCounts]] through transformWithState (requires the RocksDB
+    * state store — enforced by the API, set scoped by the caller).
+    */
+  def authorCountsTws(events: Dataset[StreamEvent]): Dataset[AuthorCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new AuthorCountProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Cross-batch stateful author counter (ST5): per-row as-of counts with
     * process-lifetime state. Rows within a (group, batch) are counted in
     * event_id order so results are independent of shuffle order.

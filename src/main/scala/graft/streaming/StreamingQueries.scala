@@ -102,6 +102,30 @@ object StreamingQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
       |FROM head ORDER BY event_id""".stripMargin
 
+  /** q62's counter through the Spark 4 `transformWithState` API (typed
+    * named state + RocksDB store): same semantics, same oracle — proving
+    * the engine's custom-state operators port to the successor API
+    * unchanged. The RocksDB provider is required by transformWithState
+    * and scoped to this query.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Pipeline.withShufflePartitions(s, 8) {
+        Pipeline.runSliced(s, eventsSeq, 250, "graft_q102_sink")(
+          ds => Pipeline.authorCountsTws(ds).toDF())(None)
+      }.orderBy("event_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Batch-local anomaly detection (ST4/M2): Z-scores computed per
     * micro-batch (250-row slices) inside foreachBatch — NOT a global
     * streaming aggregate; the stats reset every batch exactly like the
@@ -309,5 +333,6 @@ object StreamingQueries {
     QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),
+    QueryDef("q102_tws_author_state", q102, Some(q62Sql), "ST5 via Spark 4 transformWithState + RocksDB"),
     QueryDef("q63_stream_batch_anomaly", q63, Some(q63Sql), "ST4 batch-local z-score in foreachBatch"))
 }
