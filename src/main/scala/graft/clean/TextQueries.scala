@@ -296,7 +296,44 @@ object TextQueries {
       |SELECT doc_id, word, score, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Sentence segmentation + per-sentence stats: split on terminal
+    * punctuation runs, drop whitespace-only fragments, count sentences and
+    * words-per-sentence (integer outputs; both regex dialects agree on
+    * this character class). The segmentation every quality/curriculum
+    * pipeline runs before length filtering.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val sentences = filter(split(col("text"), "[.!?]+"), x => trim(x) =!= "")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(sentences).cast("long").as("n_sentences"),
+        aggregate(sentences, lit(0L),
+          (acc, x) => acc + size(split(trim(x), " +"))).as("n_words"))
+      .withColumn("words_per_sentence",
+        when(col("n_sentences") > 0,
+          floor(col("n_words") * 100 / col("n_sentences"))).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val q103Sql =
+    """WITH seg AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) != '') AS sents
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(sents, x -> CAST(len(string_split_regex(trim(x), ' +')) AS BIGINT))),
+      |    (a, b) -> a + b) AS n_words,
+      |  CASE WHEN len(sents) > 0
+      |    THEN CAST(floor(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(sents, x -> CAST(len(string_split_regex(trim(x), ' +')) AS BIGINT))),
+      |      (a, b) -> a + b) * 100 / len(sents)) AS BIGINT)
+      |    ELSE 0 END AS words_per_sentence
+      |FROM seg ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q103_sentences", q103, Some(q103Sql), "sentence segmentation + per-sentence stats"),
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
     QueryDef("q49_stem_tokens", q49, None, "F7 Porter stemmer UDF (see StemmerSpec)"),
     QueryDef("q57_tfidf_topk", q57, Some(q57Sql), "TF-IDF top-3 keywords per doc"),
