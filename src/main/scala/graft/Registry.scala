@@ -25,7 +25,8 @@ object Registry {
       multimodal.MultimodalQueries.defs ++
       streaming.StreamingQueries.defs ++
       relational.OperatorQueries.defs ++
-      pipeline.PipelineQueries.defs
+      pipeline.PipelineQueries.defs ++
+      ml.MlPrepQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
