@@ -54,6 +54,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDuplicatesWithinWatermark actually evicts state as event time advances") {
+    // the q101 scale claim made observable: after the watermark passes a
+    // key's timestamp, its dedup state must leave the store — plain
+    // dropDuplicates would keep all 6 keys forever
+    import org.apache.spark.sql.functions._
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamEvent](spark)
+    spark.catalog.dropTempView("spec_wmdedup_sink")
+    val ckpt = Pipeline.checkpointDir("ckpt_spec_wmdedup")
+    val base = 1719792000L
+    val q = stream.toDS()
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("spec_wmdedup_sink").start()
+    def batch(ids: Seq[Long], ts: Long): Unit = {
+      stream.addData(ids.map(i => StreamEvent(i, ts, 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+    }
+    batch(Seq(1, 2, 3), base)               // 3 keys in state
+    batch(Seq(4, 5, 6), base + 7200)        // watermark jumps 2h past batch 1
+    batch(Seq(7), base + 7200)              // one more batch so eviction commits
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop(); q.awaitTermination()
+    Pipeline.dropCheckpoint(ckpt)
+    assert(spark.table("spec_wmdedup_sink").count() == 7) // every id emitted once
+    assert(stateRows < 7, s"expected evicted state, store still holds $stateRows rows")
+  }
+
   test("keyed upsert: last write per user wins across batches (S10)") {
     val events = Seq(ev(1, 10, 1.0), ev(2, 20, 2.0), ev(3, 10, 3.0),
       ev(4, 20, 4.0), ev(5, 10, 5.0))
