@@ -332,7 +332,25 @@ object TextQueries {
       |    ELSE 0 END AS words_per_sentence
       |FROM seg ORDER BY doc_id""".stripMargin
 
+  /** Approximate percentiles (Greenwald-Khanna via percentile_approx):
+    * the single-pass mergeable-sketch path that replaces q53's full
+    * per-group sort at 100 TB — the sketch is a bounded-size aggregation
+    * buffer with map-side partials, so cost is one narrow pass regardless
+    * of group size. Deterministic given the data, but the GK algorithm is
+    * not expressible in DuckDB SQL → rows-only check; EdaSpec bounds the
+    * rank error against exact q53.
+    */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q107_approx_percentiles", q107, None, "GK-sketch percentiles (see EdaSpec bound)"),
     QueryDef("q103_sentences", q103, Some(q103Sql), "sentence segmentation + per-sentence stats"),
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
     QueryDef("q49_stem_tokens", q49, None, "F7 Porter stemmer UDF (see StemmerSpec)"),

@@ -18,6 +18,21 @@ class EdaSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles land within tight rank error of the exact nearest-rank answer") {
+    val approx = Registry.queries("q107_approx_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Registry.queries("q53_len_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy 10000 on ~100-row groups → error should be at most one
+    // neighboring rank's value; allow 5% relative slack on the value
+    approx.foreach { case (lang, (p50, p90)) =>
+      val (e50, e90) = exact(lang)
+      assert(math.abs(p50 - e50).toDouble / e50 <= 0.05, s"$lang p50: $p50 vs $e50")
+      assert(math.abs(p90 - e90).toDouble / e90 <= 0.05, s"$lang p90: $p90 vs $e90")
+    }
+  }
+
   test("rollup emits per-group rows, per-type subtotals, and a grand total") {
     val rows = Registry.queries("q25_rollup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
