@@ -20,9 +20,12 @@ import graft.util.Det
   * (Det.polyHash) — pure 64-bit integer math.
   *
   * Performance: token/shingle sets are hashed to LONG arrays once per
-  * document before any join (bench: dropped the pairwise stage from
-  * 158 s to ~25 s at sf0.1 for bigrams) — per-pair set intersection then
-  * runs on primitive longs instead of re-hashing strings 2.5M times.
+  * document before any join (round-1 bench: dropped the pairwise stage
+  * from 158 s to ~25 s at sf0.1 for bigrams; round 2 landed it at ~1.4 s
+  * via the native intersect + blocked array join — see PERF.md) — per-pair
+  * set intersection runs on primitive longs instead of re-hashing strings
+  * 2.5M times, through the codegen'd PolyHash/SortedLongIntersectCount
+  * expressions.
   * Collisions (p ≈ |vocab|²/2e9) hit both engines identically, so oracle
   * parity is unaffected.
   *

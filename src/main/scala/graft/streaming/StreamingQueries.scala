@@ -102,6 +102,52 @@ object StreamingQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
       |FROM head ORDER BY event_id""".stripMargin
 
+  /** Incremental aggregate-table maintenance (materialized-view upkeep):
+    * each micro-batch computes its PARTIAL aggregates (map-side shape),
+    * which merge into the stored totals by key — new = old + delta — and
+    * the table is atomically swapped. Unlike q61 (row-level upsert) this
+    * maintains a derived AGGREGATE under append-only input: the final
+    * table must equal the from-scratch batch aggregate, which is the
+    * oracle. At 100 TB/day this is the only affordable way to keep a
+    * dashboard aggregate current — O(batch) work per refresh instead of
+    * O(history).
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val dir = Files.createTempDirectory("graft_incr_agg_").toString
+    def mergeBatch(batch: DataFrame, @annotation.unused id: Long): Unit = {
+      val delta = batch.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_v_dec"))
+      val existing =
+        if (Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+          s.read.parquet(dir)
+        else delta.limit(0)
+      val merged = existing.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sum_v_dec")).as("sum_v_dec"))
+      val tmp = dir + ".tmp"
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    }
+    Pipeline.withShufflePartitions(s, 8) {
+      Pipeline.runSliced(s, eventsSeq, 250, "graft_q108_sink")(_.toDF())(
+        Some(mergeBatch))
+    }
+    s.read.parquet(dir)
+      .select(col("event_type"), col("n"),
+        col("sum_v_dec").cast("double").as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  private val q108Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q62's counter through the Spark 4 `transformWithState` API (typed
     * named state + RocksDB store): same semantics, same oracle — proving
     * the engine's custom-state operators port to the successor API
@@ -334,5 +380,6 @@ object StreamingQueries {
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),
     QueryDef("q102_tws_author_state", q102, Some(q62Sql), "ST5 via Spark 4 transformWithState + RocksDB"),
+    QueryDef("q108_incremental_agg", q108, Some(q108Sql), "incremental aggregate-table maintenance"),
     QueryDef("q63_stream_batch_anomaly", q63, Some(q63Sql), "ST4 batch-local z-score in foreachBatch"))
 }
