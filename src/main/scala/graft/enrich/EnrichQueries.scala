@@ -77,7 +77,49 @@ object EnrichQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS author_activity_count
        |FROM events ORDER BY event_id""".stripMargin
 
+  /** Exponential time-decay weighting (recency features) WITHOUT
+    * transcendentals: base-2 decay with a 1-hour half-life is an exact
+    * integer shift — contribution = value_cents · 2^(20−age_hours),
+    * age capped at 20 half-lives (beyond which weight < 1e-6). All-integer
+    * accumulation (long sums, exact and order-insensitive), one final
+    * double division — bit-identical in both engines where exp()/pow()
+    * never could be (Det bans libm). Magnitude bound: Σ ≤
+    * n·2e10 ≈ 2e15 at sf0.1 — inside 2^53 through sf1.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+    val newest = ev.agg(max("ts_sec").as("now_sec"))
+    ev.crossJoin(broadcast(newest))
+      .select(col("event_type"), col("value"),
+        least(floor((col("now_sec") - col("ts_sec")) / 3600), lit(20L)).as("age_h"))
+      .select(col("event_type"),
+        (round(col("value") * 100).cast("long") *
+          call_function("shiftleft", lit(1L), (lit(20L) - col("age_h")).cast("int")))
+          .as("contrib"))
+      .groupBy("event_type")
+      .agg(sum(col("contrib")).as("contrib_sum"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (col("contrib_sum").cast("double") / (100.0 * (1L << 20))).as("decayed_sum"))
+      .orderBy("event_type")
+  }
+
+  private val q109Sql =
+    """WITH ev AS (
+      |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |aged AS (
+      |  SELECT event_type, value,
+      |    least(CAST(floor(((SELECT max(ts_sec) FROM ev) - ts_sec) / 3600) AS BIGINT), 20) AS age_h
+      |  FROM ev)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT) * (CAST(1 AS BIGINT) << CAST(20 - age_h AS INTEGER)))
+      |    AS DOUBLE) / (100.0 * 1048576) AS decayed_sum
+      |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_sentiment", q37, Some(q37Sql), "F9 lexicon sentiment polarity"),
-    QueryDef("q38_enrich_block", q38, Some(q38Sql), "U3 full preprocess_record block"))
+    QueryDef("q38_enrich_block", q38, Some(q38Sql), "U3 full preprocess_record block"),
+    QueryDef("q109_time_decay", q109, Some(q109Sql), "base-2 time-decay weighting (integer-exact)"))
 }
