@@ -132,8 +132,10 @@ object StreamingQueries {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
     }
+    // 3 refresh cycles prove the cross-batch merge; each cycle pays a
+    // fixed read-merge-write cost, so slice count is the cost knob
     Pipeline.withShufflePartitions(s, 8) {
-      Pipeline.runSliced(s, eventsSeq, 250, "graft_q108_sink")(_.toDF())(
+      Pipeline.runSliced(s, eventsSeq, 334, "graft_q108_sink")(_.toDF())(
         Some(mergeBatch))
     }
     s.read.parquet(dir)
