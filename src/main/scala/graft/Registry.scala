@@ -26,7 +26,8 @@ object Registry {
       streaming.StreamingQueries.defs ++
       relational.OperatorQueries.defs ++
       pipeline.PipelineQueries.defs ++
-      ml.MlPrepQueries.defs
+      ml.MlPrepQueries.defs ++
+      curation.CurationQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

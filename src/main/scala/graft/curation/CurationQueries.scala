@@ -1,0 +1,260 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.clean.TextOps
+import graft.util.Det
+
+/** Corpus-curation operators — the filtering/cleaning stages of a
+  * large-scale training-data pipeline (builder mandate, beyond the
+  * reference's own surface): blocklist redaction, corpus n-gram statistics,
+  * benchmark-contamination tagging, heuristic quality gating
+  * (Gopher/C4-style rules re-expressed as exact integer arithmetic), and
+  * within-document repetition removal.
+  *
+  * Scale design notes (100 TB):
+  *  - Every per-token operator here is RELATIONAL (posexplode + window /
+  *    two-level aggregate), not a higher-order array lambda: Spark HOFs are
+  *    CodegenFallback and Catalyst inlines lambda-bound subtrees (an
+  *    `element_at(tokens, i)` whose `tokens` is an expression re-evaluates
+  *    the split per element — O(n²) chars/row). The relational forms are
+  *    whole-stage-codegen'd, shuffle once on `doc_id` (or the n-gram key),
+  *    and partition freely at any corpus size.
+  *  - The contamination check broadcasts the benchmark n-gram set — the
+  *    real-world asymmetry (benchmark suites are MBs, the corpus is TBs),
+  *    so the 100 TB side never shuffles.
+  */
+object CurationQueries {
+
+  /** Per-token stream with in-document positions: the shared relational
+    * spine of this family. One narrow projection + generator — no shuffle
+    * until an aggregate/window asks for one.
+    */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+
+  private val tokenStreamSql =
+    """SELECT doc_id, source,
+      |  unnest(range(0, len(string_split(text, ' ')))) AS pos,
+      |  unnest(string_split(text, ' ')) AS w
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+
+  /** Blocklist redaction (PII-scrub shape): mask every occurrence of a
+    * blocklisted term and count the replacements per document. The regex is
+    * a word-bounded alternation — identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB); no backreferences/lookarounds (RE2 has neither).
+    * Pure per-row projection: codegen'd, shuffle-free, embarrassingly
+    * parallel at any scale.
+    */
+  private val redactPat = "\\b(key|hash|scan|merge)\\b"
+
+  private def q110(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), redactPat, "[MASK]").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(redactPat), lit(0)))
+          .cast("long").as("n_redacted"))
+      .orderBy("doc_id")
+
+  private val q110Sql =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\b(key|hash|scan|merge)\b', '[MASK]', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '\b(key|hash|scan|merge)\b')) AS BIGINT) AS n_redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+
+  /** Corpus trigram counts (n-gram LM statistics): the window-lead
+    * relational form — posexplode, lead(1)/lead(2) within the document,
+    * then a global count. One shuffle on doc_id for the window, one on the
+    * gram for the count; both scale linearly (contrast a per-row
+    * `transform(sequence(...), i -> element_at(...))` lambda, which Catalyst
+    * inlines into O(n²) re-evaluation and never codegens).
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokenStream(s, d)
+      .select(col("w"),
+        lead("w", 1).over(w).as("w1"),
+        lead("w", 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("gram"))
+      .limit(20)
+  }
+
+  private val q111Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |tri AS (
+       |  SELECT w,
+       |    lead(w, 1) OVER win AS w1,
+       |    lead(w, 2) OVER win AS w2
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |SELECT w || ' ' || w1 || ' ' || w2 AS gram, count(*) AS n
+       |FROM tri WHERE w2 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+
+  /** Benchmark-contamination tagging: flag corpus documents sharing any
+    * 5-gram with a held-out benchmark set (here: `source = 'src0'` stands
+    * in for the eval suite). 5-grams are fingerprinted with the native
+    * [[graft.util.Det.polyHash]] expression; the benchmark's distinct
+    * fingerprint set is BROADCAST (benchmark ≪ corpus — the decisive
+    * asymmetry at 100 TB: the corpus side stays shuffle-free), and a
+    * left join preserves clean documents with n_shared = 0.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = tokenStream(s, d)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("w"),
+          lead("w", 1).over(w), lead("w", 2).over(w),
+          lead("w", 3).over(w), lead("w", 4).over(w)).as("gram"),
+        lead("w", 4).over(w).as("w4"))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"), col("source"), Det.polyHash(col("gram")).as("h"))
+    val bench = grams.filter(col("source") === "src0").select("h").distinct()
+    val corpus = grams.filter(col("source") =!= "src0")
+      .select("doc_id", "h").distinct()
+    val shared = corpus.join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(col("source") =!= "src0").select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val q112Sql = {
+    val h = Det.polyHashSql("gram")
+    s"""WITH toks AS ($tokenStreamSql),
+       |g0 AS (
+       |  SELECT doc_id, source,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |      || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram,
+       |    lead(w, 4) OVER win AS w4
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (
+       |  SELECT doc_id, source, $h AS h FROM g0 WHERE w4 IS NOT NULL),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+       |corpus AS (SELECT DISTINCT doc_id, h FROM grams WHERE source != 'src0'),
+       |shared AS (
+       |  SELECT doc_id, count(*) AS n_shared
+       |  FROM corpus JOIN bench USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_shared, 0) AS n_shared,
+       |  coalesce(s.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+       |WHERE d.source != 'src0'
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q113
+
+  /** Heuristic quality gate (Gopher/C4-style rules): per-document token
+    * count, distinct-token ratio, max single-token repetition, and mean
+    * word length, each gated by an integer cross-multiplied threshold (no
+    * float ratio comparisons — Det's determinism rule) and combined into a
+    * keep/drop verdict. Two-level aggregate — (doc, word) then (doc) — so
+    * the repetition statistic needs no per-row array lambda and the whole
+    * plan is codegen'd hash aggregation, one shuffle each level.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d)
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_cnt"),
+        sum(length(col("w")) * col("cnt")).as("tot_len"))
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_distinct"), col("max_cnt"),
+        (col("tot_len").cast("double") / col("n_tokens")).as("avg_word_len"),
+        (col("n_tokens").between(30, 5000) &&
+          (col("tot_len") * 10 >= col("n_tokens") * 30) &&
+          (col("tot_len") * 10 <= col("n_tokens") * 80) &&
+          (col("max_cnt") * 5 <= col("n_tokens")) &&
+          (col("n_distinct") * 10 >= col("n_tokens") * 4)).as("keep"))
+      .orderBy("doc_id")
+
+  private val q113Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |wc AS (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY doc_id, w),
+       |st AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |    max(cnt) AS max_cnt, CAST(sum(length(w) * cnt) AS BIGINT) AS tot_len
+       |  FROM wc GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct, max_cnt,
+       |  CAST(tot_len AS DOUBLE) / n_tokens AS avg_word_len,
+       |  (n_tokens BETWEEN 30 AND 5000
+       |    AND tot_len * 10 >= n_tokens * 30
+       |    AND tot_len * 10 <= n_tokens * 80
+       |    AND max_cnt * 5 <= n_tokens
+       |    AND n_distinct * 10 >= n_tokens * 4) AS keep
+       |FROM st ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+
+  /** Within-document repetition removal: collapse consecutive duplicate
+    * tokens (the "aaa aaa aaa" artifact class) and reassemble the text in
+    * original order. Relational form — lag() to find repeats, then an
+    * order-pinned re-aggregation (sorted struct collect, NOT a bare
+    * collect_list, whose order is partition-nondeterministic). The window
+    * and the regroup share the doc_id partitioning, so this is one shuffle
+    * end to end.
+    */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokenStream(s, d)
+      .withColumn("n_tot", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("prev", lag("w", 1).over(w))
+      .filter(col("prev").isNull || col("w") =!= col("prev"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("collapsed"),
+        count(lit(1)).as("n_kept"),
+        (max("n_tot") - count(lit(1))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  private val q114Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |flt AS (
+       |  SELECT doc_id, pos, w,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_tot,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM toks)
+       |SELECT doc_id,
+       |  string_agg(w, ' ' ORDER BY pos) AS collapsed,
+       |  count(*) AS n_kept,
+       |  max(n_tot) - count(*) AS n_removed
+       |FROM flt WHERE prev IS NULL OR w != prev
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_redact", q110, Some(q110Sql),
+      "blocklist redaction (PII-scrub shape) with per-doc mask counts"),
+    QueryDef("q111_ngram_lm", q111, Some(q111Sql),
+      "corpus trigram counts via window-lead (n-gram LM statistics)"),
+    QueryDef("q112_contamination", q112, Some(q112Sql),
+      "benchmark 5-gram contamination tagging (broadcast benchmark set)"),
+    QueryDef("q113_gopher_quality", q113, Some(q113Sql),
+      "Gopher/C4-style quality gate from exact integer stats"),
+    QueryDef("q114_collapse_repeats", q114, Some(q114Sql),
+      "consecutive-duplicate-token collapse with order-pinned rebuild"))
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks for the corpus-curation family (q110-q114): the
+  * oracle pins engine parity; these pin the semantic invariants on
+  * hand-computed fixtures.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val sf = TestSpark.sf
+
+  test("q110 redaction masks exactly the blocklist as whole words") {
+    val out = Registry.queries("q110_redact")(spark, sf)
+    val row = out.filter(col("n_redacted") > 0).limit(1).collect().head
+    val red = row.getString(1)
+    assert(!"\\b(key|hash|scan|merge)\\b".r.findFirstIn(red).isDefined)
+    assert(red.contains("[MASK]"))
+    // mask count equals occurrences in the original
+    val doc = Tables.documents(spark, sf)
+      .filter(col("doc_id") === row.getLong(0)).collect().head.getAs[String]("text")
+    val n = "\\b(key|hash|scan|merge)\\b".r.findAllIn(doc).size
+    assert(row.getLong(2) == n.toLong)
+  }
+
+  test("q111 trigram counts match a hand fixture") {
+    // build a tiny documents-shaped frame and run the same plan shape
+    val docs = Seq((0L, "a b c a b c", "x", "s"), (1L, "a b c d", "x", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    docs.createOrReplaceTempView("curation_fixture")
+    // expected trigrams: doc0: "a b c","b c a","c a b","a b c"; doc1: "a b c","b c d"
+    val counts = docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .collect()
+    assert(counts.length == 10)
+    val got = Registry.queries("q111_ngram_lm")(spark, sf).collect()
+    assert(got.length == 20)
+    // descending count, ascending gram tiebreak
+    val pairs = got.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
+  test("q112 contamination: src0 docs excluded; flags agree with counts") {
+    val out = Registry.queries("q112_contamination")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getBoolean(2) == (n > 0))
+    }
+    val srcs = Tables.documents(spark, sf).filter(col("source") =!= "src0").count()
+    assert(out.length.toLong == srcs)
+  }
+
+  test("q113 quality stats are internally consistent") {
+    val out = Registry.queries("q113_gopher_quality")(spark, sf).collect()
+    out.foreach { case Row(_, n: Long, d: Long, m: Long, awl: Double, keep: Boolean) =>
+      assert(d <= n && m <= n && m >= 1 && d >= 1)
+      assert(awl > 0)
+      val expect = (n >= 30 && n <= 5000) && (awl * 10 >= 30 - 1e-9) &&
+        (awl * 10 <= 80 + 1e-9) && (m * 5 <= n) && (d * 10 >= n * 4)
+      assert(keep == expect, s"n=$n d=$d m=$m awl=$awl")
+    }
+  }
+
+  test("q114 collapse removes exactly consecutive duplicates") {
+    val out = Registry.queries("q114_collapse_repeats")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val ref = toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == t) acc else acc :+ t
+      }
+      val r = out(id)
+      assert(r.getString(1) == ref.mkString(" "), s"doc $id")
+      assert(r.getLong(2) == ref.size.toLong)
+      assert(r.getLong(3) == (toks.size - ref.size).toLong)
+    }
+  }
+}
