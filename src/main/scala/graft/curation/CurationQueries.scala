@@ -246,6 +246,80 @@ object CurationQueries {
        |FROM flt WHERE prev IS NULL OR w != prev
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+
+  /** Sliding-window token chunking with overlap (size 32, stride 24 — the
+    * long-document → training-context splitter). Relational membership
+    * derivation: a token at position p belongs to chunk c iff
+    * c·24 ≤ p < c·24+32, i.e. c ∈ {p div 24, p div 24 − 1} filtered by the
+    * bound — so each token emits ≤2 rows and the chunk content is rebuilt
+    * by an order-pinned aggregate. No per-row array slicing lambda (which
+    * Catalyst would inline into O(n²) re-evaluation); one shuffle on
+    * (doc_id, chunk).
+    */
+  private def q120(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d)
+      .withColumn("c0", expr("pos div 24").cast("long"))
+      .select(col("doc_id"), col("pos"), col("w"),
+        explode(array(col("c0"), col("c0") - 1)).as("chunk"))
+      .filter(col("chunk") >= 0 &&
+        col("pos") >= col("chunk") * 24 && col("pos") < col("chunk") * 24 + 32)
+      .groupBy("doc_id", "chunk")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        min("pos").cast("long").as("from_pos"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk")
+
+  private val q120Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |cand AS (
+       |  SELECT doc_id, pos, w, unnest([pos // 24, pos // 24 - 1]) AS chunk
+       |  FROM toks)
+       |SELECT doc_id, chunk, count(*) AS n_toks, min(pos) AS from_pos,
+       |  string_agg(w, ' ' ORDER BY pos) AS chunk_text
+       |FROM cand
+       |WHERE chunk >= 0 AND pos >= chunk * 24 AND pos < chunk * 24 + 32
+       |GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+
+  /** Skip-gram co-occurrence counts (window +1/+2 — the embedding-training
+    * pair extractor): ordered (center, context) pairs from window leads,
+    * unioned across offsets, counted globally. Same scalable spine as
+    * q111 — posexplode + per-doc window + hash aggregate on the pair.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val led = tokenStream(s, d)
+      .select(col("w").as("a"),
+        lead("w", 1).over(w).as("b1"),
+        lead("w", 2).over(w).as("b2"))
+    val pairs =
+      led.filter(col("b1").isNotNull).select(col("a"), col("b1").as("b"))
+        .unionAll(led.filter(col("b2").isNotNull).select(col("a"), col("b2").as("b")))
+    pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("a"), asc("b"))
+      .limit(25)
+  }
+
+  private val q122Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |led AS (
+       |  SELECT w AS a,
+       |    lead(w, 1) OVER win AS b1,
+       |    lead(w, 2) OVER win AS b2
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |pairs AS (
+       |  SELECT a, b1 AS b FROM led WHERE b1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT a, b2 AS b FROM led WHERE b2 IS NOT NULL)
+       |SELECT a, b, count(*) AS n FROM pairs
+       |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q110_redact", q110, Some(q110Sql),
       "blocklist redaction (PII-scrub shape) with per-doc mask counts"),
@@ -256,5 +330,9 @@ object CurationQueries {
     QueryDef("q113_gopher_quality", q113, Some(q113Sql),
       "Gopher/C4-style quality gate from exact integer stats"),
     QueryDef("q114_collapse_repeats", q114, Some(q114Sql),
-      "consecutive-duplicate-token collapse with order-pinned rebuild"))
+      "consecutive-duplicate-token collapse with order-pinned rebuild"),
+    QueryDef("q120_token_chunks", q120, Some(q120Sql),
+      "sliding-window token chunking with overlap (relational membership)"),
+    QueryDef("q122_cooccurrence", q122, Some(q122Sql),
+      "skip-gram co-occurrence pair counts (window +1/+2)"))
 }

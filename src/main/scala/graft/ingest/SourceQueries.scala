@@ -218,8 +218,38 @@ object SourceQueries {
       .select("o_orderkey", "c_name")
   }
 
+  /** ORC round trip: the second columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown, zlib/zstd codecs — the
+    * exchange format for Hive-ecosystem interop). Write a typed slice,
+    * read it back with the explicit schema, aggregate; equality with the
+    * parquet-sourced oracle proves the loop is value-preserving, doubles
+    * included (ORC stores IEEE754 bits, not decimal strings).
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_orc_").toString + "/orders_orc"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .write.mode("overwrite").orc(dir)
+    s.read.schema(StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))).orc(dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"),
+        Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q119Sql =
+    """SELECT o_orderpriority, count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),
+    QueryDef("q119_orc_roundtrip", q119, Some(q119Sql), "ORC source write/read round trip"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),
     QueryDef("q70_csv_roundtrip", q70, Some(q70Sql), "S3-S6 CSV write/read round trip"),
     QueryDef("q71_sql_catalog", q71, Some(q71Sql), "S12/S13 saveAsTable + spark.sql scan"),

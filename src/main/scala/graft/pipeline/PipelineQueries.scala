@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.util.Det
 
 /** Training-data pipeline operators beyond the reference: sequence packing
   * for LLM pretraining batches and inverted-index construction. Both are
@@ -195,9 +196,53 @@ object PipelineQueries {
        |ORDER BY e.k""".stripMargin
   }
 
+  /** Weighted corpus mixing: each source gets a sampling rate from its
+    * mixture weight, and rows are kept by a deterministic hash of
+    * (source, doc_id) against that rate — the training-mixture sampler.
+    * Key properties at 100 TB: the keep decision is a pure row-local
+    * function (no shuffle, no global state, reproducible on any cluster
+    * layout), and changing one source's weight re-samples ONLY that
+    * source (hash is per-source-seeded, other sources' picks are stable).
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val pct = when(pmod(idx, lit(4)) === 0, 100)
+      .when(pmod(idx, lit(4)) === 1, 50)
+      .when(pmod(idx, lit(4)) === 2, 25)
+      .otherwise(10)
+    val keep = pmod(
+      Det.polyHash(concat_ws("#", col("source"), col("doc_id").cast("string"))),
+      lit(100L)) < pct
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), pct.as("pct"),
+        when(keep, 1L).otherwise(0L).as("kept"))
+      .groupBy("source", "pct")
+      .agg(count(lit(1)).as("n_in"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  private val q118Sql = {
+    val h = Det.polyHashSql("source || '#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH rated AS (
+       |  SELECT source, n_chars,
+       |    CASE CAST(substring(source, 4) AS INT) % 4
+       |      WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END AS pct,
+       |    CASE WHEN $h % 100 <
+       |      CASE CAST(substring(source, 4) AS INT) % 4
+       |        WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM documents)
+       |SELECT source, pct, count(*) AS n_in,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM rated GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_sequence_packing", q84, Some(q84Sql), "concat-and-chunk LLM sequence packing"),
     QueryDef("q85_inverted_index", q85, Some(q85Sql), "inverted-index build with posting fingerprints"),
     QueryDef("q90_global_ids", q90, Some(q90Sql), "distributed contiguous row ids (two-level rank)"),
-    QueryDef("q99_countmin", q99, Some(q99Sql), "Count-Min sketch build + probe (est >= exact)"))
+    QueryDef("q99_countmin", q99, Some(q99Sql), "Count-Min sketch build + probe (est >= exact)"),
+    QueryDef("q118_corpus_mix", q118, Some(q118Sql), "weighted deterministic corpus mixture sampling"))
 }

@@ -373,7 +373,49 @@ object StreamingQueries {
       | AND c.ts_sec >= p.ts_sec - 600 AND c.ts_sec < p.ts_sec
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Stream-static join (the dimension-enrichment pattern Structured
+    * Streaming ships natively): the event file-stream joins a STATIC
+    * nation-derived dimension per micro-batch; the static side is
+    * broadcast, so the streaming side never shuffles for the join — at
+    * production scale this is exactly how a firehose is enriched against
+    * reference data without re-reading it per batch. Stream ≡ batch: the
+    * final aggregate equals the same join+aggregate run in batch SQL.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val sinkName = "graft_q123_sink"
+    s.catalog.dropTempView(sinkName)
+    val dim = Tables.nation(s, d)
+      .select(pmod(col("n_nationkey"), lit(5L)).as("mod5"), col("n_name"))
+      .groupBy("mod5").agg(min("n_name").as("dim_name"))
+    val joined = Pipeline.eventsStream(s, d)
+      .withColumn("mod5", pmod(col("user_id"), lit(5L)))
+      .join(broadcast(dim), "mod5")
+      .groupBy("dim_name")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+    val ckpt = Pipeline.checkpointDir("ckpt_q123")
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(sinkName).start()
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+    }
+    Pipeline.dropCheckpoint(ckpt)
+    s.table(sinkName).orderBy("dim_name")
+  }
+
+  private val q123Sql =
+    """WITH dim AS (
+      |  SELECT n_nationkey % 5 AS mod5, min(n_name) AS dim_name
+      |  FROM nation GROUP BY 1)
+      |SELECT d.dim_name, count(*) AS n,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+      |FROM events e JOIN dim d ON e.user_id % 5 = d.mod5
+      |GROUP BY 1 ORDER BY d.dim_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q123_stream_static_join", q123, Some(q123Sql),
+      "stream-static broadcast dimension enrichment"),
     QueryDef("q69_stream_stream_join", q69, Some(q69Sql), "watermarked stream-stream interval join"),
     QueryDef("q68_sessionization", q68, Some(q68Sql), "stateful streaming sessionization"),
     QueryDef("q64_stream_dedup", q64, Some(q64Sql), "stateful streaming dropDuplicates"),

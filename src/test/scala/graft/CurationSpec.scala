@@ -65,6 +65,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 chunks reconstruct the sliding windows exactly") {
+    val out = Registry.queries("q120_token_chunks")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val ref = Iterator.from(0).map(_ * 24).takeWhile(_ < toks.length)
+        .map(st => (st / 24).toLong -> toks.slice(st, st + 32)).toMap
+      ref.foreach { case (c, win) =>
+        val r = out((id, c))
+        assert(r.getString(4) == win.mkString(" "), s"doc $id chunk $c")
+        assert(r.getLong(2) == win.length.toLong)
+        assert(r.getLong(3) == c * 24)
+      }
+      // no extra chunks beyond the reference
+      assert(out.keys.count(_._1 == id) == ref.size)
+    }
+  }
+
+  test("q122 co-occurrence matches brute force on sf0.001") {
+    val got = Registry.queries("q122_cooccurrence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { t =>
+      val w = t.split(" ", -1)
+      for (i <- w.indices; k <- 1 to 2 if i + k < w.length)
+        counts((w(i), w(i + k))) = counts.getOrElse((w(i), w(i + k)), 0L) + 1
+    }
+    val ref = counts.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(25)
+    assert(got.toSeq == ref)
+  }
+
+  test("q118 mixture rates: kept fraction tracks pct deterministically") {
+    val out = Registry.queries("q118_corpus_mix")(spark, sf).collect()
+    out.foreach { r =>
+      val pct = r.getInt(1); val nIn = r.getLong(2); val nKept = r.getLong(3)
+      assert(nKept <= nIn)
+      assert(Seq(100, 50, 25, 10).contains(pct))
+      if (pct == 100) assert(nKept == nIn)
+    }
+    // rerun is identical (pure function of keys)
+    val again = Registry.queries("q118_corpus_mix")(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q114 collapse removes exactly consecutive duplicates") {
     val out = Registry.queries("q114_collapse_repeats")(spark, sf)
       .collect().map(r => r.getLong(0) -> r).toMap
