@@ -247,9 +247,35 @@ object SourceQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Native DataSource V2 scan (see [[graft.sources.SeqSourceProvider]]):
+    * 20k deterministic rows planned as 8 disjoint input partitions with
+    * column pruning, aggregated per label. The oracle mirrors the source's
+    * generator function over `range()` — proving the custom source's
+    * split planning and row contract end to end. (Pruning is asserted
+    * against the executed plan in SourcesSpec.)
+    */
+  private def q126(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("slices", "8").load()
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("val").as("v_min"),
+        max("val").as("v_max"), sum("val").as("v_sum"))
+      .orderBy("label")
+
+  private val q126Sql =
+    """WITH g AS (
+      |  SELECT CAST(t.i AS BIGINT) AS id,
+      |    (t.i * 2654435761) % 1000000007 AS val,
+      |    'r' || CAST(t.i % 7 AS VARCHAR) AS label
+      |  FROM range(0, 20000) AS t(i))
+      |SELECT label, count(*) AS n, min(val) AS v_min, max(val) AS v_max,
+      |  CAST(sum(val) AS BIGINT) AS v_sum
+      |FROM g GROUP BY 1 ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),
     QueryDef("q119_orc_roundtrip", q119, Some(q119Sql), "ORC source write/read round trip"),
+    QueryDef("q126_dsv2_source", q126, Some(q126Sql), "custom DataSource V2 scan (splits + pruning)"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),
     QueryDef("q70_csv_roundtrip", q70, Some(q70Sql), "S3-S6 CSV write/read round trip"),
     QueryDef("q71_sql_catalog", q71, Some(q71Sql), "S12/S13 saveAsTable + spark.sql scan"),

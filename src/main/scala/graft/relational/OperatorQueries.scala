@@ -224,7 +224,91 @@ object OperatorQueries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM changes ORDER BY user_id, version""".stripMargin
 
+  /** Z-order (Morton-curve) clustering layout: bucketize two join/filter
+    * dimensions to 4-bit ranks, interleave the bits into an 8-bit Morton
+    * code, and cluster rows by its top nibble. The payoff is the layout
+    * property the per-bucket stats expose: every bucket spans at most a
+    * quarter of EACH dimension's range, so a file layout written in
+    * z-bucket order serves min/max-pruned scans on BOTH `l_partkey` and
+    * `l_suppkey` predicates — the standard multi-dimensional data-skipping
+    * trick (Delta/Iceberg OPTIMIZE ZORDER) expressed as pure integer
+    * arithmetic (bit shifts of disjoint powers — addition ≡ OR), fully
+    * codegen'd, one aggregate shuffle.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val px = expr("l_partkey div 128").cast("long")   // 0..15 (4-bit rank)
+    val sy = expr("l_suppkey div 8").cast("long")     // 0..12 (4-bit rank)
+    def bit(c: org.apache.spark.sql.Column, k: Int, out: Int) =
+      shiftleft(shiftright(c, k).bitwiseAND(lit(1L)), out)
+    val z = (0 until 4).map(k => bit(px, k, 2 * k + 1) + bit(sy, k, 2 * k))
+      .reduce(_ + _)
+    Tables.lineitem(s, d)
+      .select(px.as("px"), sy.as("sy"), z.as("z"))
+      .withColumn("zbucket", expr("z div 16"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("px").as("pk_lo"), max("px").as("pk_hi"),
+        min("sy").as("sp_lo"), max("sy").as("sp_hi"))
+      .orderBy("zbucket")
+  }
+
+  private val q124Sql = {
+    // parenthesize every shift: SQL's `+` binds tighter than `<<`
+    val z = (0 until 4).map(k =>
+      s"((((l_partkey // 128) >> $k) & 1) << ${2 * k + 1}) " +
+        s"+ ((((l_suppkey // 8) >> $k) & 1) << ${2 * k})").mkString(" + ")
+    s"""WITH coded AS (
+       |  SELECT l_partkey // 128 AS px, l_suppkey // 8 AS sy,
+       |    ($z) AS z
+       |  FROM lineitem)
+       |SELECT z // 16 AS zbucket, count(*) AS n,
+       |  min(px) AS pk_lo, max(px) AS pk_hi,
+       |  min(sy) AS sp_lo, max(sy) AS sp_hi
+       |FROM coded GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
+
+  /** Ordered funnel analysis (view → click → purchase): per-user earliest
+    * view, earliest click strictly after it, earliest purchase strictly
+    * after that, counted per stage. The event axis is `event_id` (the
+    * testdata's timestamps are strictly increasing in event_id, so this IS
+    * event-time order with a stable tiebreak — TESTDATA invariant pinned
+    * in OperatorSpec). Three narrow join+min aggregates, each shuffling
+    * only (user, stage-min) pairs — at 100 TB the per-stage frames are one
+    * row per surviving user, so the later joins broadcast.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_id", "event_type")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("event_id").as("e1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("event_id") > col("e1"))
+      .groupBy("user_id").agg(min("event_id").as("e2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("event_id") > col("e2"))
+      .groupBy("user_id").agg(min("event_id").as("e3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  private val q125Sql =
+    """WITH v AS (SELECT user_id, min(event_id) AS e1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.event_id) AS e2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.event_id > v.e1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.event_id) AS e3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.event_id > c.e2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_zorder_layout", q124, Some(q124Sql),
+      "Z-order multi-dim clustering with per-bucket skipping stats"),
+    QueryDef("q125_funnel", q125, Some(q125Sql),
+      "ordered view->click->purchase funnel stage counts"),
     QueryDef("q82_asof_join", q82, Some(q82Sql), "as-of join via union-window (vs DuckDB ASOF JOIN)"),
     QueryDef("q83_grouped_topk", q83, Some(q83Sql), "bounded top-k typed Aggregator"),
     QueryDef("q87_bloom_semijoin", q87, Some(q87Sql), "bloom-filter runtime semi-join reduction"),

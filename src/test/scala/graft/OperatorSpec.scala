@@ -93,4 +93,42 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSet
     assert(assigned.forall(r => labels.contains(r.getInt(1))))
   }
+
+  test("q124 z-buckets are localized in BOTH dimensions (the skipping property)") {
+    val out = Registry.queries("q124_zorder_layout")(spark, sf).collect()
+    assert(out.nonEmpty)
+    var n = 0L
+    out.foreach { r =>
+      n += r.getLong(1)
+      // top nibble of the morton code fixes the top 2 bits of each dim:
+      // min and max of each dimension fall in the same quarter
+      assert(r.getLong(2) / 4 == r.getLong(3) / 4, s"px spread in bucket ${r.getLong(0)}")
+      assert(r.getLong(4) / 4 == r.getLong(5) / 4, s"sy spread in bucket ${r.getLong(0)}")
+    }
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q125 funnel matches brute force; testdata ts is monotone in event_id") {
+    // the invariant q125's event_id axis relies on
+    val viol = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"))
+      .orderBy("event_id").collect().sliding(2)
+      .count(p => p.length == 2 && p(0).getTimestamp(1).after(p(1).getTimestamp(1)))
+    assert(viol == 0)
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2))
+    var (nv, nc, np) = (0L, 0L, 0L)
+    ev.foreach { case (_, rows) =>
+      val e1 = rows.find(_._3 == "view").map(_._2)
+      val e2 = e1.flatMap(t => rows.find(r => r._3 == "click" && r._2 > t).map(_._2))
+      val e3 = e2.flatMap(t => rows.find(r => r._3 == "purchase" && r._2 > t).map(_._2))
+      if (e1.isDefined) nv += 1
+      if (e2.isDefined) nc += 1
+      if (e3.isDefined) np += 1
+    }
+    val got = Registry.queries("q125_funnel")(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((nv, nc, np)))
+  }
 }

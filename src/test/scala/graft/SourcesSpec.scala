@@ -86,4 +86,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(row1.isNullAt(row1.fieldIndex("score"))) // old partition: null-filled
     assert(merged.count() == 2)
   }
+
+  test("graft-seq DSv2 source: split planning + column pruning reach the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("slices", "5").load()
+    // split planning: 5 input partitions → 5 scan tasks
+    assert(df.rdd.getNumPartitions == 5)
+    // column pruning: a label-only projection must reach the reader as a
+    // 1-column read schema (val/id never generated)
+    val pruned = df.select("label").distinct()
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("label"))
+    assert(pruned.count() == 7)
+    // row contract spot check
+    val r = df.filter(col("id") === 123L).collect().head
+    assert(r.getLong(1) == (123L * 2654435761L) % 1000000007L)
+    assert(r.getString(2) == "r" + (123 % 7))
+    // uneven split: rows not divisible by slices still covers every row
+    val odd = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "97").option("slices", "8").load()
+    assert(odd.count() == 97)
+    assert(odd.agg(countDistinct(col("id"))).collect().head.getLong(0) == 97)
+  }
 }
