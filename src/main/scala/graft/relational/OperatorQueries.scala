@@ -304,7 +304,72 @@ object OperatorQueries {
       |  (SELECT count(*) FROM c) AS n_view_click,
       |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
 
+  /** Row-level lineage audit via `input_file_name()`: every row carries
+    * the file it was scanned from — the audit column a 100 TB ingest
+    * writes next to each record so bad shards are traceable. Grouping by
+    * the basename proves the column is populated and exact (the oracle
+    * pins the expected file names and counts per table).
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String) =
+      Tables.table(s, d, name)
+        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+    audit("lineitem").unionAll(audit("orders")).unionAll(audit("customer"))
+      .groupBy("file").agg(count(lit(1)).as("n"))
+      .orderBy("file")
+  }
+
+  private val q127Sql =
+    """SELECT 'customer.parquet' AS file, count(*) AS n FROM customer
+      |UNION ALL SELECT 'lineitem.parquet', count(*) FROM lineitem
+      |UNION ALL SELECT 'orders.parquet', count(*) FROM orders
+      |ORDER BY file""".stripMargin
+
+  /** Native session windows (Spark's built-in `session_window` — the
+    * declarative complement of q68's hand-built gap sessionization):
+    * per-user sessions close after a 30-minute silence; Catalyst merges
+    * overlapping windows in one pass. Oracle = the lag/gap-islands SQL,
+    * proving built-in session semantics ≡ the explicit construction
+    * (session end = last event + gap).
+    */
+  private def q128(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+
+  private val q128Sql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id
+      |  FROM events WHERE user_id < 30),
+      |flagged AS (
+      |  SELECT user_id, ts, ts_us, event_id,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |grouped AS (
+      |  SELECT user_id, ts, sum(new_session)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+      |  count(*) AS n_events
+      |FROM grouped GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q127_lineage_audit", q127, Some(q127Sql),
+      "input_file_name row-level lineage audit"),
+    QueryDef("q128_session_window", q128, Some(q128Sql),
+      "native session_window gap sessions (== gap-islands SQL)"),
     QueryDef("q124_zorder_layout", q124, Some(q124Sql),
       "Z-order multi-dim clustering with per-bucket skipping stats"),
     QueryDef("q125_funnel", q125, Some(q125Sql),
