@@ -427,7 +427,129 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Input row for the streaming near-dup filter. */
+  private[dedup] case class DocRow(doc_id: Long, text: String)
+
+  /** (doc_id, band_key) frame: 16-permutation MinHash signature reduced to
+    * 4 ARITHMETIC band keys (polynomial combine mod p — xxhash64 would be
+    * Spark-only and unmirrorable in the oracle). Shared by q129's
+    * streaming batches and nothing else; q44 keeps xxhash64 (no oracle).
+    */
+  private def bandFrame(docs: DataFrame): DataFrame = {
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh_$i")
+    }
+    val sig = docs.select(col("doc_id"), explode(hashedToks(col("text"))).as("h"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    def bandKey(b: Int): Column =
+      (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
+        acc * 31 + col(s"mh_${b * 4 + r}")) % P
+    sig.select(col("doc_id"),
+      explode(array((0 until 4).map(bandKey): _*)).as("band_key"))
+  }
+
+  /** Streaming ingest near-dup filter (the "don't ingest what the corpus
+    * already holds" operator): documents arrive in doc_id order in
+    * micro-batches; each batch's MinHash band keys are probed against the
+    * accumulated fingerprint STORE (bands of every previously seen doc)
+    * and against earlier docs in the same batch; first occurrence wins,
+    * band-colliding followers are dropped; ALL batch bands are appended to
+    * the store. Because "seen" includes rejected docs, acceptance is
+    * exactly "this doc is the first holder of every one of its bands" —
+    * batch-slicing-independent and SQL-expressible, so the streaming run
+    * is hash-checked against a batch oracle (stream ≡ batch).
+    *
+    * At 100 TB: the store is a bucketed table keyed by band_key; the
+    * per-batch probe is a narrow (band_key, doc_id) join touching only
+    * matching buckets, and the store append is blind. State grows with
+    * the corpus, not the stream — which is why it lives in a table, not
+    * in executor memory.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame =
+    q129WithSlices(s, d, 3) // 3 micro-batches: cross-batch store probes
+                            // exercised at ~2s/batch fixed streaming cost;
+                            // acceptance is slice-count-independent (spec)
+
+  /** q129 parameterized by micro-batch count — DedupSimilaritySpec runs it
+    * at different slicings and asserts identical output (the acceptance
+    * rule is provably batch-boundary-independent; this pins it).
+    */
+  private[graft] def q129WithSlices(s: SparkSession, d: String, nSlices: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Pipeline
+    val store = java.nio.file.Files.createTempDirectory("graft_lsh_store_")
+      .toString + "/store"
+    val input = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .orderBy("doc_id").as[DocRow].collect().toSeq
+    val slice = math.max(1, (input.size + nSlices - 1) / nSlices)
+    val stream = MemoryStream[DocRow](s)
+    val ckpt = Pipeline.checkpointDir("ckpt_q129")
+    Pipeline.withShufflePartitions(s, 4) {
+      val q = stream.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          // one store, two row kinds ('b' = band fingerprint, 'a' = accept
+          // mark), ONE append per batch: a micro-batch is one action, and a
+          // batch that fails mid-write can't leave bands without its accept
+          // marks. At 100 TB the store is a table bucketed by k; the probe
+          // below touches only matching buckets and the append is blind.
+          val bands = bandFrame(batch)
+          val storeDup =
+            if (new java.io.File(store).exists)
+              bands.join(
+                sp.read.parquet(store).filter(col("kind") === "b")
+                  .select(col("k").as("band_key")),
+                "band_key").select("doc_id")
+            else bands.filter(lit(false)).select("doc_id")
+          val firsts = bands.groupBy("band_key").agg(min("doc_id").as("first_id"))
+          val batchDup = bands.join(firsts, "band_key")
+            .filter(col("doc_id") > col("first_id")).select("doc_id")
+          val accepted = batch.select("doc_id")
+            .join(storeDup.unionAll(batchDup), Seq("doc_id"), "left_anti")
+          bands.select(lit("b").as("kind"), col("band_key").as("k"))
+            .unionAll(accepted.select(lit("a").as("kind"), col("doc_id").as("k")))
+            .coalesce(1).write.mode("append").parquet(store)
+          ()
+        }
+        .queryName("graft_q129").start()
+      input.grouped(slice).foreach { sl =>
+        stream.addData(sl)
+        q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+    }
+    Pipeline.dropCheckpoint(ckpt)
+    val acc = s.read.parquet(store).filter(col("kind") === "a")
+      .select(col("k").as("doc_id"), lit(true).as("accepted"))
+    Tables.documents(s, d).select("doc_id")
+      .join(acc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("accepted"), lit(false)).as("accepted"))
+      .orderBy("doc_id")
+  }
+
+  private val q129Sql = {
+    val minExprs = minhashParams.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % $P))"
+    }.mkString(",\n    ")
+    s"""WITH th AS (SELECT doc_id, $hashedToksSql AS hs FROM documents),
+       |sig AS (SELECT doc_id, [
+       |    $minExprs] AS mh FROM th),
+       |bands AS (
+       |  SELECT doc_id,
+       |    (((((t.b * 31 + mh[t.b * 4 + 1]) * 31) + mh[t.b * 4 + 2]) * 31
+       |      + mh[t.b * 4 + 3]) * 31 + mh[t.b * 4 + 4]) % $P AS band_key
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+       |firsts AS (SELECT band_key, min(doc_id) AS first_id FROM bands GROUP BY 1)
+       |SELECT b.doc_id, bool_and(b.doc_id = f.first_id) AS accepted
+       |FROM bands b JOIN firsts f USING (band_key)
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q129_stream_dedup_lsh", q129, Some(q129Sql),
+      "streaming LSH near-dup ingest filter against a fingerprint store"),
     QueryDef("q81_simhash_pairs", q81, Some(q81Sql), "pigeonhole simhash pairs (exact recall)"),
     QueryDef("q58_dup_clusters", q58, None, "connected-components dup clustering (see DedupSimilaritySpec)"),
     QueryDef("q59_edit_distance", q59, Some(q59Sql), "prefix-bounded Levenshtein near-dup"),

@@ -186,4 +186,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hamming(out(0L), out(1L)) < hamming(out(0L), out(2L)),
       "near-dup pair must be closer in hamming space than unrelated pair")
   }
+
+  test("q129 streaming LSH filter is batch-boundary independent") {
+    def run(n: Int) = graft.dedup.DedupQueries.q129WithSlices(spark, sf, n)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val threeBatches = run(3)
+    val oneBatch = run(1) // degenerate: everything in a single micro-batch
+    assert(threeBatches == oneBatch)
+    // sanity: at least one accept, and doc 0 (first arrival) always accepted
+    assert(threeBatches.head == (0L -> true))
+    assert(threeBatches.exists(!_._2) || threeBatches.forall(_._2))
+  }
 }
