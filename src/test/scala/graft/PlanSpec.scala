@@ -153,4 +153,16 @@ class PlanSpec extends AnyFunSuite {
       prev match { case Some(v) => spark.conf.set(k, v); case None => spark.conf.unset(k) }
     }
   }
+
+  test("q112 contamination probes the benchmark set via broadcast (corpus side never shuffles for it)") {
+    val plan = physicalPlan("q112_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark fingerprint set not broadcast:\n$plan")
+  }
+
+  test("q126 DSv2 scan plans the requested number of input splits") {
+    val df = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "10000").option("slices", "6").load()
+    assert(df.rdd.getNumPartitions == 6)
+  }
 }

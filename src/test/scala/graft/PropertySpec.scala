@@ -100,4 +100,53 @@ class PropertySpec extends AnyFunSuite {
       assert(out == expectedAdj, s"in=$in")
     }
   }
+
+  // ---- round-3 curation properties (driver-side mirrors of the exact
+  // relational constructions; CurationSpec pins the mirrors to the engine
+  // on the real testdata) ----
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "eee")).map(_.take(60))
+
+  private def collapse(toks: List[String]): List[String] =
+    toks.foldLeft(List.empty[String]) { (acc, t) =>
+      if (acc.nonEmpty && acc.head == t) acc else t :: acc
+    }.reverse
+
+  test("q114 collapse is idempotent and never leaves adjacent duplicates") {
+    forAllSampled(tokensGen) { toks =>
+      val once = collapse(toks)
+      assert(collapse(once) == once)
+      assert(once.sliding(2).forall(p => p.length < 2 || p(0) != p(1)))
+      // order-preserving subsequence
+      assert(once.forall(toks.contains))
+      assert(once.size <= toks.size)
+    }
+  }
+
+  test("q120 chunk membership covers every token; overlap is exactly size-stride") {
+    val size = 32; val stride = 24
+    forAllSampled(Gen.chooseNum(1, 200)) { n =>
+      // the q124-style membership rule used by the engine
+      val member = (p: Int) =>
+        Seq(p / stride, p / stride - 1)
+          .filter(c => c >= 0 && p >= c * stride && p < c * stride + size)
+      val byChunk = (0 until n).flatMap(p => member(p).map(_ -> p))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      // every position in at least one chunk; chunk c covers [c*stride, c*stride+size)
+      assert((0 until n).forall(p => member(p).nonEmpty))
+      byChunk.foreach { case (c, ps) =>
+        assert(ps.head == c * stride)
+        assert(ps.last <= c * stride + size - 1)
+        assert(ps == (ps.head to ps.last))
+      }
+      // consecutive chunks overlap by size-stride (when both full)
+      val full = byChunk.filter(_._2.size == size).keys.toSeq.sorted
+      full.sliding(2).foreach {
+        case Seq(c1, c2) if c2 == c1 + 1 =>
+          assert(byChunk(c1).toSet.intersect(byChunk(c2).toSet).size == size - stride)
+        case _ =>
+      }
+    }
+  }
 }
