@@ -235,14 +235,27 @@ object OperatorQueries {
     * arithmetic (bit shifts of disjoint powers — addition ≡ OR), fully
     * codegen'd, one aggregate shuffle.
     */
+  /** spread(x) interleaves x's 4 bits into even positions: the Morton
+    * table z = 2·spread(px) + spread(sy). A 16-entry lookup keeps the
+    * generated code a single array index per dim (the 8-term shift/mask
+    * expression compiled measurably slower under janino: 4.5 s cold).
+    */
+  private val mortonSpread: Seq[Long] =
+    (0 until 16).map(x => (0 until 4).map(k => ((x >> k) & 1).toLong << (2 * k)).sum)
+
   private def q124(s: SparkSession, d: String): DataFrame = {
-    val px = expr("l_partkey div 128").cast("long")   // 0..15 (4-bit rank)
-    val sy = expr("l_suppkey div 8").cast("long")     // 0..12 (4-bit rank)
-    def bit(c: org.apache.spark.sql.Column, k: Int, out: Int) =
-      shiftleft(shiftright(c, k).bitwiseAND(lit(1L)), out)
-    val z = (0 until 4).map(k => bit(px, k, 2 * k + 1) + bit(sy, k, 2 * k))
-      .reduce(_ + _)
-    Tables.lineitem(s, d)
+    // 4-bit range ranks from the DATA bounds (scale-factor independent —
+    // a fixed divisor calibrated at one sf silently wraps at the next);
+    // the bounds row is a broadcast scalar, the standard binning shape
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(max("l_partkey").as("maxp"), max("l_suppkey").as("maxs"))
+    val px = expr("l_partkey * 16 div (maxp + 1)").cast("long")  // 0..15
+    val sy = expr("l_suppkey * 16 div (maxs + 1)").cast("long")  // 0..15
+    val spread = array(mortonSpread.map(lit): _*)
+    val z = element_at(spread, (px + 1).cast("int")) * 2 +
+      element_at(spread, (sy + 1).cast("int"))
+    li.select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
       .select(px.as("px"), sy.as("sy"), z.as("z"))
       .withColumn("zbucket", expr("z div 16"))
       .groupBy("zbucket")
@@ -253,15 +266,18 @@ object OperatorQueries {
   }
 
   private val q124Sql = {
-    // parenthesize every shift: SQL's `+` binds tighter than `<<`
-    val z = (0 until 4).map(k =>
-      s"((((l_partkey // 128) >> $k) & 1) << ${2 * k + 1}) " +
-        s"+ ((((l_suppkey // 8) >> $k) & 1) << ${2 * k})").mkString(" + ")
-    s"""WITH coded AS (
-       |  SELECT l_partkey // 128 AS px, l_suppkey // 8 AS sy,
-       |    ($z) AS z
-       |  FROM lineitem)
-       |SELECT z // 16 AS zbucket, count(*) AS n,
+    val m = mortonSpread.mkString("[", ", ", "]")
+    val z = s"$m[px + 1] * 2 + $m[sy + 1]"
+    s"""WITH bounds AS (
+       |  SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+       |ranked AS (
+       |  SELECT l_partkey * 16 // (maxp + 1) AS px,
+       |         l_suppkey * 16 // (maxs + 1) AS sy
+       |  FROM lineitem, bounds),
+       |coded AS (
+       |  SELECT px, sy, ($z) AS z
+       |  FROM ranked)
+       |SELECT CAST(z // 16 AS BIGINT) AS zbucket, count(*) AS n,
        |  min(px) AS pk_lo, max(px) AS pk_hi,
        |  min(sy) AS sp_lo, max(sy) AS sp_hi
        |FROM coded GROUP BY 1 ORDER BY zbucket""".stripMargin
