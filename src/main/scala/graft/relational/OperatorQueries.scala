@@ -381,7 +381,82 @@ object OperatorQueries {
       |FROM grouped GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin
 
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each user's
+    * event history becomes an ordered initial-letter string (order-pinned
+    * aggregation — the same construction q114/q120 use) and a regex counts
+    * non-overlapping view→…→purchase runs (`v[^p]*p` — no backrefs or
+    * lookarounds, so Java regex and RE2 agree on leftmost-greedy matches).
+    * The heavy lifting is one shuffle on user_id; the regex is a per-row
+    * scalar over a bounded-length string.
+    */
+  private def q130(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy("user_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("event_id"), col("c")))),
+            x => x("c")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        size(regexp_extract_all(col("seq"), lit("v[^p]*p"), lit(0)))
+          .cast("long").as("n_funnel_runs"))
+      .orderBy("user_id")
+
+  private val q130Sql =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), '' ORDER BY event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_funnel_runs
+      |FROM seqs ORDER BY user_id""".stripMargin
+
+  /** Column profiling (the data-quality summary every ingest job emits):
+    * per-column row/null/distinct counts and min/max, one output row per
+    * column. Long and string columns only — their string renderings are
+    * engine-identical; double formatting is not (1e7 vs 10000000.0), so a
+    * production profiler keeps numeric bounds in typed columns.
+    * Each column profile is one narrow aggregate; they union into the
+    * report frame.
+    */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def profile(name: String) =
+      o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(name)).as("n_distinct"),
+        min(col(name)).cast("string").as("min_v"),
+        max(col(name)).cast("string").as("max_v"))
+        .select(lit(name).as("column"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    profile("o_orderkey")
+      .unionAll(profile("o_custkey"))
+      .unionAll(profile("o_orderstatus"))
+      .unionAll(profile("o_orderpriority"))
+      .orderBy("column")
+  }
+
+  private val q131Sql = {
+    def p(name: String) =
+      s"""SELECT '$name' AS "column", count(*) AS n,
+         |  CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $name) AS n_distinct,
+         |  CAST(min($name) AS VARCHAR) AS min_v,
+         |  CAST(max($name) AS VARCHAR) AS max_v
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(p).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_event_pattern", q130, Some(q130Sql),
+      "MATCH_RECOGNIZE-lite regex runs over ordered event sequences"),
+    QueryDef("q131_column_profile", q131, Some(q131Sql),
+      "per-column null/distinct/min/max data-quality profile"),
     QueryDef("q127_lineage_audit", q127, Some(q127Sql),
       "input_file_name row-level lineage audit"),
     QueryDef("q128_session_window", q128, Some(q128Sql),

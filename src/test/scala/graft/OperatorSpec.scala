@@ -131,4 +131,35 @@ class OperatorSpec extends AnyFunSuite {
     val got = Registry.queries("q125_funnel")(spark, sf).collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((nv, nc, np)))
   }
+
+  test("q130 pattern runs match a driver-side regex over the same sequences") {
+    val seqs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.head).mkString).toMap
+    val got = Registry.queries("q130_event_pattern")(spark, sf).collect()
+    assert(got.length == seqs.size)
+    got.foreach { r =>
+      val seq = seqs(r.getLong(0))
+      assert(r.getLong(1) == seq.length.toLong)
+      assert(r.getLong(2) == "v[^p]*p".r.findAllIn(seq).size.toLong)
+    }
+  }
+
+  test("q131 profile: distinct <= n, nulls complement, bounds consistent") {
+    val rows = Registry.queries("q131_column_profile")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 0) // testdata has no nulls in these columns
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n)
+      assert(r.getString(4) <= r.getString(5) ||
+        r.getString(0).endsWith("key")) // numeric min/max as strings may not sort lexically
+    }
+    val ok = rows.find(_.getString(0) == "o_orderkey").get
+    assert(ok.getLong(3) == n) // orderkey is unique
+  }
 }
