@@ -452,7 +452,95 @@ object OperatorQueries {
       .map(p).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** Relational PageRank (3 unrolled iterations) over the supplier↔customer
+    * co-purchase graph — the canonical "Spark does graphs as joins"
+    * operator: ranks live in a (node, r) frame, one join+aggregate per
+    * iteration, no graph library, no driver loop over vertices.
+    *
+    * Arithmetic is FIXED-POINT INTEGER (ranks in units of 1e-12; damping
+    * as ·85 //100; contributions as r // outdeg): floor division makes
+    * every iteration bit-exact in any engine — the float formulation
+    * would accumulate engine-specific rounding in the per-node sums (Det's
+    * no-unordered-double-sums rule). The ~1e-12 quantization error per
+    * step is irrelevant to ranking and fully deterministic.
+    *
+    * At 100 TB: each iteration shuffles (dst, contrib) — linear in edges;
+    * the iteration count is fixed (unrolled), so the plan is static and
+    * AQE sizes every exchange. For adaptive convergence, checkpoint ranks
+    * between iterations to cut lineage (documented; unnecessary for 3).
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val unit = 1000000000000L // 1e12 fixed-point scale
+    // long node ids (suppliers even, customers odd) keep every shuffle row
+    // two longs — the string labels exist only in the final projection
+    val e0 = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    // materialize the edge list once: deg + all three iterations read it
+    // (4 consumers; uncached each re-runs the 600k-row join+distinct).
+    // localCheckpoint (row-based, lineage-cutting) measured faster here
+    // than the columnar cache, whose encode cost exceeded the recompute.
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+    val nn = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    var ranks = deg.crossJoin(nn)
+      .select(col("node"), col("outdeg"),
+        expr(s"$unit div n_nodes").as("r"))
+    (1 to 3).foreach { _ =>
+      val contribs = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+      ranks = deg.crossJoin(nn)
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"),
+          (expr(s"(15 * $unit) div (100 * n_nodes)") +
+            expr("(85 * coalesce(cin, 0)) div 100")).as("r"))
+    }
+    ranks
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("S"), expr("node div 2")))
+          .otherwise(concat(lit("C"), expr("(node - 1) div 2")))
+          .as("node"),
+        col("r"))
+      .orderBy(desc("r"), asc("node")).limit(20)
+  }
+
+  private val q132Sql = {
+    val unit = "1000000000000"
+    def iter(prev: String, out: String) =
+      s"""c_$out AS (
+         |  SELECT e.dst, CAST(sum(r.r // r.outdeg) AS BIGINT) AS cin
+         |  FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1),
+         |$out AS (
+         |  SELECT d.node, d.outdeg,
+         |    CAST((15 * $unit) // (100 * n_nodes)
+         |      + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c_$out c ON d.node = c.dst)"""
+        .stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n_nodes FROM deg),
+       |r0 AS (SELECT node, outdeg, CAST($unit // n_nodes AS BIGINT) AS r
+       |       FROM deg CROSS JOIN nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'S' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 'C' || CAST((node - 1) // 2 AS VARCHAR) END AS node, r
+       |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_pagerank", q132, Some(q132Sql),
+      "fixed-point relational PageRank, 3 unrolled join+agg iterations"),
     QueryDef("q130_event_pattern", q130, Some(q130Sql),
       "MATCH_RECOGNIZE-lite regex runs over ordered event sequences"),
     QueryDef("q131_column_profile", q131, Some(q131Sql),

@@ -291,7 +291,68 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Product-quantization encoding (the FAISS IVF-PQ compression step —
+    * the technique that makes billion-vector ANN fit in memory): the
+    * 64-dim space splits into 8 subspaces of 8 dims; each subvector maps
+    * to its nearest code in a per-subspace codebook (here the first 4
+    * vectors' subvectors — the deterministic sample-init stand-in for a
+    * q55-style per-subspace k-means), compressing 64 floats to 8 small
+    * code ids. Output is the (subspace, code) usage histogram — pure
+    * integers; distances are exact sequential double folds (identical
+    * IEEE op order in both engines), and ties break on code id, so the
+    * argmin is engine-exact. The codebook is broadcast; the scan is one
+    * pass; at 100 TB the ADC query path probes these codes instead of raw
+    * vectors.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val codes = broadcast(e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cvec")))
+    val sq = (a: Column, b: Column) => {
+      val dd = a.cast("double") - b.cast("double"); dd * dd
+    }
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(codes)
+      .select(col("vec_id"), col("code_id"),
+        explode(sequence(lit(0), lit(7))).as("j"),
+        col("embedding"), col("cvec"))
+      .select(col("vec_id"), col("code_id"), col("j").cast("long").as("j"),
+        aggregate(
+          zip_with(
+            slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+            slice(col("cvec"), col("j") * 8 + 1, lit(8)),
+            sq),
+          lit(0.0), (acc, x) => acc + x).as("dist"))
+    val chosen = pairs.groupBy("vec_id", "j")
+      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.code_id").as("code_id"))
+    chosen.groupBy("j", "code_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("j", "code_id")
+  }
+
+  private val q133Sql =
+    """WITH codes AS (
+      |  SELECT vec_id AS code_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+      |pairs AS (
+      |  SELECT v.vec_id, c.code_id, t.j,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 9), i ->
+      |      (CAST(v.embedding[t.j * 8 + i] AS DOUBLE) - CAST(c.cvec[t.j * 8 + i] AS DOUBLE))
+      |      * (CAST(v.embedding[t.j * 8 + i] AS DOUBLE) - CAST(c.cvec[t.j * 8 + i] AS DOUBLE)))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM embeddings v, codes c, (SELECT unnest(range(0, 8)) AS j) t),
+      |chosen AS (
+      |  SELECT vec_id, j, code_id
+      |  FROM (SELECT vec_id, j, code_id,
+      |          row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code_id) AS rn
+      |        FROM pairs)
+      |  WHERE rn = 1)
+      |SELECT j, code_id, count(*) AS n
+      |FROM chosen GROUP BY j, code_id ORDER BY j, code_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q133_pq_encode", q133, Some(q133Sql),
+      "product-quantization encoding (per-subspace nearest-code argmin)"),
     QueryDef("q80_ann_rplsh", q80, None, "random-hyperplane LSH near-dup (see DedupSimilaritySpec)"),
     QueryDef("q55_centroids", q55, Some(q55Sql), "k-means/IVF centroid train step"),
     QueryDef("q86_kmeans_assign", q86, Some(q86Sql), "k-means assignment step (Lloyd E-step)"),

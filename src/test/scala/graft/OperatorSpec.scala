@@ -162,4 +162,49 @@ class OperatorSpec extends AnyFunSuite {
     val ok = rows.find(_.getString(0) == "o_orderkey").get
     assert(ok.getLong(3) == n) // orderkey is unique
   }
+
+  test("q132 pagerank matches an exact driver-side fixed-point reference") {
+    val unit = 1000000000000L
+    val e0 = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")), concat(lit("C"), col("o_custkey")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = e0 ++ e0.map(_.swap)
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = outdeg.keys.toSeq.sorted
+    val nN = nodes.size.toLong
+    var r = nodes.map(_ -> unit / nN).toMap
+    (1 to 3).foreach { _ =>
+      val cin = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => cin(d0) += r(s0) / outdeg(s0) }
+      r = nodes.map(n0 => n0 -> ((15 * unit) / (100 * nN) + (85 * cin(n0)) / 100)).toMap
+    }
+    val expect = r.toSeq.sortBy { case (n0, rv) => (-rv, n0) }.take(20)
+    val got = Registry.queries("q132_pagerank")(spark, sf).collect()
+      .map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("q133 PQ encoding matches an exact driver-side argmin reference") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val codes = vecs.filter(_._1 < 4)
+    val hist = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    vecs.foreach { case (_, v) =>
+      (0 until 8).foreach { j =>
+        val best = codes.map { case (cid, c) =>
+          var acc = 0.0
+          (0 until 8).foreach { i =>
+            val d = v(j * 8 + i).toDouble - c(j * 8 + i).toDouble
+            acc += d * d
+          }
+          (acc, cid)
+        }.min
+        hist((j.toLong, best._2)) += 1
+      }
+    }
+    val got = Registry.queries("q133_pq_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == hist.toMap)
+  }
 }
