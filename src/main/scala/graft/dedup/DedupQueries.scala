@@ -180,11 +180,14 @@ object DedupQueries {
     (193L, 5641L), (197L, 6311L), (199L, 6997L), (211L, 7681L))
 
   /** MinHash + LSH banded dedup (the 100 TB near-dup path): signatures →
-    * 4 long band keys per doc (xxhash64 of the band's 4 minhashes) →
-    * shuffle on band key → same-bucket candidate pairs → exact Jaccard
-    * verify ≥ 0.9. Probabilistic recall (≥ ~98% at j=0.9 with 4×4
-    * banding) → no SQL oracle; rows-only check + DedupSimilaritySpec
-    * measures recall against q42's exact answer.
+    * 4 long band keys per doc (arithmetic combine of the band's 4
+    * minhashes — [[bandKeyExpr]]) → shuffle on band key → same-bucket
+    * candidate pairs → exact Jaccard verify ≥ 0.9. Recall vs the exact
+    * q42 answer stays probabilistic (≥ ~98% at j=0.9 with 4×4 banding;
+    * DedupSimilaritySpec measures it), but the PIPELINE itself is fully
+    * deterministic, so since round 3 the whole thing is hash-oracled: the
+    * SQL mirror computes the same signatures, bands, candidates, and
+    * verified pairs.
     *
     * Signature computation is RELATIONAL: explode the token hashes once
     * and take the 16 permutation minima in ONE codegen'd hash aggregate —
@@ -206,7 +209,7 @@ object DedupQueries {
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
     val withBands = sig.select(col("doc_id") +: (0 until 4).map { b =>
-      xxhash64(lit(b) +: (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as(s"band_$b")
+      bandKeyExpr(b).as(s"band_$b")
     }: _*)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
     val banded = withBands.select(col("doc_id"), col("lang"),
@@ -239,6 +242,29 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), (inter.cast("double") / union).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
+
+  private val q44Sql =
+    s"""WITH th AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |sig AS (
+       |  SELECT doc_id, lang, [
+       |      $minhashMinsSql] AS mh FROM th),
+       |bands AS (
+       |  SELECT doc_id, lang, t.b AS bi, ${bandKeySql("t.b")} AS band_key
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
+       |    AND a.lang = b.lang AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |    / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+       |FROM cand c
+       |JOIN th ta ON c.id_a = ta.doc_id
+       |JOIN th tb ON c.id_b = tb.doc_id
+       |WHERE 10 * len(list_intersect(ta.toks, tb.toks))
+       |  >= 9 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash (32-bit) per document from distinct-token hashes — hamming-
     * proximity fingerprints for near-dup bucketing. Pure integer math →
@@ -282,9 +308,13 @@ object DedupQueries {
     * union-find map (8 B/vertex + overhead) — fine while the largest
     * block's vertex set fits an executor (~100 M vertices/task); beyond
     * that, sub-block by a second key or switch to the iterative form.
-    * Deterministic (min doc_id per component is order-independent); not
-    * ANSI-SQL-expressible in DuckDB 1.0 (no aggregates in recursive CTEs)
-    * → rows-only check + DedupSimilaritySpec union-find reference.
+    * Deterministic (min doc_id per component is order-independent).
+    * Since round 3 fully hash-oracled: the mirror computes the
+    * reachability closure with a recursive CTE (no aggregate inside the
+    * recursion — the min-label collapses AFTER; closure size is
+    * Σ component², fine at oracle scale) and takes min-reachable per
+    * vertex. DedupSimilaritySpec keeps the independent union-find
+    * reference.
     */
   private def q58(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -320,6 +350,24 @@ object DedupQueries {
       .select(col("label").as("canonical_id"), col("cluster_size"))
       .orderBy("canonical_id")
   }
+
+  private val q58Sql =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE 10 * len(list_intersect(a.toks, b.toks))
+       |    >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.r FROM reach r JOIN edges e ON r.v = e.a),
+       |labels AS (SELECT v AS doc_id, min(r) AS label FROM reach GROUP BY v)
+       |SELECT label AS canonical_id, count(*) AS cluster_size
+       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Edit-distance near-dup detection: Levenshtein ≤ 3 over 16-char
     * prefixes within lang blocks. Pure integer DP → identical in both
@@ -435,17 +483,35 @@ object DedupQueries {
     * Spark-only and unmirrorable in the oracle). Shared by q129's
     * streaming batches and nothing else; q44 keeps xxhash64 (no oracle).
     */
+  /** Arithmetic band key over the 16-min signature columns `mh_0..mh_15`:
+    * polynomial combine mod p (intermediates < 2^63, single final mod) —
+    * identical in Spark and the SQL mirror, which is what lets the LSH
+    * queries be hash-oracled (xxhash64 would be Spark-only). Shared by
+    * q44 and q129.
+    */
+  private def bandKeyExpr(b: Int): Column =
+    (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
+      acc * 31 + col(s"mh_${b * 4 + r}")) % P
+
+  /** The SQL mirror of [[bandKeyExpr]] over a DuckDB list column `mh`. */
+  private def bandKeySql(b: String): String =
+    s"(((($b * 31 + mh[$b * 4 + 1]) * 31 + mh[$b * 4 + 2]) * 31 " +
+      s"+ mh[$b * 4 + 3]) * 31 + mh[$b * 4 + 4]) % $P"
+
+  /** The 16 per-permutation minima as SQL over a token-hash list `toks`. */
+  private def minhashMinsSql: String =
+    minhashParams.map { case (a, b) =>
+      s"list_min(list_transform(toks, x -> (x * $a + $b) % $P))"
+    }.mkString(",\n      ")
+
   private def bandFrame(docs: DataFrame): DataFrame = {
     val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"mh_$i")
     }
     val sig = docs.select(col("doc_id"), explode(hashedToks(col("text"))).as("h"))
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    def bandKey(b: Int): Column =
-      (0 until 4).foldLeft(lit(b.toLong): Column)((acc, r) =>
-        acc * 31 + col(s"mh_${b * 4 + r}")) % P
     sig.select(col("doc_id"),
-      explode(array((0 until 4).map(bandKey): _*)).as("band_key"))
+      explode(array((0 until 4).map(bandKeyExpr): _*)).as("band_key"))
   }
 
   /** Streaming ingest near-dup filter (the "don't ingest what the corpus
@@ -551,11 +617,11 @@ object DedupQueries {
     QueryDef("q129_stream_dedup_lsh", q129, Some(q129Sql),
       "streaming LSH near-dup ingest filter against a fingerprint store"),
     QueryDef("q81_simhash_pairs", q81, Some(q81Sql), "pigeonhole simhash pairs (exact recall)"),
-    QueryDef("q58_dup_clusters", q58, None, "connected-components dup clustering (see DedupSimilaritySpec)"),
+    QueryDef("q58_dup_clusters", q58, Some(q58Sql), "connected-components dup clustering (recursive-CTE oracle)"),
     QueryDef("q59_edit_distance", q59, Some(q59Sql), "prefix-bounded Levenshtein near-dup"),
     QueryDef("q41_dedup_exact", q41, Some(q41Sql), "exact content dedup"),
     QueryDef("q42_jaccard_pairs", q42, Some(q42Sql), "blocked token-set Jaccard >=0.9"),
     QueryDef("q43_ngram_jaccard", q43, Some(q43Sql), "word-bigram Jaccard >=0.1"),
-    QueryDef("q44_minhash_lsh", q44, None, "MinHash 4x4 LSH banded dedup (probabilistic; see DedupSimilaritySpec)"),
+    QueryDef("q44_minhash_lsh", q44, Some(q44Sql), "MinHash 4x4 LSH banded dedup (full pipeline oracled; recall in DedupSimilaritySpec)"),
     QueryDef("q45_simhash", q45, Some(q45Sql), "32-bit SimHash fingerprint"))
 }

@@ -248,9 +248,12 @@ object SimilarityQueries {
     * signatures (8 pinned hyperplanes): bucket on (table, sign-pair),
     * candidate pairs within a bucket, verify with exact cosine ≥ 0.4.
     * Hyperplanes are pinned pseudo-random constants (integer LCG over the
-    * index — seedless, reproducible). Probabilistic recall (~0.87 per-pair
-    * at the low 0.4 bar with 4×2) → no SQL oracle; rows-only +
-    * recall/precision bounds in DedupSimilaritySpec.
+    * index — seedless, reproducible). Recall vs exact stays probabilistic
+    * (~0.87 per-pair at the low 0.4 bar with 4×2; bounds in
+    * DedupSimilaritySpec), but the pipeline is deterministic, so since
+    * round 3 it is fully hash-oracled: the SQL mirror regenerates the
+    * hyperplanes from the same LCG and replays buckets → candidates →
+    * exact-cosine verify.
     */
   private val hyperplanes: Seq[Seq[Double]] =
     (0 until 8).map { i =>
@@ -289,6 +292,30 @@ object SimilarityQueries {
           col("norm_a"), col("norm_b")).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("id_a", "id_b")
+  }
+
+  private val q80Sql = {
+    // hyperplane value for table-index expression `i` (SQL), 1-based dim k:
+    // identical arithmetic to the Scala `hyperplanes` LCG above
+    def hpv(i: String, k: String) =
+      s"((CAST((((($i) * 64 + $k) * 2654435761) % 4093) AS DOUBLE) / 4093.0) * 2.0 - 1.0)"
+    def dotHp(i: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"k -> CAST(embedding[k] AS DOUBLE) * ${hpv(i, "k")})), (x, y) -> x + y)"
+    s"""WITH sigs AS (
+       |  SELECT vec_id,
+       |    t.t * 4 + CAST(${dotHp("2 * t.t")} >= 0 AS INT) * 2
+       |            + CAST(${dotHp("2 * t.t + 1")} >= 0 AS INT) AS bucket
+       |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS t) t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b, ${sqlCos("ea.embedding", "eb.embedding")} AS cos
+       |FROM cand c
+       |JOIN embeddings ea ON c.id_a = ea.vec_id
+       |JOIN embeddings eb ON c.id_b = eb.vec_id
+       |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Product-quantization encoding (the FAISS IVF-PQ compression step —
@@ -353,7 +380,7 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q133_pq_encode", q133, Some(q133Sql),
       "product-quantization encoding (per-subspace nearest-code argmin)"),
-    QueryDef("q80_ann_rplsh", q80, None, "random-hyperplane LSH near-dup (see DedupSimilaritySpec)"),
+    QueryDef("q80_ann_rplsh", q80, Some(q80Sql), "random-hyperplane LSH near-dup (pipeline oracled; recall in DedupSimilaritySpec)"),
     QueryDef("q55_centroids", q55, Some(q55Sql), "k-means/IVF centroid train step"),
     QueryDef("q86_kmeans_assign", q86, Some(q86Sql), "k-means assignment step (Lloyd E-step)"),
     QueryDef("q46_cosine_pairs", q46, Some(q46Sql), "blocked cosine near-dup pairs"),
