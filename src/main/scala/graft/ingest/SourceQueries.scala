@@ -272,10 +272,66 @@ object SourceQueries {
       |  CAST(sum(val) AS BIGINT) AS v_sum
       |FROM g GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** XML round trip (Spark 4 ships the spark-xml source natively —
+    * completing the text-format inventory: CSV q70, JSONL q95, XML here).
+    * Values travel as typed XML elements and come back through an
+    * explicit schema; the aggregate must equal the parquet-sourced
+    * oracle. Long/string columns only — XML serializes doubles in
+    * engine-specific text forms.
+    */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_xml_").toString + "/events_xml"
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "events").option("rowTag", "event").save(dir)
+    s.read.format("xml").option("rowTag", "event")
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("user_id", LongType)))).load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min("event_id").as("first_event"))
+      .orderBy("event_type")
+  }
+
+  private val q134Sql =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS first_event
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** VARIANT shredding (Spark 4's semi-structured type): the JSON payload
+    * parses once into a binary VARIANT and fields extract with
+    * `variant_get` path expressions — the modern replacement for
+    * repeated `get_json_object` string re-parsing (one parse per row,
+    * typed access, open schema). The oracle reads the same paths with
+    * DuckDB's JSON extraction.
+    */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val q135Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),
     QueryDef("q119_orc_roundtrip", q119, Some(q119Sql), "ORC source write/read round trip"),
     QueryDef("q126_dsv2_source", q126, Some(q126Sql), "custom DataSource V2 scan (splits + pruning)"),
+    QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
+    QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),
     QueryDef("q70_csv_roundtrip", q70, Some(q70Sql), "S3-S6 CSV write/read round trip"),
     QueryDef("q71_sql_catalog", q71, Some(q71Sql), "S12/S13 saveAsTable + spark.sql scan"),
