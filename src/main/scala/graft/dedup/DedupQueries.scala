@@ -525,11 +525,21 @@ object DedupQueries {
     * batch-slicing-independent and SQL-expressible, so the streaming run
     * is hash-checked against a batch oracle (stream ≡ batch).
     *
-    * At 100 TB: the store is a bucketed table keyed by band_key; the
-    * per-batch probe is a narrow (band_key, doc_id) join touching only
-    * matching buckets, and the store append is blind. State grows with
-    * the corpus, not the stream — which is why it lives in a table, not
-    * in executor memory.
+    * Store layout IS the scale argument, not just a comment: the store
+    * is written `partitionBy(kind, bkt)` where `bkt = band_key mod 16`,
+    * and the per-batch probe reads it with partition filters — only the
+    * `kind=b` partitions whose bucket appears in the batch are opened
+    * (accept-mark files are never touched by the probe). At 100 TB the
+    * bucket count grows with the corpus but the mechanism is identical:
+    * a narrow (band_key, doc_id) join against matching buckets only,
+    * and a blind append. State grows with the corpus, not the stream —
+    * which is why it lives in a table, not in executor memory.
+    *
+    * Harness note: the MemoryStream feed `collect()`s the documents
+    * table to the driver to slice it into micro-batches — a test-feed
+    * convenience bounded by testdata size. A production ingest replaces
+    * the feed with a real source (file/Kafka); the store/probe side has
+    * no driver materialization anywhere.
     */
   private def q129(s: SparkSession, d: String): DataFrame =
     q129WithSlices(s, d, 3) // 3 micro-batches: cross-batch store probes
@@ -540,12 +550,17 @@ object DedupQueries {
     * at different slicings and asserts identical output (the acceptance
     * rule is provably batch-boundary-independent; this pins it).
     */
+  /** Bucket count for the fingerprint-store layout (band_key mod 16).
+    * Testdata-sized; a 100 TB deployment raises it with corpus size —
+    * the probe cost is per-matching-bucket either way.
+    */
+  private val q129StoreBuckets = 16
+
   private[graft] def q129WithSlices(s: SparkSession, d: String, nSlices: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Pipeline
-    val store = java.nio.file.Files.createTempDirectory("graft_lsh_store_")
-      .toString + "/store"
+    val store = graft.util.TempDirs.create("graft_lsh_store_") + "/store"
     val input = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .orderBy("doc_id").as[DocRow].collect().toSeq
     val slice = math.max(1, (input.size + nSlices - 1) / nSlices)
@@ -557,15 +572,25 @@ object DedupQueries {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
           // one store, two row kinds ('b' = band fingerprint, 'a' = accept
-          // mark), ONE append per batch: a micro-batch is one action, and a
-          // batch that fails mid-write can't leave bands without its accept
-          // marks. At 100 TB the store is a table bucketed by k; the probe
-          // below touches only matching buckets and the append is blind.
+          // mark), ONE append per batch: a batch that fails mid-write
+          // can't leave bands without its accept marks. The store is laid
+          // out partitionBy(kind, bkt): the probe below opens only the
+          // kind=b partitions whose bucket appears in this batch
+          // (PartitionFilters — accept marks and non-matching buckets are
+          // never read), and the append is blind. `bands` is cached for
+          // the batch: the bucket-list collect doubles as the cache fill,
+          // so the minhash aggregation runs once, not once per consumer.
           val bands = bandFrame(batch)
+            .withColumn("bkt", pmod(col("band_key"), lit(q129StoreBuckets)).cast("int"))
+            .cache()
+          val batchBkts = bands.select("bkt").distinct()
+            .collect().map(_.getInt(0)).sorted
           val storeDup =
             if (new java.io.File(store).exists)
               bands.join(
-                sp.read.parquet(store).filter(col("kind") === "b")
+                sp.read.parquet(store)
+                  .filter(col("kind") === "b" &&
+                    col("bkt").isin(batchBkts.map(Int.box): _*))
                   .select(col("k").as("band_key")),
                 "band_key").select("doc_id")
             else bands.filter(lit(false)).select("doc_id")
@@ -574,9 +599,12 @@ object DedupQueries {
             .filter(col("doc_id") > col("first_id")).select("doc_id")
           val accepted = batch.select("doc_id")
             .join(storeDup.unionAll(batchDup), Seq("doc_id"), "left_anti")
-          bands.select(lit("b").as("kind"), col("band_key").as("k"))
-            .unionAll(accepted.select(lit("a").as("kind"), col("doc_id").as("k")))
-            .coalesce(1).write.mode("append").parquet(store)
+          bands.select(lit("b").as("kind"), col("bkt"), col("band_key").as("k"))
+            .unionAll(accepted.select(lit("a").as("kind"),
+              lit(-1).cast("int").as("bkt"), col("doc_id").as("k")))
+            .coalesce(1).write.mode("append")
+            .partitionBy("kind", "bkt").parquet(store)
+          bands.unpersist()
           ()
         }
         .queryName("graft_q129").start()

@@ -25,7 +25,7 @@ object SourceQueries {
     * table.
     */
   private def q70(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_csv_").toString + "/events_csv"
+    val dir = graft.util.TempDirs.create("graft_csv_") + "/events_csv"
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
@@ -57,7 +57,7 @@ object SourceQueries {
     * twice and infers per-file types that can disagree across shards.
     */
   private def q95(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_jsonl_").toString + "/events_json"
+    val dir = graft.util.TempDirs.create("graft_jsonl_") + "/events_json"
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
       .write.mode("overwrite").json(dir)
@@ -84,7 +84,7 @@ object SourceQueries {
     * clean.
     */
   private def q71(s: SparkSession, d: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_tbl_").toString + "/orders_by_month"
+    val path = graft.util.TempDirs.create("graft_tbl_") + "/orders_by_month"
     s.sql("DROP TABLE IF EXISTS graft_orders_by_month")
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("long").as("y"),
@@ -161,7 +161,7 @@ object SourceQueries {
     * local merge. PlanSpec asserts the absence of Exchange above the scans.
     */
   private def q74(s: SparkSession, d: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_bucketed_").toString
+    val wh = graft.util.TempDirs.create("graft_bucketed_")
     s.sql("DROP TABLE IF EXISTS graft_orders_b")
     s.sql("DROP TABLE IF EXISTS graft_customer_b")
     Tables.orders(s, d)
@@ -192,7 +192,7 @@ object SourceQueries {
     * decision that bounds every selective 100 TB query.
     */
   private def q75(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_part_").toString + "/events_by_type"
+    val dir = graft.util.TempDirs.create("graft_part_") + "/events_by_type"
     Tables.events(s, d)
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
     s.read.parquet(dir)
@@ -226,7 +226,7 @@ object SourceQueries {
     * included (ORC stores IEEE754 bits, not decimal strings).
     */
   private def q119(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_orc_").toString + "/orders_orc"
+    val dir = graft.util.TempDirs.create("graft_orc_") + "/orders_orc"
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
         col("o_totalprice"))
@@ -280,7 +280,7 @@ object SourceQueries {
     * engine-specific text forms.
     */
   private def q134(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_xml_").toString + "/events_xml"
+    val dir = graft.util.TempDirs.create("graft_xml_") + "/events_xml"
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("user_id"))
       .write.mode("overwrite").format("xml")

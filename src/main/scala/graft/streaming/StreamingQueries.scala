@@ -59,7 +59,7 @@ object StreamingQueries {
     */
   private def q61(s: SparkSession, d: String): DataFrame = {
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
-    val dir = Files.createTempDirectory("graft_upsert_").toString
+    val dir = graft.util.TempDirs.create("graft_upsert_")
     Pipeline.withShufflePartitions(s, 8) {
       Pipeline.runSliced(s, eventsSeq, 100, "graft_q61_sink")(
         ds => Pipeline.enrich(ds.toDF()))(
@@ -114,7 +114,7 @@ object StreamingQueries {
     */
   private def q108(s: SparkSession, d: String): DataFrame = {
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
-    val dir = Files.createTempDirectory("graft_incr_agg_").toString
+    val dir = graft.util.TempDirs.create("graft_incr_agg_")
     def mergeBatch(batch: DataFrame, @annotation.unused id: Long): Unit = {
       val delta = batch.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -181,7 +181,7 @@ object StreamingQueries {
     */
   private def q63(s: SparkSession, d: String): DataFrame = {
     val eventsSeq = Pipeline.collectEvents(s, d, 1000)
-    val dir = Files.createTempDirectory("graft_anomaly_").toString
+    val dir = graft.util.TempDirs.create("graft_anomaly_")
     Pipeline.withShufflePartitions(s, 8) {
       Pipeline.runSliced(s, eventsSeq, 250, "graft_q63_sink")(_.toDF())(
         Some((batch, id) =>
