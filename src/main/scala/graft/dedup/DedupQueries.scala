@@ -572,8 +572,10 @@ object DedupQueries {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
           // one store, two row kinds ('b' = band fingerprint, 'a' = accept
-          // mark), ONE append per batch: a batch that fails mid-write
-          // can't leave bands without its accept marks. The store is laid
+          // mark), ONE write job per batch. With partitionBy(kind, bkt)
+          // the job commits several files, so bands-without-marks safety
+          // rests on the committer's job-level commit (not a single-file
+          // rename). The store is laid
           // out partitionBy(kind, bkt): the probe below opens only the
           // kind=b partitions whose bucket appears in this batch
           // (PartitionFilters — accept marks and non-matching buckets are
@@ -583,28 +585,29 @@ object DedupQueries {
           val bands = bandFrame(batch)
             .withColumn("bkt", pmod(col("band_key"), lit(q129StoreBuckets)).cast("int"))
             .cache()
-          val batchBkts = bands.select("bkt").distinct()
-            .collect().map(_.getInt(0)).sorted
-          val storeDup =
-            if (new java.io.File(store).exists)
-              bands.join(
-                sp.read.parquet(store)
-                  .filter(col("kind") === "b" &&
-                    col("bkt").isin(batchBkts.map(Int.box): _*))
-                  .select(col("k").as("band_key")),
-                "band_key").select("doc_id")
-            else bands.filter(lit(false)).select("doc_id")
-          val firsts = bands.groupBy("band_key").agg(min("doc_id").as("first_id"))
-          val batchDup = bands.join(firsts, "band_key")
-            .filter(col("doc_id") > col("first_id")).select("doc_id")
-          val accepted = batch.select("doc_id")
-            .join(storeDup.unionAll(batchDup), Seq("doc_id"), "left_anti")
-          bands.select(lit("b").as("kind"), col("bkt"), col("band_key").as("k"))
-            .unionAll(accepted.select(lit("a").as("kind"),
-              lit(-1).cast("int").as("bkt"), col("doc_id").as("k")))
-            .coalesce(1).write.mode("append")
-            .partitionBy("kind", "bkt").parquet(store)
-          bands.unpersist()
+          try {
+            val batchBkts = bands.select("bkt").distinct()
+              .collect().map(_.getInt(0)).sorted
+            val storeDup =
+              if (new java.io.File(store).exists)
+                bands.join(
+                  sp.read.parquet(store)
+                    .filter(col("kind") === "b" &&
+                      col("bkt").isin(batchBkts.map(Int.box): _*))
+                    .select(col("k").as("band_key")),
+                  "band_key").select("doc_id")
+              else bands.filter(lit(false)).select("doc_id")
+            val firsts = bands.groupBy("band_key").agg(min("doc_id").as("first_id"))
+            val batchDup = bands.join(firsts, "band_key")
+              .filter(col("doc_id") > col("first_id")).select("doc_id")
+            val accepted = batch.select("doc_id")
+              .join(storeDup.unionAll(batchDup), Seq("doc_id"), "left_anti")
+            bands.select(lit("b").as("kind"), col("bkt"), col("band_key").as("k"))
+              .unionAll(accepted.select(lit("a").as("kind"),
+                lit(-1).cast("int").as("bkt"), col("doc_id").as("k")))
+              .coalesce(1).write.mode("append")
+              .partitionBy("kind", "bkt").parquet(store)
+          } finally bands.unpersist()
           ()
         }
         .queryName("graft_q129").start()

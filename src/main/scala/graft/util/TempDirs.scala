@@ -14,7 +14,10 @@ object TempDirs {
   private val registered = mutable.ArrayBuffer.empty[Path]
 
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    registered.synchronized(registered.foreach(deleteRecursively))))
+    registered.synchronized(registered.foreach { p =>
+      try deleteRecursively(p)
+      catch { case e: java.io.IOException => System.err.println(s"TempDirs: could not delete $p: ${e.getMessage}") }
+    })))
 
   /** Create a registered temp directory; returns its absolute path. */
   def create(prefix: String): String = {
@@ -25,7 +28,9 @@ object TempDirs {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
+      scala.util.Using.resource(Files.walk(p)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      }
     }
 }
