@@ -27,6 +27,7 @@ object Registry {
       relational.OperatorQueries.defs ++
       pipeline.PipelineQueries.defs ++
       ml.MlPrepQueries.defs ++
+      ml.MlTrainQueries.defs ++
       curation.CurationQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

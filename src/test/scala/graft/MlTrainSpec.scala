@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit invariants for the ML training operators (q136 SMOTE, q137 hinge
+  * trainer); exact cross-engine parity is the DuckDB oracle's job.
+  */
+class MlTrainSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = TestSpark.sf
+
+  test("q137 hinge trainer: loss strictly decreases every iteration") {
+    val rows = Registry.queries("q137_hinge_sgd")(spark, sf)
+      .orderBy("iter").collect()
+    assert(rows.length == 6)
+    val losses = rows.map(_.getLong(1))
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"loss did not decrease: ${losses.mkString(", ")}")
+    }
+    // weights actually moved off the origin
+    assert(rows.last.toSeq.drop(2).asInstanceOf[Seq[Long]].exists(_ != 0L))
+  }
+
+  test("q136 SMOTE: synthesis exactly balances every class to the majority size") {
+    val orig = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxn = orig.values.max
+    val synth = Registry.queries("q136_smote_oversample")(spark, sf)
+      .groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    orig.foreach { case (lbl, n) =>
+      assert(n + synth.getOrElse(lbl, 0L) == maxn,
+        s"label $lbl: $n orig + ${synth.getOrElse(lbl, 0L)} synth != $maxn")
+    }
+    // majority class synthesizes nothing
+    assert(synth.keySet.forall(l => orig(l) < maxn))
+  }
+
+  test("q136 SMOTE: synthesized points lie on the segment between endpoints") {
+    val out = Registry.queries("q136_smote_oversample")(spark, sf).limit(50).collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.foreach { r =>
+      val (src, nbr) = (r.getLong(1), r.getLong(2))
+      val zs = Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      zs.zipWithIndex.foreach { case (z, j) =>
+        val (x, y) = (emb(src)(j).toDouble, emb(nbr)(j).toDouble)
+        val (lo, hi) = (math.min(x, y), math.max(x, y))
+        assert(z >= lo - 1e-9 && z <= hi + 1e-9,
+          s"z$j=$z outside [$lo, $hi] for src=$src nbr=$nbr")
+      }
+    }
+  }
+}
