@@ -107,32 +107,50 @@ object Pipeline {
       Features.timeOfDay(ts).as("time_of_day"))
   }
 
-  /** Keyed last-write-wins upsert of a micro-batch into a parquet dir.
-    * Reads current state, unions the batch, keeps the highest event_id per
-    * user, rewrites. At cluster scale this is a Delta MERGE on a table
-    * partitioned by bucket(user_id); the read-modify-write here preserves
-    * identical semantics.
+  /** Bucket count for the keyed upsert store layout. Sized to the
+    * testdata key space (~150 users); a production table raises it with
+    * key cardinality — per-batch cost stays ∝ touched buckets either way.
+    */
+  val UpsertBuckets = 8
+
+  /** Keyed last-write-wins upsert of a micro-batch into a parquet store
+    * laid out `partitionBy(bkt = user_id mod UpsertBuckets)` — the
+    * bucket-wise MERGE shape: only buckets containing one of the batch's
+    * keys are read (partition filter on the probe) and only those buckets
+    * are rewritten (dynamic partition overwrite); untouched buckets are
+    * never opened. Rewrite cost is ∝ the batch's key spread, NOT the
+    * total store size. At cluster scale this is a Delta/Hudi MERGE on a
+    * table bucketed by key; the mechanism here is identical, minus the
+    * transaction log.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val b = batch.withColumn("bkt",
+      pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
+    // restrict the store read to the batch's buckets via a broadcast
+    // semi-join on the partition column — dynamic partition pruning skips
+    // the untouched bucket directories at runtime, with no extra driver
+    // round-trip (a collect()ed IN-list would cost one job per batch)
+    val bktSet = b.select("bkt").distinct()
     val existing =
       if (Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
         spark.read.parquet(dir)
-      else batch.limit(0)
+          .join(broadcast(bktSet), Seq("bkt"), "left_semi")
+      else b.limit(0)
     val w = Window.partitionBy("user_id").orderBy(desc("event_id"))
-    val merged = existing.unionByName(batch)
+    val merged = existing.unionByName(b)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-    // rewrite to a fresh dir then swap (parquet has no transactional MERGE)
-    val tmp = dir + ".tmp"
-    // one file per rewrite: the keyed store here is tiny (≤ |distinct keys|
-    // rows), and N-file writes make the NEXT batch's read list N files — at
-    // cluster scale the store is bucketed by key and MERGE touches only
-    // changed buckets, so single-file here mirrors "one bucket rewritten"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    // dynamic overwrite replaces exactly the partitions present in
+    // `merged` = the touched buckets (each holds ≥1 batch row by
+    // construction); coalesce(1) keeps each bucket a single file so the
+    // next probe's file list stays ∝ buckets, not ∝ batches
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.coalesce(1).write.mode("overwrite")
+        .partitionBy("bkt").parquet(dir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   /** Batch-local Z-score anomalies (ST4): mean/std of THIS micro-batch
