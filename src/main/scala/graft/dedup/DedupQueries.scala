@@ -46,6 +46,103 @@ object DedupQueries {
   private val hashedToksSql: String =
     s"list_transform(list_distinct(string_split(text, ' ')), t -> ${Det.polyHashSql("t")})"
 
+  /** Block-size cap for the exact pairwise queries (q42/q43): blocks with
+    * more rows than this route through [[prefixCandidates]] instead of the
+    * all-pairs self-join. Testdata blocks (≤ ~1000 docs/lang at sf0.1)
+    * stay on the measured-faster self-join; the cap exists so a skewed
+    * 100 TB corpus (one language dominating a crawl) cannot go
+    * block-quadratic — DedupSimilaritySpec exercises the capped path on a
+    * synthetic skewed corpus and pins capped ≡ uncapped output.
+    */
+  private[graft] val BlockCap = 2048
+
+  /** The per-lang stats job behind the [[jaccardPairs]] routing decision
+    * costs ~1 s of fixed local job overhead — noise for any corpus whose
+    * pairwise join is the real cost, pure waste on a single small testdata
+    * file where no block CAN exceed [[BlockCap]]. Gate it on driver-side
+    * file metadata (one stat syscall — the decision a table catalog's
+    * row-count statistics would make for free at cluster scale): a single
+    * parquet file under 64 MB cannot hold a block worth capping.
+    */
+  private def langStatsFrame(s: SparkSession, d: String): Option[DataFrame] = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    if (f.isFile && f.length < 64L * 1024 * 1024) None
+    else Some(Tables.documents(s, d).select("lang"))
+  }
+
+  /** Prefix-filtered candidate pairs (AllPairs/PPJoin): for Jaccard ≥
+    * num/den, two sorted sets must share an element within the first
+    * |x| − ⌈(num/den)·|x|⌉ + 1 elements of each (else their intersection
+    * fits in the remaining suffix and is provably < t·|x∪y|). Exploding
+    * only that prefix into a posting list keeps candidates near-linear on
+    * skewed blocks while staying EXACT — no recall loss, unlike LSH.
+    * Input frame: (doc_id, lang, arr sorted ascending); nonempty arrays
+    * (guaranteed by both callers). Output: distinct (lang, id_a, id_b).
+    */
+  private[graft] def prefixCandidates(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    val prefLen = size(col("arr")) -
+      expr(s"(($num * size(arr)) + $den - 1) div $den") + 1
+    val posts = docs.select(col("lang"), col("doc_id"),
+      explode(slice(col("arr"), lit(1), prefLen)).as("p"))
+    posts.select(col("lang"), col("p"), col("doc_id").as("id_a"))
+      .join(posts.select(col("lang"), col("p"), col("doc_id").as("id_b")),
+        Seq("lang", "p"))
+      .filter(col("id_a") < col("id_b"))
+      .select("lang", "id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact blocked pairwise Jaccard with the skew guard: blocks at or
+    * under `cap` use the all-pairs self-join + native sorted intersect
+    * (fastest on this dup-heavy testdata — see q43's measured
+    * comparison); blocks above it generate candidates via
+    * [[prefixCandidates]] first. Both paths end in the same exact verify,
+    * so output is independent of routing.
+    *
+    * Routing is decided driver-side from per-block counts (an AQE-style
+    * stats decision; the collect is bounded by |distinct langs| rows, a
+    * handful even at 100 TB) so the common no-skew case compiles to
+    * exactly the plain self-join plan — no extra joins, unions, or empty
+    * stages on the hot path.
+    */
+  private[graft] def jaccardPairs(docs: DataFrame, num: Int, den: Int,
+      cap: Int, countsFrom: Option[DataFrame]): DataFrame = {
+    val inter = sortedIntersectCount(col("arr_a"), col("arr_b"))
+    val union = size(col("arr_a")) + size(col("arr_b")) - inter
+    def verify(pairs: DataFrame) = pairs
+      .filter(inter * den >= union * num)
+      .select(col("id_a"), col("id_b"), (inter.cast("double") / union).as("jaccard"))
+    def selfJoin(df: DataFrame) = df
+      .select(col("doc_id").as("id_a"), col("lang"), col("arr").as("arr_a"))
+      .join(df.select(col("doc_id").as("id_b"), col("lang"),
+        col("arr").as("arr_b")), Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "arr_a", "arr_b")
+    // block counts come from `countsFrom` (callers pass a bare lang-column
+    // projection of the base table, or None to skip stats), NOT from
+    // `docs`: counting the array frame would force its cache to
+    // materialize in a separate serial job before the join can start
+    // (+1.2 s measured at sf0.1). Counting can only over-estimate a block
+    // (docs may drop rows), which at worst routes a borderline block
+    // through the capped path — results are routing-independent either way.
+    val bigLangs = countsFrom.fold(Array.empty[String])(
+      _.groupBy("lang").agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).select("lang")
+        .collect().map(_.getString(0)).sorted)
+    val pairs =
+      if (bigLangs.isEmpty) selfJoin(docs)
+      else {
+        val big = docs.filter(col("lang").isin(bigLangs.map(x => x: Any): _*))
+        val small = docs.filter(!col("lang").isin(bigLangs.map(x => x: Any): _*))
+        val bigPairs = prefixCandidates(big, num, den)
+          .join(big.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
+          .join(big.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
+          .select("id_a", "id_b", "arr_a", "arr_b")
+        selfJoin(small).unionAll(bigPairs)
+      }
+    verify(pairs).orderBy("id_a", "id_b")
+  }
+
   /** Exact dedup (hash-groupBy on content): canonical id + group size.
     * One shuffle on the text hash; at scale, group on a 128-bit content
     * hash instead of the raw text to keep shuffle rows narrow.
@@ -67,18 +164,9 @@ object DedupQueries {
     */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
       .cache() // evaluate token hashing once per doc, not per pair (see q43)
-    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("toks").as("toks_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("toks").as("toks_b"))
-    val inter = sortedIntersectCount(col("toks_a"), col("toks_b"))
-    val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    a.join(b, Seq("lang"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(inter * 10 >= union * 9)
-      .select(col("id_a"), col("id_b"),
-        (inter.cast("double") / union).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    jaccardPairs(docs, 9, 10, BlockCap, langStatsFrame(s, d))
   }
 
   private val q42Sql =
@@ -137,18 +225,9 @@ object DedupQueries {
     // inverted-index build feeding a pair-count).
     val docsArr = postings
       .groupBy("doc_id", "lang")
-      .agg(sort_array(collect_list(col("g"))).as("bg"))
+      .agg(sort_array(collect_list(col("g"))).as("arr"))
       .cache() // evaluate shingle arrays once per doc, not per pair
-    val pa = docsArr.select(col("doc_id").as("id_a"), col("lang"), col("bg").as("bg_a"))
-    val pb = docsArr.select(col("doc_id").as("id_b"), col("lang"), col("bg").as("bg_b"))
-    val inter = sortedIntersectCount(col("bg_a"), col("bg_b"))
-    val union = size(col("bg_a")) + size(col("bg_b")) - inter
-    pa.join(pb, Seq("lang"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(inter * 10 >= union)
-      .select(col("id_a"), col("id_b"),
-        (inter.cast("double") / union).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    jaccardPairs(docsArr, 1, 10, BlockCap, langStatsFrame(s, d))
   }
 
   private val q43Sql =
@@ -586,14 +665,21 @@ object DedupQueries {
             .withColumn("bkt", pmod(col("band_key"), lit(q129StoreBuckets)).cast("int"))
             .cache()
           try {
+            // ONE action per batch (the store write): every consumer of
+            // `bands` below reads the InMemoryRelation filled during that
+            // job — no separate materialization action (foreachBatch
+            // actions are ~1.5 s fixed cost each locally, lesson 10). The
+            // store probe is restricted to the batch's buckets via a
+            // broadcast semi-join on the partition column — dynamic
+            // partition pruning opens only matching kind=b bucket
+            // directories, with no per-batch driver round-trip
             val batchBkts = bands.select("bkt").distinct()
-              .collect().map(_.getInt(0)).sorted
             val storeDup =
               if (new java.io.File(store).exists)
                 bands.join(
                   sp.read.parquet(store)
-                    .filter(col("kind") === "b" &&
-                      col("bkt").isin(batchBkts.map(Int.box): _*))
+                    .filter(col("kind") === "b")
+                    .join(broadcast(batchBkts), Seq("bkt"), "left_semi")
                     .select(col("k").as("band_key")),
                   "band_key").select("doc_id")
               else bands.filter(lit(false)).select("doc_id")

@@ -197,4 +197,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(threeBatches.head == (0L -> true))
     assert(threeBatches.exists(!_._2) || threeBatches.forall(_._2))
   }
+
+  test("jaccardPairs skew guard: capped routing is output-identical and candidate-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic skewed corpus, ONE block of 200 docs: 20 near-dups (token
+    // sets pairwise J = 38/42 ≈ 0.905) + 180 mutually disjoint docs — the
+    // "one language dominates the crawl" shape the BlockCap guards against
+    val nearDup = (0 until 20).map { i =>
+      (i.toLong, "xx", ((0L until 40L).filter(_ != i.toLong) :+ (1000L + i)).sorted)
+    }
+    val diverse = (20 until 200).map { i =>
+      (i.toLong, "xx", (0L until 40L).map(10000L + 100L * i + _).sorted)
+    }
+    val docs = (nearDup ++ diverse).toDF("doc_id", "lang", "arr")
+    def run(cap: Int) =
+      graft.dedup.DedupQueries.jaccardPairs(docs, 9, 10, cap, Some(docs.select("lang")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val capped = run(50)      // block of 200 > 50 → prefix-posting path
+    val uncapped = run(1000000) // all-pairs path
+    assert(capped == uncapped, "routing must not change results")
+    assert(capped.length == 20 * 19 / 2, "all near-dup pairs found, none else")
+    // the guard's point: candidates ∝ near-dup mass, not block², on a
+    // skewed-but-diverse block (all-pairs would materialize 19,900 pairs)
+    val cands = graft.dedup.DedupQueries.prefixCandidates(
+      docs.withColumn("n_blk", lit(200L)), 9, 10).count()
+    assert(cands <= 250, s"prefix filter must bound candidates, got $cands")
+  }
 }
