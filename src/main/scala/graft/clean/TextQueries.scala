@@ -165,14 +165,15 @@ object TextQueries {
        |    t -> ${Det.polyHashSql("t")})) AS min_token_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Porter stemming over token lists (F7/U5, NB cell 65). No DuckDB
+  /** Porter2 (Snowball) stemming over token lists (F7/U5, NB cell 65) —
+    * the reference's actual SnowballStemmer algorithm. No DuckDB
     * oracle (the fts/stem extension is unavailable offline) — rows-only
     * check + pinned-value tests in StemmerSpec.
     */
   private def q49(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_join(Stemmer.stemTokens(TextOps.tokens(col("text"))), " ")
+        array_join(Porter2.stemTokens(TextOps.tokens(col("text"))), " ")
           .as("stemmed"))
       .orderBy("doc_id")
 
@@ -353,7 +354,7 @@ object TextQueries {
     QueryDef("q107_approx_percentiles", q107, None, "GK-sketch percentiles (see EdaSpec bound)"),
     QueryDef("q103_sentences", q103, Some(q103Sql), "sentence segmentation + per-sentence stats"),
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
-    QueryDef("q49_stem_tokens", q49, None, "F7 Porter stemmer UDF (see StemmerSpec)"),
+    QueryDef("q49_stem_tokens", q49, None, "F7 Porter2 (Snowball) stemmer UDF (see StemmerSpec)"),
     QueryDef("q57_tfidf_topk", q57, Some(q57Sql), "TF-IDF top-3 keywords per doc"),
     QueryDef("q52_hash_sample", q52, Some(q52Sql), "deterministic stratified sampling"),
     QueryDef("q53_len_percentiles", q53, Some(q53Sql), "exact nearest-rank percentiles"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.clean.{Stemmer, TextOps}
+import graft.clean.{Porter2, TextOps}
 
 /** Property tests promised in SURVEY §5: invariants over generated inputs
   * rather than fixed samples. Column expressions are exercised through a
@@ -56,7 +56,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("stemmer never grows a word and is stable (stem(stem(w)) rarely differs)") {
     forAllSampled(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(20))) { w =>
-      val s1 = Stemmer.stem(w)
+      val s1 = Porter2.stem(w)
       assert(s1.length <= w.length + 1) // +1 for the 1b 'e' restoration
       assert(s1.nonEmpty)
     }
