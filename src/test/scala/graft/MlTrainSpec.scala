@@ -23,6 +23,19 @@ class MlTrainSpec extends AnyFunSuite {
     assert(rows.last.toSeq.drop(2).asInstanceOf[Seq[Long]].exists(_ != 0L))
   }
 
+  test("q138 eval: held-out accuracy beats the always-majority baseline") {
+    val m = Registry.queries("q138_model_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum.toDouble
+    val correct = m.collect { case ((y, p), n) if y == p => n }.sum.toDouble
+    val majority = Seq(1L, -1L)
+      .map(y => m.collect { case ((`y`, _), n) => n }.sum).max.toDouble
+    assert(total > 0)
+    assert(correct / total > majority / total + 0.05,
+      s"accuracy ${correct / total} must clearly beat majority ${majority / total}")
+    assert(correct / total > 0.6, s"accuracy ${correct / total} too low")
+  }
+
   test("q136 SMOTE: synthesis exactly balances every class to the majority size") {
     val orig = Tables.embeddings(spark, sf).groupBy("label").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
