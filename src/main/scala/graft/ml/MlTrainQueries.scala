@@ -331,11 +331,91 @@ object MlTrainQueries {
          |GROUP BY y, pred ORDER BY y, pred""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q139
+
+  /** Exact ROC-AUC of the trained classifier on the held-out split —
+    * the threshold-free companion to q138's accuracy, computed as the
+    * Mann-Whitney U statistic over the INTEGER margins:
+    *
+    *   AUC = (Σ_pos avg_rank − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+    *
+    * with tie groups (equal margins) taking the average rank. Everything
+    * stays integer until the final division: per margin-group
+    * cumulative counts give lo/hi rank bounds, a tie group's summed
+    * positive ranks are pos_cnt·(lo+hi)/2, and doubling through the
+    * algebra clears the halves — so auc_num/auc_den are exact BIGINTs
+    * and the emitted double is one deterministic division. Scale: one
+    * narrow aggregate by margin + one running-sum window over the
+    * distinct margins (here a single ordered pass; at 100 TB swap in
+    * q90's two-level global-rank recipe), then a single-row reduce.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val fx = featureFrame(s, d)
+    val train = fx.filter(col("bkt") < 80)
+    var w = zeroWeights(s)
+    for (_ <- 1 to EvalIters) w = updateWeights(trainStep(train, w), 1, 1)
+    val scored = fx.filter(col("bkt") >= 80).crossJoin(broadcast(w))
+      .select(col("y"), marginExpr.as("m"))
+    val groups = scored.groupBy("m").agg(
+      count(lit(1)).as("cnt"),
+      coalesce(sum(when(col("y") === 1, 1L)), lit(0L)).as("pos"))
+    val win = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = groups.select(col("cnt"), col("pos"),
+      sum(col("cnt")).over(win).as("hi"))
+      .select(col("pos"),
+        // 2·Σ ranks of this group's positives = pos·(lo+hi), lo = hi−cnt+1
+        (col("pos") * (col("hi") * 2 - col("cnt") + 1)).as("r2"))
+    ranked.agg(
+      coalesce(sum("pos"), lit(0L)).as("np"),
+      coalesce(sum("r2"), lit(0L)).as("sum2"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .select(col("np"), (col("n") - col("np")).as("nn"),
+        (col("sum2") - col("np") * (col("np") + 1)).as("auc_num"),
+        (col("np") * (col("n") - col("np")) * 2).as("auc_den"))
+      .select(col("np"), col("nn"), col("auc_num"), col("auc_den"),
+        (col("auc_num").cast("double") / col("auc_den")).as("auc"))
+  }
+
+  private val q139Sql = {
+    val ctes = Seq.newBuilder[String]
+    ctes += featsSql
+    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += zeroWSql
+    for (t <- 0 until EvalIters)
+      ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)
+    "WITH " + ctes.result().mkString(",\n") +
+      s""",
+         |scored AS (
+         |  SELECT f.y, ($marginSql) AS m
+         |  FROM fx f CROSS JOIN w$EvalIters w WHERE f.bkt >= 80),
+         |grp AS (
+         |  SELECT m, count(*) AS cnt,
+         |    CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS pos
+         |  FROM scored GROUP BY m),
+         |rk AS (
+         |  SELECT pos, pos * (2 * sum(cnt) OVER (ORDER BY m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1) AS r2
+         |  FROM grp),
+         |agg AS (
+         |  SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS np,
+         |    CAST(coalesce(sum(r2), 0) AS BIGINT) AS sum2,
+         |    (SELECT count(*) FROM scored) AS n
+         |  FROM rk)
+         |SELECT np, CAST(n - np AS BIGINT) AS nn,
+         |  CAST(sum2 - np * (np + 1) AS BIGINT) AS auc_num,
+         |  CAST(np * (n - np) * 2 AS BIGINT) AS auc_den,
+         |  CAST(sum2 - np * (np + 1) AS DOUBLE) / (np * (n - np) * 2) AS auc
+         |FROM agg""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q136_smote_oversample", q136, Some(q136Sql),
       "deterministic SMOTE minority oversampling (hash-ring neighbors, full-vector oracle)"),
     QueryDef("q137_hinge_sgd", q137, Some(q137Sql),
       "fixed-point batch-subgradient hinge classifier, 5 unrolled iterations"),
     QueryDef("q138_model_eval", q138, Some(q138Sql),
-      "held-out confusion matrix of the fixed-point hinge classifier (slide-16 validation accuracy)"))
+      "held-out confusion matrix of the fixed-point hinge classifier (slide-16 validation accuracy)"),
+    QueryDef("q139_auc", q139, Some(q139Sql),
+      "exact tie-aware ROC-AUC (Mann-Whitney) of the classifier on held-out margins"))
 }

@@ -36,6 +36,16 @@ class MlTrainSpec extends AnyFunSuite {
     assert(correct / total > 0.6, s"accuracy ${correct / total} too low")
   }
 
+  test("q139 AUC: held-out ranking quality is well above chance, ratio consistent") {
+    val r = Registry.queries("q139_auc")(spark, sf).collect()(0)
+    val (np, nn, num, den, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(np > 0 && nn > 0)
+    assert(den == 2 * np * nn)
+    assert(math.abs(auc - num.toDouble / den) < 1e-15)
+    assert(auc > 0.7, s"AUC $auc too close to chance")
+  }
+
   test("q136 SMOTE: synthesis exactly balances every class to the majority size") {
     val orig = Tables.embeddings(spark, sf).groupBy("label").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
