@@ -149,4 +149,27 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("jaccardPairs: capped routing ≡ all-pairs on random corpora (engine-checked)") {
+    // differential fuzz of the round-5 skew guard: random small corpora,
+    // two langs, random sorted-distinct long sets; prefix-posting path
+    // (cap=3 forces it for any block ≥ 4) must emit exactly the all-pairs
+    // result at several thresholds — including boundary-heavy 1/2 sets
+    val setGen = Gen.nonEmptyListOf(Gen.choose(1L, 25L)).map(_.distinct.sorted)
+    val corpusGen = Gen.listOfN(24, Gen.zip(Gen.oneOf("aa", "bb"), setGen))
+    var tested = 0
+    forAllSampled(corpusGen, n = 12) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case ((lang, arr), i) => (i.toLong, lang, arr) }
+        .toDF("doc_id", "lang", "arr")
+      for ((num, den) <- Seq((1, 2), (9, 10), (1, 10))) {
+        def run(cap: Int) = graft.dedup.DedupQueries
+          .jaccardPairs(docs, num, den, cap, Some(docs.select("lang")))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(run(3) == run(1000000), s"divergence at t=$num/$den for $corpus")
+        tested += 1
+      }
+    }
+    assert(tested == 36)
+  }
 }
