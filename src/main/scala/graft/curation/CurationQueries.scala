@@ -320,7 +320,126 @@ object CurationQueries {
        |SELECT a, b, count(*) AS n FROM pairs
        |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+
+  /** Trigram-LM surprise scoring (the perplexity-filter shape from
+    * CCNet/Gopher pipelines — score each document against a language model
+    * built from the corpus itself). Per trigram occurrence the add-one
+    * conditional probability is p = (ct+1)/(cb+V) with ct the corpus
+    * trigram count, cb the context-bigram count, V the unigram vocabulary.
+    *
+    * Exactness discipline (Det's rule: no libm log, no float SUMS): the
+    * per-doc statistics are (a) integer counts — total trigrams, corpus
+    * hapax trigrams, and rare trigrams by the CROSS-MULTIPLIED threshold
+    * `100·(ct+1) < cb+V` (i.e. p < 1/100, no division at all) — and (b)
+    * `min_p`, a MIN over per-row exact integer divisions (one IEEE divide
+    * per row is bit-identical in any engine; min is order-independent,
+    * unlike the Σ log p a textbook perplexity needs). Rankings driven by
+    * rare-fraction + min_p reproduce the perplexity ordering's tails —
+    * which is what the filter acts on.
+    *
+    * Scale: two count aggregates (trigram, bigram) + one join back to the
+    * occurrence stream — all linear, all shuffle-on-gram; V rides along as
+    * a broadcast 1-row frame, not a driver action.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tri = tokenStream(s, d)
+      .select(col("doc_id"), col("w"),
+        lead("w", 1).over(w).as("w1"),
+        lead("w", 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1")).as("big"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+    val ct = tri.groupBy("gram").agg(count(lit(1)).as("ct"))
+    val cb = tri.groupBy("big").agg(count(lit(1)).as("cb"))
+    val vocab = broadcast(
+      tokenStream(s, d).agg(countDistinct(col("w")).as("v")))
+    tri.join(ct, "gram").join(cb, "big").crossJoin(vocab)
+      .select(col("doc_id"), col("ct"), col("cb"), col("v"),
+        ((col("ct") + 1).cast("double") / (col("cb") + col("v")).cast("double"))
+          .as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum((col("ct") === 1).cast("long")).as("n_hapax"),
+        sum((lit(100) * (col("ct") + 1) < col("cb") + col("v")).cast("long"))
+          .as("n_rare"),
+        min("p").as("min_p"))
+      .orderBy("doc_id")
+  }
+
+  private val q142Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |led AS (
+       |  SELECT doc_id, w,
+       |    lead(w, 1) OVER win AS w1,
+       |    lead(w, 2) OVER win AS w2
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |tri AS (
+       |  SELECT doc_id, w || ' ' || w1 AS big, w || ' ' || w1 || ' ' || w2 AS gram
+       |  FROM led WHERE w2 IS NOT NULL),
+       |ct AS (SELECT gram, count(*) AS ct FROM tri GROUP BY gram),
+       |cb AS (SELECT big, count(*) AS cb FROM tri GROUP BY big),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM toks)
+       |SELECT t.doc_id,
+       |  count(*) AS n_tri,
+       |  CAST(sum(CASE WHEN ct.ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST(sum(CASE WHEN 100 * (ct.ct + 1) < cb.cb + vocab.v THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  min(CAST(ct.ct + 1 AS DOUBLE) / CAST(cb.cb + vocab.v AS DOUBLE)) AS min_p
+       |FROM tri t JOIN ct USING (gram) JOIN cb USING (big), vocab
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+
+  /** BPE tokenizer-training pair statistics (the Sennrich et al. 2016
+    * merge-candidate count — the inner loop of byte-pair-encoding
+    * vocabulary induction): count adjacent symbol pairs weighted by WORD
+    * FREQUENCY, i.e. over the vocabulary table, not the raw corpus — the
+    * compression every fast BPE trainer uses (a 100 TB corpus has a
+    * ~10M-row word-frequency table; pair counting is then vocab-sized,
+    * corpus-sized work happens once in the word count). Top-25 pairs by
+    * count = the first-round merge candidates.
+    *
+    * Relational: word-freq aggregate → per-word char stream (posexplode of
+    * the char split, the family's generator spine) → window lead within
+    * the word → weighted pair aggregate. All integers → hash-exact.
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val wf = tokenStream(s, d)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val cw = Window.partitionBy("w").orderBy("cpos")
+    wf.select(col("w"), col("freq"),
+        posexplode(split(col("w"), "")).as(Seq("cpos", "c")))
+      .select(col("w"), col("freq"), col("c").as("a"),
+        lead("c", 1).over(cw).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b")
+      .agg(sum("freq").as("n"))
+      .orderBy(desc("n"), asc("a"), asc("b"))
+      .limit(25)
+  }
+
+  private val q145Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       |chars AS (
+       |  SELECT w, freq,
+       |    unnest(range(0, len(string_split(w, '')))) AS cpos,
+       |    unnest(string_split(w, '')) AS c
+       |  FROM wf),
+       |pairs AS (
+       |  SELECT w, freq, c AS a, lead(c, 1) OVER win AS b
+       |  FROM chars WINDOW win AS (PARTITION BY w ORDER BY cpos))
+       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+       |FROM pairs WHERE b IS NOT NULL
+       |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q142_lm_surprise", q142, Some(q142Sql),
+      "trigram-LM add-one surprise scoring (exact integer thresholds + bit-exact min_p)"),
+    QueryDef("q145_bpe_merges", q145, Some(q145Sql),
+      "BPE merge-candidate pair counts over the word-frequency table"),
     QueryDef("q110_redact", q110, Some(q110Sql),
       "blocklist redaction (PII-scrub shape) with per-doc mask counts"),
     QueryDef("q111_ngram_lm", q111, Some(q111Sql),

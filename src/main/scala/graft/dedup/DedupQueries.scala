@@ -730,7 +730,109 @@ object DedupQueries {
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+
+  /** Exact duplicated-SPAN detection (substring-level dedup, the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" suffix-array operator re-expressed relationally): find every
+    * 8-token span that occurs in more than one document, then report, per
+    * document, how many of its token positions are covered by at least one
+    * such span (the "how much of this doc is boilerplate" statistic that
+    * drives span-level removal).
+    *
+    * Relational shape (no suffix array needed for fixed-width spans):
+    *  1. posexplode → 8-gram per position via window leads (the q111/q112
+    *     spine; hashes each token once, codegen'd, one narrow shuffle).
+    *  2. Grams are fingerprinted with [[Det.polyHash]] — the shuffle key is
+    *     a long, not a ~60-char string; at 100 TB this is the difference
+    *     between shuffling grams and shuffling the corpus.
+    *  3. A gram is duplicated iff it appears in >1 distinct doc — a count
+    *     aggregate on the fingerprint, then a shuffle join back to the
+    *     occurrences (the duplicated-gram set scales with the corpus, so it
+    *     is NOT broadcast — contrast q112, whose benchmark side is small).
+    *  4. Per-doc interval union: occurrences are fixed-width [pos, pos+7]
+    *     intervals; sorted by start, the union length is a running-max
+    *     window — `covered = Σ max(0, en − max(st−1, prev_max_en))` — one
+    *     window shuffle on doc_id, no per-row arrays.
+    * All outputs are integers → hash-exact against the oracle.
+    */
+  private val SpanN = 8
+
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val grams = toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until SpanN).map(i =>
+          if (i == 0) col("w") else lead("w", i).over(w)): _*).as("gram"),
+        lead("w", SpanN - 1).over(w).as("wLast"))
+      .filter(col("wLast").isNotNull)
+      .select(col("doc_id"), col("pos"), Det.polyHash(col("gram")).as("h"))
+    val dupGrams = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val occ = grams.join(dupGrams, "h")
+      .select(col("doc_id"), col("pos").as("st"),
+        (col("pos") + SpanN - 1).as("en"))
+    val mw = Window.partitionBy("doc_id").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = occ
+      .withColumn("prev_en", max(col("en")).over(mw))
+      .withColumn("contrib",
+        greatest(lit(0L),
+          col("en") - greatest(col("st") - 1, coalesce(col("prev_en"), lit(-1L)))))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("dup_covered"),
+        count(lit(1)).cast("long").as("n_dup_spans"))
+    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_covered"), lit(0L)).as("dup_covered"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val q140Sql = {
+    val gramCols = "w, " + (1 until SpanN).map(i => s"lead(w, $i) OVER win").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, pos, concat_ws(' ', $gramCols) AS gram,
+       |    lead(w, ${SpanN - 1}) OVER win AS w_last
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (
+       |  SELECT doc_id, pos, ${Det.polyHashSql("gram")} AS h
+       |  FROM g0 WHERE w_last IS NOT NULL),
+       |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |occ AS (
+       |  SELECT doc_id, pos AS st, pos + ${SpanN - 1} AS en
+       |  FROM grams JOIN dup USING (h)),
+       |merged AS (
+       |  SELECT doc_id,
+       |    greatest(0, en - greatest(st - 1,
+       |      coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1))) AS contrib
+       |  FROM occ),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_covered,
+       |    count(*) AS n_dup_spans
+       |  FROM merged GROUP BY doc_id),
+       |n_tok AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_tokens,
+       |  coalesce(p.dup_covered, 0) AS dup_covered,
+       |  coalesce(p.n_dup_spans, 0) AS n_dup_spans
+       |FROM n_tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_dup_spans", q140, Some(q140Sql),
+      "duplicated 8-token-span coverage (substring-level dedup statistic)"),
     QueryDef("q129_stream_dedup_lsh", q129, Some(q129Sql),
       "streaming LSH near-dup ingest filter against a fingerprint store"),
     QueryDef("q81_simhash_pairs", q81, Some(q81Sql), "pigeonhole simhash pairs (exact recall)"),

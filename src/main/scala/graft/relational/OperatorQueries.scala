@@ -538,7 +538,72 @@ object OperatorQueries {
        |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+
+  /** Batch MERGE INTO (the Delta/Iceberg upsert primitive, as one
+    * relational plan): a CDC change feed — deletes, updates, inserts,
+    * derived deterministically from the order key — merges into the
+    * `orders` snapshot with the standard WHEN MATCHED THEN UPDATE/DELETE,
+    * WHEN NOT MATCHED THEN INSERT semantics, expressed as ONE full-outer
+    * join + conditional projection.
+    *
+    * Scale: a MERGE is exactly one shuffle — the full-outer sort-merge on
+    * the key (AQE splits skewed keys). With the base bucketed on the key
+    * (q74's layout) the join co-locates and the shuffle disappears; the
+    * rewrite then touches only changed partitions via dynamic partition
+    * overwrite — q61's streaming upsert store is this same primitive
+    * applied per micro-batch. Price arithmetic is one double add per row
+    * (bit-exact; no float sums).
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val m = col("o_orderkey") % 10
+    val o = Tables.orders(s, d)
+    val changes =
+      o.filter(m === 0)
+        .select(col("o_orderkey").as("key"), lit("D").as("op"),
+          lit(null).cast("double").as("new_price"))
+        .unionAll(o.filter(m.isin(1, 2))
+          .select(col("o_orderkey").as("key"), lit("U").as("op"),
+            (col("o_totalprice") + 1.0d).as("new_price")))
+        .unionAll(o.filter(m === 3)
+          .select((col("o_orderkey") + 100000000L).as("key"), lit("I").as("op"),
+            col("o_totalprice").as("new_price")))
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("new_price"), col("price")).as("price"),
+        when(col("op") === "U", "updated")
+          .when(col("op") === "I", "inserted")
+          .otherwise("base").as("src"))
+      .orderBy("key")
+  }
+
+  private val q143Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey AS key, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', o_totalprice + 1.0
+      |  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3)
+      |SELECT coalesce(b.key, c.key) AS key,
+      |  coalesce(c.new_price, b.price) AS price,
+      |  CASE WHEN c.op = 'U' THEN 'updated'
+      |       WHEN c.op = 'I' THEN 'inserted'
+      |       ELSE 'base' END AS src
+      |FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+      |WHERE c.op IS NULL OR c.op != 'D'
+      |ORDER BY key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_merge_upsert", q143, Some(q143Sql),
+      "batch MERGE INTO semantics (CDC upsert/delete/insert via one full-outer join)"),
     QueryDef("q132_pagerank", q132, Some(q132Sql),
       "fixed-point relational PageRank, 3 unrolled join+agg iterations"),
     QueryDef("q130_event_pattern", q130, Some(q130Sql),

@@ -377,7 +377,143 @@ object SimilarityQueries {
       |SELECT j, code_id, count(*) AS n
       |FROM chosen GROUP BY j, code_id ORDER BY j, code_id""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * embedding similarity WITHIN a coarse cluster. A vector is dropped iff
+    * some lower-id vector in its cluster has cosine ≥ τ (the pair-dominance
+    * rule q44/q129 use — deterministic, no iteration order); survivors are
+    * the anti-join. Cross-cluster near-dups are missed BY DESIGN — that is
+    * the SemDeDup approximation that turns O(n²) into O(Σ|cluster|²).
+    *
+    * Cluster = `label` (the provided coarse quantizer, as in q48/q86; a
+    * q55 k-means assignment in production). Scale: pairwise work is
+    * per-cluster — at 100 TB the centroid count is chosen so each
+    * cluster's pair block fits one executor, with q42's skew guard capping
+    * oversized clusters. Output is integer ids only → hash-exact.
+    */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("embedding").as("va"), col("norm").as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"),
+      col("embedding").as("vb"), col("norm").as("norm_b"))
+    val dropped = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosinePre(Det.seqDot(col("va"), col("vb")),
+        col("norm_a"), col("norm_b")) >= 0.42)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
+
+  private val q141Sql =
+    s"""WITH dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.42)
+       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+       |FROM embeddings e ANTI JOIN dropped d ON e.vec_id = d.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** Hybrid retrieval (the RAG-serving operator): lexical recall + dense
+    * rerank, as one relational plan. "More-like-this" for doc 0: candidate
+    * docs are scored by Σ tf(t, doc) · qidf(t) over doc 0's distinct terms
+    * — qidf is FIXED-POINT idf, `(1_000_000 · N) div df(t)` in exact
+    * integer arithmetic (the q137 fixed-point rule: no floats in
+    * accumulated sums, and no libm log — idf-as-ratio preserves the
+    * ranking log(N/df) would give, quantized to 1e-6). The lexical top-10
+    * then reranks by embedding cosine against doc 0's vector (bit-exact
+    * sequential fold, ties on doc_id).
+    *
+    * Scale: the query-term set (one doc) is broadcast; df comes from a
+    * corpus-wide (doc, term)-distinct aggregate — the inverted-index
+    * statistic q85 materializes; the dense rerank touches only the top-10
+    * candidate ids, so the embedding table is probed, never scanned.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val df_ = docTok.distinct().groupBy("w")
+      .agg(count(lit(1)).as("df"))
+    // Corpus size as a broadcast 1-row frame, not a driver-side count():
+    // no extra Spark action (PERF lesson 14), and the idf expression stays
+    // inside the one plan.
+    val nDocs = broadcast(
+      Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+    val qTerms = broadcast(
+      docTok.filter(col("doc_id") === 0).select("w").distinct())
+    val tf = docTok.filter(col("doc_id") =!= 0)
+      .join(qTerms, "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df_, "w")
+      .crossJoin(nDocs)
+      .withColumn("qidf", expr("(1000000 * n_docs) div df"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("qidf")).as("lex_score"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    // Candidates must be rerank-able: keep only docs present in the dense
+    // index (the embedded corpus can lag the text corpus) — a semi-join
+    // BEFORE the top-k, or the final list silently shrinks.
+    val embedded = scored.join(e.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // Distributed top-k (TakeOrderedAndProject), then rank the 10 survivors
+    // — never a global row_number window over every candidate doc.
+    val lexW = Window.orderBy(desc("lex_score"), asc("doc_id"))
+    val top = embedded
+      .orderBy(desc("lex_score"), asc("doc_id")).limit(10)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("norm").as("q_norm")))
+    val finW = Window.orderBy(desc("cos"), asc("doc_id"))
+    top.join(e, top("doc_id") === e("vec_id"))
+      .crossJoin(qv)
+      .select(col("doc_id"), col("lex_score"), col("lex_rank"),
+        cosinePre(Det.seqDot(col("qe"), col("embedding")),
+          col("q_norm"), col("norm")).as("cos"))
+      .withColumn("final_rank", row_number().over(finW).cast("long"))
+      .orderBy("final_rank")
+  }
+
+  private val q144Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dt AS (SELECT DISTINCT doc_id, w FROM tok),
+       |dfreq AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
+       |qterms AS (SELECT DISTINCT w FROM tok WHERE doc_id = 0),
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM tok
+       |  WHERE doc_id != 0 AND w IN (SELECT w FROM qterms)
+       |  GROUP BY doc_id, w),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(tf.tf * ((1000000 * (SELECT count(*) FROM documents)) // d.df)) AS BIGINT)
+       |      AS lex_score
+       |  FROM tf JOIN dfreq d USING (w) GROUP BY tf.doc_id),
+       |top AS (
+       |  SELECT doc_id, lex_score,
+       |    CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM scored
+       |  WHERE doc_id IN (SELECT vec_id FROM embeddings)
+       |  QUALIFY lex_rank <= 10),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT t.doc_id, t.lex_score, t.lex_rank,
+       |  ${sqlCos("qv.qe", "e.embedding")} AS cos,
+       |  CAST(row_number() OVER (ORDER BY ${sqlCos("qv.qe", "e.embedding")} DESC, t.doc_id) AS BIGINT)
+       |    AS final_rank
+       |FROM top t JOIN embeddings e ON t.doc_id = e.vec_id, qv
+       |ORDER BY final_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_semantic_dedup", q141, Some(q141Sql),
+      "SemDeDup embedding-cluster dedup (cosine-dominance survivors)"),
+    QueryDef("q144_hybrid_search", q144, Some(q144Sql),
+      "hybrid retrieval: fixed-point-idf lexical top-10 + dense cosine rerank"),
     QueryDef("q133_pq_encode", q133, Some(q133Sql),
       "product-quantization encoding (per-subspace nearest-code argmin)"),
     QueryDef("q80_ann_rplsh", q80, Some(q80Sql), "random-hyperplane LSH near-dup (pipeline oracled; recall in DedupSimilaritySpec)"),

@@ -54,6 +54,48 @@ class CurationSpec extends AnyFunSuite {
     assert(out.length.toLong == srcs)
   }
 
+  test("q142 LM surprise matches a driver-side trigram-count reference") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tris = docs.toSeq.flatMap { case (id, ws) =>
+      ws.sliding(3).collect { case g if g.length == 3 =>
+        (id, g.take(2).mkString(" "), g.mkString(" "))
+      }
+    }
+    val ct = tris.groupBy(_._3).view.mapValues(_.size.toLong)
+    val cb = tris.groupBy(_._2).view.mapValues(_.size.toLong)
+    val v = docs.values.flatten.toSet.size.toLong
+    val expected = tris.groupBy(_._1).map { case (id, os) =>
+      val ps = os.map(o => (ct(o._3), cb(o._2)))
+      id -> ((os.size.toLong,
+        ps.count(_._1 == 1L).toLong,
+        ps.count { case (c, b) => 100 * (c + 1) < b + v }.toLong,
+        ps.map { case (c, b) => (c + 1).toDouble / (b + v).toDouble }.min))
+    }
+    val got = Registry.queries("q142_lm_surprise")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+    got.values.foreach { case (nTri, nHapax, nRare, minP) =>
+      assert(nHapax <= nTri && nRare <= nTri && minP > 0.0 && minP <= 1.0)
+    }
+  }
+
+  test("q145 BPE pair counts match a driver-side weighted reference") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+    val wf = toks.groupBy(identity).view.mapValues(_.size.toLong)
+    val pairs = wf.toSeq.flatMap { case (w, f) =>
+      w.toSeq.sliding(2).collect { case Seq(a, b) => ((a.toString, b.toString), f) }
+    }
+    val counts = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val expected = counts.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(25)
+    val got = Registry.queries("q145_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("q113 quality stats are internally consistent") {
     val out = Registry.queries("q113_gopher_quality")(spark, sf).collect()
     out.foreach { case Row(_, n: Long, d: Long, m: Long, awl: Double, keep: Boolean) =>

@@ -224,4 +224,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
       docs.withColumn("n_blk", lit(200L)), 9, 10).count()
     assert(cands <= 250, s"prefix filter must bound candidates, got $cands")
   }
+
+  test("q140 dup-span coverage matches a driver-side interval-union reference") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val occs = docs.toSeq.flatMap { case (id, ws) =>
+      ws.sliding(8).zipWithIndex.collect {
+        case (g, i) if g.length == 8 => (id, i, g.mkString(" "))
+      }
+    }
+    val dupGrams = occs.groupBy(_._3).collect {
+      case (g, os) if os.map(_._1).distinct.size > 1 => g
+    }.toSet
+    val expected = docs.map { case (id, ws) =>
+      val ivs = occs.filter(o => o._1 == id && dupGrams(o._3))
+        .map(o => (o._2, o._2 + 7)).sortBy(_._1)
+      val covered = ivs.foldLeft((0L, -1)) { case ((acc, prevEn), (st, en)) =>
+        (acc + math.max(0, en - math.max(st - 1, prevEn)), math.max(prevEn, en))
+      }._1
+      id -> ((ws.size.toLong, covered, ivs.size.toLong))
+    }
+    val got = Registry.queries("q140_dup_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // sanity: the statistic is non-trivial on the testdata
+    assert(expected.values.exists(_._2 > 0), "no duplicated spans found at all")
+  }
+
+  test("q141 semantic dedup: survivors = all minus cosine-dominated, within label only") {
+    val es = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val dropped = (for {
+      a <- es; b <- es
+      if a._2 == b._2 && a._1 < b._1 && cos(a._3, b._3) >= 0.42
+    } yield b._1).toSet
+    val expected = es.map(_._1).filterNot(dropped).sorted.toSeq
+    val got = Registry.queries("q141_semantic_dedup")(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("q144 hybrid search matches a full driver-side lexical+dense reference") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toLong
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val qTerms = docs(0L).distinct.toSet
+    val scores = docs.collect { case (id, ws) if id != 0L =>
+      val sc = ws.filter(qTerms).groupBy(identity).map { case (t, os) =>
+        os.size.toLong * ((1000000L * n) / df(t))
+      }.sum
+      id -> sc
+    }.filter(_._2 > 0)
+    val es = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val top = scores.toSeq.filter(t => es.contains(t._1))
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val qv = es(0L)
+    val reranked = top.map { case (id, sc) =>
+      (id, sc, dot(qv, es(id)) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(es(id), es(id)))))
+    }.sortBy { case (id, _, c) => (-c, id) }
+    val got = Registry.queries("q144_hybrid_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == reranked.map(t => (t._1, t._2)))
+    got.map(_._3).zip(reranked.map(_._3)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
 }

@@ -207,4 +207,24 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == hist.toMap)
   }
+
+  test("q143 MERGE matches a driver-side apply-changes reference") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = orders.toSeq.flatMap { case (k, p) =>
+      (k % 10) match {
+        case 0 => Nil // deleted
+        case 1 | 2 => Seq((k, p + 1.0, "updated"))
+        case 3 => Seq((k, p, "base"), (k + 100000000L, p, "inserted"))
+        case _ => Seq((k, p, "base"))
+      }
+    }.sortBy(_._1)
+    val got = Registry.queries("q143_merge_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == expected)
+    // MERGE invariants: every change class is represented on the testdata
+    assert(got.exists(_._3 == "updated") && got.exists(_._3 == "inserted"))
+    assert(!got.exists(t => t._1 % 10 == 0 && t._1 < 100000000L))
+  }
 }
