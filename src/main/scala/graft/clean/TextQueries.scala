@@ -195,6 +195,34 @@ object TextQueries {
        |WHERE ${Det.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 20
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic EXACT-k per-group sample (the reservoir-sampling
+    * shape, made reproducible): within each language, keep the k=5
+    * documents with the smallest hash of their id — a uniform-ish draw
+    * that is identical on every run, at any parallelism, and in the
+    * oracle engine (contrast q52, which samples a hash FRACTION and so
+    * returns a scale-dependent count; eval-set construction wants exactly
+    * k). One window shuffle on the group key; at 100 TB use the q83
+    * bounded-top-k Aggregator instead of the window sort — same result,
+    * map-side k-element buffers.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(Det.polyHash(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).cast("long").as("draw"))
+      .filter(col("draw") <= 5)
+      .orderBy("lang", "draw")
+  }
+
+  private val q147Sql =
+    s"""SELECT lang, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${Det.polyHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS draw
+       |FROM documents QUALIFY draw <= 5
+       |ORDER BY lang, draw""".stripMargin
+
   /** Exact length percentiles per language (p50/p90) computed via
     * row_number against group size — the interpolation-free formulation
     * that is identical in every engine (percentile_cont interpolation
@@ -357,6 +385,7 @@ object TextQueries {
     QueryDef("q49_stem_tokens", q49, None, "F7 Porter2 (Snowball) stemmer UDF (see StemmerSpec)"),
     QueryDef("q57_tfidf_topk", q57, Some(q57Sql), "TF-IDF top-3 keywords per doc"),
     QueryDef("q52_hash_sample", q52, Some(q52Sql), "deterministic stratified sampling"),
+    QueryDef("q147_group_sample", q147, Some(q147Sql), "deterministic exact-k per-group sample (reservoir shape)"),
     QueryDef("q53_len_percentiles", q53, Some(q53Sql), "exact nearest-rank percentiles"),
     QueryDef("q54_treebank_tokens", q54, Some(q54Sql), "F5 treebank-style tokenization"),
     QueryDef("q31_word_freq", q31, Some(q31Sql), "A6 word frequency top-15"),

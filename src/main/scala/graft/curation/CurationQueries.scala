@@ -352,6 +352,8 @@ object CurationQueries {
       .select(col("doc_id"),
         concat_ws(" ", col("w"), col("w1")).as("big"),
         concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+      .cache() // feeds three consumers (ct, cb, the occurrence join) —
+               // evaluate the posexplode+window stream once (see q42)
     val ct = tri.groupBy("gram").agg(count(lit(1)).as("ct"))
     val cb = tri.groupBy("big").agg(count(lit(1)).as("cb"))
     val vocab = broadcast(

@@ -770,6 +770,8 @@ object DedupQueries {
         lead("w", SpanN - 1).over(w).as("wLast"))
       .filter(col("wLast").isNotNull)
       .select(col("doc_id"), col("pos"), Det.polyHash(col("gram")).as("h"))
+      .cache() // consumed twice (dup-set aggregate + occurrence join) —
+               // hash the gram stream once (see q42)
     val dupGrams = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)

@@ -437,6 +437,7 @@ object SimilarityQueries {
   private def q144(s: SparkSession, d: String): DataFrame = {
     val docTok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .cache() // feeds df, the query-term set, and tf — tokenize once
     val df_ = docTok.distinct().groupBy("w")
       .agg(count(lit(1)).as("df"))
     // Corpus size as a broadcast 1-row frame, not a driver-side count():

@@ -373,6 +373,78 @@ object StreamingQueries {
       | AND c.ts_sec >= p.ts_sec - 600 AND c.ts_sec < p.ts_sec
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Watermarked stream-stream LEFT OUTER interval join (completes q69's
+    * inner join): purchases with no qualifying click in the preceding 10
+    * minutes surface as null-click rows. The null rows are the
+    * interesting semantics — Structured Streaming can only emit an
+    * unmatched left row once the RIGHT watermark proves no match can
+    * still arrive, i.e. outer results are produced BY state eviction.
+    *
+    * Harness: a far-future sentinel pair (user −999, filtered from the
+    * result) advances both watermarks past every real event so all
+    * pending outer rows flush — the MemoryStream equivalent of a
+    * quiescent-stream close. Stream ≡ batch: the sink must equal the
+    * batch LEFT JOIN oracle exactly.
+    *
+    * Scale: identical state shape to q69 — per-key interval state bounded
+    * by watermark delay + interval width; the outer side adds no state,
+    * only an eviction-time emit.
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val maxTs = eventsSeq.map(_.ts_sec).max
+    val sentinels = Seq(
+      Pipeline.StreamEvent(9999991L, maxTs + 86400L, -999L, "purchase", 0.0, "{}"),
+      Pipeline.StreamEvent(9999992L, maxTs + 86400L, -999L, "click", 0.0, "{}"))
+    s.catalog.dropTempView("graft_q146_sink")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Pipeline.StreamEvent](s)
+    val base = stream.toDS()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+    val ckpt = Pipeline.checkpointDir("ckpt_q146")
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("graft_q146_sink").start()
+      eventsSeq.grouped(500).foreach { sl => stream.addData(sl); q.processAllAvailable() }
+      stream.addData(sentinels); q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+    }
+    Pipeline.dropCheckpoint(ckpt)
+    s.table("graft_q146_sink")
+      .filter(col("p_user") =!= -999L)
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val q146Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events ORDER BY event_id LIMIT 1000),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM ev WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.ts_sec >= p.ts_sec - 600 AND c.ts_sec < p.ts_sec
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Stream-static join (the dimension-enrichment pattern Structured
     * Streaming ships natively): the event file-stream joins a STATIC
     * nation-derived dimension per micro-batch; the static side is
@@ -414,6 +486,8 @@ object StreamingQueries {
       |GROUP BY 1 ORDER BY d.dim_name""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q146_stream_outer_join", q146, Some(q146Sql),
+      "watermarked stream-stream LEFT OUTER interval join (null rows on state eviction)"),
     QueryDef("q123_stream_static_join", q123, Some(q123Sql),
       "stream-static broadcast dimension enrichment"),
     QueryDef("q69_stream_stream_join", q69, Some(q69Sql), "watermarked stream-stream interval join"),

@@ -165,4 +165,19 @@ class PlanSpec extends AnyFunSuite {
       .option("rows", "10000").option("slices", "6").load()
     assert(df.rdd.getNumPartitions == 6)
   }
+
+  test("q144 hybrid search: lexical top-k is TakeOrderedAndProject; query side broadcasts") {
+    val plan = physicalPlan("q144_hybrid_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"lexical top-10 should be a distributed top-k, not a global sort/window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term set / corpus-size frame not broadcast:\n$plan")
+  }
+
+  test("q143 MERGE is a single full-outer join (no broadcast fallback, no double shuffle)") {
+    val plan = physicalPlan("q143_merge_upsert")
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly one sort-merge join:\n$plan")
+  }
 }

@@ -172,4 +172,20 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(tested == 36)
   }
+
+  test("q147 group sample: exactly min(5, |group|) draws per lang, stable across runs") {
+    import org.apache.spark.sql.functions._
+    val run1 = Registry.queries("q147_group_sample")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val run2 = Registry.queries("q147_group_sample")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run1 == run2, "sample must be deterministic")
+    val sizes = Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    run1.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size.toLong == math.min(5L, sizes(lang)))
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong))
+    }
+  }
 }

@@ -148,4 +148,24 @@ class StreamingSpec extends AnyFunSuite {
     val flags = Pipeline.batchAnomalies(flat.toDF(), 0L).collect()
     assert(flags.isEmpty) // z = x/0 → NaN; abs(NaN) > 2.5 is false
   }
+
+  test("q146 stream outer join equals the batch LEFT JOIN, null rows included") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.queries("q146_stream_outer_join")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val ev = Pipeline.collectEvents(spark, TestSpark.sf, 1000)
+    val p = ev.filter(_.event_type == "purchase")
+    val c = ev.filter(_.event_type == "click")
+    val expected = p.flatMap { pe =>
+      val ms = c.filter(ce => ce.user_id == pe.user_id &&
+        ce.ts_sec >= pe.ts_sec - 600 && ce.ts_sec < pe.ts_sec)
+      if (ms.isEmpty) Seq((pe.user_id, pe.event_id, None))
+      else ms.map(ce => (pe.user_id, pe.event_id, Some(ce.event_id)))
+    }.toSet
+    assert(got == expected)
+    // the outer semantics are non-trivial on the testdata
+    assert(expected.exists(_._3.isEmpty) && expected.exists(_._3.nonEmpty))
+  }
 }
