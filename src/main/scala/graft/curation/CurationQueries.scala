@@ -437,7 +437,65 @@ object CurationQueries {
        |FROM pairs WHERE b IS NOT NULL
        |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+
+  /** Collocation (phrase) mining by fixed-point PMI lift — the
+    * phrase-extraction op that feeds multi-word vocabulary entries
+    * (Mikolov et al. 2013 word2vec phrases; classic NLP collocations):
+    * rank adjacent bigrams by lift = p(ab)/(p(a)p(b)). The determinism
+    * rule again forbids libm log, and PMI's log is monotone — so the
+    * score is the exact integer `(1_000_000 · n_ab · N) div (n_a · n_b)`
+    * (N = corpus token count; the constant pair-total denominator drops
+    * out of the ranking). Min support n_ab ≥ 5 kills the hapax-pair noise
+    * PMI is notorious for. Top-25 by (lift, a, b).
+    *
+    * Scale: one window shuffle for pairs, two hash aggregates, and two
+    * joins to the unigram counts — the unigram side is vocab-sized, the
+    * pair side corpus-sized; both shuffle on their own keys, all linear.
+    * n_ab·N ≤ 1e6·3e5·3e5 < 2⁶³ bounds the fixed point at any realistic
+    * shard; at 100 TB the per-shard counts aggregate first (the same
+    * two-level combine every count here already uses).
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = tokenStream(s, d)
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val nTot = broadcast(toks.agg(count(lit(1)).as("n_tot")))
+    val pairs = toks
+      .select(col("w").as("a"), lead("w", 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+      .crossJoin(nTot)
+      .select(col("a"), col("b"), col("n_ab"),
+        expr("(1000000 * n_ab * n_tot) div (n_a * n_b)").as("lift_fp"))
+      .orderBy(desc("lift_fp"), asc("a"), asc("b"))
+      .limit(25)
+  }
+
+  private val q148Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+       |tot AS (SELECT count(*) AS n_tot FROM toks),
+       |led AS (
+       |  SELECT w AS a, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a, b, count(*) AS n_ab FROM led WHERE b IS NOT NULL
+       |  GROUP BY a, b HAVING count(*) >= 5)
+       |SELECT p.a, p.b, p.n_ab,
+       |  CAST((1000000 * p.n_ab * tot.n_tot) // (ua.n_w * ub.n_w) AS BIGINT) AS lift_fp
+       |FROM pairs p
+       |JOIN uni ua ON p.a = ua.w
+       |JOIN uni ub ON p.b = ub.w, tot
+       |ORDER BY lift_fp DESC, a, b LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q148_collocations", q148, Some(q148Sql),
+      "collocation mining by fixed-point PMI lift (min-support bigrams)"),
     QueryDef("q142_lm_surprise", q142, Some(q142Sql),
       "trigram-LM add-one surprise scoring (exact integer thresholds + bit-exact min_p)"),
     QueryDef("q145_bpe_merges", q145, Some(q145Sql),

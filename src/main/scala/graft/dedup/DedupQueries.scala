@@ -832,7 +832,63 @@ object DedupQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q149
+
+  /** Token-set subsumption (containment) dedup: find document pairs where
+    * one side's distinct-token set is a SUBSET of the other's — the
+    * asymmetric near-dup Jaccard misses (a quote page containing a whole
+    * smaller document scores low Jaccard but full containment; curation
+    * drops the contained side). Exact form: |A∩B| = min(|A|,|B|), the
+    * containment-1.0 special case, evaluated with the native two-pointer
+    * [[sortedIntersectCount]] on the q42 hashed-token arrays.
+    *
+    * Output orients each pair as (sub_id ⊆ sup_id), smaller set = sub,
+    * id tiebreak — deterministic in both engines.
+    *
+    * Scale: blocked by lang like q42; within a block this is the same
+    * all-pairs-with-cap story (BlockCap + prefix filtering routes
+    * oversized blocks — containment has the same prefix-filter bound with
+    * num/den on min-size instead of union).
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
+      .cache()
+    val inter = sortedIntersectCount(col("arr_a"), col("arr_b"))
+    docs.select(col("doc_id").as("id_a"), col("lang"), col("arr").as("arr_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("lang"),
+        col("arr").as("arr_b")), Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(inter === least(size(col("arr_a")), size(col("arr_b"))))
+      .select(
+        when(size(col("arr_a")) < size(col("arr_b")), col("id_a"))
+          .when(size(col("arr_b")) < size(col("arr_a")), col("id_b"))
+          .otherwise(col("id_a")).as("sub_id"),
+        when(size(col("arr_a")) < size(col("arr_b")), col("id_b"))
+          .when(size(col("arr_b")) < size(col("arr_a")), col("id_a"))
+          .otherwise(col("id_b")).as("sup_id"),
+        inter.cast("long").as("n_shared"))
+      .orderBy("sub_id", "sup_id")
+  }
+
+  private val q149Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents)
+       |SELECT
+       |  CASE WHEN len(a.toks) < len(b.toks) THEN a.doc_id
+       |       WHEN len(b.toks) < len(a.toks) THEN b.doc_id
+       |       ELSE a.doc_id END AS sub_id,
+       |  CASE WHEN len(a.toks) < len(b.toks) THEN b.doc_id
+       |       WHEN len(b.toks) < len(a.toks) THEN a.doc_id
+       |       ELSE b.doc_id END AS sup_id,
+       |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared
+       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.toks, b.toks)) = least(len(a.toks), len(b.toks))
+       |ORDER BY sub_id, sup_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q149_subset_pairs", q149, Some(q149Sql),
+      "token-set subsumption (containment-1.0) pairs, sub/sup oriented"),
     QueryDef("q140_dup_spans", q140, Some(q140Sql),
       "duplicated 8-token-span coverage (substring-level dedup statistic)"),
     QueryDef("q129_stream_dedup_lsh", q129, Some(q129Sql),

@@ -239,7 +239,53 @@ object PipelineQueries {
        |FROM rated GROUP BY 1, 2 ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q150
+
+  /** Dataset-card snapshot (the one-row corpus report every released
+    * training set ships with): document/token totals, language/source
+    * cardinalities, exact-duplicate count, dominant language, and a
+    * fixed-point mean document length. One full-scan aggregate plus a
+    * vocab-sized language rollup — the report is O(corpus) once, and every
+    * statistic is an integer or a string, so the row is hash-exact.
+    *
+    * Dominant language ties break on the LARGER lang string (Spark
+    * max(struct) ordering, mirrored as ORDER BY n DESC, lang DESC in the
+    * oracle) — pinned so both engines agree even on a balanced corpus.
+    */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val core = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+    val topLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(max(struct(col("n"), col("lang"))).as("m"))
+      .select(col("m.lang").as("top_lang"))
+    core.crossJoin(topLang)
+      .withColumn("mean_tokens_fp", expr("(1000000 * n_tokens) div n_docs"))
+  }
+
+  private val q150Sql =
+    """WITH core AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(DISTINCT source) AS n_sources,
+      |    count(*) - count(DISTINCT text) AS n_exact_dups
+      |  FROM documents),
+      |top AS (
+      |  SELECT lang AS top_lang
+      |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+      |  ORDER BY n DESC, lang DESC LIMIT 1)
+      |SELECT core.*, top.top_lang,
+      |  CAST((1000000 * n_tokens) // n_docs AS BIGINT) AS mean_tokens_fp
+      |FROM core, top""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_dataset_card", q150, Some(q150Sql),
+      "one-row dataset-card corpus report (totals, cardinalities, dup count, dominant lang)"),
     QueryDef("q84_sequence_packing", q84, Some(q84Sql), "concat-and-chunk LLM sequence packing"),
     QueryDef("q85_inverted_index", q85, Some(q85Sql), "inverted-index build with posting fingerprints"),
     QueryDef("q90_global_ids", q90, Some(q90Sql), "distributed contiguous row ids (two-level rank)"),

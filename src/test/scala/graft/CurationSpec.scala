@@ -96,6 +96,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q148 collocations match a driver-side fixed-point lift reference") {
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val nTot = docs.map(_.size).sum.toLong
+    val pairs = docs.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5L)
+    val expected = pairs.toSeq.map { case ((a, b), nAb) =>
+      (a, b, nAb, (1000000L * nAb * nTot) / (uni(a) * uni(b)))
+    }.sortBy { case (a, b, _, lift) => (-lift, a, b) }.take(25)
+    val got = Registry.queries("q148_collocations")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("q113 quality stats are internally consistent") {
     val out = Registry.queries("q113_gopher_quality")(spark, sf).collect()
     out.foreach { case Row(_, n: Long, d: Long, m: Long, awl: Double, keep: Boolean) =>

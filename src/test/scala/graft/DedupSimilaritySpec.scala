@@ -251,6 +251,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expected.values.exists(_._2 > 0), "no duplicated spans found at all")
   }
 
+  test("q149 subset pairs match a driver-side set-containment reference") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSet))
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._2 == b._2 && a._1 < b._1
+      inter = a._3.intersect(b._3).size
+      if inter == math.min(a._3.size, b._3.size)
+    } yield {
+      val (sub, sup) =
+        if (a._3.size < b._3.size) (a._1, b._1)
+        else if (b._3.size < a._3.size) (b._1, a._1)
+        else (a._1, b._1)
+      (sub, sup, inter.toLong)
+    }).sortBy(t => (t._1, t._2)).toSeq
+    val got = Registry.queries("q149_subset_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("q141 semantic dedup: survivors = all minus cosine-dominated, within label only") {
     val es = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()

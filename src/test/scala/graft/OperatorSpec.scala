@@ -208,6 +208,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == hist.toMap)
   }
 
+  test("q150 dataset card matches a driver-side recomputation") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val nDocs = docs.length.toLong
+    val nTokens = docs.map(_._2.split(" ").length.toLong).sum
+    val byLang = docs.groupBy(_._3).view.mapValues(_.size.toLong)
+    val topLang = byLang.toSeq.maxBy { case (l, n) => (n, l) }._1
+    val row = Registry.queries("q150_dataset_card")(spark, TestSpark.sf)
+      .collect().head
+    assert(row.getAs[Long]("n_docs") == nDocs)
+    assert(row.getAs[Long]("n_tokens") == nTokens)
+    assert(row.getAs[Long]("n_langs") == byLang.size.toLong)
+    assert(row.getAs[Long]("n_sources") == docs.map(_._4).distinct.length.toLong)
+    assert(row.getAs[Long]("n_exact_dups") == nDocs - docs.map(_._2).distinct.length.toLong)
+    assert(row.getAs[String]("top_lang") == topLang)
+    assert(row.getAs[Long]("mean_tokens_fp") == 1000000L * nTokens / nDocs)
+  }
+
   test("q143 MERGE matches a driver-side apply-changes reference") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_totalprice").collect()
