@@ -758,9 +758,14 @@ object DedupQueries {
     */
   private val SpanN = 8
 
-  private def q140(s: SparkSession, d: String): DataFrame = {
+  /** q140's core on an injectable (doc_id, text) frame — exposed so the
+    * interval-union logic can be fuzzed on synthetic high-repetition
+    * corpora (PropertySpec) where overlapping/adjacent/contained spans
+    * are dense, not just on the testdata distribution.
+    */
+  private[graft] def dupSpans(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
     val grams = toks
@@ -796,6 +801,9 @@ object DedupQueries {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .orderBy("doc_id")
   }
+
+  private def q140(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d).select("doc_id", "text"))
 
   private val q140Sql = {
     val gramCols = "w, " + (1 until SpanN).map(i => s"lead(w, $i) OVER win").mkString(", ")

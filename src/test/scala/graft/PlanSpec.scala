@@ -166,6 +166,18 @@ class PlanSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 6)
   }
 
+  test("rank-limit windows compile to WindowGroupLimit (bounded per-group state, no full sort spill)") {
+    // Spark 4's native rank-limit pushdown: a Filter(row_number/rank <= k)
+    // over a window keeps only k rows per group DURING the sort — the
+    // 100 TB difference between buffering k rows and buffering the group.
+    // Lock it in for every top-k-per-group query we ship.
+    for (q <- Seq("q05_top1_per_group", "q23_rank_topn", "q147_group_sample")) {
+      val plan = physicalPlan(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown:\n$plan")
+    }
+  }
+
   test("q144 hybrid search: lexical top-k is TakeOrderedAndProject; query side broadcasts") {
     val plan = physicalPlan("q144_hybrid_search")
     assert(plan.contains("TakeOrderedAndProject"),

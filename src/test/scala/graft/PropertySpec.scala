@@ -173,6 +173,40 @@ class PropertySpec extends AnyFunSuite {
     assert(tested == 36)
   }
 
+  test("q140 dupSpans interval union ≡ brute force on high-repetition corpora (engine-checked)") {
+    // tiny alphabet + doc lengths straddling the 8-gram width ⇒ dense
+    // overlapping/adjacent/contained duplicated spans — the hard cases for
+    // the running-max interval-union window
+    val docGen = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("p", "q", "r")).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(12, docGen)
+    forAllSampled(corpusGen, n = 8) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.DedupQueries.dupSpans(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val toks = corpus.zipWithIndex
+        .map { case (t, i) => i.toLong -> t.split(" ", -1).toSeq }.toMap
+      val occs = toks.toSeq.flatMap { case (id, ws) =>
+        ws.sliding(8).zipWithIndex.collect {
+          case (g, i) if g.length == 8 => (id, i, g.mkString(" "))
+        }
+      }
+      val dup = occs.groupBy(_._3).collect {
+        case (g, os) if os.map(_._1).distinct.size > 1 => g
+      }.toSet
+      val expected = toks.map { case (id, ws) =>
+        val ivs = occs.filter(o => o._1 == id && dup(o._3))
+          .map(o => (o._2, o._2 + 7)).sortBy(_._1)
+        val covered = ivs.foldLeft((0L, -1)) { case ((acc, pe), (st, en)) =>
+          (acc + math.max(0, en - math.max(st - 1, pe)), math.max(pe, en))
+        }._1
+        id -> ((ws.size.toLong, covered, ivs.size.toLong))
+      }
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
+
   test("q147 group sample: exactly min(5, |group|) draws per lang, stable across runs") {
     import org.apache.spark.sql.functions._
     val run1 = Registry.queries("q147_group_sample")(spark, TestSpark.sf)
