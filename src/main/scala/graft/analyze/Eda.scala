@@ -480,6 +480,50 @@ object Eda {
       |    (sqrt(n * sx2 - sx * sx) * sqrt(n * sh2 - sh * sh)) AS corr
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Closed-form OLS (normal equations) per group — the trend-fit
+    * capability (value regressed on hour-of-day per event type), computed
+    * from the same exact decimal moments as q100: slope =
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+    * One hash-aggregate pass over the fact table (map-side partial),
+    * then per-group scalar arithmetic — the distributed form of a
+    * regression fit: no iteration, no driver data movement, exact at any
+    * partitioning because every sum is decimal-routed (Det's rule).
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val y = col("value").cast("decimal(12,2)")
+    val x = hour(col("ts")).cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), y.as("y"), x.as("x"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x")).cast("double").as("sx"),
+        sum((col("y") * col("x")).cast("decimal(20,2)")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sx2"))
+      .select(col("event_type"), col("n"), col("sy"), col("sx"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx"))).as("slope"))
+      .select(col("event_type"), col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val q151Sql =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * hour(ts) AS DECIMAL(20,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(hour(ts) AS BIGINT) * hour(ts)) AS DOUBLE) AS sx2
+      |  FROM events GROUP BY 1),
+      |fit AS (
+      |  SELECT event_type, n,
+      |    (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope, sx, sy
+      |  FROM m)
+      |SELECT event_type, n, slope, (sy - slope * sx) / n AS intercept
+      |FROM fit ORDER BY event_type""".stripMargin
+
   /** Left-anti join (NOT EXISTS): customers with no orders per segment. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -1028,6 +1072,8 @@ object Eda {
     QueryDef("q93_unpivot", q93, Some(q93Sql), "UNPIVOT/melt via stack generator"),
     QueryDef("q94_gap_fill", q94, Some(q94Sql), "date-spine gap-fill + forward-fill"),
     QueryDef("q100_corr", q100, Some(q100Sql), "corr/covar from exact decimal moments"),
+    QueryDef("q151_ols_trend", q151, Some(q151Sql),
+      "closed-form OLS trend fit per group from exact decimal moments"),
     QueryDef("q96_histogram", q96, Some(q96Sql), "fixed-width histogram profile"),
     QueryDef("q97_cube", q97, Some(q97Sql), "CUBE grouping sets"),
     QueryDef("q98_typed_dataset", q98, Some(q98Sql), "typed Dataset filter/groupByKey/mapGroups"),

@@ -324,7 +324,57 @@ object SourceQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+
+  /** `binaryFile` source ingest — the multimodal ingest front door (image/
+    * audio shards land as raw files; this source turns a directory into a
+    * (path, length, content) DataFrame, completing the q65-q67 binary
+    * pipeline's missing first hop). The harness materializes 64
+    * deterministic payloads (`part:<key>:<name>` bytes, one file per part
+    * key < 64), reads them back through `format("binaryFile")` with a
+    * `pathGlobFilter`, and re-derives key/length/fingerprint from the
+    * FILE BYTES. The oracle recomputes the same three values from the
+    * `part` TABLE — the round trip is verified against table-derived
+    * truth, no file access in the oracle.
+    *
+    * Scale: binaryFile lists and splits by FILE (one row per file, content
+    * loaded lazily per task) — a 100 TB image corpus reads as
+    * embarrassingly parallel file tasks with column pruning on the
+    * metadata columns; pair with q67's mapPartitions kernels downstream.
+    */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_bin_")
+    val rows = Tables.part(s, d)
+      .filter(col("p_partkey") < 64)
+      .select(col("p_partkey"), col("p_name"))
+      .collect() // 64 tiny fixture files — harness-side write, like the streaming feeds
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val bytes = s"part:$k:${r.getString(1)}".getBytes("UTF-8")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part_$k%04d.bin"), bytes)
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "part_(\\d+)\\.bin$", 1)
+          .cast("long").as("p_partkey"),
+        col("length").as("n_bytes"),
+        Det.polyHash(col("content").cast("string")).as("fp"))
+      .orderBy("p_partkey")
+  }
+
+  private val q152Sql =
+    s"""SELECT p_partkey,
+       |  CAST(strlen('part:' || CAST(p_partkey AS VARCHAR) || ':' || p_name) AS BIGINT)
+       |    AS n_bytes,
+       |  ${Det.polyHashSql("'part:' || CAST(p_partkey AS VARCHAR) || ':' || p_name")} AS fp
+       |FROM part WHERE p_partkey < 64 ORDER BY p_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q152_binaryfile", q152, Some(q152Sql),
+      "binaryFile source ingest round trip (multimodal front door, table-derived oracle)"),
     QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),
     QueryDef("q119_orc_roundtrip", q119, Some(q119Sql), "ORC source write/read round trip"),
     QueryDef("q126_dsv2_source", q126, Some(q126Sql), "custom DataSource V2 scan (splits + pruning)"),

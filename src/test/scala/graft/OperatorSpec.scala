@@ -208,6 +208,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == hist.toMap)
   }
 
+  test("q151 OLS fit matches a driver-side exact-decimal normal-equations reference") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val evs = Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_type", "value", "CAST(hour(ts) AS BIGINT) AS h")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).view.mapValues { rows =>
+      val ys = rows.map(t => new JBD(t._2).setScale(2, RoundingMode.HALF_UP))
+      val xs = rows.map(_._3)
+      val n = rows.length.toDouble
+      val sy = ys.reduce(_ add _).doubleValue
+      val sx = xs.sum.toDouble
+      val sxy = ys.zip(xs)
+        .map { case (y, x) => y.multiply(new JBD(x)).setScale(2, RoundingMode.HALF_UP) }
+        .reduce(_ add _).doubleValue
+      val sx2 = xs.map(x => x * x).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      (slope, (sy - slope * sx) / n)
+    }.toMap
+    val got = Registry.queries("q151_ols_trend")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (s1, i1)) =>
+      val (s2, i2) = expected(k)
+      assert(s1 == s2 && i1 == i2, s"$k: got ($s1,$i1) want ($s2,$i2)")
+    }
+  }
+
+  test("q152 binaryFile ingest reproduces table-derived lengths and fingerprints") {
+    val parts = Tables.part(spark, TestSpark.sf)
+      .filter(col("p_partkey") < 64).select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def polyHash(s: String): Long =
+      s.foldLeft(7L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val got = Registry.queries("q152_binaryfile")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == parts.keySet)
+    got.foreach { case (k, (len, fp)) =>
+      val content = s"part:$k:${parts(k)}"
+      assert(len == content.getBytes("UTF-8").length.toLong)
+      assert(fp == polyHash(content))
+    }
+  }
+
   test("q150 dataset card matches a driver-side recomputation") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text", "lang", "source").collect()
