@@ -858,25 +858,76 @@ object DedupQueries {
     * oversized blocks — containment has the same prefix-filter bound with
     * num/den on min-size instead of union).
     */
+  /** q149's core on an injectable (doc_id, lang, arr) frame with q42-style
+    * block-cap routing. Small blocks take the all-pairs self-join; a block
+    * larger than `cap` routes through the RAREST-TOKEN posting filter: if
+    * A ⊆ B then in particular A's within-block-rarest token is in B, so
+    * the sub side posts ONE key per doc (its min-(df, token) token) and
+    * the sup side posts its full token list — candidates ∝ Σ df(rarest),
+    * near-linear, instead of block². Orientation predicate (smaller set,
+    * id tiebreak) makes each candidate unique, so no dedup shuffle.
+    * PropertySpec fuzzes capped ≡ uncapped.
+    */
+  private[graft] def containmentPairs(docs: DataFrame, cap: Int,
+      countsFrom: Option[DataFrame]): DataFrame = {
+    val interAB = sortedIntersectCount(col("arr_a"), col("arr_b"))
+    def orient(pairs: DataFrame) = pairs
+      .filter(interAB === least(size(col("arr_a")), size(col("arr_b"))))
+      .select(
+        when(size(col("arr_a")) < size(col("arr_b")), col("id_a"))
+          .when(size(col("arr_b")) < size(col("arr_a")), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))).as("sub_id"),
+        when(size(col("arr_a")) < size(col("arr_b")), col("id_b"))
+          .when(size(col("arr_b")) < size(col("arr_a")), col("id_a"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("sup_id"),
+        interAB.cast("long").as("n_shared"))
+    def selfJoin(df: DataFrame) = df
+      .select(col("doc_id").as("id_a"), col("lang"), col("arr").as("arr_a"))
+      .join(df.select(col("doc_id").as("id_b"), col("lang"),
+        col("arr").as("arr_b")), Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "arr_a", "arr_b")
+    def postingJoin(df: DataFrame) = {
+      val toks = df.select(col("doc_id"), col("lang"),
+        size(col("arr")).as("sz"), explode(col("arr")).as("tok"))
+      val dfreq = toks.groupBy("lang", "tok")
+        .agg(count(lit(1)).as("df"))
+      // one posting per doc: its rarest (min df, then min token) token
+      val rarest = toks.join(dfreq, Seq("lang", "tok"))
+        .groupBy("doc_id", "lang")
+        .agg(min(struct(col("df"), col("tok"))).as("m"))
+        .select(col("doc_id").as("id_a"), col("lang"), col("m.tok").as("tok"))
+      val subSide = rarest
+        .join(df.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
+        .withColumn("sz_a", size(col("arr_a")))
+      val supSide = toks
+        .select(col("doc_id").as("id_b"), col("lang"), col("tok"),
+          col("sz").as("sz_b"))
+      subSide.join(supSide, Seq("lang", "tok"))
+        .filter(col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+        .join(df.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
+        .select("id_a", "id_b", "arr_a", "arr_b")
+    }
+    val bigLangs = countsFrom.fold(Array.empty[String])(
+      _.groupBy("lang").agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).select("lang")
+        .collect().map(_.getString(0)).sorted)
+    val pairs =
+      if (bigLangs.isEmpty) selfJoin(docs)
+      else {
+        val big = docs.filter(col("lang").isin(bigLangs.map(x => x: Any): _*))
+        val small = docs.filter(!col("lang").isin(bigLangs.map(x => x: Any): _*))
+        selfJoin(small).unionAll(postingJoin(big))
+      }
+    orient(pairs).orderBy("sub_id", "sup_id")
+  }
+
   private def q149(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
       .cache()
-    val inter = sortedIntersectCount(col("arr_a"), col("arr_b"))
-    docs.select(col("doc_id").as("id_a"), col("lang"), col("arr").as("arr_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("lang"),
-        col("arr").as("arr_b")), Seq("lang"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(inter === least(size(col("arr_a")), size(col("arr_b"))))
-      .select(
-        when(size(col("arr_a")) < size(col("arr_b")), col("id_a"))
-          .when(size(col("arr_b")) < size(col("arr_a")), col("id_b"))
-          .otherwise(col("id_a")).as("sub_id"),
-        when(size(col("arr_a")) < size(col("arr_b")), col("id_b"))
-          .when(size(col("arr_b")) < size(col("arr_a")), col("id_a"))
-          .otherwise(col("id_b")).as("sup_id"),
-        inter.cast("long").as("n_shared"))
-      .orderBy("sub_id", "sup_id")
+    containmentPairs(docs, BlockCap, langStatsFrame(s, d))
   }
 
   private val q149Sql =

@@ -173,6 +173,25 @@ class PropertySpec extends AnyFunSuite {
     assert(tested == 36)
   }
 
+  test("containmentPairs: capped posting route ≡ all-pairs on random corpora (engine-checked)") {
+    // same differential-fuzz shape as the jaccardPairs guard: random
+    // sorted-distinct long sets over a small universe (subset pairs are
+    // common), two langs; cap=3 forces the rarest-token posting path for
+    // any block ≥ 4, which must emit exactly the all-pairs result —
+    // including equal-set ties and multi-containment chains
+    val setGen = Gen.nonEmptyListOf(Gen.choose(1L, 12L)).map(_.distinct.sorted)
+    val corpusGen = Gen.listOfN(20, Gen.zip(Gen.oneOf("aa", "bb"), setGen))
+    forAllSampled(corpusGen, n = 12) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case ((lang, arr), i) => (i.toLong, lang, arr) }
+        .toDF("doc_id", "lang", "arr")
+      def run(cap: Int) = graft.dedup.DedupQueries
+        .containmentPairs(docs, cap, Some(docs.select("lang")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(run(3) == run(1000000), s"containment divergence for $corpus")
+    }
+  }
+
   test("q140 dupSpans interval union ≡ brute force on high-repetition corpora (engine-checked)") {
     // tiny alphabet + doc lengths straddling the 8-gram width ⇒ dense
     // overlapping/adjacent/contained duplicated spans — the hard cases for
