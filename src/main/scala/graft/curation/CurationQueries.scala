@@ -493,6 +493,198 @@ object CurationQueries {
        |JOIN uni ub ON p.b = ub.w, tot
        |ORDER BY lift_fp DESC, a, b LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+
+  /** Model-based quality filtering — the FineWeb-Edu pattern: a classifier
+    * is trained OFFLINE (the repo's own trainer is q137), its weights are
+    * pinned and shipped, and inference runs over the whole corpus as a
+    * pure projection. The model here is a fixed-point linear scorer over
+    * four integer document features (capped length, distinct-token ratio,
+    * max-repetition ratio, model-vocabulary hit ratio — each ratio as
+    * `x·100 div n`, no float op anywhere):
+    *
+    *   score = 2·min(n_tokens,128) + 3·dtr − 4·rep + vhr,   keep ⇔ ≥ 230
+    *
+    * Weights and the 10-word model vocabulary are part of the model
+    * artifact, exactly like a released quality classifier's parameters;
+    * the 230 threshold sits at the observed corpus median (calibrated at
+    * sf0.001/0.01/0.1 — stable because the features are scale-free
+    * ratios). Two-level (doc,word)→(doc) aggregate, the q113 recipe: one
+    * shuffle per level, codegen'd, no per-row array lambda. At 100 TB
+    * this is the cheapest possible shape — inference is embarrassingly
+    * parallel and the model never moves (it is literally constants in the
+    * plan).
+    */
+  private val modelVocab = Seq("the", "a", "of", "and", "is", "to", "in",
+    "that", "it", "for")
+
+  private def q153(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d)
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_cnt"),
+        coalesce(sum(when(col("w").isin(modelVocab: _*), col("cnt"))), lit(0L))
+          .as("n_vocab"))
+      .select(col("doc_id"),
+        (lit(2) * least(col("n_tokens"), lit(128L)) +
+          lit(3) * expr("n_distinct * 100 div n_tokens") -
+          lit(4) * expr("max_cnt * 100 div n_tokens") +
+          expr("n_vocab * 100 div n_tokens")).as("score"))
+      .select(col("doc_id"), col("score"), (col("score") >= 230).as("keep"))
+      .orderBy("doc_id")
+
+  private val q153Sql = {
+    val vocabList = modelVocab.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS ($tokenStreamSql),
+       |wc AS (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY doc_id, w),
+       |st AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, max(cnt) AS max_cnt,
+       |    CAST(coalesce(sum(cnt) FILTER (w IN ($vocabList)), 0) AS BIGINT) AS n_vocab
+       |  FROM wc GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(2 * least(n_tokens, 128) + 3 * (n_distinct * 100 // n_tokens)
+       |      - 4 * (max_cnt * 100 // n_tokens)
+       |      + (n_vocab * 100 // n_tokens) AS BIGINT) AS score
+       |  FROM st)
+       |SELECT doc_id, score, score >= 230 AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q158
+
+  /** Tokenizer application — greedy BPE merge replay with a PINNED merge
+    * table (the deployment half of q145, which mines the merge
+    * candidates: a trained tokenizer is a frozen, ordered merge list
+    * applied identically to every shard). Each symbol is wrapped in its
+    * own `|…|` markers so a literal string replace operates at SYMBOL
+    * granularity: `|a| |t|` can only match symbol "a" followed by symbol
+    * "t" — never characters inside a longer merged symbol, and adjacent
+    * disjoint pairs all merge in one pass because the replacement
+    * restores its own boundaries (no shared delimiter is consumed).
+    * Left-to-right non-overlapping replacement is exactly BPE's
+    * per-merge-step semantics, and `replace` has identical semantics in
+    * Spark and DuckDB, which is what makes a subword tokenizer
+    * hash-oracle-able.
+    *
+    * Runs over the DISTINCT-word frame (the word-frequency table), not
+    * the token stream — the standard trick: apply the tokenizer once per
+    * unique word, then weight by frequency. 8 chained replaces on a
+    * ≤16-char string are pure codegen'd projection; the distinct-word
+    * frame is vocabulary-sized (≪ corpus) at any corpus size.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "e" -> "r", "t" -> "h", "th" -> "e",
+    "i" -> "n", "s" -> "c", "o" -> "w", "at" -> "a")
+
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    // "cat" -> "|c| |a| |t|": every symbol carries its own |…| wrapper.
+    val spaced = trim(regexp_replace(col("w"), "(.)", "|$1| "))
+    // replace(str, search, rep) is a literal all-occurrence left-to-right
+    // replace in both engines — one call per pinned merge, in merge order.
+    val merged = bpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"|$a| |$b|"), lit(s"|$a$b|"))
+    }
+    tokenStream(s, d)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        call_function("replace", merged, lit("|"), lit("")).as("subtokens"))
+      .select(col("w"), col("freq"), col("subtokens"),
+        size(split(col("subtokens"), " ")).cast("int").as("n_subtokens"))
+      .orderBy("w")
+  }
+
+  private val q158Sql = {
+    val spaced = "trim(regexp_replace(w, '(.)', '|\\1| ', 'g'))"
+    val merged = bpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a| |$b|', '|$a$b|')"
+    }
+    s"""WITH toks AS ($tokenStreamSql),
+       |wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+       |tk AS (SELECT w, freq, replace($merged, '|', '') AS subtokens FROM wf)
+       |SELECT w, freq, subtokens,
+       |  CAST(len(string_split(subtokens, ' ')) AS INTEGER) AS n_subtokens
+       |FROM tk ORDER BY w""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q159
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under a TARGET-domain unigram
+    * model than under the raw-corpus model, and keep documents whose
+    * importance weight exceeds 1. The target here is `source = 'src1'`
+    * (stand-in for "the high-quality domain"); both models are add-one-
+    * smoothed count models, and the per-token likelihood ratio is the
+    * exact integer
+    *
+    *   r(w) = (c_tgt(w)+1) · N_raw · 10⁶  div  (c_raw(w)+1) · N_tgt
+    *
+    * (log-free — the determinism rule bans libm; the MEAN of per-token
+    * ratios replaces the sum of log-ratios as the document score, keeping
+    * selection monotone in target-likeness and bit-exact in any engine).
+    * Intermediates bound: c·N·10⁶ needs c·N < 9·10¹² — at larger shards
+    * the fixed-point scale drops a digit, or counts aggregate per-shard
+    * first.
+    *
+    * Scale: two hash aggregates over the token stream build the two count
+    * models (vocabulary-sized results); the per-token join is
+    * count-model ⋈ token-stream on `w` — broadcastable for real unigram
+    * vocabularies (MBs) against a 100 TB stream; the doc-score regroup
+    * shuffles on doc_id once.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenStream(s, d)
+    val raw = toks.groupBy("w").agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("source") === "src1")
+      .groupBy("w").agg(count(lit(1)).as("c_tgt"))
+    val model = broadcast(
+      raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt")))
+    val totals = broadcast(
+      toks.agg(count(lit(1)).as("n_raw"),
+        coalesce(sum(when(col("source") === "src1", 1L)), lit(0L)).as("n_tgt")))
+    toks.join(model, "w")
+      .crossJoin(totals)
+      .select(col("doc_id"), col("source"),
+        expr("(c_tgt + 1) * n_raw * 1000000 div ((c_raw + 1) * n_tgt)").as("r"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("r").as("r_sum"))
+      .select(col("doc_id"), col("source"),
+        expr("r_sum div n_tokens").as("importance_fp"))
+      .select(col("doc_id"), col("source"), col("importance_fp"),
+        (col("importance_fp") > 1000000L).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  private val q159Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |raw AS (SELECT w, count(*) AS c_raw FROM toks GROUP BY w),
+       |tgt AS (SELECT w, count(*) AS c_tgt FROM toks WHERE source = 'src1' GROUP BY w),
+       |model AS (
+       |  SELECT raw.w, c_raw, coalesce(c_tgt, 0) AS c_tgt
+       |  FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+       |tot AS (
+       |  SELECT count(*) AS n_raw,
+       |    coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS n_tgt
+       |  FROM toks),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    (c_tgt + 1) * n_raw * 1000000 // ((c_raw + 1) * n_tgt) AS r
+       |  FROM toks JOIN model ON toks.w = model.w, tot),
+       |agg AS (
+       |  SELECT doc_id, source, count(*) AS n_tokens,
+       |    CAST(sum(r) AS BIGINT) AS r_sum
+       |  FROM scored GROUP BY doc_id, source)
+       |SELECT doc_id, source, CAST(r_sum // n_tokens AS BIGINT) AS importance_fp,
+       |  (r_sum // n_tokens) > 1000000 AS selected
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q148_collocations", q148, Some(q148Sql),
       "collocation mining by fixed-point PMI lift (min-support bigrams)"),
@@ -513,5 +705,11 @@ object CurationQueries {
     QueryDef("q120_token_chunks", q120, Some(q120Sql),
       "sliding-window token chunking with overlap (relational membership)"),
     QueryDef("q122_cooccurrence", q122, Some(q122Sql),
-      "skip-gram co-occurrence pair counts (window +1/+2)"))
+      "skip-gram co-occurrence pair counts (window +1/+2)"),
+    QueryDef("q153_model_filter", q153, Some(q153Sql),
+      "model-based quality filter: pinned fixed-point linear classifier inference"),
+    QueryDef("q158_bpe_apply", q158, Some(q158Sql),
+      "tokenizer apply: pinned-merge-table BPE replay over the word-frequency table"),
+    QueryDef("q159_dsir_select", q159, Some(q159Sql),
+      "DSIR-style importance-ratio data selection (target vs raw unigram models)"))
 }

@@ -395,7 +395,10 @@ object DedupQueries {
     * vertex. DedupSimilaritySpec keeps the independent union-find
     * reference.
     */
-  private def q58(s: SparkSession, d: String): DataFrame = {
+  /** The per-block union-find labeling shared by q58/q154/q156: every doc
+    * mapped to its component's min doc_id over q42's near-dup edge graph.
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     val langOf = broadcast(docs.select(col("doc_id").as("id_a"), col("lang")))
@@ -424,13 +427,19 @@ object DedupQueries {
         vs.map { case (_, v) => (v, find(v)) }
     }
     labeled.toDF("doc_id", "label")
+  }
+
+  private def q58(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
       .groupBy("label")
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("label").as("canonical_id"), col("cluster_size"))
       .orderBy("canonical_id")
-  }
 
-  private val q58Sql =
+  /** SQL mirror of [[clusterLabels]]: recursive-CTE reachability closure →
+    * `labels(doc_id, label)`. Shared prefix of the q58/q154/q156 oracles.
+    */
+  private val clusterLabelsSqlPrefix =
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
        |pairs AS (
@@ -444,9 +453,106 @@ object DedupQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.b, r.r FROM reach r JOIN edges e ON r.v = e.a),
-       |labels AS (SELECT v AS doc_id, min(r) AS label FROM reach GROUP BY v)
+       |labels AS (SELECT v AS doc_id, min(r) AS label FROM reach GROUP BY v)""".stripMargin
+
+  private val q58Sql =
+    s"""$clusterLabelsSqlPrefix
        |SELECT label AS canonical_id, count(*) AS cluster_size
        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+
+  /** Canonical survivor selection — the policy step BETWEEN clustering and
+    * deletion that pairwise dedup literature hand-waves: given q58's
+    * duplicate clusters, keep the highest-quality member (distinct-token
+    * ratio as exact fixed-point, doc_id tiebreak) and account for what the
+    * discard saves. Real pipelines keep the best-formatted copy of a
+    * near-dup set, not an arbitrary one; this is that rule, deterministic.
+    * Output per cluster: survivor id + quality, discard count, and the
+    * chars removed — the dedup savings ledger.
+    *
+    * Scale: labeling is q58's per-block union-find (one pass); the quality
+    * feature is one (doc,word)-level aggregate; survivor choice is a
+    * row_number within cluster — window keyed on the cluster label, whose
+    * cardinality grows with the corpus, so the shuffle is even. Nothing
+    * new materializes beyond (id, label, two ints) triples.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("n_distinct * 1000 div n_tokens").as("quality_fp"))
+    val w = Window.partitionBy("label").orderBy(desc("quality_fp"), asc("doc_id"))
+    clusterLabels(s, d)
+      .join(feats, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("label")
+      .agg(
+        sum(when(col("rk") === 1, col("doc_id"))).as("kept_id"),
+        sum(when(col("rk") === 1, col("quality_fp"))).as("kept_quality"),
+        (count(lit(1)) - 1).as("n_discarded"),
+        coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
+          .as("chars_removed"))
+      .orderBy("label")
+  }
+
+  private val q154Sql =
+    s"""$clusterLabelsSqlPrefix,
+       |tf AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id),
+       |q AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    CAST(f.n_distinct * 1000 // f.n_tokens AS BIGINT) AS quality_fp
+       |  FROM documents d JOIN tf f ON d.doc_id = f.doc_id),
+       |r AS (
+       |  SELECT l.label, q.doc_id, q.n_chars, q.quality_fp,
+       |    row_number() OVER (PARTITION BY l.label
+       |      ORDER BY q.quality_fp DESC, q.doc_id) AS rk
+       |  FROM labels l JOIN q ON l.doc_id = q.doc_id)
+       |SELECT label,
+       |  CAST(sum(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+       |  CAST(sum(CASE WHEN rk = 1 THEN quality_fp END) AS BIGINT) AS kept_quality,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_discarded,
+       |  CAST(coalesce(sum(CASE WHEN rk > 1 THEN n_chars END), 0) AS BIGINT)
+       |    AS chars_removed
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+
+  /** Leakage-safe train/val/test split: assign each near-dup CLUSTER (not
+    * each document) to a split by a hash of its label, so near-duplicates
+    * can never straddle the train/test boundary — the splitting rule that
+    * makes held-out evaluation honest (q104's per-document hash split
+    * would leak ~every duplicated document across the boundary). 80/10/10
+    * by multiplicative hash of the cluster label; every member inherits
+    * its cluster's split by construction (DedupSimilaritySpec asserts
+    * it).
+    *
+    * Scale: q58's one-pass blocked labeling plus a constant-time hash per
+    * row — the split adds NOTHING over the clustering it already needs;
+    * assignment is a pure projection, no extra shuffle.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val bkt = pmod(col("label") * 2654435761L, lit(100L))
+    clusterLabels(s, d)
+      .select(col("doc_id"), col("label").as("cluster"),
+        when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val q156Sql =
+    s"""$clusterLabelsSqlPrefix
+       |SELECT doc_id, label AS cluster,
+       |  CASE WHEN (label * 2654435761) % 100 < 80 THEN 'train'
+       |       WHEN (label * 2654435761) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM labels ORDER BY doc_id""".stripMargin
 
   /** Edit-distance near-dup detection: Levenshtein ≤ 3 over 16-char
     * prefixes within lang blocks. Pure integer DP → identical in both
@@ -959,5 +1065,9 @@ object DedupQueries {
     QueryDef("q42_jaccard_pairs", q42, Some(q42Sql), "blocked token-set Jaccard >=0.9"),
     QueryDef("q43_ngram_jaccard", q43, Some(q43Sql), "word-bigram Jaccard >=0.1"),
     QueryDef("q44_minhash_lsh", q44, Some(q44Sql), "MinHash 4x4 LSH banded dedup (full pipeline oracled; recall in DedupSimilaritySpec)"),
-    QueryDef("q45_simhash", q45, Some(q45Sql), "32-bit SimHash fingerprint"))
+    QueryDef("q45_simhash", q45, Some(q45Sql), "32-bit SimHash fingerprint"),
+    QueryDef("q154_canonical_pick", q154, Some(q154Sql),
+      "canonical survivor selection per dup cluster (quality-ranked, savings ledger)"),
+    QueryDef("q156_leakage_safe_split", q156, Some(q156Sql),
+      "dup-cluster-aware train/val/test split (near-dups never straddle splits)"))
 }

@@ -283,7 +283,72 @@ object PipelineQueries {
       |  CAST((1000000 * n_tokens) // n_docs AS BIGINT) AS mean_tokens_fp
       |FROM core, top""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+
+  /** Token-budget selection — "give me the best N tokens per language",
+    * the final data-mixing step before training: rank each language's
+    * documents by quality (distinct-token ratio as exact fixed-point
+    * `n_distinct·1000 div n_tokens`, doc_id tiebreak), take documents in
+    * rank order while the running token total stays within the language's
+    * budget (half its total tokens here; any per-source target plugs in).
+    * Greedy-by-quality under a budget is how real mixtures hit a target
+    * token count per source (the Pile / LLaMA recipes) without a global
+    * sort of the corpus: everything is per-language.
+    *
+    * Scale: one (doc,word)-level aggregate for the quality feature, one
+    * window shuffle per language for the running sum. The window key is
+    * the mixture stratum (lang) — bounded cardinality, so the running sum
+    * parallelizes across strata; within a stratum the cumulative scan is
+    * the unavoidable sequential dependency of ANY budgeted selection, and
+    * it runs over (id, n_tok, quality) triples, never the text.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("n_distinct * 1000 div n_tokens").as("quality_fp"))
+    val budget = broadcast(
+      feats.groupBy("lang").agg(expr("sum(n_tokens) div 2").as("budget")))
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("quality_fp"), asc("doc_id"))
+    feats
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(budget, "lang")
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality_fp"),
+        col("cum_tokens"), (col("cum_tokens") <= col("budget")).as("kept"))
+      .orderBy("lang", "cum_tokens", "doc_id")
+  }
+
+  private val q155Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, count(*) AS n_tokens,
+      |    CAST(count(DISTINCT w) * 1000 // count(*) AS BIGINT) AS quality_fp
+      |  FROM toks GROUP BY doc_id, lang),
+      |budget AS (
+      |  SELECT lang, CAST(sum(n_tokens) // 2 AS BIGINT) AS budget
+      |  FROM feats GROUP BY lang),
+      |ranked AS (
+      |  SELECT f.*, sum(n_tokens) OVER (
+      |    PARTITION BY lang ORDER BY quality_fp DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM feats f)
+      |SELECT r.lang, r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+      |  r.quality_fp, CAST(r.cum_tokens AS BIGINT) AS cum_tokens,
+      |  r.cum_tokens <= b.budget AS kept
+      |FROM ranked r JOIN budget b ON r.lang = b.lang
+      |ORDER BY r.lang, r.cum_tokens, r.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_token_budget", q155, Some(q155Sql),
+      "greedy quality-ranked token-budget selection per language stratum"),
     QueryDef("q150_dataset_card", q150, Some(q150Sql),
       "one-row dataset-card corpus report (totals, cardinalities, dup count, dominant lang)"),
     QueryDef("q84_sequence_packing", q84, Some(q84Sql), "concat-and-chunk LLM sequence packing"),

@@ -510,7 +510,70 @@ object SimilarityQueries {
        |FROM top t JOIN embeddings e ON t.doc_id = e.vec_id, qv
        |ORDER BY final_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+
+  /** Int8 scalar quantization — the storage-compression step of an
+    * embedding store (FAISS `SQ8` / vector-DB int8 codecs): per-vector
+    * max-abs scaling, code_j = ⌊x_j·127/maxabs + ½⌋, 4× smaller than
+    * float32 with bounded reconstruction error. Rounding is written as
+    * `floor(x + 0.5)` EXPLICITLY — Spark's `round` (HALF_UP via
+    * BigDecimal) and DuckDB's `round` disagree on ties for doubles, while
+    * `floor` is exact in IEEE arithmetic, so the codes hash-match across
+    * engines. Output carries the first-4 code projection, the full-vector
+    * code sum, and the reconstruction error² as a sequential fold
+    * (Det.seqDot over the difference array) so all 64 dims are
+    * oracle-checked. SimilaritySpec asserts the quantization bound
+    * err² ≤ 64·(maxabs/254)² — the per-dim half-step guarantee.
+    *
+    * Scale: pure per-row projection — no shuffle, no UDF, embarrassingly
+    * parallel; exactly what runs over a 100 TB embedding store before it
+    * is written back out int8.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val x = col("embedding")
+    val maxabs = array_max(transform(x, v => abs(v.cast("double"))))
+    val codes = transform(x, v =>
+      floor(v.cast("double") * lit(127.0) / col("maxabs") + lit(0.5)).cast("long"))
+    val diffs = zip_with(col("embedding"), col("codes"), (v, c) =>
+      v.cast("double") - c.cast("double") * col("maxabs") / lit(127.0))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"), col("embedding"), col("maxabs"), codes.as("codes"))
+      .select(col("vec_id"), col("maxabs"),
+        element_at(col("codes"), 1).as("c0"),
+        element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"),
+        element_at(col("codes"), 4).as("c3"),
+        aggregate(col("codes"), lit(0L), (a, b) => a + b).as("code_sum"),
+        Det.seqNormSq(diffs).as("err2"))
+      .orderBy("vec_id")
+  }
+
+  private val q157Sql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, embedding, maxabs,
+      |    list_transform(embedding,
+      |      v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) AS codes
+      |  FROM q WHERE maxabs > 0)
+      |SELECT vec_id, maxabs, codes[1] AS c0, codes[2] AS c1, codes[3] AS c2,
+      |  codes[4] AS c3,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, b) -> a + b) AS BIGINT)
+      |    AS code_sum,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(list_zip(embedding, codes),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * maxabs / 127.0)
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * maxabs / 127.0))),
+      |    (a, b) -> a + b) AS err2
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q157_int8_quant", q157, Some(q157Sql),
+      "int8 scalar quantization of embeddings (max-abs codes + exact error fold)"),
     QueryDef("q141_semantic_dedup", q141, Some(q141Sql),
       "SemDeDup embedding-cluster dedup (cosine-dominance survivors)"),
     QueryDef("q144_hybrid_search", q144, Some(q144Sql),

@@ -188,4 +188,97 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getLong(3) == (toks.size - ref.size).toLong)
     }
   }
+
+  test("q153 model filter matches a driver-side scorer; keep <=> score >= 230") {
+    val vocab = Set("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Registry.queries("q153_model_filter")(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val n = toks.length.toLong
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val score = 2 * math.min(n, 128L) +
+        3 * (counts.size * 100 / n) -
+        4 * (counts.values.max * 100 / n) +
+        toks.count(vocab) * 100 / n
+      assert(r.getLong(1) == score, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(2) == (score >= 230))
+    }
+    // threshold sits inside the score distribution: both classes non-empty
+    assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
+  }
+
+  test("q155 token budget: kept set is the maximal quality-ranked prefix") {
+    val rows = Registry.queries("q155_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val total = rs.map(_._3).sum
+      val budget = total / 2
+      val inOrder = rs.sortBy(t => t._5) // cum_tokens is strictly increasing
+      // cumulative sums are consistent and kept is exactly cum <= budget
+      var cum = 0L
+      inOrder.foreach { t =>
+        cum += t._3
+        assert(t._5 == cum, s"$lang doc ${t._2}")
+        assert(t._6 == (cum <= budget))
+      }
+      // greedy maximality: first dropped doc would blow the budget
+      val kept = inOrder.takeWhile(_._6)
+      val dropped = inOrder.dropWhile(_._6)
+      assert(kept.map(_._3).sum <= budget)
+      dropped.headOption.foreach(d => assert(kept.map(_._3).sum + d._3 > budget))
+      // ranking is by (quality desc, doc_id asc)
+      val order = inOrder.map(t => (-t._4, t._2))
+      assert(order.sameElements(order.sorted))
+    }
+  }
+
+  test("q158 BPE apply: subtokens rebuild the word; merges actually fire") {
+    val got = Registry.queries("q158_bpe_apply")(spark, sf).collect()
+    got.foreach { r =>
+      val w = r.getString(0)
+      val sub = r.getString(2).split(" ", -1)
+      assert(sub.mkString("") == w, s"word $w")
+      assert(r.getInt(3) == sub.length)
+      assert(sub.forall(_.nonEmpty))
+    }
+    val byWord = got.map(r => r.getString(0) -> r.getString(2)).toMap
+    // "the": t h -> th, th e -> the (two-level merge chain collapses fully)
+    assert(byWord("the") == "the")
+    // "data": a t -> at, at a -> ata => d ata
+    assert(byWord("data") == "d ata")
+    // "scan": s c -> sc; a..n has no (a,n) merge => sc a n
+    assert(byWord("scan") == "sc a n")
+  }
+
+  test("q159 DSIR selection matches a driver-side importance recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val all = docs.flatMap(_._3.split(" ", -1))
+    val nRaw = all.length.toLong
+    val cRaw = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtToks = docs.filter(_._2 == "src1").flatMap(_._3.split(" ", -1))
+    val nTgt = tgtToks.length.toLong
+    val cTgt = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Registry.queries("q159_dsir_select")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, _, text) =>
+      val toks = text.split(" ", -1)
+      val rSum = toks.map { w =>
+        (cTgt.getOrElse(w, 0L) + 1) * nRaw * 1000000L /
+          ((cRaw(w) + 1) * nTgt)
+      }.sum
+      val imp = rSum / toks.length
+      val r = got(id)
+      assert(r.getLong(2) == imp, s"doc $id")
+      assert(r.getBoolean(3) == (imp > 1000000L))
+    }
+    // the target domain scores above the corpus on average
+    val bySrc = got.values.groupBy(_.getString(1)).view
+      .mapValues(rs => rs.map(_.getLong(2)).sum / rs.size)
+    assert(bySrc("src1") == bySrc.values.max)
+  }
 }

@@ -321,4 +321,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-12)
     }
   }
+
+  test("q154 canonical pick: survivor is the max-quality member; ledger adds up") {
+    val clusters = Registry.queries("q58_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = Tables.documents(spark, sf).select("doc_id", "text", "n_chars")
+      .collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (r.getLong(0), toks.distinct.length.toLong * 1000 / toks.length,
+          r.getLong(2))
+      }.map(t => t._1 -> (t._2, t._3)).toMap
+    val got = Registry.queries("q154_canonical_pick")(spark, sf).collect()
+    assert(got.length == clusters.size)
+    // labels equal q58's canonical ids; discard counts match cluster sizes
+    got.foreach { r =>
+      val label = r.getLong(0)
+      assert(r.getLong(3) == clusters(label) - 1, s"cluster $label")
+      assert(quality(r.getLong(1))._1 == r.getLong(2), s"cluster $label")
+    }
+    // for multi-doc clusters, no member outranks the survivor
+    val labelOf = Registry.queries("q156_leakage_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = labelOf.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    got.filter(_.getLong(3) > 0).foreach { r =>
+      val best = members(r.getLong(0))
+        .map(id => (-quality(id)._1, id)).min
+      assert(best._2 == r.getLong(1), s"cluster ${r.getLong(0)}")
+      val removed = members(r.getLong(0)).filter(_ != r.getLong(1))
+        .map(id => quality(id)._2).sum
+      assert(r.getLong(4) == removed)
+    }
+  }
+
+  test("q156 split: near-dup pairs never straddle; fractions are sane") {
+    val split = Registry.queries("q156_leakage_safe_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = split.map(t => t._1 -> t._3).toMap
+    // every q42 near-dup pair lands in the same split
+    Registry.queries("q42_jaccard_pairs")(spark, sf).collect().foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+    // cluster-mates share a split by construction
+    split.groupBy(_._2).values.foreach(g => assert(g.map(_._3).distinct.length == 1))
+    val frac = split.groupBy(_._3).view.mapValues(_.length.toDouble / split.length)
+    assert(frac("train") > 0.5)
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("q157 int8 codes are in range and satisfy the quantization error bound") {
+    val got = Registry.queries("q157_int8_quant")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val maxabs = r.getDouble(1)
+      Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)).foreach { c =>
+        assert(c >= -127 && c <= 127, s"vec ${r.getLong(0)}")
+      }
+      // per-dim error <= half step (step = maxabs/127), 64 dims, fp slack
+      val bound = 64.0 * math.pow(maxabs / 254.0, 2) * (1 + 1e-9)
+      assert(r.getDouble(7) <= bound, s"vec ${r.getLong(0)}")
+    }
+    // codes round-trip a driver-side recomputation for one vector
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val r0 = got.head
+    val v = e(r0.getLong(0)).map(_.toDouble)
+    val ma = v.map(math.abs).max
+    val codes = v.map(x => math.floor(x * 127.0 / ma + 0.5).toLong)
+    assert(r0.getDouble(1) == ma)
+    assert(Seq(codes(0), codes(1), codes(2), codes(3)) ==
+      Seq(r0.getLong(2), r0.getLong(3), r0.getLong(4), r0.getLong(5)))
+    assert(r0.getLong(6) == codes.sum)
+  }
 }
