@@ -554,6 +554,93 @@ object DedupQueries {
        |       ELSE 'test' END AS split
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+
+  /** Incremental snapshot dedup — the batch flavor of q129's ingest
+    * filter: a NEW shard (the trailing 10% of doc ids, standing in for
+    * today's crawl) is deduplicated AGAINST the existing corpus without
+    * re-pairing the corpus with itself. MinHash band keys are built for
+    * both sides, the join is asymmetric (delta probes base — never
+    * base×base), and only band-colliding candidates pay the exact
+    * verify; accepted matches report the earliest duplicated base doc
+    * and the candidate fan-in. The full LSH pipeline is hash-oracled the
+    * q44 way (arithmetic band keys, mirrored minima).
+    *
+    * Scale: this shape is WHY snapshot dedup is cheap — cost is
+    * O(delta · bands) probe + candidates, independent of corpus self-pair
+    * count. The base band table is the persisted fingerprint store
+    * (q129 writes it bucketed by band-key range; the probe prunes to
+    * matching buckets). The candidate `distinct` shuffles only the
+    * candidate pairs, which LSH has already bounded.
+    */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val cut = broadcast(all.agg(expr("(max(doc_id) + 1) * 9 div 10").as("cut")))
+    val docs = all.crossJoin(cut)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (col("doc_id") >= col("cut")).as("is_delta"),
+        hashedToks(col("text")).as("toks"))
+    val roles = docs.select(col("doc_id"), col("lang"), col("is_delta"))
+    val bands = bandFrame(docs.select(col("doc_id"), col("text")))
+      .join(roles, "doc_id")
+    val baseB = bands.filter(!col("is_delta"))
+      .select(col("band_key"), col("lang"), col("doc_id").as("base_id"))
+    val deltaB = bands.filter(col("is_delta"))
+      .select(col("band_key"), col("lang"), col("doc_id").as("delta_id"))
+    val cand = deltaB.join(baseB, Seq("band_key", "lang"))
+      .select("delta_id", "base_id").distinct()
+    val ta = broadcast(docs.select(col("doc_id").as("delta_id"), col("toks").as("toks_a")))
+    val tb = broadcast(docs.select(col("doc_id").as("base_id"), col("toks").as("toks_b")))
+    val inter = sortedIntersectCount(col("toks_a"), col("toks_b"))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    val w = Window.partitionBy("delta_id")
+    cand.join(ta, "delta_id").join(tb, "base_id")
+      .filter(inter * 10 >= union * 9)
+      .select(col("delta_id"), col("base_id"),
+        (inter.cast("double") / union).as("jaccard"))
+      .withColumn("rk", row_number().over(w.orderBy("base_id")))
+      .withColumn("n_dup_bases", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("delta_id"), col("base_id").as("dup_of"), col("jaccard"),
+        col("n_dup_bases"))
+      .orderBy("delta_id")
+  }
+
+  private val q161Sql =
+    s"""WITH th0 AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS cut FROM documents),
+       |th AS (SELECT th0.*, (doc_id >= cut) AS is_delta FROM th0, cut),
+       |sig AS (
+       |  SELECT doc_id, lang, is_delta, toks,
+       |    [$minhashMinsSql] AS mh FROM th),
+       |bands AS (
+       |  SELECT doc_id, lang, is_delta, ${bandKeySql("t.b")} AS band_key
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+       |  FROM bands d JOIN bands b
+       |    ON d.band_key = b.band_key AND d.lang = b.lang
+       |  WHERE d.is_delta AND NOT b.is_delta),
+       |ver AS (
+       |  SELECT c.delta_id, c.base_id,
+       |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |      / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN th ta ON c.delta_id = ta.doc_id
+       |  JOIN th tb ON c.base_id = tb.doc_id
+       |  WHERE 10 * len(list_intersect(ta.toks, tb.toks))
+       |    >= 9 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))),
+       |rk AS (
+       |  SELECT delta_id, base_id, jaccard,
+       |    row_number() OVER (PARTITION BY delta_id ORDER BY base_id) AS rk,
+       |    count(*) OVER (PARTITION BY delta_id) AS n_dup_bases
+       |  FROM ver)
+       |SELECT delta_id, base_id AS dup_of, jaccard,
+       |  CAST(n_dup_bases AS BIGINT) AS n_dup_bases
+       |FROM rk WHERE rk = 1 ORDER BY delta_id""".stripMargin
+
   /** Edit-distance near-dup detection: Levenshtein ≤ 3 over 16-char
     * prefixes within lang blocks. Pure integer DP → identical in both
     * engines, so the brute-force SQL oracle pins the output exactly.
@@ -1069,5 +1156,7 @@ object DedupQueries {
     QueryDef("q154_canonical_pick", q154, Some(q154Sql),
       "canonical survivor selection per dup cluster (quality-ranked, savings ledger)"),
     QueryDef("q156_leakage_safe_split", q156, Some(q156Sql),
-      "dup-cluster-aware train/val/test split (near-dups never straddle splits)"))
+      "dup-cluster-aware train/val/test split (near-dups never straddle splits)"),
+    QueryDef("q161_snapshot_dedup", q161, Some(q161Sql),
+      "incremental snapshot dedup: delta shard LSH-probed against the base corpus"))
 }

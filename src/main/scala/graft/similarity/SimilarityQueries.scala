@@ -571,7 +571,86 @@ object SimilarityQueries {
       |    (a, b) -> a + b) AS err2
       |FROM c ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+
+  /** ANN index-quality evaluation — recall@3 of the IVF nprobe=1 index
+    * (q48's partition-pruned search) against the exact brute-force top-3
+    * (q47's machinery), per query and exactly. Index-quality eval is a
+    * first-class pipeline operator: every production ANN deployment
+    * gates index parameters (nlist/nprobe, PQ bits) on measured recall
+    * over a query sample, and that measurement is itself a large join —
+    * here one scored frame feeds BOTH rankings (global and
+    * within-partition), a left join marks which exact neighbors the
+    * index found, and integer recall percentages come out per query.
+    *
+    * Scale: the exact side is the expensive one by construction (that is
+    * WHY ANN exists); it runs over a broadcast query SAMPLE (20 vectors
+    * — production uses a few thousand) against the corpus, so the eval
+    * costs one corpus scan regardless of index size. No shuffle touches
+    * the corpus: both window ranks partition by q_id (sample-sized).
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), col("norm").as("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+    val scored = e
+      .select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        col("embedding").as("cv"), col("norm").as("c_norm"))
+      .crossJoin(q)
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"), col("q_label"), col("c_label"),
+        cosinePre(Det.seqDot(col("qv"), col("cv")),
+          col("q_norm"), col("c_norm")).as("cos"))
+    val exact = scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("cand_id"))
+    val ivf = scored.filter(col("q_label") === col("c_label"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id").as("iq_id"), col("cand_id").as("hit_id"))
+    exact
+      .join(ivf, col("q_id") === col("iq_id") && col("cand_id") === col("hit_id"),
+        "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(when(col("hit_id").isNotNull, 1L)), lit(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 100 div n_exact").as("recall_pct"))
+      .orderBy("q_id")
+  }
+
+  private val q160Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv,
+       |        norm AS q_norm FROM e WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS cand_id, q.q_label, c.label AS c_label,
+       |    ${sqlDot("q.qv", "c.embedding")} / (q.q_norm * c.norm) AS cos
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |exact AS (
+       |  SELECT q_id, cand_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) <= 3),
+       |ivf AS (
+       |  SELECT q_id AS iq_id, cand_id AS hit_id FROM scored
+       |  WHERE q_label = c_label
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) <= 3)
+       |SELECT q_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(CASE WHEN hit_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(coalesce(sum(CASE WHEN hit_id IS NOT NULL THEN 1 END), 0) * 100
+       |    // count(*) AS BIGINT) AS recall_pct
+       |FROM exact LEFT JOIN ivf ON q_id = iq_id AND cand_id = hit_id
+       |GROUP BY q_id ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q160_ann_recall", q160, Some(q160Sql),
+      "ANN index-quality eval: exact per-query recall@3 of IVF nprobe=1 vs brute force"),
     QueryDef("q157_int8_quant", q157, Some(q157Sql),
       "int8 scalar quantization of embeddings (max-abs codes + exact error fold)"),
     QueryDef("q141_semantic_dedup", q141, Some(q141Sql),

@@ -393,4 +393,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Seq(r0.getLong(2), r0.getLong(3), r0.getLong(4), r0.getLong(5)))
     assert(r0.getLong(6) == codes.sum)
   }
+
+  test("q160 ANN recall matches a driver-side exact/IVF comparison") {
+    val es = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val queries = es.filter(_._1 < 20)
+    val expected = queries.map { q =>
+      def top3(cands: Seq[(Long, Int, Array[Double])]): Set[Long] =
+        cands.filter(_._1 != q._1)
+          .map(c => (-cos(q._3, c._3), c._1)).sorted.take(3).map(_._2).toSet
+      val exact = top3(es.toSeq)
+      val ivf = top3(es.filter(_._2 == q._2).toSeq)
+      q._1 -> (exact & ivf).size.toLong
+    }.toMap
+    val got = Registry.queries("q160_ann_recall")(spark, sf).collect()
+    assert(got.length == queries.length)
+    got.foreach { r =>
+      assert(r.getLong(1) == 3L)
+      assert(r.getLong(2) == expected(r.getLong(0)), s"query ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(2) * 100 / 3)
+    }
+  }
+
+  test("q161 snapshot dedup: asymmetric, zero false positives, exact jaccard") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).distinct.toSet))
+    val cut = (docs.map(_._1).max + 1) * 9 / 10
+    val byId = docs.map(t => t._1 -> t).toMap
+    val got = Registry.queries("q161_snapshot_dedup")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (deltaId, dupOf) = (r.getLong(0), r.getLong(1))
+      assert(deltaId >= cut && dupOf < cut, s"roles violated for $deltaId")
+      val (_, la, ta) = byId(deltaId)
+      val (_, lb, tb) = byId(dupOf)
+      assert(la == lb)
+      val inter = (ta & tb).size
+      val union = ta.size + tb.size - inter
+      assert(inter * 10 >= union * 9, s"false positive $deltaId->$dupOf")
+      assert(math.abs(r.getDouble(2) - inter.toDouble / union) < 1e-15)
+      // dup_of is the smallest accepted base for this delta doc
+      val accepted = docs.filter { case (id, l, t) =>
+        id < cut && l == la && {
+          val i = (ta & t).size; val u = ta.size + t.size - i
+          i * 10 >= u * 9
+        }
+      }.map(_._1)
+      assert(accepted.nonEmpty && dupOf >= accepted.min)
+    }
+  }
 }
