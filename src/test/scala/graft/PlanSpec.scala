@@ -192,4 +192,36 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin".r.findAllIn(plan).size == 1,
       s"expected exactly one sort-merge join:\n$plan")
   }
+
+  test("q153 model inference reads only doc_id + text and is join-free") {
+    val plan = physicalPlan("q153_model_filter")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"inference should prune to the two columns it scores:\n$plan")
+    assert(!plan.contains("Join"), s"pinned weights must not become a join:\n$plan")
+  }
+
+  test("q157 int8 quantization is shuffle-free (pure projection + result sort)") {
+    val plan = physicalPlan("q157_int8_quant")
+    assert(!plan.contains("HashAggregate"), s"no aggregate expected:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    // the only exchange allowed is the presentation ORDER BY's range part
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected data shuffle beyond the output sort:\n$plan")
+  }
+
+  test("q159 DSIR joins the corpus against BROADCAST count models") {
+    val plan = physicalPlan("q159_dsir_select")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"unigram model must broadcast, not shuffle the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side token stream should never sort-merge with the model:\n$plan")
+  }
+
+  test("q161 snapshot dedup verify stage broadcasts the token sets") {
+    val plan = physicalPlan("q161_snapshot_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate verify should broadcast-join token sets:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs stage allowed:\n$plan")
+  }
 }
