@@ -612,6 +612,58 @@ object CurationQueries {
        |FROM tk ORDER BY w""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+
+  /** Tokenizer-aware corpus accounting — "how many TRAINING tokens does
+    * each source actually contribute?": per-source whitespace-word counts
+    * weighted by each word's subword fan-out under the pinned q158
+    * tokenizer. Whitespace token counts (q33/q155) under-bill a corpus
+    * whose vocabulary fragments under the real tokenizer; this is the
+    * billing step every mixture/budget decision should run on.
+    *
+    * Scale: the corpus-sized work is ONE (source, word) count; the
+    * tokenizer applies to the DISTINCT word table (vocab-sized) and joins
+    * back broadcast-style. Output is one row per source.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val spaced = trim(regexp_replace(col("w"), "(.)", "|$1| "))
+    val merged = bpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"|$a| |$b|"), lit(s"|$a$b|"))
+    }
+    val wordFanout = tokenStream(s, d)
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+      .select(col("source"), col("w"), col("freq"),
+        size(split(call_function("replace", merged, lit("|"), lit("")), " "))
+          .cast("long").as("n_sub"))
+    wordFanout
+      .groupBy("source")
+      .agg(sum("freq").as("n_words"),
+        sum(col("freq") * col("n_sub")).as("n_subtokens"))
+      .select(col("source"), col("n_words"), col("n_subtokens"),
+        expr("n_subtokens * 1000 div n_words").as("fanout_fp"))
+      .orderBy("source")
+  }
+
+  private val q163Sql = {
+    val spaced = "trim(regexp_replace(w, '(.)', '|\\1| ', 'g'))"
+    val merged = bpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a| |$b|', '|$a$b|')"
+    }
+    s"""WITH toks AS ($tokenStreamSql),
+       |wf AS (SELECT source, w, count(*) AS freq FROM toks GROUP BY source, w),
+       |fan AS (
+       |  SELECT source, w, freq,
+       |    CAST(len(string_split(replace($merged, '|', ''), ' ')) AS BIGINT) AS n_sub
+       |  FROM wf),
+       |agg AS (
+       |  SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
+       |    CAST(sum(freq * n_sub) AS BIGINT) AS n_subtokens
+       |  FROM fan GROUP BY source)
+       |SELECT source, n_words, n_subtokens,
+       |  CAST(n_subtokens * 1000 // n_words AS BIGINT) AS fanout_fp
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q159
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -711,5 +763,7 @@ object CurationQueries {
     QueryDef("q158_bpe_apply", q158, Some(q158Sql),
       "tokenizer apply: pinned-merge-table BPE replay over the word-frequency table"),
     QueryDef("q159_dsir_select", q159, Some(q159Sql),
-      "DSIR-style importance-ratio data selection (target vs raw unigram models)"))
+      "DSIR-style importance-ratio data selection (target vs raw unigram models)"),
+    QueryDef("q163_token_accounting", q163, Some(q163Sql),
+      "tokenizer-aware per-source training-token accounting (subword fan-out billing)"))
 }

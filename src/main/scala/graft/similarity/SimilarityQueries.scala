@@ -648,7 +648,101 @@ object SimilarityQueries {
        |FROM exact LEFT JOIN ivf ON q_id = iq_id AND cand_id = hit_id
        |GROUP BY q_id ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+
+  /** Clustering-quality evaluation — the metrics that gate an IVF/k-means
+    * index build (q55/q86's loop): per cluster, the inertia (Σ‖x−μ‖² to
+    * the own centroid), the mean inertia, and the squared distance to the
+    * nearest OTHER centroid (separation). A cluster is `well_separated`
+    * when the nearest-centroid gap exceeds its mean inertia — the
+    * Davies-Bouldin criterion's integer-free core, comparable across
+    * engines because every float reduction here is an order-pinned
+    * sequential fold (q55's recipe) and the verdict is a direct double
+    * comparison, not a ratio.
+    *
+    * Scale: member distances are the q86 Θ(n·dims) shape against
+    * broadcast centroids with one (vec)-level regroup; per-cluster sums
+    * order-pin over member lists (bounded by cluster size — the IVF
+    * contract keeps clusters near-constant as the corpus grows; the
+    * decimal-accumulation route replaces the fold if a cluster must
+    * exceed task memory). The centroid×centroid separation matrix is
+    * k², driver-trivial for any real k.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val cent = centroidFrame(s, d)
+    val own = dimRows(s, d)
+      .join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        (col("v").cast("double") - col("mean_v")).as("diff"), col("dim"))
+      .groupBy("vec_id", "label")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("dim"), col("diff")))),
+          x => x.getField("diff") * x.getField("diff")),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+    val perCluster = own.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("d2")))),
+            x => x.getField("d2")),
+          lit(0.0), (acc, x) => acc + x).as("inertia"))
+    val a = cent.select(col("label").as("la"), col("dim"), col("mean_v").as("va"))
+    val b = cent.select(col("label").as("lb"), col("dim"), col("mean_v").as("vb"))
+    val sep = a.join(b, Seq("dim")).filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"), col("dim"),
+        (col("va") - col("vb")).as("cd"))
+      .groupBy("la", "lb")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+          x => x.getField("cd") * x.getField("cd")),
+        lit(0.0), (acc, x) => acc + x).as("cd2"))
+      .groupBy("la").agg(min("cd2").as("sep2_min"))
+    perCluster.join(sep, col("label") === col("la"))
+      .select(col("label"), col("n"), col("inertia"),
+        (col("inertia") / col("n")).as("mean_inertia"), col("sep2_min"),
+        (col("sep2_min") > col("inertia") / col("n")).as("well_separated"))
+      .orderBy("label")
+  }
+
+  private val q162Sql =
+    """WITH expl AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim, embedding[i] AS v
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+      |  WHERE i - 1 < 8),
+      |cent AS (
+      |  SELECT label, dim,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+      |      (a, b) -> a + b) / count(*) AS mean_v
+      |  FROM expl GROUP BY label, dim),
+      |own AS (
+      |  SELECT e.vec_id, e.label,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list((CAST(e.v AS DOUBLE) - c.mean_v) * (CAST(e.v AS DOUBLE) - c.mean_v)
+      |           ORDER BY e.dim)),
+      |      (a, b) -> a + b) AS d2
+      |  FROM expl e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY e.vec_id, e.label),
+      |per_cluster AS (
+      |  SELECT label, count(*) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)),
+      |      (a, b) -> a + b) AS inertia
+      |  FROM own GROUP BY label),
+      |cd AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list((a.mean_v - b.mean_v) * (a.mean_v - b.mean_v) ORDER BY a.dim)),
+      |      (a2, b2) -> a2 + b2) AS cd2
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      |  GROUP BY a.label, b.label),
+      |sep AS (SELECT la, min(cd2) AS sep2_min FROM cd GROUP BY la)
+      |SELECT p.label, p.n, p.inertia, p.inertia / p.n AS mean_inertia,
+      |  s.sep2_min, s.sep2_min > p.inertia / p.n AS well_separated
+      |FROM per_cluster p JOIN sep s ON p.label = s.la
+      |ORDER BY p.label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_cluster_quality", q162, Some(q162Sql),
+      "clustering-quality eval: per-cluster inertia + nearest-centroid separation"),
     QueryDef("q160_ann_recall", q160, Some(q160Sql),
       "ANN index-quality eval: exact per-query recall@3 of IVF nprobe=1 vs brute force"),
     QueryDef("q157_int8_quant", q157, Some(q157Sql),

@@ -254,6 +254,26 @@ class CurationSpec extends AnyFunSuite {
     assert(byWord("scan") == "sc a n")
   }
 
+  test("q163 token accounting agrees with the q158 tokenizer per word") {
+    val fanout = Registry.queries("q158_bpe_apply")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(3).toLong).toMap
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val expected = docs.groupBy(_._1).view.mapValues { ds =>
+      val ws = ds.flatMap(_._2.split(" ", -1))
+      (ws.length.toLong, ws.map(fanout).sum)
+    }.toMap
+    val got = Registry.queries("q163_token_accounting")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nw, ns) = expected(r.getString(0))
+      assert(r.getLong(1) == nw, s"source ${r.getString(0)} words")
+      assert(r.getLong(2) == ns, s"source ${r.getString(0)} subtokens")
+      assert(r.getLong(3) == ns * 1000 / nw)
+      assert(ns >= nw) // subword fan-out never shrinks a word below 1 token
+    }
+  }
+
   test("q159 DSIR selection matches a driver-side importance recomputation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -421,6 +421,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q162 cluster quality matches a driver-side inertia/separation recompute") {
+    val es = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).take(8).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val byLabel = es.groupBy(_._2)
+    val cent = byLabel.view.mapValues { ms =>
+      (0 until 8).map(j => ms.map(_._3(j)).foldLeft(0.0)(_ + _) / ms.size).toArray
+    }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      (0 until 8).foldLeft(0.0)((acc, j) => acc + (a(j) - b(j)) * (a(j) - b(j)))
+    val got = Registry.queries("q162_cluster_quality")(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == es.length)
+    got.foreach { r =>
+      val l = r.getInt(0)
+      val inertia = byLabel(l).map(m => d2(m._3, cent(l))).foldLeft(0.0)(_ + _)
+      assert(math.abs(r.getDouble(2) - inertia) < 1e-9, s"cluster $l inertia")
+      val sep = cent.collect { case (o, c) if o != l => d2(cent(l), c) }.min
+      assert(math.abs(r.getDouble(4) - sep) < 1e-9, s"cluster $l separation")
+      assert(r.getBoolean(5) == (r.getDouble(4) > r.getDouble(2) / r.getLong(1)))
+    }
+  }
+
   test("q161 snapshot dedup: asymmetric, zero false positives, exact jaccard") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1),
