@@ -143,6 +143,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == (1L to 9L), s"expected each event exactly once, got $ids")
   }
 
+  test("stateful state survives a checkpointed restart (recovery == uninterrupted)") {
+    // The recovery contract at 100 TB/day: a failed executor/driver resumes
+    // from the checkpoint with BOTH offsets and operator state intact. The
+    // as-of counts for post-restart events are correct only if the per-user
+    // state (not just the source offset) was restored.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = Files.createTempDirectory("spec_ckpt_state_out_").toString
+    val ckpt = Files.createTempDirectory("spec_ckpt_state_").toString
+    val stream = MemoryStream[StreamEvent](spark)
+    def start() = Pipeline.authorCounts(stream.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val events = Seq(
+      ev(1, 10), ev(2, 20), ev(3, 10), ev(4, 10), ev(5, 20), // before the crash
+      ev(6, 30), ev(7, 10), ev(8, 30), ev(9, 20)) // after recovery
+    val q1 = start()
+    stream.addData(events.take(5))
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    val q2 = start()
+    stream.addData(events.drop(5))
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // counts 4 (user 10), 3 (user 20), 2 (user 30) prove restored state,
+    // not a from-zero recount
+    assert(got == Map(1L -> 1L, 3L -> 2L, 4L -> 3L, 7L -> 4L,
+      2L -> 1L, 5L -> 2L, 9L -> 3L,
+      6L -> 1L, 8L -> 2L))
+  }
+
   test("zero-variance batch yields no flags (std=0 edge — FIXTURES §3)") {
     val flat = (1 to 10).map(i => ev(i.toLong, 1, 42.0))
     val flags = Pipeline.batchAnomalies(flat.toDF(), 0L).collect()
