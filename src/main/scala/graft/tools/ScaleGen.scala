@@ -45,6 +45,7 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // the corpus-facing queries only touch documents/embeddings; link the
     // relational tables through unchanged so Tables.* resolves
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events"))
       spark.read.parquet(s"$src/$t.parquet")

@@ -445,7 +445,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("q161 snapshot dedup: asymmetric, zero false positives, exact jaccard") {
+  test("q161 snapshot dedup: two-tier, asymmetric, zero false positives") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1),
         r.getString(2).split(" ", -1).distinct.toSet))
@@ -453,24 +453,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val byId = docs.map(t => t._1 -> t).toMap
     val got = Registry.queries("q161_snapshot_dedup")(spark, sf).collect()
     assert(got.nonEmpty)
+    assert(got.exists(_.getString(4) == "exact")) // testdata has exact copies
     got.foreach { r =>
       val (deltaId, dupOf) = (r.getLong(0), r.getLong(1))
       assert(deltaId >= cut && dupOf < cut, s"roles violated for $deltaId")
       val (_, la, ta) = byId(deltaId)
       val (_, lb, tb) = byId(dupOf)
       assert(la == lb)
-      val inter = (ta & tb).size
-      val union = ta.size + tb.size - inter
-      assert(inter * 10 >= union * 9, s"false positive $deltaId->$dupOf")
-      assert(math.abs(r.getDouble(2) - inter.toDouble / union) < 1e-15)
-      // dup_of is the smallest accepted base for this delta doc
-      val accepted = docs.filter { case (id, l, t) =>
-        id < cut && l == la && {
-          val i = (ta & t).size; val u = ta.size + t.size - i
-          i * 10 >= u * 9
-        }
-      }.map(_._1)
-      assert(accepted.nonEmpty && dupOf >= accepted.min)
+      val sameLangBases = docs.filter(t => t._1 < cut && t._2 == la)
+      r.getString(4) match {
+        case "exact" =>
+          assert(ta == tb, s"exact match $deltaId->$dupOf not set-equal")
+          assert(r.getDouble(2) == 1.0)
+          val equalBases = sameLangBases.filter(_._3 == ta).map(_._1)
+          assert(dupOf == equalBases.min, s"dup_of not the earliest copy")
+          assert(r.getLong(3) == equalBases.length.toLong)
+        case "near" =>
+          // exact tier must have been empty for this delta
+          assert(!sameLangBases.exists(_._3 == ta), s"$deltaId belongs in exact tier")
+          val inter = (ta & tb).size
+          val union = ta.size + tb.size - inter
+          assert(inter * 10 >= union * 9, s"false positive $deltaId->$dupOf")
+          assert(math.abs(r.getDouble(2) - inter.toDouble / union) < 1e-15)
+          val accepted = sameLangBases.filter { case (_, _, t) =>
+            val i = (ta & t).size; val u = ta.size + t.size - i
+            i * 10 >= u * 9
+          }.map(_._1)
+          assert(accepted.nonEmpty && dupOf >= accepted.min)
+      }
     }
   }
 }
