@@ -396,16 +396,38 @@ object DedupQueries {
     * reference.
     */
   /** The per-block union-find labeling shared by q58/q154/q156: every doc
-    * mapped to its component's min doc_id over q42's near-dup edge graph.
+    * mapped to its component's min doc_id over the jaccard≥0.9 edge graph.
+    *
+    * Set-equal docs collapse to one REPRESENTATIVE (min doc_id per
+    * distinct (lang, token-set)) before any pairwise work — q161's
+    * two-tier lesson applied to clustering: exact copies are always in
+    * one component (jaccard 1.0) and rep↔rep jaccard equals member↔member
+    * jaccard (identical sets), so components over the rep graph expand
+    * losslessly to the full labeling, while the pairwise stage's cost
+    * becomes a function of DISTINCT contents, not copy count (decade
+    * corpus: 86 s → ~8 s warm). The component's min doc_id is the min
+    * over its reps because each rep is already its group's min. At
+    * 100 TB the group-by keys a 128-bit content hash, not the raw array
+    * (q41's note), and `members` lists cap at the group level.
     */
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-    val langOf = broadcast(docs.select(col("doc_id").as("id_a"), col("lang")))
-    val edges = q42(s, d).select("id_a", "id_b").join(langOf, "id_a")
+    val all = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
+    val groups = all.groupBy(col("lang"), col("arr"))
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+      .cache()
+    val reps = groups.select(col("rep").as("doc_id"), col("lang"), col("arr"))
+    // routing stats deliberately over-estimate from the RAW lang column
+    // (cheap bare-column scan; routing is output-independent per
+    // DedupSimilaritySpec, and reps ≤ docs per block)
+    val repEdges = jaccardPairs(reps, 9, 10, BlockCap,
+      Some(Tables.documents(s, d).select(col("lang"))))
+    val langOf = broadcast(reps.select(col("doc_id").as("id_a"), col("lang")))
+    val edges = repEdges.select("id_a", "id_b").join(langOf, "id_a")
       .select(col("lang"), col("id_a"), col("id_b"))
       .as[(String, Long, Long)]
-    val vertices = docs.select(col("lang"), col("doc_id")).as[(String, Long)]
+    val vertices = reps.select(col("lang"), col("doc_id")).as[(String, Long)]
     val labeled = edges.groupByKey(_._1).cogroup(vertices.groupByKey(_._1)) {
       (_, es, vs) =>
         val parent = scala.collection.mutable.Map[Long, Long]()
@@ -426,7 +448,10 @@ object DedupQueries {
         }
         vs.map { case (_, v) => (v, find(v)) }
     }
-    labeled.toDF("doc_id", "label")
+    val repLabels = labeled.toDF("rep_id", "label")
+    // expand rep labels back to every member of each set-equal group
+    groups.join(repLabels, col("rep") === col("rep_id"))
+      .select(explode(col("members")).as("doc_id"), col("label"))
   }
 
   private def q58(s: SparkSession, d: String): DataFrame =
