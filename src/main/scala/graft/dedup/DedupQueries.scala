@@ -419,10 +419,9 @@ object DedupQueries {
       .cache()
     val reps = groups.select(col("rep").as("doc_id"), col("lang"), col("arr"))
     // routing stats deliberately over-estimate from the RAW lang column
-    // (cheap bare-column scan; routing is output-independent per
-    // DedupSimilaritySpec, and reps ≤ docs per block)
-    val repEdges = jaccardPairs(reps, 9, 10, BlockCap,
-      Some(Tables.documents(s, d).select(col("lang"))))
+    // (file-size-gated like every caller — lesson 14 — and routing is
+    // output-independent per DedupSimilaritySpec; reps ≤ docs per block)
+    val repEdges = jaccardPairs(reps, 9, 10, BlockCap, langStatsFrame(s, d))
     val langOf = broadcast(reps.select(col("doc_id").as("id_a"), col("lang")))
     val edges = repEdges.select("id_a", "id_b").join(langOf, "id_a")
       .select(col("lang"), col("id_a"), col("id_b"))
