@@ -578,6 +578,97 @@ object DedupQueries {
        |       ELSE 'test' END AS split
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS algorithm; the fingerprint family used for
+    * code-clone and license dedup at corpus scale, e.g. The Stack): hash
+    * every token 3-gram, slide a window of w=4 over the gram-hash
+    * sequence, and select each window's minimum (rightmost on ties — the
+    * paper's rule, expressed as a (h asc, pos desc) rank). The selected
+    * (pos, hash) set is the document's fingerprint sketch with the
+    * guarantee that any shared substring of ≥ w+k−1 tokens produces a
+    * shared fingerprint. Output is the CONSOLIDATING form (lesson 18):
+    * per-doc fingerprint count, density, and an order-pinned signature
+    * fold over the selected hashes — not the quadratic shared-pair list.
+    *
+    * Scale: gram hashing is the q111 window-lead spine (one doc_id
+    * shuffle); window minima are a w-way gram replication + one
+    * (doc, start) rank — all linear with fixed fan-out, no array
+    * lambdas; the per-doc regroup reuses the doc_id partitioning.
+    */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("pos"), Det.polyHash(col("w0")).as("h1"))
+    val grams = toks
+      .withColumn("h2", lead("h1", 1).over(win))
+      .withColumn("h3", lead("h1", 2).over(win))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (((col("h1") * 31 + col("h2")) % P * 31 + col("h3")) % P).as("h"))
+    val gcnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n_kgrams"))
+    val sel = grams
+      .withColumn("off", explode(sequence(lit(0), lit(W - 1))))
+      .withColumn("start", col("pos") - col("off"))
+      .join(gcnt, "doc_id")
+      .filter(col("start") >= 0 && col("start") <= col("n_kgrams") - W)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "start").orderBy(asc("h"), desc("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .distinct()
+    gcnt.join(
+      sel.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+              x => x.getField("h")),
+            lit(7L), (acc, h) => (acc * 31 + h) % lit(P)).as("sig")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("sig"), lit(7L)).as("sig"),
+        expr("coalesce(n_fp, 0) * 1000 div n_kgrams").as("density_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q164Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       |    unnest(list_transform(string_split(text, ' '),
+       |      t -> ${Det.polyHashSql("t")})) AS h1
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    ((h1 * 31 + lead(h1, 1) OVER win) % $P * 31
+       |      + lead(h1, 2) OVER win) % $P AS h
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(h1, 2) OVER win IS NOT NULL),
+       |gcnt AS (SELECT doc_id, count(*) AS n_kgrams FROM grams GROUP BY doc_id),
+       |sel AS (
+       |  SELECT DISTINCT g.doc_id, g.pos, g.h
+       |  FROM grams g
+       |  JOIN gcnt c ON g.doc_id = c.doc_id
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) o
+       |  WHERE g.pos - o.off >= 0 AND g.pos - o.off <= c.n_kgrams - 4
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY g.doc_id, g.pos - o.off ORDER BY g.h, g.pos DESC) = 1),
+       |fp AS (
+       |  SELECT doc_id, count(*) AS n_fp,
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY pos)),
+       |      (a, b) -> (a * 31 + b) % $P) AS sig
+       |  FROM sel GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_kgrams,
+       |  CAST(coalesce(f.n_fp, 0) AS BIGINT) AS n_fp,
+       |  CAST(coalesce(f.sig, 7) AS BIGINT) AS sig,
+       |  CAST(coalesce(f.n_fp, 0) * 1000 // c.n_kgrams AS BIGINT) AS density_fp
+       |FROM gcnt c LEFT JOIN fp f ON c.doc_id = f.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q161
 
   /** Incremental snapshot dedup — the batch flavor of q129's ingest
@@ -1237,5 +1328,7 @@ object DedupQueries {
     QueryDef("q156_leakage_safe_split", q156, Some(q156Sql),
       "dup-cluster-aware train/val/test split (near-dups never straddle splits)"),
     QueryDef("q161_snapshot_dedup", q161, Some(q161Sql),
-      "incremental snapshot dedup: delta shard LSH-probed against the base corpus"))
+      "incremental snapshot dedup: delta shard LSH-probed against the base corpus"),
+    QueryDef("q164_winnowing", q164, Some(q164Sql),
+      "winnowing (MOSS) fingerprint sketch: rightmost-min window selection per doc"))
 }

@@ -740,7 +740,59 @@ object SimilarityQueries {
       |FROM per_cluster p JOIN sep s ON p.label = s.la
       |ORDER BY p.label""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+
+  /** Johnson-Lindenstrauss random projection — the dimensionality
+    * reduction step before indexing/storing a huge embedding set: project
+    * 64-d vectors onto 16 pinned pseudo-random directions (q80's seedless
+    * LCG recipe, so the SQL mirror regenerates identical directions) and
+    * scale by 1/√16. JL guarantees pairwise distances are preserved
+    * within (1±ε) with high probability; DedupSimilaritySpec measures the
+    * actual distortion on real pairs rather than trusting the bound.
+    * Output carries the first-4 projected coordinates and the projected
+    * norm² (sequential fold) so all 16 output dims are oracle-checked.
+    *
+    * Scale: 16 codegen'd sequential folds per row — pure projection, no
+    * shuffle, no data-dependent state; the projection matrix lives in
+    * the plan as literals exactly like q153's model weights.
+    */
+  private val rpDirs: Seq[Seq[Double]] =
+    (0 until 16).map { i =>
+      (0 until 64).map { dd =>
+        val x = (i * 64 + dd + 1) * 2654435761L % 4093
+        (x.toDouble / 4093.0) * 2.0 - 1.0
+      }
+    }
+
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val ys = (0 until 16).map(i =>
+      (Det.seqDot(col("embedding"), typedlit(rpDirs(i))) / 4.0).as(s"y$i"))
+    val proj = Tables.embeddings(s, d)
+      .select(col("vec_id") +: ys: _*)
+    val ynormsq = (0 until 16).map(i => col(s"y$i") * col(s"y$i")).reduce(_ + _)
+    proj.select(col("vec_id"), col("y0"), col("y1"), col("y2"), col("y3"),
+      ynormsq.as("ynormsq"))
+      .orderBy("vec_id")
+  }
+
+  private val q165Sql = {
+    def hpv(i: Int, k: String) =
+      s"((CAST(((($i * 64 + $k) * 2654435761) % 4093) AS DOUBLE) / 4093.0) * 2.0 - 1.0)"
+    def proj(i: Int) =
+      s"(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"k -> CAST(embedding[k] AS DOUBLE) * ${hpv(i, "k")})), (x, y) -> x + y) / 4.0)"
+    val sumsq = (0 until 16).map(i => s"(y$i * y$i)").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |    ${(0 until 16).map(i => s"${proj(i)} AS y$i").mkString(",\n    ")}
+       |  FROM embeddings)
+       |SELECT vec_id, y0, y1, y2, y3, $sumsq AS ynormsq
+       |FROM p ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_random_projection", q165, Some(q165Sql),
+      "Johnson-Lindenstrauss 64->16 random projection (pinned LCG directions)"),
     QueryDef("q162_cluster_quality", q162, Some(q162Sql),
       "clustering-quality eval: per-cluster inertia + nearest-centroid separation"),
     QueryDef("q160_ann_recall", q160, Some(q160Sql),

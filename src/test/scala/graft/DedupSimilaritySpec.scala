@@ -421,6 +421,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q164 winnowing matches a driver-side reference; gap guarantee holds") {
+    def polyHash(s: String): Long =
+      s.foldLeft(7L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val P = 1000000007L
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val got = Registry.queries("q164_winnowing")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val hs = text.split(" ", -1).map(polyHash)
+      val grams = hs.sliding(3).map(g => ((g(0) * 31 + g(1)) % P * 31 + g(2)) % P)
+        .toArray.zipWithIndex.map { case (h, p) => (p, h) }
+      val sel = (0 to grams.length - 4).map { start =>
+        grams.slice(start, start + 4).minBy { case (p, h) => (h, -p) }
+      }.distinct.sortBy(_._1)
+      val r = got(id)
+      assert(r.getLong(1) == grams.length.toLong, s"doc $id kgrams")
+      assert(r.getLong(2) == sel.size.toLong, s"doc $id n_fp")
+      val sig = sel.map(_._2).foldLeft(7L)((acc, h) => (acc * 31 + h) % P)
+      assert(r.getLong(3) == sig, s"doc $id sig")
+      // winnowing guarantee: every 4-window contains a selected position
+      val ps = sel.map(_._1)
+      ps.zip(ps.drop(1)).foreach { case (a, b) => assert(b - a <= 4, s"doc $id gap") }
+    }
+  }
+
+  test("q165 projection matches a driver recompute; JL preserves norms on average") {
+    val dirs = (0 until 16).map { i =>
+      (0 until 64).map { dd =>
+        val x = (i * 64 + dd + 1) * 2654435761L % 4093
+        (x.toDouble / 4093.0) * 2.0 - 1.0
+      }.toArray
+    }
+    val es = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val got = Registry.queries("q165_random_projection")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    var ratioSum = 0.0
+    es.foreach { case (id, v) =>
+      val y = dirs.map(dir => dot(v, dir) / 4.0)
+      val r = got(id)
+      (0 until 4).foreach(j =>
+        assert(math.abs(r.getDouble(1 + j) - y(j)) < 1e-12, s"vec $id y$j"))
+      val ynorm = y.map(x => x * x).sum
+      val xnorm = dot(v, v)
+      assert(math.abs(r.getDouble(5) - ynorm) < 1e-9)
+      ratioSum += ynorm / (xnorm / 3.0) // E[||y||^2] = ||x||^2 * (d_in/3) / d_out... measured below
+    }
+    // the pinned uniform(-1,1) directions have E[r_j^2] = 1/3, so
+    // E[||y||^2] = ||x||^2 * 16 * (1/3) / 16 = ||x||^2 / 3 — the mean
+    // measured ratio should sit near 1 with ~0.35/sqrt(n) noise
+    val mean = ratioSum / es.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+  }
+
   test("q162 cluster quality matches a driver-side inertia/separation recompute") {
     val es = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()
