@@ -664,6 +664,84 @@ object CurationQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q166
+
+  /** Snapshot drift detection — the monitoring operator every continuous
+    * ingest pipeline runs before accepting a new shard: compare the NEW
+    * shard's distribution (q161's trailing-10% delta) against the base
+    * corpus across monitored dimensions (language, source, length
+    * bucket) and report each category's chi-square contribution
+    * (observed delta count vs the count the base distribution predicts).
+    * A spiking contribution = the crawler broke, a source flipped
+    * language, or lengths collapsed — caught BEFORE the shard trains
+    * anything. Per-category contributions are row-local doubles (one
+    * division each, no float accumulation), so the report is bit-stable;
+    * the spec aggregates them into per-dimension totals.
+    *
+    * Scale: one narrow 3-way dimension explode + one (dim, category)
+    * count — category cardinality is tiny (langs × sources × buckets),
+    * so totals broadcast and the report is constant-size no matter the
+    * corpus.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val cut = broadcast(all.agg(expr("(max(doc_id) + 1) * 9 div 10").as("cut")))
+    val dims = all.crossJoin(cut)
+      .select((col("doc_id") >= col("cut")).as("is_delta"),
+        explode(array(
+          struct(lit("lang").as("dim"), col("lang").as("category")),
+          struct(lit("source").as("dim"), col("source").as("category")),
+          struct(lit("len_bucket").as("dim"),
+            expr("cast(n_chars div 100 as string)").as("category"))))
+          .as("dc"))
+      .select(col("is_delta"), col("dc.dim").as("dim"), col("dc.category").as("category"))
+    val counts = dims.groupBy("dim", "category")
+      .agg(coalesce(sum(when(!col("is_delta"), 1L)), lit(0L)).as("base_cnt"),
+        coalesce(sum(when(col("is_delta"), 1L)), lit(0L)).as("delta_cnt"))
+    val totals = broadcast(counts.groupBy("dim")
+      .agg(sum("base_cnt").as("base_total"), sum("delta_cnt").as("delta_total")))
+    counts.join(totals, "dim")
+      .filter(col("base_cnt") > 0)
+      .select(col("dim"), col("category"), col("base_cnt"), col("delta_cnt"),
+        (col("base_cnt").cast("double") * col("delta_total") / col("base_total"))
+          .as("expected"))
+      .select(col("dim"), col("category"), col("base_cnt"), col("delta_cnt"),
+        col("expected"),
+        ((col("delta_cnt") - col("expected")) * (col("delta_cnt") - col("expected"))
+          / col("expected")).as("chi2_contrib"))
+      .orderBy("dim", "category")
+  }
+
+  private val q166Sql =
+    """WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS cut FROM documents),
+      |dims AS (
+      |  SELECT (doc_id >= cut) AS is_delta, 'lang' AS dim, lang AS category
+      |  FROM documents, cut
+      |  UNION ALL
+      |  SELECT (doc_id >= cut), 'source', source FROM documents, cut
+      |  UNION ALL
+      |  SELECT (doc_id >= cut), 'len_bucket', CAST(n_chars // 100 AS VARCHAR)
+      |  FROM documents, cut),
+      |counts AS (
+      |  SELECT dim, category,
+      |    CAST(coalesce(sum(CASE WHEN NOT is_delta THEN 1 END), 0) AS BIGINT)
+      |      AS base_cnt,
+      |    CAST(coalesce(sum(CASE WHEN is_delta THEN 1 END), 0) AS BIGINT)
+      |      AS delta_cnt
+      |  FROM dims GROUP BY dim, category),
+      |totals AS (
+      |  SELECT dim, CAST(sum(base_cnt) AS BIGINT) AS base_total,
+      |    CAST(sum(delta_cnt) AS BIGINT) AS delta_total
+      |  FROM counts GROUP BY dim)
+      |SELECT c.dim, c.category, c.base_cnt, c.delta_cnt,
+      |  CAST(c.base_cnt AS DOUBLE) * t.delta_total / t.base_total AS expected,
+      |  (c.delta_cnt - CAST(c.base_cnt AS DOUBLE) * t.delta_total / t.base_total)
+      |    * (c.delta_cnt - CAST(c.base_cnt AS DOUBLE) * t.delta_total / t.base_total)
+      |    / (CAST(c.base_cnt AS DOUBLE) * t.delta_total / t.base_total) AS chi2_contrib
+      |FROM counts c JOIN totals t ON c.dim = t.dim
+      |WHERE c.base_cnt > 0
+      |ORDER BY c.dim, c.category""".stripMargin
+
   // ---------------------------------------------------------------- q159
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -765,5 +843,7 @@ object CurationQueries {
     QueryDef("q159_dsir_select", q159, Some(q159Sql),
       "DSIR-style importance-ratio data selection (target vs raw unigram models)"),
     QueryDef("q163_token_accounting", q163, Some(q163Sql),
-      "tokenizer-aware per-source training-token accounting (subword fan-out billing)"))
+      "tokenizer-aware per-source training-token accounting (subword fan-out billing)"),
+    QueryDef("q166_drift_report", q166, Some(q166Sql),
+      "snapshot drift detection: per-category chi-square report, delta vs base"))
 }

@@ -372,7 +372,64 @@ object SourceQueries {
        |  ${Det.polyHashSql("'part:' || CAST(p_partkey AS VARCHAR) || ':' || p_name")} AS fp
        |FROM part WHERE p_partkey < 64 ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+
+  /** Parquet schema evolution (mergeSchema) round trip — the lake-source
+    * concern q70/q95/q119 don't cover: two writer generations land files
+    * with DIFFERENT column sets in one dataset directory (v1: doc_id +
+    * lang; v2: doc_id + source + n_chars — the ingest pipeline grew two
+    * columns), and a `mergeSchema` read must union the schemas, null-fill
+    * the gaps, and stay aggregable. The aggregate groups by generation
+    * marker (which column is null) so the oracle checks exactly how many
+    * rows of each generation survived and that nulls land where schema
+    * evolution says they must.
+    *
+    * Scale: schema merge is a FOOTER-only operation — Spark reconciles
+    * StructTypes from file metadata, not data; reads stay columnar and
+    * pruned. The real-world caveat is documented here: merged reads
+    * disable some vectorized fast paths and per-file footer fetches cost
+    * one round trip each, which is why production lakes checkpoint the
+    * merged schema into the table catalog (Delta/Iceberg) instead of
+    * re-inferring per query.
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_merge_") + "/docs_evolved"
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
+      .select(
+        when(col("lang").isNotNull, "v1").otherwise("v2").as("generation"),
+        col("lang"), col("source"), col("n_chars"))
+      .groupBy("generation")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("lang").isNull, 1L)), lit(0L)).as("null_lang"),
+        coalesce(sum(when(col("source").isNull, 1L)), lit(0L)).as("null_source"),
+        coalesce(Det.dsum(col("n_chars").cast("double")), lit(0.0)).as("sum_chars"))
+      .orderBy("generation")
+  }
+
+  private val q167Sql =
+    """WITH evolved AS (
+      |  SELECT doc_id, lang, NULL AS source, NULL AS n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, NULL, source, n_chars FROM documents)
+      |SELECT CASE WHEN lang IS NOT NULL THEN 'v1' ELSE 'v2' END AS generation,
+      |  count(*) AS n,
+      |  CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1 END), 0) AS BIGINT)
+      |    AS null_lang,
+      |  CAST(coalesce(sum(CASE WHEN source IS NULL THEN 1 END), 0) AS BIGINT)
+      |    AS null_source,
+      |  CAST(coalesce(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,4))), 0)
+      |    AS DOUBLE) AS sum_chars
+      |FROM evolved
+      |GROUP BY 1 ORDER BY generation""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q167_schema_merge", q167, Some(q167Sql),
+      "parquet mergeSchema round trip across two writer generations"),
     QueryDef("q152_binaryfile", q152, Some(q152Sql),
       "binaryFile source ingest round trip (multimodal front door, table-derived oracle)"),
     QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),

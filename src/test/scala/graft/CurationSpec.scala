@@ -274,6 +274,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 drift report matches a driver-side chi-square recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val cut = (docs.map(_._1).max + 1) * 9 / 10
+    val dims = docs.flatMap { case (id, lang, src, nc) =>
+      Seq(("lang", lang, id >= cut), ("source", src, id >= cut),
+        ("len_bucket", (nc / 100).toString, id >= cut))
+    }
+    val got = Registry.queries("q166_drift_report")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (dim, cat) = (r.getString(0), r.getString(1))
+      val inDim = dims.filter(_._1 == dim)
+      val base = inDim.count(t => t._2 == cat && !t._3).toLong
+      val delta = inDim.count(t => t._2 == cat && t._3).toLong
+      assert(r.getLong(2) == base && r.getLong(3) == delta, s"$dim/$cat counts")
+      val e = base.toDouble * inDim.count(_._3) / inDim.count(!_._3)
+      assert(math.abs(r.getDouble(4) - e) < 1e-9, s"$dim/$cat expected")
+      assert(math.abs(r.getDouble(5) - (delta - e) * (delta - e) / e) < 1e-9)
+    }
+    // every base category of every dimension is reported
+    val reported = got.map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = dims.filter(!_._3).map(t => (t._1, t._2)).toSet
+    assert(reported == expected)
+  }
+
   test("q159 DSIR selection matches a driver-side importance recomputation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))

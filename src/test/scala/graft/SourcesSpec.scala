@@ -111,4 +111,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(odd.count() == 97)
     assert(odd.agg(countDistinct(col("id"))).collect().head.getLong(0) == 97)
   }
+
+  test("q167 mergeSchema read unions writer generations with null fill") {
+    val out = Registry.queries("q167_schema_merge")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("v1", "v2"))
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    // each generation contributes every doc once; nulls sit exactly in the
+    // columns that generation never wrote
+    assert(out("v1").getLong(1) == nDocs && out("v2").getLong(1) == nDocs)
+    assert(out("v1").getLong(2) == 0 && out("v1").getLong(3) == nDocs)
+    assert(out("v2").getLong(2) == nDocs && out("v2").getLong(3) == 0)
+    assert(out("v1").getDouble(4) == 0.0)
+    assert(out("v2").getDouble(4) > 0.0)
+  }
 }
