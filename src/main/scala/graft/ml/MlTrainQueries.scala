@@ -182,6 +182,7 @@ object MlTrainQueries {
         expr("(cast(ext * 100 as bigint) * 1024) div 60000000 - 512").as("x2"),
         expr("(cast(disc * 100 as bigint) * 1024) div 70 - 512").as("x3"))
       .select(
+        col("o_orderkey"),
         pmod(col("o_orderkey") * 2654435761L, lit(100L)).as("bkt"),
         when((col("x1") * 3 - col("x2") * 2 + col("x0") > -300) =!=
           (pmod(col("o_orderkey") * 7919L, lit(10L)) === 0), 1L)
@@ -235,7 +236,7 @@ object MlTrainQueries {
   /** Shared DuckDB mirror of [[featureFrame]]. */
   private val featsSql =
     s"""fx AS (
-       |  SELECT (o.o_orderkey * 2654435761) % 100 AS bkt,
+       |  SELECT o.o_orderkey, (o.o_orderkey * 2654435761) % 100 AS bkt,
        |    CASE WHEN (3*x1 - 2*x2 + x0 > -300) != ((o.o_orderkey * 7919) % 10 = 0)
        |         THEN 1 ELSE -1 END AS y,
        |    x0, x1, x2, x3, CAST(1024 AS BIGINT) AS x4
@@ -409,7 +410,118 @@ object MlTrainQueries {
          |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q168
+
+  /** Sliced model evaluation — q138's held-out accuracy broken out by a
+    * data slice (order priority): the responsible-AI practice of never
+    * shipping a model on one aggregate number, because a model that is
+    * 66% overall and 45% on one slice is broken. Same trained weights,
+    * same integer sign-test predictions; one extra broadcast-joined
+    * slice column and a (slice) group. MlTrainSpec asserts the weighted
+    * slice accuracies recompose exactly to q138's confusion matrix.
+    *
+    * Scale: identical to q138 (shuffle-free broadcast scoring) plus one
+    * join to the orders dimension on the already-carried key; the
+    * output is slice-cardinality rows.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val fx = featureFrame(s, d)
+    val train = fx.filter(col("bkt") < 80)
+    var w = zeroWeights(s)
+    for (_ <- 1 to EvalIters) w = updateWeights(trainStep(train, w), 1, 1)
+    val slices = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    fx.filter(col("bkt") >= 80).crossJoin(broadcast(w))
+      .select(col("o_orderkey"), col("y"),
+        when(marginExpr > 0, 1L).otherwise(-1L).as("pred"))
+      .join(slices, "o_orderkey")
+      .groupBy(col("o_orderpriority").as("slice"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("y") === col("pred"), 1L)), lit(0L)).as("correct"))
+      .select(col("slice"), col("n"), col("correct"),
+        expr("correct * 10000 div n").as("accuracy_fp"))
+      .orderBy("slice")
+  }
+
+  private val q168Sql = {
+    val ctes = Seq.newBuilder[String]
+    ctes += featsSql
+    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += zeroWSql
+    for (t <- 0 until EvalIters)
+      ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)
+    "WITH " + ctes.result().mkString(",\n") +
+      s""",
+         |scored AS (
+         |  SELECT f.o_orderkey, f.y,
+         |    CASE WHEN ($marginSql) > 0 THEN 1 ELSE -1 END AS pred
+         |  FROM fx f CROSS JOIN w$EvalIters w WHERE f.bkt >= 80)
+         |SELECT o.o_orderpriority AS slice, count(*) AS n,
+         |  CAST(coalesce(sum(CASE WHEN s.y = s.pred THEN 1 END), 0) AS BIGINT)
+         |    AS correct,
+         |  CAST(coalesce(sum(CASE WHEN s.y = s.pred THEN 1 END), 0) * 10000
+         |    // count(*) AS BIGINT) AS accuracy_fp
+         |FROM scored s JOIN orders o ON s.o_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY slice""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q169
+
+  /** Margin calibration report — the reliability-diagram companion to
+    * q138/q139: bucket held-out margins into fixed margin-unit bins
+    * (clamped to ±5 units) and report each bin's empirical positive
+    * rate. A usable classifier shows the rate rising with the margin —
+    * the property that makes a margin threshold meaningful as a
+    * confidence knob (MlTrainSpec asserts top-bin rate ≥ bottom-bin
+    * rate + 0.3 and that bins recompose to the full held-out count).
+    * The bin id is a clamped integer division — no float op anywhere,
+    * so the whole report hash-matches.
+    *
+    * Scale: q138's shuffle-free scoring plus one tiny (bin) aggregate;
+    * output is ≤ 11 rows at any corpus size.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val fx = featureFrame(s, d)
+    val train = fx.filter(col("bkt") < 80)
+    var w = zeroWeights(s)
+    for (_ <- 1 to EvalIters) w = updateWeights(trainStep(train, w), 1, 1)
+    fx.filter(col("bkt") >= 80).crossJoin(broadcast(w))
+      .select(col("y"), marginExpr.as("m"))
+      // integer div (truncating, like DuckDB //) — Column./ would be FP
+      .select(col("y"),
+        least(greatest(expr(s"m div $MarginUnit"), lit(-5L)), lit(5L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("y") === 1, 1L)), lit(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 10000 div n").as("pos_rate_fp"))
+      .orderBy("bin")
+  }
+
+  private val q169Sql = {
+    val ctes = Seq.newBuilder[String]
+    ctes += featsSql
+    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += zeroWSql
+    for (t <- 0 until EvalIters)
+      ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)
+    "WITH " + ctes.result().mkString(",\n") +
+      s""",
+         |scored AS (
+         |  SELECT f.y,
+         |    least(greatest(($marginSql) // $MarginUnit, -5), 5) AS bin
+         |  FROM fx f CROSS JOIN w$EvalIters w WHERE f.bkt >= 80)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |  CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
+         |  CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) * 10000
+         |    // count(*) AS BIGINT) AS pos_rate_fp
+         |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_sliced_eval", q168, Some(q168Sql),
+      "held-out accuracy sliced by order priority (no single-number model acceptance)"),
+    QueryDef("q169_calibration", q169, Some(q169Sql),
+      "margin-bin calibration report (empirical positive rate per margin unit)"),
     QueryDef("q136_smote_oversample", q136, Some(q136Sql),
       "deterministic SMOTE minority oversampling (hash-ring neighbors, full-vector oracle)"),
     QueryDef("q137_hinge_sgd", q137, Some(q137Sql),

@@ -77,4 +77,33 @@ class MlTrainSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q168 slices recompose exactly to q138's confusion matrix") {
+    val slices = Registry.queries("q168_sliced_eval")(spark, sf).collect()
+    val cm = Registry.queries("q138_model_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = cm.values.sum
+    val correct = cm.getOrElse((1L, 1L), 0L) + cm.getOrElse((-1L, -1L), 0L)
+    assert(slices.map(_.getLong(1)).sum == total)
+    assert(slices.map(_.getLong(2)).sum == correct)
+    slices.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    assert(slices.length > 1, "expected more than one priority slice")
+  }
+
+  test("q169 calibration: positive rate rises with the margin bin") {
+    val bins = Registry.queries("q169_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(bins.length >= 2)
+    val cm = Registry.queries("q138_model_eval")(spark, sf).collect()
+    assert(bins.map(_._2).sum == cm.map(_.getLong(2)).sum) // full held-out cover
+    val bottom = bins.head._4 / 10000.0
+    val top = bins.last._4 / 10000.0
+    assert(top >= bottom + 0.3,
+      s"calibration flat: bottom bin rate $bottom, top bin rate $top")
+    bins.foreach(b => assert(b._3 <= b._2))
+  }
 }

@@ -226,6 +226,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q161 two-tier routing is exhaustive and exact on random corpora (engine-checked)") {
+    val wordGen = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val docGen = Gen.chooseNum(4, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val params = org.scalacheck.Gen.Parameters.default
+    for (seedBase <- Seq(11L, 223L, 4241L)) {
+      var seed = org.scalacheck.rng.Seed(seedBase)
+      val texts = (0 until 40).map { i =>
+        seed = seed.next
+        if (i % 3 == 0 && i > 0) null // placeholder, filled as copy below
+        else docGen.apply(params, seed).getOrElse("w0 w1 w2 w3")
+      }.toArray
+      for (i <- texts.indices if texts(i) == null) texts(i) = texts(i - 1)
+      // lang derives from the TEXT so exact copies always share a block
+      val rows = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "l" + (t.length % 2), "s0", t.length.toLong)
+      }
+      val dir = graft.util.TempDirs.create("graft_fuzz161_")
+      rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Registry.queries("q161_snapshot_dedup")(spark, dir).collect()
+      val again = Registry.queries("q161_snapshot_dedup")(spark, dir).collect()
+      assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "non-deterministic")
+      val cut = 40L * 9 / 10
+      val sets = rows.map(r => r._1 -> (r._3, r._2.split(" ").distinct.toSet)).toMap
+      got.foreach { r =>
+        val (id, dupOf, kind) = (r.getLong(0), r.getLong(1), r.getString(4))
+        assert(id >= cut && dupOf < cut, s"roles: $id -> $dupOf")
+        val (la, ta) = sets(id)
+        val (lb, tb) = sets(dupOf)
+        assert(la == lb)
+        kind match {
+          case "exact" =>
+            assert(ta == tb)
+            val equal = sets.collect {
+              case (b, (l, t)) if b < cut && l == la && t == ta => b
+            }
+            assert(dupOf == equal.min && r.getLong(3) == equal.size.toLong)
+          case "near" =>
+            assert(!sets.exists { case (b, (l, t)) => b < cut && l == la && t == ta })
+            val i = (ta & tb).size; val u = ta.size + tb.size - i
+            assert(i * 10 >= u * 9, s"false positive $id -> $dupOf")
+        }
+      }
+      // exact-tier completeness: every delta with a set-equal base is reported exact
+      val reportedExact = got.filter(_.getString(4) == "exact").map(_.getLong(0)).toSet
+      sets.foreach { case (id, (l, t)) =>
+        if (id >= cut) {
+          val hasEqual = sets.exists { case (b, (lb2, tb2)) =>
+            b < cut && lb2 == l && tb2 == t
+          }
+          if (hasEqual)
+            assert(reportedExact(id), s"delta $id with exact copy missed (seed $seedBase)")
+        }
+      }
+    }
+  }
+
   test("q147 group sample: exactly min(5, |group|) draws per lang, stable across runs") {
     import org.apache.spark.sql.functions._
     val run1 = Registry.queries("q147_group_sample")(spark, TestSpark.sf)
