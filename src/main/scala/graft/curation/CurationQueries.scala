@@ -742,6 +742,62 @@ object CurationQueries {
       |WHERE c.base_cnt > 0
       |ORDER BY c.dim, c.category""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+
+  /** Per-source signature terms — "what makes this source different":
+    * for every (source, term) with support ≥ 5, the fixed-point lift of
+    * the term's in-source rate over its corpus rate (q148's integer-PMI
+    * recipe pointed at source attribution instead of adjacency), top-3
+    * per source. This is the corpus-analytics view a mixture owner reads
+    * before re-weighting sources — domain-markers surface, boilerplate
+    * (lift ≈ 1) doesn't.
+    *
+    * Scale: one (source, term) count + one term count, joined
+    * vocab-sized; rank is a per-source window over vocab-sized input.
+    * No corpus-sized shuffle beyond the two counts.
+    */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenStream(s, d)
+    val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .filter(col("c_sw") >= 5)
+    val byTerm = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = broadcast(toks.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .crossJoin(toks.agg(count(lit(1)).as("n_tot"))))
+    val rk = Window.partitionBy("source")
+      .orderBy(desc("lift_fp"), asc("w"))
+    bySrc.join(byTerm, "w").join(totals, "source")
+      .select(col("source"), col("w"), col("c_sw"),
+        expr("(c_sw * n_tot * 1000000) div (c_w * n_src)").as("lift_fp"))
+      .withColumn("rnk", row_number().over(rk))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk").cast("long").as("rnk"), col("w"),
+        col("c_sw"), col("lift_fp"))
+      .orderBy("source", "rnk")
+  }
+
+  private val q170Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |by_src AS (
+       |  SELECT source, w, count(*) AS c_sw FROM toks
+       |  GROUP BY source, w HAVING count(*) >= 5),
+       |by_term AS (SELECT w, count(*) AS c_w FROM toks GROUP BY w),
+       |totals AS (
+       |  SELECT source, count(*) AS n_src,
+       |    (SELECT count(*) FROM toks) AS n_tot
+       |  FROM toks GROUP BY source),
+       |lifted AS (
+       |  SELECT s.source, s.w, s.c_sw,
+       |    CAST((s.c_sw * t.n_tot * 1000000) // (b.c_w * t.n_src) AS BIGINT)
+       |      AS lift_fp
+       |  FROM by_src s JOIN by_term b ON s.w = b.w
+       |  JOIN totals t ON s.source = t.source),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY lift_fp DESC, w) AS rnk
+       |  FROM lifted)
+       |SELECT source, CAST(rnk AS BIGINT) AS rnk, w, c_sw, lift_fp
+       |FROM ranked WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
   // ---------------------------------------------------------------- q159
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -845,5 +901,7 @@ object CurationQueries {
     QueryDef("q163_token_accounting", q163, Some(q163Sql),
       "tokenizer-aware per-source training-token accounting (subword fan-out billing)"),
     QueryDef("q166_drift_report", q166, Some(q166Sql),
-      "snapshot drift detection: per-category chi-square report, delta vs base"))
+      "snapshot drift detection: per-category chi-square report, delta vs base"),
+    QueryDef("q170_source_signature", q170, Some(q170Sql),
+      "per-source signature terms by fixed-point lift (top-3, min support)"))
 }

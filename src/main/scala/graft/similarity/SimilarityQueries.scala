@@ -790,7 +790,82 @@ object SimilarityQueries {
        |FROM p ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q171
+
+  /** Incremental centroid maintenance — the mini-batch upkeep step of a
+    * deployed IVF/k-means index (q55 trains, q86 assigns, THIS absorbs
+    * the day's new vectors without a full retrain): per (label, dim),
+    * merge the base partition's running (sum, n) with the new batch's
+    * (trailing 10% of vec_ids) as merged = (Σa+Σb)/(na+nb), and report
+    * the drift against the old mean. Sums are order-pinned sequential
+    * folds per side (q55's recipe), the merge is one addition — the
+    * exact arithmetic a centroid STORE does when a shard arrives, and
+    * the signal (drift) that triggers reclustering when it grows.
+    *
+    * Scale: two (label, dim)-keyed aggregates (one per side — in
+    * production the base side is the stored running sums, read not
+    * recomputed) and a vocab-sized join; nothing corpus-sized moves.
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val cut = broadcast(Tables.embeddings(s, d)
+      .agg(expr("(max(vec_id) + 1) * 9 div 10").as("cut")))
+    val rows = dimRows(s, d).crossJoin(cut)
+    def sideSums(delta: Boolean) = {
+      val side = if (delta) rows.filter(col("vec_id") >= col("cut"))
+        else rows.filter(col("vec_id") < col("cut"))
+      val sfx = if (delta) "_new" else "_old"
+      side.groupBy("label", "dim")
+        .agg(count(lit(1)).as(s"n$sfx"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+              x => x.getField("v").cast("double")),
+            lit(0.0), (acc, x) => acc + x).as(s"sum$sfx"))
+    }
+    sideSums(delta = false).join(sideSums(delta = true), Seq("label", "dim"), "full_outer")
+      .select(col("label"), col("dim"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("sum_old") / col("n_old")).as("mean_old"),
+        ((coalesce(col("sum_old"), lit(0.0)) + coalesce(col("sum_new"), lit(0.0)))
+          / (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))))
+          .as("mean_merged"))
+      .select(col("label"), col("dim"), col("n_old"), col("n_new"),
+        col("mean_old"), col("mean_merged"),
+        (col("mean_merged") - col("mean_old")).as("drift"))
+      .orderBy("label", "dim")
+  }
+
+  private val q171Sql =
+    """WITH cut AS (SELECT (max(vec_id) + 1) * 9 // 10 AS cut FROM embeddings),
+      |expl AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim, embedding[i] AS v
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+      |  WHERE i - 1 < 8),
+      |olds AS (
+      |  SELECT label, dim, count(*) AS n_old,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(v AS DOUBLE) ORDER BY vec_id)), (a, b) -> a + b) AS sum_old
+      |  FROM expl, cut WHERE vec_id < cut GROUP BY label, dim),
+      |news AS (
+      |  SELECT label, dim, count(*) AS n_new,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(v AS DOUBLE) ORDER BY vec_id)), (a, b) -> a + b) AS sum_new
+      |  FROM expl, cut WHERE vec_id >= cut GROUP BY label, dim)
+      |SELECT coalesce(o.label, n.label) AS label, coalesce(o.dim, n.dim) AS dim,
+      |  CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+      |  CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+      |  o.sum_old / o.n_old AS mean_old,
+      |  (coalesce(o.sum_old, 0.0) + coalesce(n.sum_new, 0.0))
+      |    / (coalesce(o.n_old, 0) + coalesce(n.n_new, 0)) AS mean_merged,
+      |  (coalesce(o.sum_old, 0.0) + coalesce(n.sum_new, 0.0))
+      |    / (coalesce(o.n_old, 0) + coalesce(n.n_new, 0)) - o.sum_old / o.n_old
+      |    AS drift
+      |FROM olds o FULL OUTER JOIN news n ON o.label = n.label AND o.dim = n.dim
+      |ORDER BY label, dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_centroid_update", q171, Some(q171Sql),
+      "incremental mini-batch centroid maintenance (merged running sums + drift)"),
     QueryDef("q165_random_projection", q165, Some(q165Sql),
       "Johnson-Lindenstrauss 64->16 random projection (pinned LCG directions)"),
     QueryDef("q162_cluster_quality", q162, Some(q162Sql),

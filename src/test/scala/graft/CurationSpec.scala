@@ -274,6 +274,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 source signatures match a driver-side lift recompute") {
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+    val nTot = toks.length.toLong
+    val bySrc = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTerm = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nSrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = bySrc.collect { case ((src, w), cSw) if cSw >= 5 =>
+      (src, w, cSw, cSw * nTot * 1000000L / (byTerm(w) * nSrc(src)))
+    }.toSeq.groupBy(_._1).flatMap { case (src, ts) =>
+      ts.sortBy(t => (-t._4, t._2)).take(3).zipWithIndex
+        .map { case ((_, w, cSw, lift), i) => (src, i + 1L, w, cSw, lift) }
+    }.toSet
+    val got = Registry.queries("q170_source_signature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
   test("q166 drift report matches a driver-side chi-square recompute") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "source", "n_chars").collect()

@@ -479,6 +479,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
   }
 
+  test("q171 centroid update matches a driver-side two-phase merge") {
+    val es = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).take(8).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val cut = (es.map(_._1).max + 1) * 9 / 10
+    val got = Registry.queries("q171_centroid_update")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (l, dim) = (r.getInt(0), r.getLong(1).toInt)
+      val base = es.filter(t => t._2 == l && t._1 < cut).map(_._3(dim))
+      val batch = es.filter(t => t._2 == l && t._1 >= cut).map(_._3(dim))
+      assert(r.getLong(2) == base.length.toLong && r.getLong(3) == batch.length.toLong)
+      val sumOld = base.foldLeft(0.0)(_ + _)
+      val sumNew = batch.foldLeft(0.0)(_ + _)
+      assert(math.abs(r.getDouble(4) - sumOld / base.length) < 1e-12)
+      val merged = (sumOld + sumNew) / (base.length + batch.length)
+      assert(math.abs(r.getDouble(5) - merged) < 1e-12)
+      assert(math.abs(r.getDouble(6) - (merged - sumOld / base.length)) < 1e-12)
+    }
+    // covers every (label, dim<8) pair
+    assert(got.length == es.map(_._2).distinct.length * 8)
+  }
+
   test("q162 cluster quality matches a driver-side inertia/separation recompute") {
     val es = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()
