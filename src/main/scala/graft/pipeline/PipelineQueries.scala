@@ -346,7 +346,113 @@ object PipelineQueries {
       |FROM ranked r JOIN budget b ON r.lang = b.lang
       |ORDER BY r.lang, r.cum_tokens, r.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+
+  /** Order-preserving dictionary encoding — the columnar-storage
+    * primitive (parquet/ORC dictionary pages, OLAP string compression):
+    * build a dense code per distinct string such that code order equals
+    * string order, encode the column through a broadcast join, and
+    * aggregate on codes. Codes are contiguous from 1 and deterministic
+    * (dense rank over the distinct values). An order-preserving
+    * dictionary additionally lets range predicates evaluate on codes
+    * without decoding — the column carries the equivalent
+    * string-predicate so the oracle pins that equivalence.
+    *
+    * Scale: the dictionary is a distinct + rank over DISTINCT values
+    * (vocab-sized; the global window runs over the dictionary, never
+    * the data); encode = broadcast hash join — exactly a columnar
+    * writer's dictionary page.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val dict = Tables.documents(s, d).select(col("source")).distinct()
+      .withColumn("code",
+        row_number().over(Window.orderBy("source")).cast("long"))
+    Tables.documents(s, d)
+      .join(broadcast(dict), "source")
+      .groupBy("code", "source")
+      .agg(count(lit(1)).as("n"))
+      .select(col("code"), col("source"), col("n"),
+        (length(col("source")) > 4).as("range_pred_on_string"),
+        (col("code") > 0).as("code_contiguous"))
+      .orderBy("code")
+  }
+
+  private val q172Sql =
+    """WITH dict AS (
+      |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS code
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |enc AS (
+      |  SELECT d.code, d.source FROM documents doc JOIN dict d
+      |  ON doc.source = d.source)
+      |SELECT code, source, count(*) AS n,
+      |  length(source) > 4 AS range_pred_on_string,
+      |  code > 0 AS code_contiguous
+      |FROM enc GROUP BY code, source ORDER BY code""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+
+  /** KMV (k-minimum-values) distinct-count sketch — the MERGEABLE
+    * distinct estimator whose whole pipeline is deterministic (unlike
+    * HLL's q27, which is rows-only checked): keep the k = 16 smallest
+    * scrambled token hashes per language; the estimate is
+    * (k−1) · P / h_k with h_k the k-th minimum over the hash space P.
+    * The raw polyhash is length-biased (short words hash small), so KMV
+    * scrambles it multiplicatively to make the order statistics
+    * near-uniform — without it the k-th minimum sits orders of magnitude
+    * low and the estimate explodes (measured 1499 vs 31). Because both
+    * hash and scramble are pinned integer arithmetic, sketch AND
+    * estimate hash-match the oracle exactly — a sketch family member
+    * with a full correctness gate. Languages whose distinct count
+    * doesn't overflow k report exactly (the sketch IS the exact set).
+    *
+    * Scale: one (lang, hash) distinct + a per-lang bounded top-k; at
+    * 100 TB per-shard sketches union-merge associatively (k smallest of
+    * the concatenation) with no distinct shuffle of the corpus.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val P = 1000000007L
+    val hashes = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .select(col("lang"),
+        pmod(graft.util.Det.polyHash(col("w")) * 2654435761L + 12345L, lit(P)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("lang").orderBy("h")
+    val kth = hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k_eff"), max("h").as("h_k"))
+    val exact = hashes.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    kth.join(exact, "lang")
+      .select(col("lang"), col("k_eff"), col("h_k"), col("exact_distinct"),
+        // literal pre-multiplied in Scala: 15 * P overflows Int32 and
+        // Spark's non-ANSI int arithmetic would wrap silently
+        when(col("k_eff") < K, col("exact_distinct"))
+          .otherwise(expr(s"${(K - 1).toLong * P} div h_k")).as("estimate"))
+      .orderBy("lang")
+  }
+
+  private val q173Sql =
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT lang,
+       |    (${graft.util.Det.polyHashSql("w")} * 2654435761 + 12345) % 1000000007 AS h
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |kth AS (
+       |  SELECT lang, count(*) AS k_eff, max(h) AS h_k
+       |  FROM (SELECT lang, h, row_number() OVER (
+       |          PARTITION BY lang ORDER BY h) AS rk FROM hashes)
+       |  WHERE rk <= 16 GROUP BY lang),
+       |ex AS (SELECT lang, count(*) AS exact_distinct FROM hashes GROUP BY lang)
+       |SELECT k.lang, k.k_eff, k.h_k, e.exact_distinct,
+       |  CAST(CASE WHEN k.k_eff < 16 THEN e.exact_distinct
+       |       ELSE 15000000105 // k.h_k END AS BIGINT) AS estimate
+       |FROM kth k JOIN ex e ON k.lang = e.lang ORDER BY k.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_dict_encode", q172, Some(q172Sql),
+      "order-preserving dictionary encoding (dense codes, broadcast encode join)"),
+    QueryDef("q173_kmv_distinct", q173, Some(q173Sql),
+      "KMV k-minimum-values distinct sketch (deterministic, fully hash-oracled)"),
     QueryDef("q155_token_budget", q155, Some(q155Sql),
       "greedy quality-ranked token-budget selection per language stratum"),
     QueryDef("q150_dataset_card", q150, Some(q150Sql),

@@ -289,4 +289,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(_._3 == "updated") && got.exists(_._3 == "inserted"))
     assert(!got.exists(t => t._1 % 10 == 0 && t._1 < 100000000L))
   }
+
+  test("q172 dictionary: codes are contiguous, order-preserving, counts cover") {
+    val got = Registry.queries("q172_dict_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to got.length))
+    // order-preserving: code order == string order
+    assert(got.sortBy(_._1).map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    val total = Tables.documents(spark, sf).count()
+    assert(got.map(_._3).sum == total)
+  }
+
+  test("q173 KMV: exact when under k, bounded relative error when over") {
+    val got = Registry.queries("q173_kmv_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (lang, kEff, exact, est) =>
+      if (kEff < 16) assert(est == exact, s"$lang under-k must be exact")
+      else {
+        val rel = math.abs(est - exact).toDouble / exact
+        assert(rel <= 0.6, s"$lang estimate $est vs exact $exact (rel $rel)")
+      }
+    }
+    // at least one language overflows k on the testdata (vocab is 31 > 16)
+    assert(got.exists(_._2 == 16L))
+  }
 }
