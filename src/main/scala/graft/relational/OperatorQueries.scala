@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -601,7 +601,88 @@ object OperatorQueries {
       |WHERE c.op IS NULL OR c.op != 'D'
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+
+  /** Data-contract validation — the declarative constraint audit every
+    * table publishes against before consumers read it (the dbt-test /
+    * Great Expectations shape as an engine operator): each contract is a
+    * named predicate class over `orders`/`lineitem` — NOT NULL, range,
+    * enum membership, key uniqueness, referential integrity — and the
+    * report carries (checked, violations, passed) per contract. Two
+    * contracts genuinely FAIL on the testdata (status-settled and the
+    * discount cap), so the operator demonstrably reports violations
+    * rather than rubber-stamping.
+    *
+    * Scale: every contract is one aggregate over its table (uniqueness
+    * = count vs distinct; FK = broadcast anti-join count — customer is
+    * dimension-sized); the report is contract-cardinality rows. At
+    * 100 TB contracts attach per-partition and gate publication of each
+    * increment (q166's drift report is the statistical sibling).
+    */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def row(name: String, checked: Column, viol: Column, src: DataFrame) =
+      src.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("contract"), col("n_checked"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+    val notNull = row("orders_custkey_not_null", count(lit(1)),
+      sum(when(col("o_custkey").isNull, 1L)), o)
+    val unique = row("orders_orderkey_unique", count(lit(1)),
+      count(lit(1)) - countDistinct(col("o_orderkey")), o)
+    val enumC = row("orders_status_settled", count(lit(1)),
+      sum(when(!col("o_orderstatus").isin("O", "F"), 1L)), o)
+    val range = row("orders_totalprice_positive", count(lit(1)),
+      sum(when(col("o_totalprice") <= 0, 1L)), o)
+    // FK: anti-join survivors ARE the violations; checked = full table size
+    val fkViol = o
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val fkFixed = o.agg(count(lit(1)).as("n_checked")).crossJoin(fkViol)
+      .select(lit("orders_fk_customer").as("contract"), col("n_checked"),
+        col("n_violations"))
+    val cap = row("lineitem_discount_cap", count(lit(1)),
+      sum(when(col("l_discount") > 0.08, 1L)), li)
+    Seq(notNull, unique, enumC, range, fkFixed, cap)
+      .reduce(_ unionByName _)
+      .select(col("contract"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+      .orderBy("contract")
+  }
+
+  private val q174Sql =
+    """WITH r AS (
+      |  SELECT 'orders_custkey_not_null' AS contract, count(*) AS n_checked,
+      |    CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT)
+      |      AS n_violations FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_orderkey_unique', count(*),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_status_settled', count(*),
+      |    CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 END), 0)
+      |      AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive', count(*),
+      |    CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS BIGINT)
+      |    FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer', (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_cap', count(*),
+      |    CAST(coalesce(sum(CASE WHEN l_discount > 0.08 THEN 1 END), 0) AS BIGINT)
+      |    FROM lineitem)
+      |SELECT contract, CAST(n_checked AS BIGINT) AS n_checked, n_violations,
+      |  n_violations = 0 AS passed
+      |FROM r ORDER BY contract""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_data_contract", q174, Some(q174Sql),
+      "declarative data-contract audit (null/range/enum/unique/FK, per-contract report)"),
     QueryDef("q143_merge_upsert", q143, Some(q143Sql),
       "batch MERGE INTO semantics (CDC upsert/delete/insert via one full-outer join)"),
     QueryDef("q132_pagerank", q132, Some(q132Sql),

@@ -300,6 +300,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == total)
   }
 
+  test("q174 data contracts match driver-side recomputation; both verdicts occur") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val custs = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val discountsOver = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") > 0.08).count()
+    val nLi = Tables.lineitem(spark, sf).count()
+    val got = Registry.queries("q174_data_contract")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val n = orders.length.toLong
+    assert(got("orders_custkey_not_null") == ((n, 0L, true)))
+    assert(got("orders_orderkey_unique") ==
+      ((n, n - orders.map(_._1).distinct.length, true)))
+    assert(got("orders_status_settled") ==
+      ((n, orders.count(o => o._3 != "O" && o._3 != "F").toLong, false)))
+    assert(got("orders_totalprice_positive") ==
+      ((n, orders.count(_._4 <= 0).toLong, true)))
+    assert(got("orders_fk_customer") ==
+      ((n, orders.count(o => !custs(o._2)).toLong, true)))
+    assert(got("lineitem_discount_cap") == ((nLi, discountsOver, false)))
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("q173 KMV: exact when under k, bounded relative error when over") {
     val got = Registry.queries("q173_kmv_distinct")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))

@@ -284,6 +284,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q164 winnowing handles short documents (engine == oracle contract)") {
+    // docs with < 3 tokens produce no grams and are absent from the output;
+    // docs with 3..6 tokens (fewer grams than the window) report n_fp = 0.
+    // Both sides of the oracle share this contract — pin it on a corpus the
+    // driver testdata can't produce (its docs all have >= 8 tokens).
+    val texts = Seq("a", "a b", "a b c", "a b c d", "a b c d e f g h i j")
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s0", t.length.toLong)
+    }
+    val dir = graft.util.TempDirs.create("graft_fuzz164_")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("q164_winnowing")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(0L) && !got.contains(1L)) // no grams at all
+    assert(got(2L) == ((1L, 0L))) // 1 gram < window: no fingerprint
+    assert(got(3L) == ((2L, 0L)))
+    val (kg, fp) = got(4L) // 10 tokens -> 8 grams -> 5 windows, fps > 0
+    assert(kg == 8L && fp >= 2L)
+  }
+
   test("q147 group sample: exactly min(5, |group|) draws per lang, stable across runs") {
     import org.apache.spark.sql.functions._
     val run1 = Registry.queries("q147_group_sample")(spark, TestSpark.sf)
