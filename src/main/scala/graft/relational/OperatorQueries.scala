@@ -191,7 +191,10 @@ object OperatorQueries {
     * the key, linear, no state on the driver. Time order is (ts, event_id)
     * so concurrent events resolve identically in both engines.
     */
-  private def q88(s: SparkSession, d: String): DataFrame = {
+  /** The SCD2 versioned-history frame (shared by q88 and q175's
+    * time-travel read).
+    */
+  private def scd2Frame(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
@@ -205,8 +208,10 @@ object OperatorQueries {
       .select(col("user_id"), col("version"), col("event_type").as("state"),
         col("ts_sec").as("valid_from_sec"), col("valid_to_sec"),
         when(col("valid_to_sec").isNull, 1L).otherwise(0L).as("is_current"))
-      .orderBy("user_id", "version")
   }
+
+  private def q88(s: SparkSession, d: String): DataFrame =
+    scd2Frame(s, d).orderBy("user_id", "version")
 
   private val q88Sql =
     """WITH ev AS (
@@ -680,7 +685,67 @@ object OperatorQueries {
       |  n_violations = 0 AS passed
       |FROM r ORDER BY contract""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+
+  /** Time-travel (AS OF) read over the SCD2 history — the lakehouse
+    * "SELECT … VERSION AS OF" semantics expressed relationally: pin a
+    * point in time T (the corpus midpoint second — a parameter in
+    * production) and reconstruct the table state at T by keeping, per
+    * entity, the version whose validity interval covers T. Entities
+    * born after T are correctly absent. This is the query every audit /
+    * reproducible-training-run requirement turns into: "exactly what did
+    * the table say when the model trained?".
+    *
+    * Scale: the history build is q88's one window shuffle; the AS OF
+    * filter is a per-row interval test against a broadcast scalar —
+    * no extra shuffle. A real lakehouse answers it from version metadata
+    * without scanning dead versions; the relational form here is the
+    * fallback that works on ANY versioned table.
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val t = broadcast(Tables.events(s, d)
+      .agg(expr("(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) div 2")
+        .as("as_of_sec")))
+    scd2Frame(s, d).crossJoin(t)
+      .filter(col("valid_from_sec") <= col("as_of_sec") &&
+        (col("valid_to_sec").isNull || col("valid_to_sec") > col("as_of_sec")))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_sec"), col("as_of_sec"))
+      .orderBy("user_id")
+  }
+
+  private val q175Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts_sec, event_id) AS prev_type
+      |  FROM ev),
+      |changes AS (
+      |  SELECT * FROM marked WHERE prev_type IS NULL OR prev_type <> event_type),
+      |hist AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id) AS BIGINT) AS version,
+      |    event_type AS state, ts_sec AS valid_from_sec,
+      |    lead(ts_sec) OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id) AS valid_to_sec
+      |  FROM changes),
+      |t AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+      |            + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS as_of_sec
+      |      FROM events)
+      |SELECT h.user_id, h.version, h.state, h.valid_from_sec,
+      |  CAST(t.as_of_sec AS BIGINT) AS as_of_sec
+      |FROM hist h, t
+      |WHERE h.valid_from_sec <= t.as_of_sec
+      |  AND (h.valid_to_sec IS NULL OR h.valid_to_sec > t.as_of_sec)
+      |ORDER BY h.user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_time_travel", q175, Some(q175Sql),
+      "AS OF time-travel read over the SCD2 history (state at the corpus midpoint)"),
     QueryDef("q174_data_contract", q174, Some(q174Sql),
       "declarative data-contract audit (null/range/enum/unique/FK, per-contract report)"),
     QueryDef("q143_merge_upsert", q143, Some(q143Sql),

@@ -300,6 +300,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == total)
   }
 
+  test("q175 time travel: one covering version per live entity, none born later") {
+    val hist = Registry.queries("q88_scd2_history")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    val got = Registry.queries("q175_time_travel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val t = got.head._5
+    // exactly one row per user, and it is exactly the covering version
+    assert(got.map(_._1).distinct.length == got.length)
+    got.foreach { case (u, v, state, from, _) =>
+      val cover = hist.filter(h => h._1 == u && h._4 <= t && h._5 > t)
+      assert(cover.length == 1, s"user $u cover count")
+      assert((cover.head._2, cover.head._3, cover.head._4) == ((v, state, from)))
+    }
+    // completeness: every user with any version at-or-before T is present
+    val expected = hist.filter(h => h._4 <= t).map(_._1).distinct.sorted.toSeq
+    assert(got.map(_._1).sorted.toSeq == expected)
+  }
+
   test("q174 data contracts match driver-side recomputation; both verdicts occur") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
