@@ -448,9 +448,15 @@ object DedupQueries {
         vs.map { case (_, v) => (v, find(v)) }
     }
     val repLabels = labeled.toDF("rep_id", "label")
-    // expand rep labels back to every member of each set-equal group
-    groups.join(repLabels, col("rep") === col("rep_id"))
+    // expand rep labels back to every member of each set-equal group; the
+    // eager checkpoint materializes the (doc_id, label) frame so `groups`
+    // can be unpersisted HERE — without it each q58/q154/q156 invocation
+    // would leave a cached frame behind for the session (ADVICE r5)
+    val expanded = groups.join(repLabels, col("rep") === col("rep_id"))
       .select(explode(col("members")).as("doc_id"), col("label"))
+      .localCheckpoint(true)
+    groups.unpersist()
+    expanded
   }
 
   private def q58(s: SparkSession, d: String): DataFrame =
@@ -562,7 +568,11 @@ object DedupQueries {
     * assignment is a pure projection, no extra shuffle.
     */
   private def q156(s: SparkSession, d: String): DataFrame = {
-    val bkt = pmod(col("label") * 2654435761L, lit(100L))
+    // label is reduced mod p BEFORE the multiply: labels are doc ids, and
+    // id · 2654435761 overflows int64 for ids ≥ ~3.4e9 — Spark would wrap
+    // silently where DuckDB raises, a latent cross-engine divergence at
+    // 100 TB id ranges (ADVICE r5). (label mod p) · c < 2^62 for any id.
+    val bkt = pmod(pmod(col("label"), lit(1000000007L)) * 2654435761L, lit(100L))
     clusterLabels(s, d)
       .select(col("doc_id"), col("label").as("cluster"),
         when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
@@ -573,8 +583,8 @@ object DedupQueries {
   private val q156Sql =
     s"""$clusterLabelsSqlPrefix
        |SELECT doc_id, label AS cluster,
-       |  CASE WHEN (label * 2654435761) % 100 < 80 THEN 'train'
-       |       WHEN (label * 2654435761) % 100 < 90 THEN 'val'
+       |  CASE WHEN ((label % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+       |       WHEN ((label % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM labels ORDER BY doc_id""".stripMargin
 
@@ -735,10 +745,19 @@ object DedupQueries {
       .select(col("band_key"), col("lang"), col("doc_id").as("base_id"))
     val deltaB = bands.filter(col("is_delta"))
       .select(col("band_key"), col("lang"), col("doc_id").as("delta_id"))
+    // Candidates are materialized once (eager checkpoint) because they feed
+    // THREE consumers: the verify join and the two candidate-restricted
+    // broadcast sides. The broadcast token frames are semi-joined down to
+    // candidate ids first — broadcasting ta/tb over ALL documents would be
+    // a corpus-sized driver broadcast at scale (ADVICE r5); restricted to
+    // candidates they are bounded by the band-collision count.
     val cand = deltaB.join(baseB, Seq("band_key", "lang"))
       .select("delta_id", "base_id").distinct()
-    val ta = broadcast(docs.select(col("doc_id").as("delta_id"), col("toks").as("toks_a")))
-    val tb = broadcast(docs.select(col("doc_id").as("base_id"), col("toks").as("toks_b")))
+      .localCheckpoint(true)
+    val ta = broadcast(docs.select(col("doc_id").as("delta_id"), col("toks").as("toks_a"))
+      .join(cand.select("delta_id").distinct(), Seq("delta_id"), "left_semi"))
+    val tb = broadcast(docs.select(col("doc_id").as("base_id"), col("toks").as("toks_b"))
+      .join(cand.select("base_id").distinct(), Seq("base_id"), "left_semi"))
     val w = Window.partitionBy("delta_id")
     val near = cand.join(ta, "delta_id").join(tb, "base_id")
       .filter(inter * 10 >= union * 9)

@@ -21,7 +21,10 @@ object MlPrepQueries {
     * Emits per-split per-label counts — the audit every training run logs.
     */
   private def q104(s: SparkSession, d: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    // doc_id is reduced mod p before the multiply: id · 2654435761
+    // overflows int64 for ids ≥ ~3.4e9 (Spark wraps, DuckDB raises) —
+    // the q156 overflow guard, applied to every id-hash split site.
+    val bucket = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(100L))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
@@ -33,8 +36,8 @@ object MlPrepQueries {
   private val q104Sql =
     """WITH assigned AS (
       |  SELECT doc_id, lang,
-      |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-      |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |    CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+      |         WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents)
       |SELECT split, lang, count(*) AS n, min(doc_id) AS first_doc
@@ -52,7 +55,8 @@ object MlPrepQueries {
     val minClass = e.groupBy("label").agg(count(lit(1)).as("n"))
       .agg(min("n").as("cap"))
     val w = Window.partitionBy("label")
-      .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000000007L)), col("vec_id"))
+      .orderBy(pmod(pmod(col("vec_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)), col("vec_id"))
     e.select(col("vec_id"), col("label"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .crossJoin(broadcast(minClass))
@@ -68,7 +72,7 @@ object MlPrepQueries {
       |ranked AS (
       |  SELECT vec_id, label,
       |    row_number() OVER (PARTITION BY label
-      |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) AS rk
+      |      ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id) AS rk
       |  FROM embeddings)
       |SELECT label, count(*) AS n_kept, min(vec_id) AS first_kept
       |FROM ranked, cap WHERE rk <= cap

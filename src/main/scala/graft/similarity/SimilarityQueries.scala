@@ -590,9 +590,14 @@ object SimilarityQueries {
     * the corpus: both window ranks partition by q_id (sample-sized).
     */
   private def q160(s: SparkSession, d: String): DataFrame = {
+    // norm > 0 guard (ADVICE r5): a zero embedding would yield Inf/NaN
+    // cosines in Spark but NULL in DuckDB (÷0), silently diverging the
+    // recall ranking. Excluding zero vectors is also the semantically
+    // right call — cosine similarity is undefined for them.
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+      .filter(col("norm") > 0)
     val q = broadcast(e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("qv"), col("norm").as("q_norm")))
@@ -626,7 +631,8 @@ object SimilarityQueries {
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${sqlDot("embedding", "embedding")} > 0),
        |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv,
        |        norm AS q_norm FROM e WHERE vec_id < 20),
        |scored AS (
