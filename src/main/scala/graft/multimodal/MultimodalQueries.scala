@@ -8,19 +8,23 @@ import graft.util.Det
 
 /** Multimodal-column operator family: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs, plus per-partition batch
-  * "decode"/feature-extraction plumbing.
+  * decode / feature-extraction kernels.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (see [[MediaStub]]); everything
-  * Spark-side — binary column handling, metadata schema, partition-batched
-  * UDF shape, feature schema — is real and tested. Swapping the stub for a
-  * JNI/codec call changes one function.
+  * Since round 6 the decode kernels are REAL — `javax.imageio` PNG/GIF
+  * codecs ([[MediaKernel]]), not stubs. Each query materializes genuine
+  * image payloads (grayscale PNG / multi-frame GIF whose dimensions and
+  * pixel pattern are closed-form functions of `doc_id`), then runs the
+  * real decoder over the bytes and derives every output from DECODED
+  * PIXELS. Because the formats are lossless for 8-bit gray, the DuckDB
+  * oracle can recompute the same features from the generating formula —
+  * the decode path is verified end-to-end against pixel-level truth.
   *
   * Scale: media payloads dominate row size, so the rule at 100 TB is:
   * never shuffle the binary column. Metadata-only projections run first
   * (column pruning keeps bytes out of the scan when unused), and
-  * feature-extraction is mapPartitions — per-partition batching, no
-  * driver involvement, no shuffle.
+  * decode/feature-extraction is mapPartitions — one codec instance per
+  * partition, per-partition batching, no driver involvement, no shuffle;
+  * the binary column dies inside the task that decoded it.
   */
 object MultimodalQueries {
 
@@ -55,103 +59,119 @@ object MultimodalQueries {
        |  source AS origin
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Partition-batched media decode + feature extraction: the
-    * `mapInPandas`-shaped path (iterator of batches in, iterator of
-    * batches out) as Scala `mapPartitions` over a typed Dataset. The
-    * decode kernel is [[MediaStub.decode]] — STUB. Deterministic, but the
-    * decode semantics aren't SQL — rows-only check + MultimodalSpec.
+  /** Per-document image spec — the fixture-generation contract shared by
+    * the Spark kernels and the oracle SQL: a w×h 8-bit grayscale image
+    * (w = 16 + id%37 ∈ [16,52], h = 16 + id%23 ∈ [16,38]) whose pixel
+    * (x, y) of frame f has gray level (id·7 + f·11 + x + 2y) mod 256.
+    */
+  private def dims(id: Long): (Int, Int) =
+    ((16 + id % 37).toInt, (16 + id % 23).toInt)
+
+  /** Real media decode + feature extraction: each document becomes a
+    * GENUINE grayscale PNG payload ([[MediaKernel.encodePng]] — real
+    * `javax.imageio` encoder), which the real decoder then reads back;
+    * width/height/luma come from the decoded raster, not the formula. A
+    * broken codec path (wrong dims, gamma-shifted pixels, truncated rows)
+    * fails the oracle, which recomputes the features from the generating
+    * formula in closed form. mapPartitions with one [[MediaKernel]] per
+    * partition — the expensive-init, batched shape real codecs need.
     */
   private def q66(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        // per-partition batch processing: one decoder instance per
-        // partition (the expensive-init shape real codecs need)
-        val decoder = new MediaStub
-        batch.map { case (id, bytes) =>
-          val f = decoder.decode(bytes)
-          (id, f.width, f.height, f.nFrames, f.meanLuma)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.map { id =>
+          val (w, h) = dims(id)
+          val png = k.encodePng(w, h, (x, y) => ((id * 7 + x + 2 * y) % 256).toInt)
+          val (fmt, g) = k.decodeImage(png)
+          (id, fmt, g.width.toLong, g.height.toLong, k.lumaSum(g))
         }
       }
-      .toDF("doc_id", "width", "height", "n_frames", "mean_luma")
+      .toDF("doc_id", "fmt", "width", "height", "luma_sum")
       .orderBy("doc_id")
   }
 
-  /** Resize + frame-sampling plumbing (the remaining two kernels of the
-    * multimodal mandate): decode → resize to a 32×32 thumbnail → sample
-    * every-k-th frame, all inside ONE mapPartitions pass so payload bytes
-    * never cross an operator boundary (at 100 TB the binary column is the
-    * row; one pass per partition is the only affordable shape). Frame rows
-    * are emitted with flatMap — one output row per sampled frame, the
-    * UDTF-shaped batch contract `mapInPandas` uses. Kernels are STUBS
-    * ([[MediaStub.resize]]/[[MediaStub.sampleFrames]]); schema, batching,
-    * and flatten plumbing are real. Deterministic → rows + MultimodalSpec.
+  // the 64×64 support grids cover the max dims (52×38); filters w/h trim
+  // them per doc — avoids correlated LATERAL table functions for engine
+  // portability
+  private val q66Sql =
+    """WITH xs AS (SELECT range AS x FROM range(64)),
+      |     ys AS (SELECT range AS y FROM range(64)),
+      |dims AS (SELECT doc_id, 16 + doc_id % 37 AS w, 16 + doc_id % 23 AS h
+      |         FROM documents),
+      |px AS (SELECT d.doc_id, (d.doc_id * 7 + xs.x + 2 * ys.y) % 256 AS g
+      |       FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h)
+      |SELECT doc_id, 'png' AS fmt,
+      |  CAST(16 + doc_id % 37 AS BIGINT) AS width,
+      |  CAST(16 + doc_id % 23 AS BIGINT) AS height,
+      |  CAST(sum(g) AS BIGINT) AS luma_sum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Real frame extraction + thumbnail resize: each document becomes a
+    * genuine MULTI-FRAME grayscale GIF (1 + id%4 frames), decoded with a
+    * real `ImageReader` (`getNumImages` + per-frame `read`); every 2nd
+    * frame is sampled (always including frame 0), area-average downscaled
+    * to a ≤ 32-px thumbnail from its DECODED pixels, and summarized by
+    * integer luma sum. One mapPartitions pass — payload bytes never cross
+    * an operator boundary (at 100 TB the binary column IS the row; one
+    * pass per partition is the only affordable shape). Frame rows emit via
+    * flatMap — the one-in-many-out UDTF batch contract. The oracle mirrors
+    * the box filter bit-for-bit in integer SQL.
     */
   private def q67(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        val decoder = new MediaStub
-        batch.flatMap { case (id, bytes) =>
-          val f = decoder.decode(bytes)
-          val (tw, th) = decoder.resize(f.width, f.height, 32)
-          decoder.sampleFrames(f.nFrames, every = 2).map { frameIdx =>
-            (id, frameIdx, tw, th, decoder.frameChecksum(bytes, frameIdx))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.flatMap { id =>
+          val (w, h) = dims(id)
+          val nf = (1 + id % 4).toInt
+          val gif = k.encodeGif(w, h, nf,
+            (f, x, y) => ((id * 7 + f * 11 + x + 2 * y) % 256).toInt)
+          // frame count from the DECODED stream, not the formula — a codec
+          // that drops frames fails the oracle's row count
+          val frames = k.decodeGifFrames(gif)
+          MediaKernel.sampleFrames(frames.length, every = 2).map { fi =>
+            val thumb = k.resizeAreaAvg(frames(fi), 32)
+            (id, fi.toLong, thumb.width.toLong, thumb.height.toLong, k.lumaSum(thumb))
           }
         }
       }
-      .toDF("doc_id", "frame_idx", "thumb_w", "thumb_h", "frame_checksum")
+      .toDF("doc_id", "frame_idx", "thumb_w", "thumb_h", "thumb_luma_sum")
       .orderBy("doc_id", "frame_idx")
   }
 
+  private val q67Sql =
+    """WITH xs AS (SELECT range AS x FROM range(64)),
+      |     ys AS (SELECT range AS y FROM range(64)),
+      |     fs AS (SELECT range AS f FROM range(4)),
+      |dims AS (SELECT doc_id, 16 + doc_id % 37 AS w, 16 + doc_id % 23 AS h,
+      |                1 + doc_id % 4 AS nf
+      |         FROM documents),
+      |t AS (SELECT *,
+      |  CASE WHEN greatest(w, h) <= 32 THEN w
+      |       WHEN w >= h THEN 32 ELSE greatest(1, (w * 32) // h) END AS tw,
+      |  CASE WHEN greatest(w, h) <= 32 THEN h
+      |       WHEN w >= h THEN greatest(1, (h * 32) // w) ELSE 32 END AS th
+      |  FROM dims),
+      |px AS (SELECT doc_id, f, tw, th, (x * tw) // w AS tx, (y * th) // h AS ty,
+      |              (doc_id * 7 + 11 * f + x + 2 * y) % 256 AS g
+      |       FROM t, xs, ys, fs
+      |       WHERE x < w AND y < h AND f < nf AND f % 2 = 0),
+      |cells AS (SELECT doc_id, f, tw, th, tx, ty, sum(g) // count(*) AS cg
+      |          FROM px GROUP BY doc_id, f, tw, th, tx, ty)
+      |SELECT doc_id, f AS frame_idx, CAST(tw AS BIGINT) AS thumb_w,
+      |  CAST(th AS BIGINT) AS thumb_h, CAST(sum(cg) AS BIGINT) AS thumb_luma_sum
+      |FROM cells GROUP BY doc_id, f, tw, th
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_media_meta", q65, Some(q65Sql), "binary payload + metadata projection"),
-    QueryDef("q66_media_decode", q66, None, "mapPartitions batched decode (STUB kernel)"),
-    QueryDef("q67_media_frames", q67, None, "one-pass resize + frame-sample flatMap (STUB kernels)"))
-}
-
-/** STUB media decoder — the container ships no image/audio libraries
-  * (builder prompt), so this produces deterministic fake features derived
-  * from the payload bytes. The partition-batched call shape, schemas, and
-  * typed Dataset plumbing around it are the real engineering surface; a
-  * production build replaces `decode` with an actual codec.
-  */
-object MediaStub {
-  final case class Features(width: Int, height: Int, nFrames: Int, meanLuma: Double)
-}
-
-final class MediaStub {
-  import MediaStub.Features
-
-  def decode(payload: Array[Byte]): Features = {
-    val n = payload.length
-    // ??? real codec goes here — deterministic fake derived from bytes:
-    val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-    Features(
-      width = 64 + (n % 577),
-      height = 64 + (n % 433),
-      nFrames = 1 + (n % 7),
-      meanLuma = (sum % 25600L).toDouble / 100.0)
-  }
-
-  /** Aspect-preserving thumbnail dimensions (integer math; a real build
-    * would also produce the resampled pixels — ??? stub).
-    */
-  def resize(w: Int, h: Int, maxSide: Int): (Int, Int) =
-    if (w >= h) (maxSide, math.max(1, h * maxSide / w))
-    else (math.max(1, w * maxSide / h), maxSide)
-
-  /** Every-k-th frame indices (0-based), always including frame 0. */
-  def sampleFrames(nFrames: Int, every: Int): Seq[Int] =
-    (0 until nFrames by every)
-
-  /** Deterministic per-frame checksum stand-in for "decode frame i and
-    * hash it" (??? real frame extraction goes here).
-    */
-  def frameChecksum(payload: Array[Byte], frameIdx: Int): Long =
-    payload.foldLeft(7L + frameIdx)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    QueryDef("q66_media_decode", q66, Some(q66Sql),
+      "real javax.imageio PNG decode, pixel-derived features (oracled vs the generating formula)"),
+    QueryDef("q67_media_frames", q67, Some(q67Sql),
+      "real multi-frame GIF decode + integer box-filter thumbnails, one mapPartitions pass"))
 }

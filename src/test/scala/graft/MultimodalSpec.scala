@@ -3,46 +3,115 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.MediaStub
+import graft.multimodal.MediaKernel
 
-/** The multimodal queries are rows-only at the driver (decode semantics
-  * aren't SQL); these specs pin the plumbing contracts instead.
+/** Pixel-level contracts for the real `javax.imageio` media kernels (the
+  * queries themselves are additionally DuckDB-oracled end-to-end).
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark.spark
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("q66 emits one feature row per document, deterministically") {
-    val a = Registry.queries("q66_media_decode")(spark, sf).collect()
-    val b = Registry.queries("q66_media_decode")(spark, sf).collect()
-    assert(a.sameElements(b))
-    assert(a.length == Tables.documents(spark, sf).count())
-    assert(a.forall(r => r.getInt(1) >= 64 && r.getInt(2) >= 64)) // width/height
+  test("PNG roundtrip is pixel-exact (raster-level gray, no sRGB gamma drift)") {
+    val k = new MediaKernel
+    val pix = (x: Int, y: Int) => (x * 31 + y * 7) % 256
+    val png = k.encodePng(40, 25, pix)
+    // real PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (fmt, g) = k.decodeImage(png)
+    assert(fmt == "png" && g.width == 40 && g.height == 25)
+    for (y <- 0 until 25; x <- 0 until 40)
+      assert(g.pix(y * 40 + x) == pix(x, y), s"pixel ($x,$y)")
   }
 
-  test("q67 frame sampling: every doc contributes ceil(nFrames/2) rows, frame 0 always present") {
-    val stub = new MediaStub
-    val expected = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text").cast("binary").as("p"))
-      .collect()
-      .map(r => r.getLong(0) -> stub.decode(r.getAs[Array[Byte]](1)).nFrames)
-      .toMap
-    val frames = Registry.queries("q67_media_frames")(spark, sf).collect()
-      .groupBy(_.getLong(0))
-    assert(frames.keySet == expected.keySet)
-    frames.foreach { case (id, rows) =>
-      val idxs = rows.map(_.getInt(1)).sorted
-      assert(idxs.head == 0, s"doc $id missing frame 0")
-      assert(idxs.sameElements(0 until expected(id) by 2), s"doc $id")
-      // thumbnail bounded by 32 on the long side, aspect preserved
-      assert(rows.forall(r => math.max(r.getInt(2), r.getInt(3)) == 32))
+  test("multi-frame GIF roundtrip: frame count and per-frame pixels exact") {
+    val k = new MediaKernel
+    val pix = (f: Int, x: Int, y: Int) => (f * 50 + x * 3 + y * 11) % 256
+    val gif = k.encodeGif(20, 13, 3, pix)
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    val frames = k.decodeGifFrames(gif)
+    assert(frames.length == 3)
+    for (f <- 0 until 3; y <- 0 until 13; x <- 0 until 20)
+      assert(frames(f).pix(y * 20 + x) == pix(f, x, y), s"frame $f pixel ($x,$y)")
+  }
+
+  test("area-average resize: exact integer box-filter means; no upscale") {
+    val k = new MediaKernel
+    // 4×4 → 2×2: each thumb cell is the floor-mean of its 2×2 block
+    val src = MediaKernel.Gray(4, 4, Array(
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      1, 2, 3, 4,
+      5, 6, 7, 8))
+    val t = k.resizeAreaAvg(src, 2)
+    assert((t.width, t.height) == ((2, 2)))
+    assert(t.pix.toSeq == Seq((10 + 20 + 50 + 60) / 4, (30 + 40 + 70 + 80) / 4,
+      (1 + 2 + 5 + 6) / 4, (3 + 4 + 7 + 8) / 4))
+    // ≤ maxSide input is returned untouched
+    val small = MediaKernel.Gray(4, 4, src.pix)
+    assert(k.resizeAreaAvg(small, 32) eq small)
+  }
+
+  test("thumbDims: aspect preserved, long side capped, never 0, never upscaled") {
+    assert(MediaKernel.thumbDims(640, 480, 32) == ((32, 24)))
+    assert(MediaKernel.thumbDims(480, 640, 32) == ((24, 32)))
+    assert(MediaKernel.thumbDims(4000, 10, 32) == ((32, 1))) // never 0
+    assert(MediaKernel.thumbDims(20, 30, 32) == ((20, 30))) // no upscale
+  }
+
+  test("binaryFile ingest → real decode: file-borne PNG bytes recover exact features") {
+    val k = new MediaKernel
+    val dir = graft.util.TempDirs.create("graft_png_")
+    val specs = (0L until 8L).map { i =>
+      val (w, h) = ((10 + i).toInt, (7 + i).toInt)
+      val pix = (x: Int, y: Int) => ((i * 13 + x + 5 * y) % 256).toInt
+      val bytes = k.encodePng(w, h, pix)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f"img_$i%03d.png"), bytes)
+      val want = (0 until h).flatMap(y => (0 until w).map(x => pix(x, y).toLong)).sum
+      i -> ((w.toLong, h.toLong, want))
+    }.toMap
+    import spark.implicits._
+    val got = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(dir)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new MediaKernel
+        it.map { case (id, bytes) =>
+          val (_, g) = dec.decodeImage(bytes)
+          (id, g.width.toLong, g.height.toLong, dec.lumaSum(g))
+        }
+      }.collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == specs)
+  }
+
+  test("q66 features equal the closed-form generator contract") {
+    val rows = Registry.queries("q66_media_decode")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      val want = (0 until h).flatMap(y => (0 until w).map(x => (id * 7 + x + 2 * y) % 256)).sum
+      assert(r.getString(1) == "png")
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((w.toLong, h.toLong, want)), s"doc $id")
     }
   }
 
-  test("MediaStub.resize preserves orientation and bounds") {
-    assert(new MediaStub().resize(640, 480, 32) == ((32, 24)))
-    assert(new MediaStub().resize(480, 640, 32) == ((24, 32)))
-    assert(new MediaStub().resize(4000, 10, 32) == ((32, 1))) // never 0
+  test("q67 frame sampling: ceil(nFrames/2) rows per doc, frame 0 present, thumbs ≤ 32") {
+    val frames = Registry.queries("q67_media_frames")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(frames.keySet == ids)
+    frames.foreach { case (id, rows) =>
+      val nf = (1 + id % 4).toInt
+      val idxs = rows.map(_.getLong(1)).sorted
+      assert(idxs.head == 0L, s"doc $id missing frame 0")
+      assert(idxs.sameElements((0L until nf.toLong by 2)), s"doc $id")
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      val (tw, th) = MediaKernel.thumbDims(w, h, 32)
+      assert(rows.forall(r => r.getLong(2) == tw && r.getLong(3) == th))
+    }
   }
 }
