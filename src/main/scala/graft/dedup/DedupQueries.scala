@@ -1327,9 +1327,100 @@ object DedupQueries {
        |WHERE len(list_intersect(a.toks, b.toks)) = least(len(a.toks), len(b.toks))
        |ORDER BY sub_id, sup_id""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+
+  /** Decision-form Jaccard dedup — the headline API for the q42 family at
+    * scale. Pair LISTS are inherently output-quadratic on copy-heavy
+    * corpora (65 s at 10×, PERF lesson 18); what a 100 TB curation run
+    * actually consumes is the per-document KEEP BIT under the q141/q161
+    * pair-dominance rule: a doc is dropped iff some lower-id doc in its
+    * lang block has token-set Jaccard ≥ 0.9. Reuses [[jaccardPairs]]'
+    * blocked + skew-routed candidate machinery, but collapses to one row
+    * per doc before anything is materialized (Catalyst drops the pair
+    * form's sort below the aggregate) — output linear in the corpus.
+    * q42 remains registered as the debug/inspection form.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
+      .cache()
+    val dropped = jaccardPairs(docs, 9, 10, BlockCap, langStatsFrame(s, d))
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.select("doc_id")
+      .join(dropped.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hit").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val q176Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |dropped AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE 10 * len(list_intersect(a.toks, b.toks))
+       |    >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+       |SELECT t.doc_id, dr.doc_id IS NULL AS keep
+       |FROM t LEFT JOIN dropped dr ON t.doc_id = dr.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+
+  /** Decision-form containment dedup — q149's headline form at scale
+    * (q149's pair list is output-quadratic on dup-heavy corpora: 130 s at
+    * 10×). Per-doc keep bit: a doc is dropped iff its token set is a
+    * PROPER subset of some same-lang doc (the contained side loses), or an
+    * EQUAL set of a lower-id doc (canonical-min tiebreak, q41's rule).
+    * Candidates come from [[containmentPairs]]' rarest-token posting
+    * filter; since every containment pair has n_shared = |sub|, only the
+    * sup side's size needs joining back to orient the drop.
+    */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
+      .cache()
+    val sup = docs.select(col("doc_id").as("sup_id"), size(col("arr")).as("sz_sup"))
+    val dropped = containmentPairs(docs, BlockCap, langStatsFrame(s, d))
+      .join(sup, "sup_id")
+      .select(when(col("n_shared") < col("sz_sup"), col("sub_id"))
+        .otherwise(col("sup_id")).as("doc_id"))
+      .distinct()
+    docs.select("doc_id")
+      .join(dropped.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hit").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val q177Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |pairs AS (
+       |  SELECT
+       |    CASE WHEN len(a.toks) < len(b.toks) THEN a.doc_id
+       |         WHEN len(b.toks) < len(a.toks) THEN b.doc_id
+       |         ELSE a.doc_id END AS sub_id,
+       |    CASE WHEN len(a.toks) < len(b.toks) THEN b.doc_id
+       |         WHEN len(b.toks) < len(a.toks) THEN a.doc_id
+       |         ELSE b.doc_id END AS sup_id,
+       |    least(len(a.toks), len(b.toks)) AS n_shared,
+       |    greatest(len(a.toks), len(b.toks)) AS sz_sup
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.toks, b.toks)) = least(len(a.toks), len(b.toks))),
+       |dropped AS (
+       |  SELECT DISTINCT CASE WHEN n_shared < sz_sup THEN sub_id
+       |                       ELSE sup_id END AS doc_id
+       |  FROM pairs)
+       |SELECT t.doc_id, dr.doc_id IS NULL AS keep
+       |FROM t LEFT JOIN dropped dr ON t.doc_id = dr.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q149_subset_pairs", q149, Some(q149Sql),
       "token-set subsumption (containment-1.0) pairs, sub/sup oriented"),
+    QueryDef("q176_jaccard_keep", q176, Some(q176Sql),
+      "decision-form Jaccard dedup: per-doc keep bit (linear output; q42's headline form)"),
+    QueryDef("q177_containment_keep", q177, Some(q177Sql),
+      "decision-form containment dedup: per-doc keep bit (linear output; q149's headline form)"),
     QueryDef("q140_dup_spans", q140, Some(q140Sql),
       "duplicated 8-token-span coverage (substring-level dedup statistic)"),
     QueryDef("q129_stream_dedup_lsh", q129, Some(q129Sql),

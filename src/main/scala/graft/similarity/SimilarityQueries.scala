@@ -387,26 +387,94 @@ object SimilarityQueries {
     * Cluster = `label` (the provided coarse quantizer, as in q48/q86; a
     * q55 k-means assignment in production). Scale: pairwise work is
     * per-cluster — at 100 TB the centroid count is chosen so each
-    * cluster's pair block fits one executor, with q42's skew guard capping
-    * oversized clusters. Output is integer ids only → hash-exact.
+    * cluster's pair block fits one executor, and since round 6 that
+    * contract is enforced IN-PLAN by a q42-style size gate (see
+    * [[semanticDedup]]): a skewed mega-cluster can no longer reintroduce
+    * all-pairs. Output is integer ids only → hash-exact.
     */
-  private def q141(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  private def q141(s: SparkSession, d: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
-        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
-    val a = e.select(col("vec_id").as("id_a"), col("label"),
-      col("embedding").as("va"), col("norm").as("norm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"),
-      col("embedding").as("vb"), col("norm").as("norm_b"))
-    val dropped = a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(cosinePre(Det.seqDot(col("va"), col("vb")),
-        col("norm_a"), col("norm_b")) >= 0.42)
-      .select(col("id_b").as("vec_id"))
-      .distinct()
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm")),
+      tau = 0.42, cap = 10000)
+
+  /** SemDeDup core with the cluster-size skew gate. Input needs columns
+    * (vec_id, label, embedding, norm). Routing is decided driver-side from
+    * per-cluster counts (bounded by |distinct labels| rows — the q42
+    * AQE-style stats decision), so the common no-skew case compiles to
+    * exactly the plain within-cluster self-join plan, no extra stages.
+    *
+    * Clusters over `cap` route through the q80 RP-LSH bands (4 tables ×
+    * 2-bit signatures, band key extended with the label) with exact-cosine
+    * verification of candidates: candidate count is bounded by band
+    * collisions instead of |cluster|², so one skewed mega-cluster costs
+    * O(collisions), not O(n²). Contract: for EXACT duplicate vectors the
+    * LSH route has recall 1 by construction (identical vectors share every
+    * band); for merely-near vectors recall is probabilistic (~0.87/pair at
+    * τ 0.4, see q80) — the documented SemDeDup trade once a cluster has
+    * already violated the quantizer's size contract. `cap` (default
+    * 10 000) is sized so the pair block of a cap-sized cluster fits one
+    * executor; the driver testdata never reaches it, keeping the oracle
+    * byte-identical at every SF.
+    */
+  private[graft] def semanticDedup(e: DataFrame, tau: Double, cap: Long): DataFrame = {
+    def droppedAllPairs(df: DataFrame): DataFrame = {
+      val a = df.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("va"), col("norm").as("norm_a"))
+      val b = df.select(col("vec_id").as("id_b"), col("label"),
+        col("embedding").as("vb"), col("norm").as("norm_b"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosinePre(Det.seqDot(col("va"), col("vb")),
+          col("norm_a"), col("norm_b")) >= tau)
+        .select(col("id_b").as("vec_id"))
+    }
+    def droppedLsh(df: DataFrame): DataFrame = {
+      val cand = rplshWithinCluster(df)
+      val ea = df.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("norm").as("norm_a"))
+      val eb = df.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("norm").as("norm_b"))
+      cand.join(ea, "id_a").join(eb, "id_b")
+        .filter(cosinePre(Det.seqDot(col("va"), col("vb")),
+          col("norm_a"), col("norm_b")) >= tau)
+        .select(col("id_b").as("vec_id"))
+    }
+    val bigLabels = e.groupBy("label").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select("label")
+      .collect().map(_.get(0)).toSeq
+    val dropped =
+      (if (bigLabels.isEmpty) droppedAllPairs(e)
+       else {
+         val isBig = col("label").isin(bigLabels.map(x => x: Any): _*)
+         droppedAllPairs(e.filter(!isBig))
+           .unionAll(droppedLsh(e.filter(isBig)))
+       }).distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label").cast("long").as("label"))
       .orderBy("vec_id")
+  }
+
+  /** RP-LSH candidate pairs WITHIN a cluster: the q80 bands with the band
+    * key extended by `label`, so candidates never cross clusters. Exposed
+    * package-private for the mega-cluster bound spec.
+    */
+  private[graft] def rplshWithinCluster(df: DataFrame): DataFrame = {
+    val buckets = (0 until 4).map { t =>
+      val b0 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t))) >= 0).cast("int")
+      val b1 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t + 1))) >= 0).cast("int")
+      struct(lit(t).as("tbl"), (b0 * 2 + b1).as("sig"))
+    }
+    val banded = df.select(col("vec_id"), col("label"),
+      explode(array(buckets: _*)).as("bk"))
+      .select(col("vec_id"), col("label"),
+        (col("bk.tbl") * 4 + col("bk.sig")).as("bucket"))
+    banded.select(col("label"), col("bucket"), col("vec_id").as("id_a"))
+      .join(banded.select(col("label"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("label", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   private val q141Sql =

@@ -292,6 +292,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q176/q177 decision forms agree with a brute-force keep-bit reference") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").distinct.toSet))
+    def jac(a: Set[String], b: Set[String]): Boolean = {
+      val i = (a & b).size; 10 * i >= 9 * (a.size + b.size - i)
+    }
+    val jacDropped = (for {
+      (ia, la, ta) <- docs; (ib, lb, tb) <- docs
+      if la == lb && ia < ib && jac(ta, tb)
+    } yield ib).toSet
+    val gotJ = Registry.queries("q176_jaccard_keep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gotJ == docs.map(d => d._1 -> !jacDropped(d._1)).toMap)
+    assert(jacDropped.nonEmpty) // fixture actually exercises both bits
+    val subDropped = (for {
+      (ia, la, ta) <- docs; (ib, lb, tb) <- docs
+      if la == lb && ia != ib && ta.subsetOf(tb) &&
+        (ta.size < tb.size || (ta.size == tb.size && ib < ia))
+    } yield ia).toSet
+    val gotC = Registry.queries("q177_containment_keep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gotC == docs.map(d => d._1 -> !subDropped(d._1)).toMap)
+    assert(subDropped.nonEmpty)
+  }
+
+  test("q141 size gate: mega-cluster routes through RP-LSH with bounded candidates, identical output") {
+    import org.apache.spark.sql.functions.{col, sqrt}
+    import graft.similarity.SimilarityQueries
+    import graft.util.Det
+    import spark.implicits._
+    // one label holding 120 vectors (40 groups × 3 EXACT duplicates, groups
+    // pairwise orthogonal via disjoint one-hot dims → cross-group cosine 0)
+    val rows = for (g <- 0 until 40; r <- 0 until 3)
+      yield (g * 3L + r, 7, Array.tabulate(64)(dd => if (dd == g % 64) 1.0f else 0.0f))
+    val e = rows.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    // the LSH route must produce strictly fewer candidate pairs than the
+    // all-pairs block it replaces (its whole point at 100 TB)
+    val nc = SimilarityQueries.rplshWithinCluster(e).count()
+    assert(nc < 120L * 119 / 2, s"LSH candidates ($nc) not bounded below all-pairs")
+    // cap = 50 < 120 forces the gate; exact duplicates share every band, so
+    // the LSH route keeps recall 1 here: min id per duplicate group survives
+    val gated = SimilarityQueries.semanticDedup(e, tau = 0.42, cap = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gated == (0 until 40).map(_ * 3L))
+    // and with the cap above the cluster size, the plain path agrees
+    val plain = SimilarityQueries.semanticDedup(e, tau = 0.42, cap = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == gated)
+  }
+
   test("q144 hybrid search matches a full driver-side lexical+dense reference") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
