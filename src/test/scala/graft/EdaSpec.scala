@@ -5,16 +5,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class EdaSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
-  test("approx distinct stays within the configured error bound of exact") {
-    val rows = Registry.queries("q27_approx_distinct")(spark, sf).collect()
-    val exact = Registry.queries("q21_distinct_agg")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows.foreach { r =>
-      val (tpe, approx) = (r.getString(0), r.getLong(1))
-      val e = exact(tpe).toDouble
-      // rsd 0.02 → generous 5x slack for small cardinalities
-      assert(math.abs(approx - e) / e <= 0.10,
-        s"$tpe: approx $approx vs exact $e")
+  test("approx distinct stays within the configured error bound of exact, at two SFs") {
+    // pinned per-SF (the q124-class risk: a constant that only holds at
+    // one calibration size) — the bound must hold at tiny AND 10x corpora
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = Registry.queries("q27_approx_distinct")(spark, dir).collect()
+      val exact = Registry.queries("q21_distinct_agg")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (tpe, approx) = (r.getString(0), r.getLong(1))
+        val e = exact(tpe).toDouble
+        // rsd 0.02 → generous 5x slack for small cardinalities
+        assert(math.abs(approx - e) / e <= 0.10,
+          s"$dir $tpe: approx $approx vs exact $e")
+      }
     }
   }
 

@@ -123,6 +123,53 @@ class StemmerSpec extends AnyFunSuite {
       "activate" -> "activ", "effective" -> "effect")
   }
 
+  test("published sample vocabulary: extended cross-section") {
+    check(
+      "abandon" -> "abandon", "abandoned" -> "abandon",
+      "abandoning" -> "abandon", "abandonment" -> "abandon",
+      "abate" -> "abat", "abated" -> "abat", "abatement" -> "abat",
+      "accompany" -> "accompani", "accompanied" -> "accompani",
+      "achieve" -> "achiev", "achieved" -> "achiev",
+      "achievement" -> "achiev", "achievements" -> "achiev",
+      "announce" -> "announc", "announced" -> "announc",
+      "announcement" -> "announc", "announcing" -> "announc",
+      "argue" -> "argu", "argued" -> "argu", "arguing" -> "argu",
+      "arrange" -> "arrang", "arranged" -> "arrang",
+      "arrangement" -> "arrang", "arranging" -> "arrang",
+      "beauty" -> "beauti", "beautiful" -> "beauti",
+      "beautifully" -> "beauti",
+      "believe" -> "believ", "believed" -> "believ",
+      "believing" -> "believ", "belief" -> "belief",
+      "carefully" -> "care", "careful" -> "care",
+      "careless" -> "careless", "carelessness" -> "careless",
+      "cheerful" -> "cheer", "cheerfulness" -> "cheer",
+      "develop" -> "develop", "developed" -> "develop",
+      "developing" -> "develop", "development" -> "develop",
+      "developments" -> "develop",
+      "entertain" -> "entertain", "entertained" -> "entertain",
+      "entertainment" -> "entertain",
+      "happiness" -> "happi", "happily" -> "happili",
+      "important" -> "import", "importance" -> "import",
+      "improve" -> "improv", "improved" -> "improv",
+      "improvement" -> "improv", "improvements" -> "improv",
+      "manage" -> "manag", "managed" -> "manag",
+      "management" -> "manag", "manager" -> "manag",
+      "move" -> "move", "moved" -> "move", "movement" -> "movement",
+      "moving" -> "move",
+      "nation" -> "nation", "national" -> "nation",
+      "nations" -> "nation",
+      "observe" -> "observ", "observed" -> "observ",
+      "observation" -> "observ", "observations" -> "observ",
+      "occupy" -> "occupi", "occupied" -> "occupi",
+      "occupation" -> "occup", "occupations" -> "occup",
+      "organ" -> "organ", "organic" -> "organ",
+      "organization" -> "organ", "organized" -> "organ",
+      "possible" -> "possibl", "possibly" -> "possibl",
+      "possibility" -> "possibl",
+      "govern" -> "govern", "government" -> "govern",
+      "governments" -> "govern", "governor" -> "governor")
+  }
+
   test("stemTokens maps over arrays inside a plan") {
     import TestSpark.spark
     import org.apache.spark.sql.functions._
