@@ -143,12 +143,15 @@ object Pipeline {
       .drop("rn")
     // dynamic overwrite replaces exactly the partitions present in
     // `merged` = the touched buckets (each holds ≥1 batch row by
-    // construction); coalesce(1) keeps each bucket a single file so the
-    // next probe's file list stays ∝ buckets, not ∝ batches
+    // construction). Hash-repartition on bkt keeps each bucket's rows in
+    // ONE task → one file per bucket dir (the next probe's file list
+    // stays ∝ buckets, not ∝ batches) while buckets write in parallel —
+    // the earlier coalesce(1) kept the one-file invariant but serialized
+    // the whole merge (window + write) into a single thread per batch
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      merged.coalesce(1).write.mode("overwrite")
+      merged.repartition(UpsertBuckets, col("bkt")).write.mode("overwrite")
         .partitionBy("bkt").parquet(dir)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
