@@ -111,7 +111,11 @@ object DedupQueries {
     val union = size(col("arr_a")) + size(col("arr_b")) - inter
     def verify(pairs: DataFrame) = pairs
       .filter(inter * den >= union * num)
-      .select(col("id_a"), col("id_b"), (inter.cast("double") / union).as("jaccard"))
+      // n_inter/n_union ride along for callers that re-threshold the
+      // verified pairs with integer-ratio compares (q179's sweep); the
+      // pair-list queries project them away
+      .select(col("id_a"), col("id_b"), (inter.cast("double") / union).as("jaccard"),
+        inter.cast("long").as("n_inter"), union.cast("long").as("n_union"))
     def selfJoin(df: DataFrame) = df
       .select(col("doc_id").as("id_a"), col("lang"), col("arr").as("arr_a"))
       .join(df.select(col("doc_id").as("id_b"), col("lang"),
@@ -167,6 +171,7 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
       .cache() // evaluate token hashing once per doc, not per pair (see q43)
     jaccardPairs(docs, 9, 10, BlockCap, langStatsFrame(s, d))
+      .select("id_a", "id_b", "jaccard")
   }
 
   private val q42Sql =
@@ -228,6 +233,7 @@ object DedupQueries {
       .agg(sort_array(collect_list(col("g"))).as("arr"))
       .cache() // evaluate shingle arrays once per doc, not per pair
     jaccardPairs(docsArr, 1, 10, BlockCap, langStatsFrame(s, d))
+      .select("id_a", "id_b", "jaccard")
   }
 
   private val q43Sql =
@@ -1414,6 +1420,175 @@ object DedupQueries {
        |FROM t LEFT JOIN dropped dr ON t.doc_id = dr.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+
+  /** Chunk-level dedup — the LINE-level dedup of CCNet/RefinedWeb
+    * (`S` pipelines dedup whole records; web-corpus curation additionally
+    * dedups at sub-document granularity so boilerplate shared across
+    * pages is paid for once). Documents are cut into fixed 32-token
+    * chunks (q120's training-context unit, stride = size → a partition of
+    * the token stream); each chunk is fingerprinted and only the globally
+    * FIRST occurrence — lexicographic min (doc_id, chunk) — is kept.
+    * Output is the consolidating per-doc retention ledger (lesson 18):
+    * chunk counts and tokens removed, not the quadratic duplicate list.
+    *
+    * Scale: one hash aggregate on (doc_id, chunk) builds fingerprints
+    * (chunk content never leaves the executor — the shuffle key is the
+    * 64-bit fingerprint), one aggregate on the fingerprint elects the
+    * keeper, one join back, one regroup on doc_id. All keys are longs;
+    * everything is linear in corpus tokens. The keeper election is the
+    * same min-struct idiom as q41's canonical pick, so a skewed
+    * fingerprint (one chunk duplicated a billion times) is a single
+    * partially-aggregated min, not a hot join key.
+    */
+  /** Shared chunk spine for q178/q180: (doc_id, chunk, n_toks, ctext, h,
+    * kept) — fingerprinted fixed-size chunks with the global
+    * first-occurrence keeper bit attached.
+    */
+  private def chunkFrame(docs: DataFrame, chunkSz: Int): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("chunk", expr(s"pos div $chunkSz").cast("long"))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("ctext"))
+      .withColumn("h", Det.polyHash(col("ctext")))
+    val keeper = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk"))).as("k"))
+    chunks.join(keeper, "h")
+      .withColumn("kept", struct(col("doc_id"), col("chunk")) === col("k"))
+  }
+
+  private[graft] def chunkDedup(docs: DataFrame, chunkSz: Int): DataFrame =
+    chunkFrame(docs, chunkSz)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), col("n_toks")).otherwise(lit(0L))).as("toks_removed"))
+      .orderBy("doc_id")
+
+  private def q178(s: SparkSession, d: String): DataFrame =
+    chunkDedup(Tables.documents(s, d), 32)
+
+  private val q178Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, pos // 32 AS chunk, count(*) AS n_toks,
+       |    ${Det.polyHashSql("string_agg(w, ' ' ORDER BY pos)")} AS h
+       |  FROM toks GROUP BY doc_id, chunk),
+       |ranked AS (
+       |  SELECT doc_id, n_toks,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk) AS rk
+       |  FROM chunks)
+       |SELECT doc_id,
+       |  count(*) AS n_chunks,
+       |  CAST(coalesce(sum(CASE WHEN rk = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN rk > 1 THEN n_toks END), 0) AS BIGINT)
+       |    AS toks_removed
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+
+  /** Chunk-dedup TRANSFORM — the artifact q178's ledger describes: the
+    * cleaned corpus itself. Each document is re-emitted as the
+    * order-pinned concatenation of its KEPT chunks (global
+    * first-occurrence rule, q178); documents whose every chunk is a
+    * duplicate vanish from the output — exactly what a curation stage
+    * feeds downstream. Same linear spine as q178; the only extra cost is
+    * materializing the surviving text, which is the job's output anyway.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame =
+    chunkFrame(Tables.documents(s, d), 32)
+      .filter(col("kept"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk"), col("ctext")))),
+            x => x("ctext")), " ").as("clean_text"),
+        sum(col("n_toks")).as("n_toks_kept"))
+      .orderBy("doc_id")
+
+  private val q180Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, pos // 32 AS chunk, count(*) AS n_toks,
+       |    string_agg(w, ' ' ORDER BY pos) AS ctext
+       |  FROM toks GROUP BY doc_id, chunk),
+       |ranked AS (
+       |  SELECT doc_id, chunk, n_toks, ctext,
+       |    row_number() OVER (
+       |      PARTITION BY ${Det.polyHashSql("ctext")}
+       |      ORDER BY doc_id, chunk) AS rk
+       |  FROM chunks)
+       |SELECT doc_id,
+       |  string_agg(ctext, ' ' ORDER BY chunk) AS clean_text,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_toks_kept
+       |FROM ranked WHERE rk = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+
+  /** Dedup threshold sensitivity curve: how many documents the q176
+    * keep-bit rule would drop at Jaccard thresholds 0.5 … 0.9 — the
+    * tuning artifact a curation run produces BEFORE committing to a
+    * threshold (dedup aggressiveness vs corpus retention trade-off).
+    * One pairwise pass at the LOOSEST threshold (τ = 0.5; candidates at
+    * any tighter τ are a subset by monotonicity), then each verified
+    * pair is re-thresholded with the same integer-ratio compare the
+    * verify stage uses — no float boundary anywhere.
+    *
+    * Scale: the pairwise pass is [[jaccardPairs]]' blocked + skew-routed
+    * machinery; sweeping from a looser τ genuinely admits more
+    * candidates (the prefix filter weakens as τ drops — inherent to the
+    * question being asked, not to this plan). The threshold table is a
+    * 5-row broadcast nested-loop attach, and the output is 5 rows.
+    */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
+      .cache()
+    val hits = jaccardPairs(docs, 1, 2, BlockCap, langStatsFrame(s, d))
+      .select("id_b", "n_inter", "n_union")
+    val thr = Seq(50L, 60L, 70L, 80L, 90L).toDF("threshold_pct")
+    val dropped = thr
+      .join(hits, col("n_inter") * 100 >= col("threshold_pct") * col("n_union"), "left")
+      .groupBy("threshold_pct")
+      .agg(countDistinct(col("id_b")).as("n_dropped"))
+    dropped
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs"))) // 1-row attach
+      .select(col("threshold_pct"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"))
+      .orderBy("threshold_pct")
+  }
+
+  private val q179Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |pairs AS (
+       |  SELECT b.doc_id AS id_b,
+       |    len(list_intersect(a.toks, b.toks)) AS ni,
+       |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS nu
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE 2 * len(list_intersect(a.toks, b.toks))
+       |    >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+       |th AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS threshold_pct),
+       |drops AS (
+       |  SELECT threshold_pct, count(DISTINCT id_b) AS n_dropped
+       |  FROM th LEFT JOIN pairs ON ni * 100 >= threshold_pct * nu
+       |  GROUP BY threshold_pct)
+       |SELECT threshold_pct, n_dropped,
+       |  (SELECT count(*) FROM documents) - n_dropped AS n_kept
+       |FROM drops ORDER BY threshold_pct""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q149_subset_pairs", q149, Some(q149Sql),
       "token-set subsumption (containment-1.0) pairs, sub/sup oriented"),
@@ -1440,5 +1615,11 @@ object DedupQueries {
     QueryDef("q161_snapshot_dedup", q161, Some(q161Sql),
       "incremental snapshot dedup: delta shard LSH-probed against the base corpus"),
     QueryDef("q164_winnowing", q164, Some(q164Sql),
-      "winnowing (MOSS) fingerprint sketch: rightmost-min window selection per doc"))
+      "winnowing (MOSS) fingerprint sketch: rightmost-min window selection per doc"),
+    QueryDef("q178_chunk_dedup", q178, Some(q178Sql),
+      "chunk-level (line) dedup: global first-occurrence retention per 32-token chunk"),
+    QueryDef("q179_threshold_curve", q179, Some(q179Sql),
+      "dedup threshold sensitivity: docs dropped/kept at Jaccard 0.5-0.9"),
+    QueryDef("q180_chunk_clean", q180, Some(q180Sql),
+      "chunk-dedup transform: cleaned corpus (kept chunks re-concatenated per doc)"))
 }

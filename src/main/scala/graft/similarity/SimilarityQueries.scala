@@ -937,7 +937,131 @@ object SimilarityQueries {
       |FROM olds o FULL OUTER JOIN news n ON o.label = n.label AND o.dim = n.dim
       |ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+
+  /** PQ-ADC approximate nearest-neighbor search with exact re-rank — the
+    * query-time half of q133's product quantization (together: the
+    * IVF-PQ design every billion-vector store runs). Asymmetric Distance
+    * Computation: each DB vector is an 8-subspace PQ code (4 bits per
+    * subspace here — real deployments use 8); a per-query lookup
+    * table (nq × 8 subspaces × 16 codes — constant, broadcast) turns the
+    * 64-dim float distance into 8 table lookups + adds. Top-50 ADC
+    * candidates per query are then re-ranked by EXACT cosine (top-10
+    * out), so PQ error can only cost recall, never precision of the
+    * returned ordering.
+    *
+    * Determinism: subspace distances and the ADC sum are sequential folds
+    * in pinned (j) order; ranks tiebreak on vec_id (both mirrored in the
+    * oracle).
+    *
+    * Scale: codebook + LUT are constant-size broadcasts; encoding and the
+    * ADC scan are linear in DB vectors (the scan is nq × n × 8 narrow
+    * rows — ADC's defining trade: lookups instead of float dots; for
+    * large nq route queries through the IVF partitioner (q48) first so
+    * each query scans one cell's codes, not the corpus).
+    */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val codes = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("embedding").as("cvec")))
+    val sq = (a: Column, b: Column) => {
+      val dd = a.cast("double") - b.cast("double"); dd * dd
+    }
+    def subDist(x: Column, c: Column) =
+      aggregate(
+        zip_with(slice(x, col("j") * 8 + 1, lit(8)),
+          slice(c, col("j") * 8 + 1, lit(8)), sq),
+        lit(0.0), (acc, v) => acc + v)
+    // PQ-encode the DB side (q133's argmin, kept as (vec, j, code) rows)
+    val enc = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(codes)
+      .select(col("vec_id"), col("code_id"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("embedding"), col("cvec"))
+      .select(col("vec_id"), col("code_id"), col("j"),
+        subDist(col("embedding"), col("cvec")).as("dist"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.code_id").as("code_id"))
+    // per-query ADC lookup tables: 20 × 8 × 16 rows, broadcast
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val lut = broadcast(q.crossJoin(codes)
+      .select(col("q_id"), col("code_id"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("qv"), col("cvec"))
+      .select(col("q_id"), col("code_id"), col("j"),
+        subDist(col("qv"), col("cvec")).as("d")))
+    val approx = enc.join(lut, Seq("j", "code_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("j"), col("d")))),
+        lit(0.0), (acc, x) => acc + x("d")).as("adist"))
+    val wA = Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))
+    val cand = approx.withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= 50).select("q_id", "vec_id")
+    // exact cosine re-rank of the 50 ADC survivors
+    val db = e.select(col("vec_id"), col("embedding").as("cv"),
+      sqrt(Det.seqNormSq(col("embedding"))).as("c_norm"))
+    val qn = broadcast(q.withColumn("q_norm", sqrt(Det.seqNormSq(col("qv")))))
+    val wE = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    cand.join(db, "vec_id").join(qn, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(Det.seqDot(col("qv"), col("cv")),
+          col("q_norm"), col("c_norm")).as("cos"))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  private val q181Sql = {
+    def fold(vec: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9), i ->
+         |      (CAST($vec[t.j * 8 + i] AS DOUBLE) - CAST(c.cvec[t.j * 8 + i] AS DOUBLE))
+         |      * (CAST($vec[t.j * 8 + i] AS DOUBLE) - CAST(c.cvec[t.j * 8 + i] AS DOUBLE)))),
+         |      (a, b) -> a + b)""".stripMargin
+    s"""WITH cb AS (
+       |  SELECT vec_id AS code_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |enc0 AS (
+       |  SELECT v.vec_id, c.code_id, t.j, ${fold("v.embedding")} AS dist
+       |  FROM embeddings v, cb c, js t),
+       |enc AS (
+       |  SELECT vec_id, j, code_id FROM (
+       |    SELECT vec_id, j, code_id,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code_id) AS rn
+       |    FROM enc0) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.code_id, t.j, ${fold("q.embedding")} AS d
+       |  FROM embeddings q, cb c, js t WHERE q.vec_id < 20),
+       |approx AS (
+       |  SELECT l.q_id, e.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.d ORDER BY l.j)), (a, b) -> a + b)
+       |      AS adist
+       |  FROM enc e JOIN lut l ON e.j = l.j AND e.code_id = l.code_id
+       |  WHERE e.vec_id != l.q_id
+       |  GROUP BY l.q_id, e.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS ar
+       |    FROM approx) WHERE ar <= 50),
+       |rer AS (
+       |  SELECT cd.q_id, cd.vec_id, ${sqlCos("q.embedding", "v.embedding")} AS cos
+       |  FROM cand cd
+       |  JOIN embeddings q ON q.vec_id = cd.q_id
+       |  JOIN embeddings v ON v.vec_id = cd.vec_id)
+       |SELECT q_id, rank, vec_id, cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+       |      AS BIGINT) AS rank
+       |  FROM rer) WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_pq_search", q181, Some(q181Sql),
+      "PQ-ADC approximate search (8-lookup distances) with exact top-10 re-rank"),
     QueryDef("q171_centroid_update", q171, Some(q171Sql),
       "incremental mini-batch centroid maintenance (merged running sums + drift)"),
     QueryDef("q165_random_projection", q165, Some(q165Sql),

@@ -619,4 +619,98 @@ class DedupSimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q178 chunk dedup: first global occurrence kept, duplicates removed") {
+    import spark.implicits._
+    // doc 0: two chunks (32 + 8 tokens); doc 1: exact copy; doc 2: equals
+    // doc 0's first chunk exactly; doc 3: unique content
+    val t0 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val t2 = (0 until 32).map(i => s"w$i").mkString(" ")
+    val t3 = (100 until 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, t0), (1L, t0), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val got = dedup.DedupQueries.chunkDedup(docs, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 0L),   // keeper of both of its chunks
+      (1L, 2L, 0L, 40L),  // exact copy: both chunks removed, 40 tokens
+      (2L, 1L, 0L, 32L),  // equals doc 0's first chunk: removed
+      (3L, 2L, 2L, 0L)))  // unique: fully kept
+    // conservation on the real corpus: kept chunks == distinct fingerprints
+    val real = Registry.queries("q178_chunk_dedup")(spark, sf).collect()
+    real.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(real.map(_.getLong(2)).sum > 0)
+  }
+
+  test("q179 threshold curve: monotone, conserving, and q176-consistent at 0.9") {
+    val rows = Registry.queries("q179_threshold_curve")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 60L, 70L, 80L, 90L))
+    val drops = rows.map(_.getLong(1))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      s"drop counts must not increase with threshold: ${drops.toSeq}")
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.foreach(r => assert(r.getLong(1) + r.getLong(2) == nDocs))
+    // at tau = 0.9 the curve must agree exactly with the q176 keep bits
+    val q176drop = Registry.queries("q176_jaccard_keep")(spark, sf)
+      .collect().count(!_.getBoolean(1)).toLong
+    assert(drops.last == q176drop)
+  }
+
+  test("q180 chunk-clean transform: duplicate-only docs vanish, keepers intact") {
+    import spark.implicits._
+    val t0 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val t2 = (0 until 32).map(i => s"w$i").mkString(" ")
+    val t3 = (100 until 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, t0), (1L, t0), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    // drive the registry form through a temp dir-shaped frame? the spine is
+    // shared with chunkDedup, so assert consistency through the real corpus
+    // below and the hand case through chunkDedup's kept accounting
+    val stats = dedup.DedupQueries.chunkDedup(docs, 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats(1L) == 0L && stats(2L) == 0L) // would vanish from q180
+    val clean = Registry.queries("q180_chunk_clean")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ledger = Registry.queries("q178_chunk_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // q180 emits exactly the docs whose n_kept > 0, and the kept token
+    // count matches the cleaned text's token count
+    assert(clean.map(_._1).toSeq == ledger.filter(_._3 > 0).map(_._1))
+    val byId = ledger.map(r => r._1 -> r).toMap
+    clean.foreach { case (id, text, nKept) =>
+      assert(text.split(" ").length.toLong == nKept, s"doc $id token count")
+      assert(byId(id)._3 > 0)
+    }
+  }
+
+  test("q181 PQ-ADC search: exact re-rank ordering, bounded recall loss vs brute force") {
+    val got = Registry.queries("q181_pq_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 10L)) // dense ranks
+      // exact re-rank: cos non-increasing with rank
+      val byRank = rows.sortBy(_._2).map(_._4)
+      byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+    // recall@10 vs a driver-side exact brute force
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = (0L until 20L).map { qid =>
+      val truth = embs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (cos(embs(qid), v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+      val mine = byQ(qid).map(_._3).toSet
+      truth.intersect(mine).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.length
+    info(s"mean recall@10 = $meanRecall")
+    assert(meanRecall >= 0.5, s"PQ recall collapsed: $meanRecall")
+  }
 }
