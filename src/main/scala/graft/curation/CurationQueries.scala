@@ -113,7 +113,11 @@ object CurationQueries {
     * asymmetry at 100 TB: the corpus side stays shuffle-free), and a
     * left join preserves clean documents with n_shared = 0.
     */
-  private def q112(s: SparkSession, d: String): DataFrame = {
+  /** The q112 contamination frame — (doc_id, n_shared, contaminated) for
+    * every non-benchmark doc — shared with the cluster-propagated purge
+    * (dedup/DedupQueries q185).
+    */
+  private[graft] def contaminationBits(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val grams = tokenStream(s, d)
       .select(col("doc_id"), col("source"),
@@ -136,13 +140,19 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  private val q112Sql = {
+  private def q112(s: SparkSession, d: String): DataFrame =
+    contaminationBits(s, d)
+
+  /** The q112 CTE chain (toks…shared), shared with q185's oracle; callers
+    * splice it into their own WITH list.
+    */
+  private[graft] val contaminationCtesSql: String = {
     val h = Det.polyHashSql("gram")
-    s"""WITH toks AS ($tokenStreamSql),
+    s"""toks AS ($tokenStreamSql),
        |g0 AS (
        |  SELECT doc_id, source,
-       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
-       |      || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win ||
+       |      ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram,
        |    lead(w, 4) OVER win AS w4
        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
        |grams AS (
@@ -151,14 +161,17 @@ object CurationQueries {
        |corpus AS (SELECT DISTINCT doc_id, h FROM grams WHERE source != 'src0'),
        |shared AS (
        |  SELECT doc_id, count(*) AS n_shared
-       |  FROM corpus JOIN bench USING (h) GROUP BY doc_id)
+       |  FROM corpus JOIN bench USING (h) GROUP BY doc_id)""".stripMargin
+  }
+
+  private val q112Sql =
+    s"""WITH $contaminationCtesSql
        |SELECT d.doc_id,
        |  coalesce(s.n_shared, 0) AS n_shared,
        |  coalesce(s.n_shared, 0) > 0 AS contaminated
        |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
        |WHERE d.source != 'src0'
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q113
 
@@ -871,6 +884,123 @@ object CurationQueries {
        |  (r_sum // n_tokens) > 1000000 AS selected
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+
+  /** Corpus mixture weights with temperature sampling — the decision
+    * table a multi-source training run derives its data-loader weights
+    * from. Raw per-source token shares over-train on the dominant source;
+    * temperature sampling (α = 0.5, the multilingual-LM convention:
+    * p_s ∝ share_s^α) flattens the mixture toward uniform while keeping
+    * the source ordering. Output per source: doc/token counts, the raw
+    * fixed-point share, the temperature weight, and the boost factor
+    * (temp weight ÷ raw share — how much the loader over/under-samples
+    * that source vs natural frequency).
+    *
+    * Determinism: α = 0.5 is exactly sqrt — a single correctly-rounded
+    * IEEE op in both engines on exact integer inputs; the normalizer is a
+    * sequential fold over the source-name-sorted weight list (source
+    * cardinality is tiny, so the fold is a constant-size expression);
+    * every emitted double is then a pinned-order chain of single ops.
+    *
+    * Scale: one count/sum aggregate per source over the corpus, then all
+    * arithmetic happens on the source-cardinality table — broadcast
+    * territory no matter the corpus size.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_toks"))
+    val tot = perSrc.agg(
+      sum("n_toks").as("tot_toks"),
+      aggregate(
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("n_toks").cast("double")).as("r")))),
+        lit(0.0), (acc, x) => acc + x("r")).as("denom"))
+    perSrc.crossJoin(broadcast(tot)) // 1-row attach
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        expr("n_toks * 1000000 div tot_toks").as("share_fp"),
+        (sqrt(col("n_toks").cast("double")) / col("denom")).as("temp_weight"),
+        (sqrt(col("n_toks").cast("double")) / col("denom") * col("tot_toks")
+          / col("n_toks")).as("boost"))
+      .orderBy("source")
+  }
+
+  private val q182Sql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks,
+      |    list_reduce(list_prepend(0.0,
+      |      list(sqrt(CAST(n_toks AS DOUBLE)) ORDER BY source)),
+      |      (a, b) -> a + b) AS denom
+      |  FROM per)
+      |SELECT source, n_docs, n_toks,
+      |  CAST(n_toks * 1000000 // tot_toks AS BIGINT) AS share_fp,
+      |  sqrt(CAST(n_toks AS DOUBLE)) / denom AS temp_weight,
+      |  sqrt(CAST(n_toks AS DOUBLE)) / denom * tot_toks / n_toks AS boost
+      |FROM per, tot ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+
+  /** Balanced training-shard packing: assign every document to one of 8
+    * output shards so shards carry near-equal TOKEN counts (not doc
+    * counts — a shard of long documents must not outweigh a shard of
+    * short ones), in a deterministic hash order that doubles as the
+    * global training shuffle. shard = ⌊tokens-before-me ÷ ⌈total/8⌉⌋
+    * over the (hash, doc_id) order.
+    *
+    * Scale — the running sum is a two-phase distributed prefix sum, NOT a
+    * global window (a single ORDER BY window collapses to one partition —
+    * the classic scale killer): (1) docs land in 256 ORDER-ALIGNED coarse
+    * buckets (high range of the hash), and per-bucket token totals
+    * (256 rows) get exclusive prefix offsets via a constant-size window;
+    * (2) each bucket computes its LOCAL running sum in parallel
+    * (partitionBy bucket) and adds its bucket offset (broadcast join).
+    * Every stage is linear and parallel except the 256-row offset window.
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val nb = 256
+    val bktWidth = (1000000007L + nb - 1) / nb // polyHash range / nb
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        Det.polyHash(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+    val bucketed = docs.withColumn("bkt", expr(s"h div $bktWidth"))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt").agg(sum("n_toks").as("bt"))
+      .withColumn("off", coalesce(sum("bt").over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wIn = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("off") + coalesce(sum("n_toks").over(wIn), lit(0L)))
+      .crossJoin(broadcast(docs.agg(sum("n_toks").as("tt")))) // 1-row attach
+      .select(col("doc_id"), col("n_toks"),
+        least(expr("cum div ((tt + 7) div 8)"), lit(7L)).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  private val q183Sql = {
+    val h = Det.polyHashSql("'shard:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    $h AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |    coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM t),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tt FROM t)
+       |SELECT doc_id, n_toks,
+       |  CAST(least(cum // ((tt + 7) // 8), 7) AS BIGINT) AS shard
+       |FROM c, tot ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q148_collocations", q148, Some(q148Sql),
       "collocation mining by fixed-point PMI lift (min-support bigrams)"),
@@ -903,5 +1033,9 @@ object CurationQueries {
     QueryDef("q166_drift_report", q166, Some(q166Sql),
       "snapshot drift detection: per-category chi-square report, delta vs base"),
     QueryDef("q170_source_signature", q170, Some(q170Sql),
-      "per-source signature terms by fixed-point lift (top-3, min support)"))
+      "per-source signature terms by fixed-point lift (top-3, min support)"),
+    QueryDef("q182_mixture_weights", q182, Some(q182Sql),
+      "corpus mixture weights: temperature sampling (alpha=0.5) per source + boost"),
+    QueryDef("q183_shard_pack", q183, Some(q183Sql),
+      "balanced shard packing: token-equal shards via distributed prefix sum"))
 }

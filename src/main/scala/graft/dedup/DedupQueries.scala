@@ -283,10 +283,12 @@ object DedupQueries {
     * (carrying both sides' 4 band hashes, 32 B/row) instead of a
     * dropDuplicates shuffle over the full candidate set.
     */
-  private def q44(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
-      .cache() // see q43 — once per doc, not per candidate pair
+  /** Banded MinHash candidate ids (shared by q44 and the q184 tuning
+    * report). Input: (doc_id, lang, toks). Output: distinct (id_a, id_b)
+    * same-lang pairs colliding in ≥1 of the 4 bands, emitted exactly once
+    * via the canonical first-matching-band discovery filter.
+    */
+  private def minhashCandidateIds(docs: DataFrame): DataFrame = {
     val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"mh_$i")
     }
@@ -313,10 +315,17 @@ object DedupQueries {
         (col("bi") === 2 && col("b0_a") =!= col("b0_b") && col("b1_a") =!= col("b1_b")) ||
         (col("bi") === 3 && col("b0_a") =!= col("b0_b") && col("b1_a") =!= col("b1_b") &&
           col("b2_a") =!= col("b2_b"))
-    val candidateIds = side("a").join(side("b"), Seq("bi", "band_key"))
+    side("a").join(side("b"), Seq("bi", "band_key"))
       .filter(col("id_a") < col("id_b") && col("lang_a") === col("lang_b"))
       .filter(firstMatch)
       .select("id_a", "id_b")
+  }
+
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
+      .cache() // see q43 — once per doc, not per candidate pair
+    val candidateIds = minhashCandidateIds(docs)
     val docsA = broadcast(docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a")))
     val docsB = broadcast(docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b")))
     val candidates = candidateIds.join(docsA, "id_a").join(docsB, "id_b")
@@ -1589,6 +1598,130 @@ object DedupQueries {
        |  (SELECT count(*) FROM documents) - n_dropped AS n_kept
        |FROM drops ORDER BY threshold_pct""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+
+  /** LSH configuration tuning report: precision/recall of q44's banded
+    * MinHash CANDIDATE generation against the exact τ = 0.9 Jaccard pair
+    * set (q42's blocked-exact machinery) — the acceptance test a pipeline
+    * runs on a sample before trusting a band/permutation config at full
+    * scale. Recall < 1 means the bands miss true near-dups (dup leakage
+    * into training); precision is the verify-stage cost multiplier (each
+    * false candidate pays one exact intersection). One row out:
+    * candidate/exact/hit counts and the two ratios (single divisions of
+    * exact longs — bit-stable).
+    *
+    * Scale: runs the SAME two production plans being compared — banded
+    * LSH (shuffle on band keys) and prefix-filtered exact (the tuning
+    * corpus is a sample, so the exact side is affordable by construction);
+    * the hit count is a semi-join of two pair-id sets on (id_a, id_b).
+    * Nothing here is new machinery — that's the point: the report
+    * measures the real operators, not a model of them.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
+      .cache()
+    val cand = minhashCandidateIds(docs).cache() // counted twice (n_cand, n_hit)
+    val exact = jaccardPairs(
+      docs.select(col("doc_id"), col("lang"), col("toks").as("arr")),
+      9, 10, BlockCap, langStatsFrame(s, d))
+      .select("id_a", "id_b")
+      .cache()
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nExact.crossJoin(nCand).crossJoin(nHit) // three 1-row attaches
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_cand")).as("precision"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  private val q184Sql =
+    s"""WITH th AS (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |sig AS (
+       |  SELECT doc_id, lang, [
+       |      $minhashMinsSql] AS mh FROM th),
+       |bands AS (
+       |  SELECT doc_id, lang, t.b AS bi, ${bandKeySql("t.b")} AS band_key
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
+       |    AND a.lang = b.lang AND a.doc_id < b.doc_id),
+       |ex AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM th a JOIN th b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE 10 * len(list_intersect(a.toks, b.toks))
+       |    >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))),
+       |hit AS (
+       |  SELECT count(*) AS n_hit FROM cand c
+       |  WHERE EXISTS (SELECT 1 FROM ex e
+       |                WHERE e.id_a = c.id_a AND e.id_b = c.id_b))
+       |SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM cand) AS n_cand, n_hit,
+       |  CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM cand) AS precision,
+       |  CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM ex) AS recall
+       |FROM hit""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+
+  /** Cluster-propagated decontamination — the composition the per-doc
+    * contamination check (curation q112) misses: if a document shares a
+    * benchmark 5-gram, its NEAR-DUPLICATES carry the leak too (possibly
+    * with the colliding n-gram perturbed below detection), and so does
+    * any near-duplicate OF a benchmark document itself. The purge rule:
+    * drop every member of a q58 duplicate cluster that contains a
+    * contaminated doc or a benchmark doc. Output per corpus doc: its own
+    * q112 bit and the cluster-propagated purge bit (purge ⊇ contaminated
+    * by construction — the gap is exactly the dup-laundered leakage).
+    *
+    * Scale: reuses the two production frames (q58 union-find labels, q112
+    * broadcast-benchmark bits) and adds one max-aggregate keyed on the
+    * cluster label plus one join back on it — both shuffle keys whose
+    * cardinality grows with the corpus. The dirty bit is max(int) == 1,
+    * not max(boolean) (cross-engine boolean-aggregate semantics differ).
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d) // (doc_id, label) over ALL docs
+    val own = graft.curation.CurationQueries.contaminationBits(s, d)
+      .select(col("doc_id"), col("n_shared"), col("contaminated"))
+    val isBench = Tables.documents(s, d)
+      .select(col("doc_id"), (col("source") === "src0").as("is_bench"))
+    val dirty = labels.join(isBench, "doc_id")
+      .join(own.select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
+      .select(col("label"),
+        when(col("is_bench") || coalesce(col("contaminated"), lit(false)), 1L)
+          .otherwise(0L).as("bad"))
+      .groupBy("label").agg((max("bad") === 1).as("purge"))
+    own.join(labels, "doc_id")
+      .join(dirty, "label")
+      .select(col("doc_id"), col("label"), col("contaminated"), col("purge"))
+      .orderBy("doc_id")
+  }
+
+  private val q185Sql =
+    s"""$clusterLabelsSqlPrefix,
+       |${graft.curation.CurationQueries.contaminationCtesSql},
+       |own AS (
+       |  SELECT d.doc_id, coalesce(s.n_shared, 0) > 0 AS contaminated
+       |  FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+       |  WHERE d.source != 'src0'),
+       |dirty AS (
+       |  SELECT l.label,
+       |    max(CASE WHEN d.source = 'src0' OR coalesce(o.contaminated, false)
+       |        THEN 1 ELSE 0 END) = 1 AS purge
+       |  FROM labels l
+       |  JOIN documents d ON l.doc_id = d.doc_id
+       |  LEFT JOIN own o ON l.doc_id = o.doc_id
+       |  GROUP BY l.label)
+       |SELECT o.doc_id, l.label, o.contaminated, dy.purge
+       |FROM own o
+       |JOIN labels l ON o.doc_id = l.doc_id
+       |JOIN dirty dy ON l.label = dy.label
+       |ORDER BY o.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q149_subset_pairs", q149, Some(q149Sql),
       "token-set subsumption (containment-1.0) pairs, sub/sup oriented"),
@@ -1621,5 +1754,9 @@ object DedupQueries {
     QueryDef("q179_threshold_curve", q179, Some(q179Sql),
       "dedup threshold sensitivity: docs dropped/kept at Jaccard 0.5-0.9"),
     QueryDef("q180_chunk_clean", q180, Some(q180Sql),
-      "chunk-dedup transform: cleaned corpus (kept chunks re-concatenated per doc)"))
+      "chunk-dedup transform: cleaned corpus (kept chunks re-concatenated per doc)"),
+    QueryDef("q184_lsh_tuning", q184, Some(q184Sql),
+      "LSH tuning report: banded-candidate precision/recall vs exact Jaccard 0.9"),
+    QueryDef("q185_cluster_decontam", q185, Some(q185Sql),
+      "cluster-propagated decontamination: purge whole dup clusters touching the benchmark"))
 }

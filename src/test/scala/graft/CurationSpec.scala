@@ -347,4 +347,55 @@ class CurationSpec extends AnyFunSuite {
       .mapValues(rs => rs.map(_.getLong(2)).sum / rs.size)
     assert(bySrc("src1") == bySrc.values.max)
   }
+
+  test("q182 mixture weights: valid distribution that flattens toward uniform") {
+    val rows = Registry.queries("q182_mixture_weights")(spark, sf).collect()
+    val w = rows.map(_.getDouble(4))
+    assert(math.abs(w.sum - 1.0) < 1e-9, s"weights must sum to 1: ${w.sum}")
+    w.foreach(x => assert(x > 0))
+    // temperature flattening: every source's temp weight sits between its
+    // raw share and the uniform 1/k weight (sqrt pulls toward uniform)
+    val totToks = rows.map(_.getLong(2)).sum.toDouble
+    val uni = 1.0 / rows.length
+    rows.foreach { r =>
+      val raw = r.getLong(2) / totToks
+      val tw = r.getDouble(4)
+      val (lo, hi) = if (raw < uni) (raw, uni) else (uni, raw)
+      assert(tw >= lo - 1e-12 && tw <= hi + 1e-12,
+        s"${r.getString(0)}: temp weight $tw outside [$lo, $hi]")
+      // boost = temp weight / raw share, so boost > 1 iff under-represented
+      assert((r.getDouble(5) > 1.0) == (raw < tw) || math.abs(raw - tw) < 1e-12)
+    }
+  }
+
+  test("q183 shard packing: complete, token-balanced, hash-order deterministic") {
+    val rows = Registry.queries("q183_shard_pack")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs) // every doc assigned exactly once
+    val byShard = rows.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    val total = rows.map(_.getLong(1)).sum
+    val target = (total + 7) / 8
+    // each shard holds at most target + the largest single doc (greedy
+    // boundary overshoot), and all 8 shards are populated on real data
+    val maxDoc = rows.map(_.getLong(1)).max
+    byShard.values.foreach(t => assert(t <= target + maxDoc))
+    assert(byShard.keySet == (0L until 8L).toSet)
+    val spread = byShard.values.max.toDouble / byShard.values.min
+    info(f"shard token spread max/min = $spread%.3f")
+    assert(spread < 1.5, s"shards badly unbalanced: $byShard")
+  }
+
+  test("q184 LSH tuning report agrees with a driver-side recount") {
+    val r = Registry.queries("q184_lsh_tuning")(spark, sf).collect().head
+    val (nExact, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= nCand && nHit <= nExact)
+    assert(r.getDouble(3) == nHit.toDouble / nCand)
+    assert(r.getDouble(4) == nHit.toDouble / nExact)
+    // the exact pair count must equal q42's published exact pair list
+    val q42n = Registry.queries("q42_jaccard_pairs")(spark, sf).count()
+    assert(nExact == q42n, s"exact side drifted from q42: $nExact vs $q42n")
+    // banded 4x4 MinHash at tau=0.9 should have high recall on this corpus
+    assert(r.getDouble(4) >= 0.8, s"recall collapsed: ${r.getDouble(4)}")
+  }
 }

@@ -713,4 +713,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"mean recall@10 = $meanRecall")
     assert(meanRecall >= 0.5, s"PQ recall collapsed: $meanRecall")
   }
+
+  test("q185 cluster decontamination: purge is the cluster-closure of contamination") {
+    val rows = Registry.queries("q185_cluster_decontam")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // purge ⊇ contaminated: a doc sharing a benchmark n-gram is never kept
+    rows.foreach { case (id, _, cont, purge) =>
+      assert(!cont || purge, s"doc $id contaminated but not purged")
+    }
+    // purge is constant within a cluster label
+    rows.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._4).distinct.length == 1,
+        s"cluster $lbl has mixed purge bits")
+    }
+    // driver-side recount: a cluster purges iff it contains a contaminated
+    // doc or a benchmark (src0) doc. q185 omits benchmark docs from its
+    // output, so recover their labels from q156 (same clusterLabels frame).
+    val allLabels = Registry.queries("q156_leakage_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, lbl, _, _) =>
+      assert(allLabels(id) == lbl, s"doc $id label drifted between q185 and q156")
+    }
+    val srcs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchLabels = srcs.collect { case (id, "src0") => allLabels(id) }.toSet
+    val contLabels = rows.collect { case (_, lbl, true, _) => lbl }.toSet
+    val shouldPurge = contLabels ++ benchLabels
+    rows.foreach { case (id, lbl, _, purge) =>
+      assert(purge == shouldPurge.contains(lbl),
+        s"doc $id label $lbl: purge=$purge expected=${shouldPurge.contains(lbl)}")
+    }
+    // the propagation is non-trivial on this corpus: some purged doc is not
+    // itself contaminated (the dup-laundered leakage q112 misses)
+    assert(rows.exists { case (_, _, cont, purge) => purge && !cont },
+      "no cluster-propagated purge found — fixture lost its dup-laundered leak")
+  }
 }
