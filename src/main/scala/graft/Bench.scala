@@ -26,13 +26,17 @@ object Bench {
           }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      val (ok, t1) = once()
-      // re-measure anything non-trivial and keep the better run: the
-      // first pass pays whole-stage-codegen compilation (a real cost, but
-      // a per-plan one-off, not per-dataset) and is exposed to the host's
-      // documented 2-10x contention spikes (PERF.md); min-of-2 estimates
-      // steady state without a full warm-up pass over the cheap queries
-      val t = if (ok && t1 > 1.0) math.min(t1, once()._2) else t1
+      // One untimed warm-up pays plan analysis + whole-stage-codegen
+      // compilation (per-plan one-offs, not per-dataset costs), then the
+      // min of two timed runs estimates steady state.  min-of-2 alone is
+      // not enough on this host: its documented 2-10x contention spikes
+      // (PERF.md) last long enough that two back-to-back runs both land
+      // inside one, which is exactly how BENCH_r06 recorded 3.13 s for a
+      // 0.6 s query.  The warm-up separates the timed pair from codegen
+      // AND spaces the samples out, so a spike must span three runs to
+      // contaminate the record.
+      val (ok, tWarm) = once()
+      val t = if (ok) math.min(once()._2, once()._2) else tWarm
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -179,11 +179,38 @@ object MlTrainQueries {
     * (~12 s of the round-5 bench — VERDICT r5 finding 2).
     */
   private val frameMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    scala.collection.mutable.HashMap.empty[(String, String, String), DataFrame]
 
+  /** Best-effort release of the blocks behind a `localCheckpoint(true)`
+    * frame: the checkpointed RDD is the leaf `LogicalRDD`'s rdd.
+    * `Dataset.unpersist` cannot reach it (the persistence was applied to
+    * the internal RDD, not through the cache manager).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    } catch { case _: Throwable => () }
+
+  /** Memoize under a lock (a bare getOrElseUpdate can run `build` — an
+    * 8-iteration training job — twice under concurrent first calls), and
+    * bound the memo to ONE (app, dataset) at a time: on a dataset switch
+    * the previous dataset's checkpointed frames are evicted AND their
+    * blocks released, so a long-lived session walking many datasets holds
+    * at most one dataset's worth of checkpoint blocks (ADVICE r6).
+    * The lock is reentrant, so `trainedWeights`' build calling
+    * [[featureFrame]] (which re-enters memo) is safe.
+    */
   private def memo(s: SparkSession, d: String, what: String)(
-      build: => DataFrame): DataFrame =
-    frameMemo.getOrElseUpdate((s.sparkContext.applicationId, d, what), build)
+      build: => DataFrame): DataFrame = frameMemo.synchronized {
+    val key = (s.sparkContext.applicationId, d, what)
+    frameMemo.getOrElse(key, {
+      val stale = frameMemo.keySet.filterNot(k => k._1 == key._1 && k._2 == key._2)
+      stale.toList.foreach(k => frameMemo.remove(k).foreach(releaseCheckpoint))
+      val df = build
+      frameMemo.put(key, df)
+      df
+    })
+  }
 
   private def featureFrame(s: SparkSession, d: String): DataFrame =
     memo(s, d, "feats")(featureFrameBuild(s, d))

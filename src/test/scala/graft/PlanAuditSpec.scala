@@ -13,9 +13,12 @@ class PlanAuditSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
   test("no query's physical plan contains a CartesianProduct") {
+    // planFn (where present) is the lazy un-checkpointed form: eager-
+    // checkpointing queries would otherwise show only a LogicalRDD leaf
+    // here, silently exempting their interior joins from the audit
     val offenders = Registry.all.flatMap { q =>
       val plan =
-        try q.fn(spark, sf).queryExecution.executedPlan.toString
+        try q.planFn.getOrElse(q.fn)(spark, sf).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"<failed: ${e.getMessage}>" }
       if (plan.contains("CartesianProduct")) Some(q.name) else None
     }

@@ -219,7 +219,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q161 snapshot dedup verify stage broadcasts the token sets") {
-    val plan = physicalPlan("q161_snapshot_dedup")
+    // the runtime form eagerly checkpoints its output (cache-release
+    // pattern), which collapses the executed plan to a LogicalRDD leaf;
+    // audit the lazy plan form instead (same composition, no checkpoint)
+    val plan = Registry.planForms("q161_snapshot_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"candidate verify should broadcast-join token sets:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs stage allowed:\n$plan")
