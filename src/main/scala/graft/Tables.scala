@@ -31,8 +31,18 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      // pre-4.1 path: nanosAsLong honored, ts arrives as a raw long
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Spark 4.1+ reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+      // (micros truncation happens in the reader); the legacy conf is
+      // ignored. Cast to the session-tz TIMESTAMP the old path produced
+      // (identical instants under UTC sessions — Verify pins UTC).
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -110,6 +110,48 @@ final class MediaKernel {
     out.toByteArray
   }
 
+  /** Encode an 8-bit grayscale JPEG at an explicit quality factor — the
+    * LOSSY member of the codec family (PNG/GIF above are lossless): the
+    * JFIF stream holds a single Y component, decode recovers pixels only
+    * to within a quality-dependent tolerance, so JPEG queries carry
+    * tolerance VERDICTS (bounded error), never raw pixel hashes.
+    * The JDK encoder is deterministic (fixed quantization tables scaled
+    * by quality, no threading in the entropy coder) — byte-identical
+    * output for identical input, which the spec pins by hash.
+    */
+  def encodeJpeg(w: Int, h: Int, quality: Float, pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pix(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    encodeJpegImage(img, quality)
+  }
+
+  /** Re-encode a decoded grayscale frame (generation-loss probe). */
+  def encodeJpeg(g: Gray, quality: Float): Array[Byte] =
+    encodeJpeg(g.width, g.height, quality, (x, y) => g.pix(y * g.width + x))
+
+  private def encodeJpegImage(img: BufferedImage, quality: Float): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new IIOImage(img, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- decode
 
   /** Decode a single-image payload (PNG here; any ImageIO format works)

@@ -168,10 +168,82 @@ object MultimodalQueries {
       |FROM cells GROUP BY doc_id, f, tw, th
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** JPEG tolerance knobs for [[q187]]: max per-pixel |decoded − source|
+    * at quality 0.90 over the continuous triangle-wave fixture, and max
+    * per-pixel first→second generation drift. Empirically the JDK codec
+    * stays well under both (see MultimodalSpec, which pins the measured
+    * maxima); the margins absorb codec-version quantization changes
+    * without letting a gamma shift (≈ ±40 at mid-gray) or an off-by-one
+    * row slide through.
+    */
+  private val JpegTol = 16
+  private val JpegGenTol = 8
+
+  /** The lossy member of the codec family — JPEG encode at quality 0.90,
+    * real decode, and TOLERANCE verdicts instead of pixel hashes (JPEG is
+    * the dominant real-world image format; its decode is only defined up
+    * to quantization error, so the oracle pins exact dims + format +
+    * boolean error bounds, and the quantitative maxima live in the spec —
+    * VERDICT r6 "What's missing" 3).
+    *
+    * The fixture differs from q66's on purpose: pixel value is the
+    * TRIANGLE wave |((id·7 + x + 2y) mod 510) − 255| — continuous across
+    * the image (slope ±1/±2), where q66's mod-256 ramp has 255→0 cliffs
+    * that would ring under DCT quantization and force a useless
+    * tolerance. Verdicts: `within_tol` (decode error vs the generating
+    * formula ≤ [[JpegTol]]) and `roundtrip_stable` (re-encode of the
+    * DECODED pixels at the same quality, decoded again, drifts ≤
+    * [[JpegGenTol]] — bounded generation loss). Same mapPartitions
+    * batched-kernel shape as q66/q67.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.map { id =>
+          val (w, h) = dims(id)
+          def f(x: Int, y: Int): Int =
+            (((id * 7 + x + 2 * y) % 510) - 255).toInt.abs
+          val jpg = k.encodeJpeg(w, h, 0.90f, f)
+          val (fmt, g) = k.decodeImage(jpg)
+          var maxErr = 0
+          var i = 0
+          while (i < g.pix.length) {
+            val e = (g.pix(i) - f(i % g.width, i / g.width)).abs
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          val g2 = k.decodeImage(k.encodeJpeg(g, 0.90f))._2
+          var drift = 0
+          i = 0
+          while (i < g.pix.length) {
+            val e = (g.pix(i) - g2.pix(i)).abs
+            if (e > drift) drift = e
+            i += 1
+          }
+          (id, fmt, g.width.toLong, g.height.toLong,
+            maxErr <= JpegTol, drift <= JpegGenTol)
+        }
+      }
+      .toDF("doc_id", "fmt", "width", "height", "within_tol", "roundtrip_stable")
+      .orderBy("doc_id")
+  }
+
+  private val q187Sql =
+    """SELECT doc_id, 'jpeg' AS fmt,
+      |  CAST(16 + doc_id % 37 AS BIGINT) AS width,
+      |  CAST(16 + doc_id % 23 AS BIGINT) AS height,
+      |  TRUE AS within_tol, TRUE AS roundtrip_stable
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_media_meta", q65, Some(q65Sql), "binary payload + metadata projection"),
     QueryDef("q66_media_decode", q66, Some(q66Sql),
       "real javax.imageio PNG decode, pixel-derived features (oracled vs the generating formula)"),
     QueryDef("q67_media_frames", q67, Some(q67Sql),
-      "real multi-frame GIF decode + integer box-filter thumbnails, one mapPartitions pass"))
+      "real multi-frame GIF decode + integer box-filter thumbnails, one mapPartitions pass"),
+    QueryDef("q187_media_jpeg", q187, Some(q187Sql),
+      "real JPEG encode@q0.9 + decode: exact dims, bounded pixel error + generation drift"))
 }

@@ -448,7 +448,217 @@ object PipelineQueries {
        |       ELSE 15000000105 // k.h_k END AS BIGINT) AS estimate
        |FROM kth k JOIN ex e ON k.lang = e.lang ORDER BY k.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+
+  /** End-to-end curation PIPELINE — every stage of the training-data run
+    * chained in one composition (VERDICT r6 "What's missing" 4: each
+    * stage existed, nothing exercised their handoffs as one artifact):
+    *
+    *   ingest → quality gate (q113 rule) → near-dedup keep-bit (q176
+    *   machinery, τ = 0.9, among gate survivors) → decontamination (q112
+    *   bits + one-hop propagation over the dedup pair set + benchmark
+    *   rows themselves) → token-budget selection (q155 rule, budgets
+    *   recomputed over the SURVIVING corpus) → shard packing (q183 rule
+    *   over the selected set).
+    *
+    * Output: the per-stage LEDGER — (stage, name, n_docs, n_tokens,
+    * n_shards) after each stage — the one-artifact audit row every real
+    * curation run reports. n_shards is 0 except for the final stage,
+    * where it counts DISTINCT assigned shards, so the shard stage's
+    * computation is genuinely exercised by the oracle.
+    *
+    * Stage semantics worth pinning: dedup runs among GATE SURVIVORS (a
+    * gate-dropped near-dup cannot shadow a surviving doc — order
+    * matters); decontam propagates ONE HOP over the stage-2 verified
+    * pair set (the kept representative of a contaminated duplicate is
+    * purged — the full transitive-closure form is q185; after τ=0.9
+    * dedup the kept docs' partners are exactly one hop away), and also
+    * drops the benchmark rows themselves (source = 'src0' is eval data,
+    * never training data); selection budgets are computed over the
+    * surviving corpus, not the raw one.
+    *
+    * Scale: every stage is its operator's own 100 TB shape (blocked +
+    * skew-routed pairs, broadcast benchmark set, per-stratum windows);
+    * the handoffs are doc_id joins — no driver round-trip between
+    * stages (the one bounded collect is jaccardPairs' lang-stats routing
+    * decision). Eager form caches the pair set (used by dedup AND
+    * decontam) and checkpoints the 6-row ledger, releasing everything.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame =
+    q188Body(s, d, eager = true)
+
+  private[graft] def q188Lazy(s: SparkSession, d: String): DataFrame =
+    q188Body(s, d, eager = false)
+
+  private def q188Body(s: SparkSession, d: String, eager: Boolean): DataFrame = {
+    import graft.curation.CurationQueries
+    import graft.dedup.DedupQueries
+    val docs = Tables.documents(s, d)
+    // per-doc token stats, computed once for ledger sums + selection
+    val feats0 = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("n_distinct * 1000 div n_tokens").as("quality_fp"))
+    val feats = if (eager) feats0.cache() else feats0
+    // stage 1: quality gate
+    val s1 = feats.join(
+      CurationQueries.q113(s, d).filter(col("keep")).select("doc_id"), "doc_id")
+    // stage 2: near-dedup among gate survivors
+    val s1tok = docs
+      .join(s1.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        DedupQueries.hashedToks(col("text")).as("arr"))
+    val pairs0 = DedupQueries
+      .jaccardPairs(s1tok, 9, 10, DedupQueries.BlockCap,
+        DedupQueries.langStatsFrame(s, d))
+      .select("id_a", "id_b")
+    val pairs = if (eager) pairs0.cache() else pairs0
+    val s2 = s1.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    // stage 3: decontamination (direct + one-hop via the pair set + the
+    // benchmark rows themselves)
+    val contam = CurationQueries.contaminationBits(s, d)
+      .filter(col("contaminated")).select("doc_id")
+    val contamHop = pairs
+      .join(contam.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a").as("doc_id"))
+    val bench = docs.filter(col("source") === "src0").select("doc_id")
+    val s3 = s2.join(contam.unionAll(contamHop).unionAll(bench).distinct(),
+      Seq("doc_id"), "left_anti")
+    // stage 4: token-budget selection over the surviving corpus
+    val budget = broadcast(
+      s3.groupBy("lang").agg(expr("sum(n_tokens) div 2").as("budget")))
+    val wSel = Window.partitionBy("lang")
+      .orderBy(desc("quality_fp"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s4 = s3
+      .withColumn("cum_tokens", sum("n_tokens").over(wSel))
+      .join(budget, "lang")
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "lang", "n_tokens")
+    // stage 5: shard packing of the selected set (q183's two-phase
+    // distributed prefix sum — never a global single-partition window)
+    val nb = 256
+    val bktWidth = (1000000007L + nb - 1) / nb
+    val hashed = s4.select(col("doc_id"), col("n_tokens"),
+      Det.polyHash(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", expr(s"h div $bktWidth"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hashed.groupBy("bkt").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(sum("bt").over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wIn = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sharded = hashed.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("off") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .crossJoin(broadcast(hashed.agg(sum("n_tokens").as("tt"))))
+      .select(col("doc_id"),
+        least(expr("cum div ((tt + 7) div 8)"), lit(7L)).as("shard"))
+    // the 6-row ledger
+    def row(stage: Int, name: String, df: DataFrame, shards: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .crossJoin(shards.agg(
+          coalesce(countDistinct(col("shard")), lit(0L)).as("n_shards")))
+        .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
+          col("n_docs"), col("n_tokens"), col("n_shards"))
+    val noShards = sharded.filter(lit(false))
+    val res = row(0, "ingest", feats, noShards)
+      .unionAll(row(1, "quality_gate", s1, noShards))
+      .unionAll(row(2, "near_dedup", s2, noShards))
+      .unionAll(row(3, "decontam", s3, noShards))
+      .unionAll(row(4, "token_budget", s4, noShards))
+      .unionAll(row(5, "shard_pack", s4, sharded))
+      .orderBy("stage")
+    if (!eager) res
+    else {
+      val out = res.localCheckpoint(true) // 6 rows; caches can go
+      feats.unpersist(); pairs.unpersist()
+      out
+    }
+  }
+
+  private val q188Sql = {
+    val shardH = Det.polyHashSql("'shard:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH ${graft.curation.CurationQueries.contaminationCtesSql},
+       |feats AS (
+       |  SELECT doc_id, lang, count(*) AS n_tokens,
+       |    CAST(count(DISTINCT w) * 1000 // count(*) AS BIGINT) AS quality_fp
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) GROUP BY doc_id, lang),
+       |wc AS (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY doc_id, w),
+       |gst AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |    max(cnt) AS max_cnt, CAST(sum(length(w) * cnt) AS BIGINT) AS tot_len
+       |  FROM wc GROUP BY doc_id),
+       |s1 AS (
+       |  SELECT f.* FROM feats f JOIN gst g ON f.doc_id = g.doc_id
+       |  WHERE g.n_tokens BETWEEN 30 AND 5000
+       |    AND g.tot_len * 10 >= g.n_tokens * 30
+       |    AND g.tot_len * 10 <= g.n_tokens * 80
+       |    AND g.max_cnt * 5 <= g.n_tokens
+       |    AND g.n_distinct * 10 >= g.n_tokens * 4),
+       |t AS (
+       |  SELECT d.doc_id, d.lang, ${graft.dedup.DedupQueries.hashedToksSql} AS tk
+       |  FROM documents d JOIN s1 ON d.doc_id = s1.doc_id),
+       |prs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE 10 * len(list_intersect(a.tk, b.tk))
+       |    >= 9 * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))),
+       |s2 AS (
+       |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM prs)),
+       |contam AS (
+       |  SELECT doc_id FROM shared WHERE n_shared > 0),
+       |drop3 AS (
+       |  SELECT doc_id FROM contam
+       |  UNION SELECT id_a AS doc_id FROM prs WHERE id_b IN (SELECT doc_id FROM contam)
+       |  UNION SELECT doc_id FROM documents WHERE source = 'src0'),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+       |bud AS (SELECT lang, CAST(sum(n_tokens) // 2 AS BIGINT) AS budget
+       |        FROM s3 GROUP BY lang),
+       |sel AS (
+       |  SELECT r.doc_id, r.lang, r.n_tokens FROM (
+       |    SELECT s3.*, sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY quality_fp DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM s3) r JOIN bud ON r.lang = bud.lang
+       |  WHERE r.cum <= bud.budget),
+       |sh AS (
+       |  SELECT doc_id, CAST(least(cum // ((tt + 7) // 8), 7) AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT doc_id,
+       |      coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |    FROM (SELECT doc_id, n_tokens, $shardH AS h FROM sel) hx),
+       |    (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM sel) tot),
+       |led AS (
+       |  SELECT 0 AS st, 'ingest' AS name, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens, 0 AS n_shards FROM feats
+       |  UNION ALL SELECT 1, 'quality_gate', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT), 0 FROM s1
+       |  UNION ALL SELECT 2, 'near_dedup', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT), 0 FROM s2
+       |  UNION ALL SELECT 3, 'decontam', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT), 0 FROM s3
+       |  UNION ALL SELECT 4, 'token_budget', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT), 0 FROM sel
+       |  UNION ALL SELECT 5, 'shard_pack', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT),
+       |    (SELECT count(DISTINCT shard) FROM sh) FROM sel)
+       |SELECT CAST(st AS BIGINT) AS stage, name, n_docs,
+       |  coalesce(n_tokens, 0) AS n_tokens, CAST(n_shards AS BIGINT) AS n_shards
+       |FROM led ORDER BY stage""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q188_pipeline_ledger", q188, Some(q188Sql),
+      "end-to-end curation pipeline: gate→dedup→decontam→budget→shard, per-stage ledger",
+      planFn = Some(q188Lazy)),
     QueryDef("q172_dict_encode", q172, Some(q172Sql),
       "order-preserving dictionary encoding (dense codes, broadcast encode join)"),
     QueryDef("q173_kmv_distinct", q173, Some(q173Sql),

@@ -309,10 +309,22 @@ object Pipeline {
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsFileSchema)
+    // Probe the BATCH reader's native type for ts and declare the matching
+    // stream schema: pre-4.1 honors nanosAsLong (raw nano long); 4.1+
+    // ignores the legacy conf and reads TIMESTAMP(NANOS) as TIMESTAMP_NTZ.
+    // A user schema must agree with the reader's native representation —
+    // declaring LONG over an NTZ read silently reinterprets the internal
+    // MICROS value as the long, shrinking every timestamp 1000× (caught by
+    // the q60 oracle as a collapsed window range).
+    val tsIsLong = graft.Tables.table(spark, sfDir, "events")
+      .schema("ts").dataType == LongType
+    val sch = StructType(eventsFileSchema.map(f =>
+      if (f.name == "ts" && !tsIsLong) f.copy(dataType = TimestampNTZType) else f))
+    val raw = spark.readStream
+      .schema(sch)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 }

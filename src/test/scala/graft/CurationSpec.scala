@@ -236,27 +236,81 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("q158 BPE apply: subtokens rebuild the word; merges actually fire") {
-    val got = Registry.queries("q158_bpe_apply")(spark, sf).collect()
-    got.foreach { r =>
-      val w = r.getString(0)
-      val sub = r.getString(2).split(" ", -1)
-      assert(sub.mkString("") == w, s"word $w")
-      assert(r.getInt(3) == sub.length)
-      assert(sub.forall(_.nonEmpty))
+  /** Independent plain-Scala BPE reference: left-to-right non-overlapping
+    * merge of one pair over a symbol vector (exactly `replace`'s
+    * semantics on the engine's wrapped-symbol strings).
+    */
+  private def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
     }
-    val byWord = got.map(r => r.getString(0) -> r.getString(2)).toMap
-    // "the": t h -> th, th e -> the (two-level merge chain collapses fully)
-    assert(byWord("the") == "the")
-    // "data": a t -> at, at a -> ata => d ata
-    assert(byWord("data") == "d ata")
-    // "scan": s c -> sc; a..n has no (a,n) merge => sc a n
-    assert(byWord("scan") == "sc a n")
+    out.result()
   }
 
-  test("q163 token accounting agrees with the q158 tokenizer per word") {
-    val fanout = Registry.queries("q158_bpe_apply")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getInt(3).toLong).toMap
+  /** Train k BPE rounds the classic way (argmax freq-weighted pair count,
+    * tiebreak (a, b) ascending); returns (merge table, final symbols per
+    * word).
+    */
+  private def refBpeTrain(wf: Map[String, Long], k: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Vector[String]]) = {
+    var words = wf.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((_, (syms, f)) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val ((a, b), n) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      merges += ((r.toLong, a, b, n))
+      words = words.map { case (w, (syms, f)) => w -> (mergeOnce(syms, a, b), f) }
+    }
+    (merges.result(), words.map { case (w, (syms, _)) => w -> syms })
+  }
+
+  test("q186 BPE training matches an independent driver-side trainer") {
+    val wf = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (expMerges, expSyms) = refBpeTrain(wf, 8)
+    val got = Registry.queries("q186_bpe_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expMerges)
+    // and q158 replays exactly that table over every word
+    val applied = Registry.queries("q158_bpe_apply")(spark, sf).collect()
+    assert(applied.length == wf.size)
+    applied.foreach { r =>
+      val w = r.getString(0)
+      val sub = r.getString(2).split(" ", -1).toVector
+      assert(sub == expSyms(w), s"word $w")
+      assert(r.getLong(1) == wf(w))
+      assert(r.getInt(3) == sub.length)
+      assert(sub.mkString("") == w)
+    }
+    // the trained table is non-trivial: counts weakly justify merge order
+    // only per-round (counts can rise when a merge creates a new symbol),
+    // but every count is positive and pairs are distinct
+    assert(expMerges.map(m => (m._2, m._3)).distinct.length == 8)
+    assert(expMerges.forall(_._4 > 0))
+  }
+
+  /** The pinned q163 tokenizer (its frozen merge table), replicated. */
+  private def pinnedFanout(w: String): Long = {
+    var s = w.map(c => s"|$c|").mkString(" ")
+    for ((a, b) <- Seq("a" -> "t", "e" -> "r", "t" -> "h", "th" -> "e",
+        "i" -> "n", "s" -> "c", "o" -> "w", "at" -> "a"))
+      s = s.replace(s"|$a| |$b|", s"|$a$b|")
+    s.replace("|", "").split(" ", -1).length.toLong
+  }
+
+  test("q163 token accounting agrees with its pinned tokenizer per word") {
+    val fanout = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).distinct
+      .map(w => w -> pinnedFanout(w)).toMap
     val docs = Tables.documents(spark, sf).select("source", "text")
       .collect().map(r => r.getString(0) -> r.getString(1))
     val expected = docs.groupBy(_._1).view.mapValues { ds =>
@@ -272,6 +326,32 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getLong(3) == ns * 1000 / nw)
       assert(ns >= nw) // subword fan-out never shrinks a word below 1 token
     }
+  }
+
+  test("q188 pipeline ledger is stage-consistent with the standalone operators") {
+    val led = Registry.queries("q188_pipeline_ledger")(spark, sf).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(led.keySet == Set("ingest", "quality_gate", "near_dedup",
+      "decontam", "token_budget", "shard_pack"))
+    // stage 0 matches the raw corpus
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(led("ingest")._1 == docs.length.toLong)
+    assert(led("ingest")._2 == docs.map(_.getString(1).split(" ", -1).length.toLong).sum)
+    // stage 1 matches q113's keep count exactly (same rule, same corpus)
+    val gateKeep = Registry.queries("q113_gopher_quality")(spark, sf)
+      .collect().count(_.getBoolean(5)).toLong
+    assert(led("quality_gate")._1 == gateKeep)
+    // funnel: docs and tokens never grow; selection halves tokens at most
+    val order = Seq("ingest", "quality_gate", "near_dedup", "decontam", "token_budget")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(led(b)._1 <= led(a)._1 && led(b)._2 <= led(a)._2, s"$a -> $b")
+    }
+    assert(led("token_budget")._2 <= led("decontam")._2 / 2 + led("decontam")._1)
+    // shard stage transforms, never filters; all 8 shards used when enough docs
+    assert(led("shard_pack")._1 == led("token_budget")._1)
+    assert(led("shard_pack")._2 == led("token_budget")._2)
+    if (led("token_budget")._1 >= 64) assert(led("shard_pack")._3 == 8L)
+    assert(order.forall(st => led(st)._3 == 0L))
   }
 
   test("q170 source signatures match a driver-side lift recompute") {

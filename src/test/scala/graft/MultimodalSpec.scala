@@ -98,6 +98,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: deterministic encode, bounded decode error, bounded generation drift") {
+    val k = new MediaKernel
+    // the q187 fixture: continuous triangle wave (no mod-256 cliffs)
+    def f(id: Long)(x: Int, y: Int): Int =
+      (((id * 7 + x + 2 * y) % 510) - 255).toInt.abs
+    var worstErr = 0
+    var worstDrift = 0
+    for (id <- 0L until 64L) {
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      val jpg = k.encodeJpeg(w, h, 0.90f, f(id))
+      // JFIF magic + determinism: a second, independent kernel instance
+      // produces byte-identical output (what makes the re-encode hash a
+      // meaningful spec pin)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+      assert(java.util.Arrays.equals(jpg, new MediaKernel().encodeJpeg(w, h, 0.90f, f(id))))
+      val (fmt, g) = k.decodeImage(jpg)
+      assert(fmt == "jpeg" && g.width == w && g.height == h, s"doc $id dims")
+      val err = g.pix.indices.map(i => (g.pix(i) - f(id)(i % w, i / w)).abs).max
+      val g2 = k.decodeImage(k.encodeJpeg(g, 0.90f))._2
+      val drift = g.pix.indices.map(i => (g.pix(i) - g2.pix(i)).abs).max
+      worstErr = math.max(worstErr, err)
+      worstDrift = math.max(worstDrift, drift)
+    }
+    // quantitative pins behind q187's boolean verdicts (tolerances 16 / 8)
+    assert(worstErr <= 16, s"q0.9 decode error $worstErr exceeds tolerance")
+    assert(worstDrift <= 8, s"generation drift $worstDrift exceeds tolerance")
+    info(s"measured: worst decode err = $worstErr, worst generation drift = $worstDrift")
+  }
+
+  test("q187 verdicts are all-true at sf0.001 (matches the constant oracle)") {
+    val rows = Registry.queries("q187_media_jpeg")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "jpeg")
+      assert(r.getLong(2) == 16 + id % 37 && r.getLong(3) == 16 + id % 23)
+      assert(r.getBoolean(4) && r.getBoolean(5), s"doc $id out of tolerance")
+    }
+  }
+
   test("q67 frame sampling: ceil(nFrames/2) rows per doc, frame 0 present, thumbs ≤ 32") {
     val frames = Registry.queries("q67_media_frames")(spark, sf).collect()
       .groupBy(_.getLong(0))
