@@ -71,19 +71,48 @@ object DedupQueries {
   }
 
   /** Prefix-filtered candidate pairs (AllPairs/PPJoin): for Jaccard ≥
-    * num/den, two sorted sets must share an element within the first
-    * |x| − ⌈(num/den)·|x|⌉ + 1 elements of each (else their intersection
-    * fits in the remaining suffix and is provably < t·|x∪y|). Exploding
-    * only that prefix into a posting list keeps candidates near-linear on
-    * skewed blocks while staying EXACT — no recall loss, unlike LSH.
+    * num/den, two token sets ordered by the SAME global total order must
+    * share an element within the first |x| − ⌈(num/den)·|x|⌉ + 1 elements
+    * of each (else their intersection fits in the remaining suffix and is
+    * provably < t·|x∪y|). Exploding only that prefix into a posting list
+    * keeps candidates near-linear on skewed blocks while staying EXACT —
+    * no recall loss, unlike LSH.
+    *
+    * The global order is FREQUENCY-ASCENDING (rarest token first, hash
+    * tiebreak) — the canonical PPJoin ordering, and it is load-bearing:
+    * the theorem holds for ANY fixed total order, but prefix-by-hash
+    * (this operator's round-6 form) puts the same globally-common tokens
+    * in almost every document's prefix on a small-vocabulary corpus —
+    * posting groups the size of the block and a quadratic candidate
+    * blowup exactly where the cap path is supposed to PREVENT one (the
+    * 10× decade corpus drove q176 to ~1800 s of executor time in the
+    * candidate join alone). Rarest-first prefixes make a posting group's
+    * size track the token's document frequency, so candidates
+    * concentrate on genuinely-similar pairs — decisive on real Zipfian
+    * vocabularies; on the synthetic ~40-word testdata vocabulary NO
+    * token prefix is selective, which is why [[jaccardPairs]]'s capped
+    * path additionally collapses identical token sets first (see there).
+    * Frequencies come from one vocab-sized aggregate over the input
+    * frame; the per-doc rank is a window over its tokens (linear,
+    * corpus-sized shuffle) — both scale.
+    *
     * Input frame: (doc_id, lang, arr sorted ascending); nonempty arrays
     * (guaranteed by both callers). Output: distinct (lang, id_a, id_b).
     */
   private[graft] def prefixCandidates(docs: DataFrame, num: Int, den: Int): DataFrame = {
     val prefLen = size(col("arr")) -
       expr(s"(($num * size(arr)) + $den - 1) div $den") + 1
-    val posts = docs.select(col("lang"), col("doc_id"),
-      explode(slice(col("arr"), lit(1), prefLen)).as("p"))
+    val toks = docs.select(col("lang"), col("doc_id"),
+      prefLen.as("plen"), explode(col("arr")).as("p"))
+    val freq = toks.groupBy("p").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("p"))
+    // no broadcast hint: the frequency table is vocab-sized, which at
+    // 100 TB can itself be huge — a plain equi-join on the token shuffles
+    // both sides by p and scales; AQE broadcasts it when it IS small
+    val posts = toks.join(freq, "p")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("plen"))
+      .select("lang", "p", "doc_id")
     posts.select(col("lang"), col("p"), col("doc_id").as("id_a"))
       .join(posts.select(col("lang"), col("p"), col("doc_id").as("id_b")),
         Seq("lang", "p"))
@@ -133,18 +162,49 @@ object DedupQueries {
       _.groupBy("lang").agg(count(lit(1)).as("n"))
         .filter(col("n") > cap).select("lang")
         .collect().map(_.getString(0)).sorted)
-    val pairs =
-      if (bigLangs.isEmpty) selfJoin(docs)
-      else {
-        val big = docs.filter(col("lang").isin(bigLangs.map(x => x: Any): _*))
-        val small = docs.filter(!col("lang").isin(bigLangs.map(x => x: Any): _*))
-        val bigPairs = prefixCandidates(big, num, den)
-          .join(big.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
-          .join(big.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
-          .select("id_a", "id_b", "arr_a", "arr_b")
-        selfJoin(small).unionAll(bigPairs)
-      }
-    verify(pairs).orderBy("id_a", "id_b")
+    if (bigLangs.isEmpty) verify(selfJoin(docs)).orderBy("id_a", "id_b")
+    else {
+      val big = docs.filter(col("lang").isin(bigLangs.map(x => x: Any): _*))
+      val small = docs.filter(!col("lang").isin(bigLangs.map(x => x: Any): _*))
+      // Exact-content COLLAPSE before the pairwise pass (the q161
+      // two-tier lesson applied in-operator): docs with identical token
+      // sets have identical Jaccard to everything, so the quadratic
+      // machinery runs on one REPRESENTATIVE per (lang, arr) group and
+      // verified rep pairs expand back to member pairs afterwards —
+      // expansion is linear in the OUTPUT, the only unavoidable cost of
+      // a pair LIST. On dup-heavy corpora this is the difference between
+      // candidates ∝ blocks² and candidates ∝ distinct-content² (the 10×
+      // decade corpus: 57 s → 10 s warm for q176; the residue is the
+      // rep-level machinery plus ~0.5M-pair output materialization); on
+      // a dup-free corpus the collapse is one window over (lang, arr) —
+      // noise. Groups key on the ARRAY itself, not a hash of it, so
+      // collisions can't merge distinct contents.
+      val wG = Window.partitionBy("lang", "arr")
+      val grouped = big.withColumn("rep", min("doc_id").over(wG))
+      val reps = grouped.filter(col("doc_id") === col("rep"))
+        .select("doc_id", "lang", "arr")
+      val repPairs = verify(
+        prefixCandidates(reps, num, den)
+          .join(reps.select(col("doc_id").as("id_a"), col("arr").as("arr_a")), "id_a")
+          .join(reps.select(col("doc_id").as("id_b"), col("arr").as("arr_b")), "id_b")
+          .select("id_a", "id_b", "arr_a", "arr_b"))
+      // cross-group member pairs inherit the rep pair's exact stats
+      val cross = repPairs
+        .join(grouped.select(col("rep").as("id_a"), col("doc_id").as("xa")), "id_a")
+        .join(grouped.select(col("rep").as("id_b"), col("doc_id").as("xb")), "id_b")
+        .select(least(col("xa"), col("xb")).as("id_a"),
+          greatest(col("xa"), col("xb")).as("id_b"),
+          col("jaccard"), col("n_inter"), col("n_union"))
+      // intra-group pairs: identical sets, J = 1 ≥ any num/den ≤ 1
+      val intra = grouped
+        .select(col("rep"), col("doc_id").as("id_a"), size(col("arr")).cast("long").as("sz"))
+        .join(grouped.select(col("rep"), col("doc_id").as("id_b")), "rep")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"),
+          col("sz").as("n_inter"), col("sz").as("n_union"))
+      verify(selfJoin(small)).unionAll(cross).unionAll(intra)
+        .orderBy("id_a", "id_b")
+    }
   }
 
   /** Exact dedup (hash-groupBy on content): canonical id + group size.
@@ -767,9 +827,11 @@ object DedupQueries {
     val nearDeltas = docs.filter(col("is_delta"))
       .join(resolved, Seq("doc_id"), "left_anti")
     val roles = docs.select(col("doc_id"), col("lang"), col("is_delta"))
-    val bands = bandFrame(
-      nearDeltas.select(col("doc_id"), col("text"))
-        .unionByName(docs.filter(!col("is_delta")).select(col("doc_id"), col("text"))))
+    // signatures read the CACHED toks — bandFrame's text form would
+    // re-tokenize the corpus a second time (~1 s of the round-6 warm cost)
+    val bands = bandFrameFromToks(
+      nearDeltas.select(col("doc_id"), col("toks"))
+        .unionByName(docs.filter(!col("is_delta")).select(col("doc_id"), col("toks"))))
       .join(roles, "doc_id")
     val baseB = bands.filter(!col("is_delta"))
       .select(col("band_key"), col("lang"), col("doc_id").as("base_id"))
@@ -785,9 +847,9 @@ object DedupQueries {
       .select("delta_id", "base_id").distinct()
       .localCheckpoint(true)
     val ta = broadcast(docs.select(col("doc_id").as("delta_id"), col("toks").as("toks_a"))
-      .join(cand.select("delta_id").distinct(), Seq("delta_id"), "left_semi"))
+      .join(cand.select("delta_id"), Seq("delta_id"), "left_semi"))
     val tb = broadcast(docs.select(col("doc_id").as("base_id"), col("toks").as("toks_b"))
-      .join(cand.select("base_id").distinct(), Seq("base_id"), "left_semi"))
+      .join(cand.select("base_id"), Seq("base_id"), "left_semi"))
     val w = Window.partitionBy("delta_id")
     val near = cand.join(ta, "delta_id").join(tb, "base_id")
       .filter(inter * 10 >= union * 9)
@@ -1001,15 +1063,23 @@ object DedupQueries {
       s"list_min(list_transform(toks, x -> (x * $a + $b) % $P))"
     }.mkString(",\n      ")
 
-  private def bandFrame(docs: DataFrame): DataFrame = {
+  /** Band keys from an already-hashed token frame (doc_id, toks) — lets
+    * callers that cache the tokenization (q161) feed the signature
+    * directly instead of re-tokenizing the corpus from text.
+    */
+  private def bandFrameFromToks(docs: DataFrame): DataFrame = {
     val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"mh_$i")
     }
-    val sig = docs.select(col("doc_id"), explode(hashedToks(col("text"))).as("h"))
+    val sig = docs.select(col("doc_id"), explode(col("toks")).as("h"))
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
     sig.select(col("doc_id"),
       explode(array((0 until 4).map(bandKeyExpr): _*)).as("band_key"))
   }
+
+  private def bandFrame(docs: DataFrame): DataFrame =
+    bandFrameFromToks(
+      docs.select(col("doc_id"), hashedToks(col("text")).as("toks")))
 
   /** Streaming ingest near-dup filter (the "don't ingest what the corpus
     * already holds" operator): documents arrive in doc_id order in

@@ -504,9 +504,11 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("n_distinct * 1000 div n_tokens").as("quality_fp"))
     val feats = if (eager) feats0.cache() else feats0
-    // stage 1: quality gate
-    val s1 = feats.join(
+    // stage 1: quality gate. Cached: the gate's two-level aggregate
+    // otherwise re-executes once per downstream ledger row (5×).
+    val s1raw = feats.join(
       CurationQueries.q113(s, d).filter(col("keep")).select("doc_id"), "doc_id")
+    val s1 = if (eager) s1raw.cache() else s1raw
     // stage 2: near-dedup among gate survivors
     val s1tok = docs
       .join(s1.select("doc_id"), "doc_id")
@@ -527,8 +529,15 @@ object PipelineQueries {
       .join(contam.select(col("doc_id").as("id_b")), "id_b")
       .select(col("id_a").as("doc_id"))
     val bench = docs.filter(col("source") === "src0").select("doc_id")
-    val s3 = s2.join(contam.unionAll(contamHop).unionAll(bench).distinct(),
-      Seq("doc_id"), "left_anti")
+    // Checkpointed: the drop set's lineage holds the whole contamination
+    // 5-gram chain (a corpus-sized window) — without materialization it
+    // re-executes for every ledger row from stage 3 on. (The 10× decade
+    // run went 310 s → 31 s from this cache/checkpoint pass PLUS
+    // jaccardPairs' exact-content collapse — the dedup stage was the
+    // larger share.)
+    val drop3raw = contam.unionAll(contamHop).unionAll(bench).distinct()
+    val drop3 = if (eager) drop3raw.localCheckpoint(true) else drop3raw
+    val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
     // stage 4: token-budget selection over the surviving corpus
     val budget = broadcast(
       s3.groupBy("lang").agg(expr("sum(n_tokens) div 2").as("budget")))
@@ -577,7 +586,7 @@ object PipelineQueries {
     if (!eager) res
     else {
       val out = res.localCheckpoint(true) // 6 rows; caches can go
-      feats.unpersist(); pairs.unpersist()
+      feats.unpersist(); pairs.unpersist(); s1.unpersist()
       out
     }
   }
