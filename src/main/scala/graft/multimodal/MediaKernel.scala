@@ -55,6 +55,9 @@ object MediaKernel {
 
   /** A decoded 8-bit grayscale frame: row-major pixel values in [0, 255]. */
   final case class Gray(width: Int, height: Int, pix: Array[Int])
+
+  /** Decoded PCM audio: sample rate and 16-bit mono samples. */
+  final case class Pcm(rate: Int, samples: Array[Short])
 }
 
 /** One instance per partition (see [[MediaKernel]] scaladoc). */
@@ -211,6 +214,52 @@ final class MediaKernel {
         }
     }
     Gray(w, h, pix)
+  }
+
+  // -------------------------------------------------------------- audio
+
+  /** Encode 16-bit signed PCM mono WAV at `rate` Hz (lossless — like the
+    * PNG/GIF paths, exact roundtrip makes audio features closed-form
+    * oracle-able).
+    */
+  def encodeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian, the WAV convention
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload back to 16-bit mono PCM via the real
+    * `javax.sound.sampled` reader (format parsing, chunk walking — the
+    * actual codec, not a byte slice).
+    */
+  def decodeWav(bytes: Array[Byte]): Pcm = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unsupported WAV layout: $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Pcm(fmt.getSampleRate.toInt, samples)
+    } finally ais.close()
   }
 
   // ------------------------------------------------------------- kernels

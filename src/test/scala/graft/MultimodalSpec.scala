@@ -98,6 +98,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV roundtrip is sample-exact (real javax.sound.sampled codec)") {
+    val k = new MediaKernel
+    val src = Array.tabulate(777)(i => ((i * 131 - 40000) % 32768).toShort)
+    val wav = k.encodeWav(8000, src)
+    // RIFF/WAVE magic — a real container, not a raw byte dump
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val pcm = k.decodeWav(wav)
+    assert(pcm.rate == 8000)
+    assert(pcm.samples.length == 777)
+    assert(pcm.samples.sameElements(src))
+  }
+
+  test("q189 audio features equal the closed-form generator contract") {
+    val rows = Registry.queries("q189_media_audio")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (256 + id % 241).toInt
+      val vs = Array.tabulate(n)(i => ((id * 31 + i * 7) % 2048) - 1024)
+      assert(r.getString(1) == "wave" && r.getLong(2) == 8000L)
+      assert(r.getLong(3) == n.toLong, s"doc $id n_samples")
+      assert(r.getLong(4) == vs.map(math.abs).sum, s"doc $id sum_abs")
+      assert(r.getLong(5) == vs.map(v => v * v).sum, s"doc $id energy")
+      val zc = (1 until n).count(i => (vs(i) < 0) != (vs(i - 1) < 0)).toLong
+      assert(r.getLong(6) == zc, s"doc $id zero crossings")
+      assert(r.getLong(7) == vs.map(math.abs).max, s"doc $id peak")
+    }
+  }
+
   test("JPEG: deterministic encode, bounded decode error, bounded generation drift") {
     val k = new MediaKernel
     // the q187 fixture: continuous triangle wave (no mod-256 cliffs)
