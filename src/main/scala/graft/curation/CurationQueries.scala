@@ -694,24 +694,49 @@ object CurationQueries {
     (spine +: rounds).mkString(",\n")
   }
 
+  /** Session-scoped memo of the TRAINED winner frames — q186 (the merge
+    * table) and q158 (its replay) share one training run instead of each
+    * paying the 8-round loop (~2.5 s/suite at sf0.1). The MlTrainQueries
+    * frameMemo recipe: build under a lock, bound to ONE (app, dataset)
+    * generation, release evicted checkpoints' blocks. The memoized state
+    * is 8 one-row checkpointed frames — bytes, not corpus data.
+    */
+  private val bpeMemo =
+    scala.collection.mutable.HashMap.empty[(String, String), Seq[DataFrame]]
+
+  /** Best-effort release of a localCheckpoint frame's blocks (the leaf
+    * LogicalRDD's rdd — Dataset.unpersist can't reach it).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    } catch { case _: Throwable => () }
+
+  private def trainedWinners(s: SparkSession, d: String): Seq[DataFrame] =
+    bpeMemo.synchronized {
+      val key = (s.sparkContext.applicationId, d)
+      bpeMemo.getOrElse(key, {
+        val stale = bpeMemo.keySet.filterNot(_ == key)
+        stale.toList.foreach(k =>
+          bpeMemo.remove(k).foreach(_.foreach(releaseCheckpoint)))
+        val (winners, _, release) = bpeTrain(s, d, BpeRounds, eager = true)
+        release()
+        bpeMemo.put(key, winners)
+        winners
+      })
+    }
+
   /** q186: the trained merge table itself — round, merged pair, and its
     * pre-merge count (the per-round curve: counts shrink as merges
     * absorb pairs).
     */
   private def q186(s: SparkSession, d: String): DataFrame =
-    q186Body(s, d, BpeRounds, eager = true)
+    trainedWinners(s, d).reduce(_ unionAll _).orderBy("round")
 
   /** Lazy small-k form for plan audits (see [[bpeTrain]]). */
-  private[graft] def q186Lazy(s: SparkSession, d: String): DataFrame =
-    q186Body(s, d, 2, eager = false)
-
-  private def q186Body(s: SparkSession, d: String, k: Int, eager: Boolean): DataFrame = {
-    val (winners, _, release) = bpeTrain(s, d, k, eager)
-    val res = winners.reduce(_ unionAll _).orderBy("round")
-    // eager winners are checkpointed 1-row leaves — the union never
-    // touches the spine cache, so it can be released immediately
-    release()
-    res
+  private[graft] def q186Lazy(s: SparkSession, d: String): DataFrame = {
+    val (winners, _, _) = bpeTrain(s, d, 2, eager = false)
+    winners.reduce(_ unionAll _).orderBy("round")
   }
 
   private val q186Sql =
@@ -727,27 +752,27 @@ object CurationQueries {
     * trained merges arrive as k chained 1-row broadcast joins, so the
     * apply is still a vocabulary-sized projection at any corpus size.
     */
-  private def q158(s: SparkSession, d: String): DataFrame =
-    q158Body(s, d, BpeRounds, eager = true)
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    // replay the memoized trained table: one linear plan — corpus pass →
+    // word-freq spine → 8 chained 1-row-checkpoint broadcast merges — so
+    // no cache is needed (each frame has exactly one consumer)
+    val fin = trainedWinners(s, d)
+      .foldLeft(bpeSpine(s, d))((sp, win) => bpeMergeStep(sp, win))
+    bpeApplyProjection(fin)
+  }
 
-  private[graft] def q158Lazy(s: SparkSession, d: String): DataFrame =
-    q158Body(s, d, 2, eager = false)
+  private[graft] def q158Lazy(s: SparkSession, d: String): DataFrame = {
+    val (_, fin, _) = bpeTrain(s, d, 2, eager = false)
+    bpeApplyProjection(fin)
+  }
 
-  private def q158Body(s: SparkSession, d: String, k: Int, eager: Boolean): DataFrame = {
-    val (_, fin, release) = bpeTrain(s, d, k, eager)
-    val res = fin
+  private def bpeApplyProjection(fin: DataFrame): DataFrame =
+    fin
       .select(col("w"), col("freq"),
         call_function("replace", col("s"), lit("|"), lit("")).as("subtokens"))
       .select(col("w"), col("freq"), col("subtokens"),
         size(split(col("subtokens"), " ")).cast("int").as("n_subtokens"))
       .orderBy("w")
-    if (!eager) res
-    else {
-      val out = res.localCheckpoint(true) // vocab-sized; spine cache can go
-      release()
-      out
-    }
-  }
 
   private val q158Sql =
     "WITH " + bpeTrainSql(BpeRounds) +
