@@ -519,8 +519,12 @@ object PipelineQueries {
         DedupQueries.langStatsFrame(s, d))
       .select("id_a", "id_b")
     val pairs = if (eager) pairs0.cache() else pairs0
-    val s2 = s1.join(
+    val s2raw = s1.join(
       pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    // every stage frontier from here on is a tiny (doc_id, lang, stats)
+    // frame with 2-4 downstream consumers (its own ledger row + later
+    // stages); eager checkpoints pin each stage to ONE execution
+    val s2 = if (eager) s2raw.localCheckpoint(true) else s2raw
     // stage 3: decontamination (direct + one-hop via the pair set + the
     // benchmark rows themselves)
     val contam = CurationQueries.contaminationBits(s, d)
@@ -537,18 +541,20 @@ object PipelineQueries {
     // larger share.)
     val drop3raw = contam.unionAll(contamHop).unionAll(bench).distinct()
     val drop3 = if (eager) drop3raw.localCheckpoint(true) else drop3raw
-    val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
+    val s3raw = s2.join(drop3, Seq("doc_id"), "left_anti")
+    val s3 = if (eager) s3raw.localCheckpoint(true) else s3raw
     // stage 4: token-budget selection over the surviving corpus
     val budget = broadcast(
       s3.groupBy("lang").agg(expr("sum(n_tokens) div 2").as("budget")))
     val wSel = Window.partitionBy("lang")
       .orderBy(desc("quality_fp"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s4 = s3
+    val s4raw = s3
       .withColumn("cum_tokens", sum("n_tokens").over(wSel))
       .join(budget, "lang")
       .filter(col("cum_tokens") <= col("budget"))
       .select("doc_id", "lang", "n_tokens")
+    val s4 = if (eager) s4raw.localCheckpoint(true) else s4raw
     // stage 5: shard packing of the selected set (q183's two-phase
     // distributed prefix sum — never a global single-partition window)
     val nb = 256
