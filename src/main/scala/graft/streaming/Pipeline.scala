@@ -126,15 +126,23 @@ object Pipeline {
   def upsertBatch(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     val b = batch.withColumn("bkt",
       pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
-    // restrict the store read to the batch's buckets via a broadcast
-    // semi-join on the partition column — dynamic partition pruning skips
-    // the untouched bucket directories at runtime, with no extra driver
-    // round-trip (a collect()ed IN-list would cost one job per batch)
-    val bktSet = b.select("bkt").distinct()
+    // Restrict the store read to the batch's buckets by handing the
+    // reader the matching bucket DIRECTORIES with an explicit schema —
+    // the round-6 broadcast-semi-join + dynamic-partition-pruning form
+    // avoided a driver round-trip but paid a full store listing, schema
+    // inference, and the DPP subquery machinery EVERY batch (the q129
+    // profile finding; same store shape). The collect is bounded by
+    // UpsertBuckets ints — a layout knob, never data volume. bkt is a
+    // pure function of user_id, so it is recomputed instead of read
+    // from the directory names.
+    val batchBkts = b.select("bkt").distinct().collect().map(_.getInt(0))
+    val bktDirs = batchBkts
+      .map(v => new java.io.File(s"$dir/bkt=$v"))
+      .filter(_.isDirectory).map(_.toString).toSeq
     val existing =
-      if (Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-        spark.read.parquet(dir)
-          .join(broadcast(bktSet), Seq("bkt"), "left_semi")
+      if (bktDirs.nonEmpty)
+        spark.read.schema(batch.schema).parquet(bktDirs: _*)
+          .withColumn("bkt", pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
       else b.limit(0)
     val w = Window.partitionBy("user_id").orderBy(desc("event_id"))
     val merged = existing.unionByName(b)
