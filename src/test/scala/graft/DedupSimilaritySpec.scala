@@ -225,6 +225,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cands <= 250, s"prefix filter must bound candidates, got $cands")
   }
 
+  test("jaccardPairs capped path: exact-content collapse expands to the full pair list") {
+    import spark.implicits._
+    // duplicate-HEAVY corpus (the shape the collapse exists for): 5
+    // content groups × 4 exact copies each, groups 0/1 near-dup to each
+    // other (J = 39/41 ≈ 0.951), groups 2-4 mutually disjoint, plus 10
+    // singletons. Copy ids INTERLEAVED so group representatives (min id)
+    // aren't contiguous. Exercises intra-group expansion (J = 1 pairs),
+    // cross-group expansion (rep-pair stats inherited by all member
+    // pairs), and the least/greatest orientation.
+    val bases: Seq[Seq[Long]] = Seq(
+      (0L until 40L),
+      (1L until 40L) :+ 1000L,
+      (2000L until 2040L),
+      (3000L until 3040L),
+      (4000L until 4040L)).map(_.sorted.toSeq)
+    val copies = for (c <- 0 until 4; g <- 0 until 5)
+      yield ((c * 5 + g).toLong, "xx", bases(g))
+    val singles = (20 until 30).map(i =>
+      (i.toLong, "xx", (50000L + 100L * i until 50040L + 100L * i).toSeq))
+    val docs = (copies ++ singles).toDF("doc_id", "lang", "arr")
+    val all = (copies ++ singles).map(t => t._1 -> t._3.toSet).toMap
+    val expected = (for {
+      a <- all.keys; b <- all.keys if a < b
+      inter = (all(a) & all(b)).size
+      union = (all(a) | all(b)).size
+      if inter * 10 >= union * 9
+    } yield (a, b, inter.toDouble / union, inter.toLong, union.toLong))
+      .toSeq.sortBy(t => (t._1, t._2))
+    def run(cap: Int) = graft.dedup.DedupQueries
+      .jaccardPairs(docs, 9, 10, cap, Some(docs.select("lang")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val capped = run(5) // 30-doc block > 5 → collapse + prefix path
+    assert(capped == expected, "capped pair list must equal brute force")
+    assert(run(1000000) == expected, "uncapped pair list must equal brute force")
+    // sanity on the fixture itself: 4-copy groups contribute C(4,2)=6
+    // intra pairs × 5 groups, and the g0/g1 near-dup family contributes
+    // 4×4 cross pairs on top
+    assert(expected.count(_._3 == 1.0) == 30)
+    assert(expected.count(_._3 < 1.0) == 16)
+  }
+
   test("q140 dup-span coverage matches a driver-side interval-union reference") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
