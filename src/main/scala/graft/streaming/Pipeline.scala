@@ -315,6 +315,9 @@ object Pipeline {
     * consumer as `readStream`; `latest`/`TRIM_HORIZON` ↔ file-source
     * catch-up semantics).
     */
+  private val tsProbe =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Probe the BATCH reader's native type for ts and declare the matching
@@ -323,9 +326,12 @@ object Pipeline {
     // A user schema must agree with the reader's native representation —
     // declaring LONG over an NTZ read silently reinterprets the internal
     // MICROS value as the long, shrinking every timestamp 1000× (caught by
-    // the q60 oracle as a collapsed window range).
-    val tsIsLong = graft.Tables.table(spark, sfDir, "events")
-      .schema("ts").dataType == LongType
+    // the q60 oracle as a collapsed window range). Memoized per path —
+    // the probe is a file listing + footer read, paid once, not per
+    // streaming query.
+    val tsIsLong = tsProbe.getOrElseUpdate(sfDir,
+      graft.Tables.table(spark, sfDir, "events")
+        .schema("ts").dataType == LongType)
     val sch = StructType(eventsFileSchema.map(f =>
       if (f.name == "ts" && !tsIsLong) f.copy(dataType = TimestampNTZType) else f))
     val raw = spark.readStream
