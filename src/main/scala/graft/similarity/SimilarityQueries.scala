@@ -967,7 +967,14 @@ object SimilarityQueries {
     * float dots; for large nq route queries through the IVF partitioner
     * (q48) first so each query scans one cell's codes, not the corpus).
     */
-  private def q181(s: SparkSession, d: String): DataFrame = {
+  /** Shared PQ-index machinery (q181's global scan and q190's IVF-routed
+    * scan both sit on top of it): trains the 32-subspace x 16-codeword
+    * codebook (strided seeds + two deterministic Lloyd rounds), encodes
+    * the DB, and builds the per-query ADC lookup tables. Returns
+    * (enc: (vec_id, j, code_id), lut: broadcast (q_id, j, code_id, d),
+    * q: (q_id, qv)).
+    */
+  private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     // 2-dim subvectors are kept as TWO SCALAR COLUMNS (s1, s2) / (c1, c2),
     // not arrays: the distance is then plain codegen'd arithmetic. The
@@ -1029,6 +1036,12 @@ object SimilarityQueries {
       .join(refined, Seq("j"))
       .select(col("q_id"), col("j"), col("code_id"),
         sqSum(col("s1"), col("c1"), col("s2"), col("c2")).as("d")))
+    (enc, lut, q)
+  }
+
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (enc, lut, q) = pqIndex(s, d)
     val approx = enc.join(lut, Seq("j", "code_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
@@ -1053,7 +1066,10 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  private val q181Sql = {
+  /** The shared SQL mirror of [[pqIndex]] — the WITH-chain body through
+    * `enc` and `lut`; q181/q190 append their own scan tails.
+    */
+  private val pqCommonSql: String = {
     // (s1-c1)^2 + (s2-c2)^2 — matches the Spark scalar sqSum (the two-term
     // left-assoc sum is IEEE-identical to a fold from 0.0)
     val segFold =
@@ -1083,7 +1099,7 @@ object SimilarityQueries {
          |    coalesce(su.sum2 / su.n, sd.c2) AS c2
          |  FROM $inCb sd LEFT JOIN sums$sfx su
          |    ON sd.j = su.j AND sd.code_id = su.code_id),""".stripMargin
-    s"""WITH js AS (SELECT unnest(range(0, 32)) AS j),
+    s"""js AS (SELECT unnest(range(0, 32)) AS j),
        |subs AS (
        |  SELECT vec_id, t.j,
        |    CAST(embedding[t.j * 2 + 1] AS DOUBLE) AS s1,
@@ -1108,7 +1124,11 @@ object SimilarityQueries {
        |    FROM enc0) WHERE rn = 1),
        |lut AS (
        |  SELECT s.vec_id AS q_id, s.j, c.code_id, $segFold AS d
-       |  FROM subs s JOIN refined c ON s.j = c.j WHERE s.vec_id < 20),
+       |  FROM subs s JOIN refined c ON s.j = c.j WHERE s.vec_id < 20)""".stripMargin
+  }
+
+  private val q181Sql = {
+    s"""WITH $pqCommonSql,
        |approx AS (
        |  SELECT l.q_id, e.vec_id,
        |    list_reduce(list_prepend(0.0, list(l.d ORDER BY l.j)), (a, b) -> a + b)
@@ -1134,9 +1154,91 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q190
+
+  /** IVF-PQ search — the composed billion-vector architecture (q48's IVF
+    * cell routing × q181's PQ-ADC scan, previously promised by q181's
+    * scaladoc but never built as one operator): each query routes to its
+    * OWN cell (nprobe = 1; labels are the cells — the q48/q141 IVF
+    * contract), the ADC scan reads only that cell's codes, and exact
+    * cosine re-ranks the top-20 ADC survivors to a q48-comparable top-3.
+    * The codebook is q181's global trained one (shared-codebook IVF-PQ;
+    * per-cell residual quantization is the next refinement).
+    *
+    * Scale: the cell restriction is a JOIN KEY (j, code_id, label), not
+    * a post-join filter, so the scan is nq × |cell| × 32 rows instead of
+    * q181's nq × n × 32 — with √n-sized cells that is the difference
+    * between an index probe and a corpus scan at a billion vectors.
+    * Everything else is the same constant-size broadcasts.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (enc, lut, q) = pqIndex(s, d)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val qLbl = broadcast(
+      lbl.select(col("vec_id").as("q_id"), col("label")).filter(col("q_id") < 20))
+    val lutL = broadcast(lut.join(qLbl, "q_id")
+      .select(col("q_id"), col("j"), col("code_id"), col("d"), col("label")))
+    val approx = enc.join(lbl, "vec_id")
+      .join(lutL, Seq("j", "code_id", "label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("j"), col("d")))),
+        lit(0.0), (acc, x) => acc + x("d")).as("adist"))
+    val wA = Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))
+    val cand = approx.withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= 20).select("q_id", "vec_id")
+    val db = e.select(col("vec_id"), col("embedding").as("cv"),
+      sqrt(Det.seqNormSq(col("embedding"))).as("c_norm"))
+    val qn = broadcast(q.withColumn("q_norm", sqrt(Det.seqNormSq(col("qv")))))
+    val wE = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    cand.join(db, "vec_id").join(qn, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(Det.seqDot(col("qv"), col("cv")),
+          col("q_norm"), col("c_norm")).as("cos"))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  private val q190Sql =
+    s"""WITH $pqCommonSql,
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |qlbl AS (SELECT vec_id AS q_id, label FROM embeddings WHERE vec_id < 20),
+       |approx AS (
+       |  SELECT l.q_id, e.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.d ORDER BY l.j)), (a, b) -> a + b)
+       |      AS adist
+       |  FROM enc e
+       |  JOIN lbl b ON b.vec_id = e.vec_id
+       |  JOIN lut l ON e.j = l.j AND e.code_id = l.code_id
+       |  JOIN qlbl ql ON ql.q_id = l.q_id AND ql.label = b.label
+       |  WHERE e.vec_id != l.q_id
+       |  GROUP BY l.q_id, e.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS ar
+       |    FROM approx) WHERE ar <= 20),
+       |rer AS (
+       |  SELECT cd.q_id, cd.vec_id, ${sqlCos("q.embedding", "v.embedding")} AS cos
+       |  FROM cand cd
+       |  JOIN embeddings q ON q.vec_id = cd.q_id
+       |  JOIN embeddings v ON v.vec_id = cd.vec_id)
+       |SELECT q_id, rank, vec_id, cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+       |      AS BIGINT) AS rank
+       |  FROM rer) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_pq_search", q181, Some(q181Sql),
       "PQ-ADC search: 32x16 Lloyd-trained codebook, 32-lookup distances, exact top-10 re-rank"),
+    QueryDef("q190_ivf_pq", q190, Some(q190Sql),
+      "IVF-PQ search: nprobe=1 cell routing (labels) + ADC scan of that cell + exact top-3"),
     QueryDef("q171_centroid_update", q171, Some(q171Sql),
       "incremental mini-batch centroid maintenance (merged running sums + drift)"),
     QueryDef("q165_random_projection", q165, Some(q165Sql),

@@ -724,6 +724,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q190 IVF-PQ: within-cell results only; high recall vs q48's exact cell scan") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = Registry.queries("q190_ivf_pq")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val labels = Tables.embeddings(spark, dir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("label").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every hit lives in its query's cell (the nprobe=1 contract)
+      got.foreach { case (q, _, v) =>
+        assert(labels(v) == labels(q), s"q$q hit $v outside its cell")
+      }
+      // recall@3 vs q48 (the EXACT scan of the same cell)
+      val exact = Registry.queries("q48_ann_partitioned")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val approx = got.map(t => (t._1, t._3)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      assert(approx.keySet == exact.keySet)
+      val recall = approx.keys.toSeq.map(q =>
+        (approx(q) & exact(q)).size.toDouble / exact(q).size).sum / approx.size
+      info(f"$dir IVF-PQ recall@3 vs exact cell scan = $recall%.3f")
+      assert(recall >= 0.9, f"IVF-PQ recall@3 $recall%.3f below 0.9 at $dir")
+    }
+  }
+
   test("q181 PQ-ADC search: exact re-rank ordering, bounded recall loss vs brute force") {
     val got = Registry.queries("q181_pq_search")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
