@@ -647,11 +647,15 @@ object CurationQueries {
     * must stay small (the per-round plan SHAPE is k-independent).
     */
   private def bpeTrain(s: SparkSession, d: String, k: Int, eager: Boolean)
+      : (Seq[DataFrame], DataFrame, () => Unit) =
+    bpeTrainSpine(bpeSpine(s, d), k, eager)
+
+  /** [[bpeTrain]] over an arbitrary word-frequency spine (w, freq, s) —
+    * lets PropertySpec fuzz the trainer on generated corpora.
+    */
+  private[graft] def bpeTrainSpine(spine0: DataFrame, k: Int, eager: Boolean)
       : (Seq[DataFrame], DataFrame, () => Unit) = {
-    val sp0 = {
-      val raw = bpeSpine(s, d)
-      if (eager) raw.cache() else raw
-    }
+    val sp0 = if (eager) spine0.cache() else spine0
     var sp = sp0
     val winners = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {

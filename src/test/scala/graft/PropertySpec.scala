@@ -192,6 +192,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE trainer ≡ classic reference on random tie-heavy corpora (engine-checked)") {
+    // 3-letter alphabet ⇒ argmax TIES are common — exactly where a wrong
+    // tiebreak in either engine or oracle-mirror order would diverge.
+    // Words long enough that 3 rounds never exhaust the pair table.
+    def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refTrain(wf: Map[String, Long], k: Int)
+        : (Seq[(Long, String, String, Long)], Map[String, Vector[String]]) = {
+      var words = wf.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((_, (syms, f)) <- words; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        assert(counts.nonEmpty, "fixture exhausted the pair table")
+        val ((a, b), n) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges += ((r.toLong, a, b, n))
+        words = words.map { case (w, (sy, f)) => w -> (mergeOnce(sy, a, b), f) }
+      }
+      (merges.result(), words.map { case (w, (sy, _)) => w -> sy })
+    }
+    val wordGen = Gen.choose(4, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.listOfN(30, wordGen)
+    forAllSampled(corpusGen, n = 3) { words =>
+      val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val spine = wf.toSeq.toDF("w", "freq")
+        .select(col("w"), col("freq"),
+          trim(regexp_replace(col("w"), "(.)", "|$1| ")).as("s"))
+      val (winners, fin, _) =
+        graft.curation.CurationQueries.bpeTrainSpine(spine, 3, eager = false)
+      val got = winners.map(_.collect().head)
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val (exp, expSyms) = refTrain(wf, 3)
+      assert(got == exp, s"merge table diverged on $wf")
+      val gotSyms = fin.collect()
+        .map(r => r.getString(0) ->
+          r.getString(2).replace("|", "").split(" ", -1).toVector).toMap
+      assert(gotSyms == expSyms, s"final segmentation diverged on $wf")
+    }
+  }
+
   test("q140 dupSpans interval union ≡ brute force on high-repetition corpora (engine-checked)") {
     // tiny alphabet + doc lengths straddling the 8-gram width ⇒ dense
     // overlapping/adjacent/contained duplicated spans — the hard cases for
