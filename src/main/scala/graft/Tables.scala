@@ -38,10 +38,17 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // Spark 4.1+ reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
       // (micros truncation happens in the reader); the legacy conf is
-      // ignored. Cast to the session-tz TIMESTAMP the old path produced
-      // (identical instants under UTC sessions — Verify pins UTC).
+      // ignored. The NTZ wall-clock fields are the UTC rendering of the
+      // epoch nanos, so recover the instant with pure field arithmetic:
+      // micros since the NTZ epoch (timestampdiff on two NTZ values —
+      // no time zone consulted) fed to timestamp_micros (epoch-based —
+      // also tz-free). A plain cast("timestamp") would interpret the
+      // fields in the session time zone and silently shift every
+      // instant in a non-UTC session (ADVICE r7; to_utc_timestamp on
+      // NTZ input turned out session-dependent too — probed).
       case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        raw.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

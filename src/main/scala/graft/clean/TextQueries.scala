@@ -1,6 +1,6 @@
 package graft.clean
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -378,6 +378,171 @@ object TextQueries {
         count(lit(1)).as("n"))
       .orderBy("lang")
 
+  // ------------------------------------------------------------- q191
+  // HTML/markup text extraction — the FIRST operator of every web-crawl
+  // curation run (trafilatura/jusText shape; VERDICT r7 "What's missing"
+  // 1 — the reference never needed it because its text arrives as clean
+  // API fields, S/kin1.py:41-56). The documents table has no markup, so
+  // a deterministic marked-up column is synthesized per row (tag soup
+  // with title/nav/aside/footer chrome, inline <em> markup, named +
+  // numeric-free entity encoding, &nbsp;-encoded spaces in the lead
+  // paragraph), then extracted back: head drop → block segmentation on
+  // block-level tags → inline tag strip → entity decode → whitespace
+  // normalize → link-density boilerplate drop (keep a block iff it has
+  // no links or > 25 clean chars per link). Synthesis + extraction are
+  // both pure column expressions over arrays — ZERO shuffles except the
+  // output sort, so the operator is embarrassingly parallel at 100 TB.
+  // The round_trip flag (extracted == original text) is a per-row DQ
+  // bit; the real check is the DuckDB mirror of the whole chain.
+
+  /** Entity-decode chain shared by the Spark and SQL sides: &amp; LAST so
+    * double-encoded text never half-decodes.
+    */
+  private val entityPairs = Seq(
+    "&nbsp;" -> " ", "&middot;" -> "\u00b7", "&copy;" -> "\u00a9",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&amp;" -> "&")
+
+  private def decodeEntities(c: Column): Column =
+    entityPairs.foldLeft(c) { case (acc, (e, ch)) =>
+      call_function("replace", acc, lit(e), lit(ch))
+    }
+
+  private def decodeEntitiesSql(e: String): String =
+    entityPairs.foldLeft(e) { case (acc, (ent, ch)) =>
+      s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+    }
+
+  /** Block-level tag boundary — segmentation splits on these; anything
+    * else (<a>, <em>) is inline and stripped within its block.
+    */
+  private val blockTagRe =
+    "(?i)</?(?:html|body|nav|aside|footer|div|p|ul|li|h[1-6])[^>]*>"
+
+  private val navHtml =
+    "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></nav>"
+  private val asideHtml =
+    "<aside><a href=\"/deal\">Hot deal</a> <a href=\"/buy\">Buy now</a></aside>"
+  private val footerHtml =
+    "<footer>&copy; 2024 Example &amp; Sons &middot; " +
+      "<a href=\"/tos\">Terms of Service</a> &middot; " +
+      "<a href=\"/privacy\">Privacy</a> &middot; " +
+      "<a href=\"/imprint\">Imprint</a></footer>"
+
+  /** Deterministic tag soup over a documents frame: paragraphs of 12
+    * words (regex marker split — no driver arithmetic), 'spark'
+    * em-wrapped everywhere, the lead paragraph's spaces &nbsp;-encoded
+    * so entity decode is exercised on CONTENT (not just on chrome).
+    */
+  private[graft] def htmlColumn: Column = {
+    val paras = split(
+      regexp_replace(col("text"), "((?:\\S+ ){12})", "$1\u00b6"), "\u00b6")
+    def em(c: Column): Column =
+      call_function("replace", c, lit("spark"), lit("<em>spark</em>"))
+    val lead = call_function("replace", em(element_at(paras, 1)),
+      lit(" "), lit("&nbsp;"))
+    val rest = array_join(
+      transform(slice(paras, lit(2), size(paras)),
+        p => concat(lit("<p>"), em(p), lit("</p>"))), "")
+    concat(
+      lit("<html><head><title>"), col("source"), lit(" #"),
+      col("doc_id").cast("string"), lit("</title></head><body>"),
+      lit(navHtml),
+      lit("<div class=\"content\"><p>"), lead, lit("</p>"), rest,
+      lit("</div>"), lit(asideHtml), lit(footerHtml), lit("</body></html>"))
+  }
+
+  // NB: single physical line — this fragment is embedded in q191Sql's
+  // stripMargin string, which would otherwise eat the first '|' of any
+  // continuation line starting with '||'.
+  private[graft] val htmlColumnSql: String = {
+    val em = (e: String) => s"replace($e, 'spark', '<em>spark</em>')"
+    s"'<html><head><title>' || source || ' #' || doc_id || '</title></head><body>' || " +
+      s"'${navHtml.replace("'", "''")}' || '<div class=\"content\"><p>' || " +
+      s"replace(${em("paras[1]")}, ' ', '&nbsp;') || '</p>' || " +
+      // coalesce: DuckDB array_to_string([]) is NULL where Spark's
+      // array_join([]) is '' — single-paragraph docs hit the empty slice
+      s"coalesce(array_to_string(list_transform(paras[2:], p -> '<p>' || ${em("p")} || '</p>'), ''), '') || " +
+      s"'</div>' || '${asideHtml.replace("'", "''")}' || " +
+      s"'${footerHtml.replace("'", "''")}' || '</body></html>'"
+  }
+
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val withHtml = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), htmlColumn.as("html"))
+    val staged = withHtml.select(
+      col("doc_id"), col("text"),
+      split(element_at(split(col("html"), "</head>"), 2), blockTagRe)
+        .as("blocks"))
+      .select(col("doc_id"), col("text"),
+        transform(col("blocks"), b => trim(regexp_replace(
+          decodeEntities(regexp_replace(b, "<[^>]*>", " ")), "\\s+", " ")))
+          .as("cleaned"),
+        transform(col("blocks"),
+          b => size(split(b, "<a href", -1)) - 1).as("links"))
+    // keep rule indexes the cleaned/links columns in lockstep; all array
+    // ops, no explode — block order is positional, no sort needed
+    val keptIdx = filter(sequence(lit(1), size(col("cleaned"))), i =>
+      length(element_at(col("cleaned"), i)) > 0 &&
+        (element_at(col("links"), i) === 0 ||
+          length(element_at(col("cleaned"), i)) >
+            element_at(col("links"), i) * 25))
+    staged.select(
+      col("doc_id"), col("text"),
+      size(filter(col("cleaned"), c => length(c) > 0)).cast("long")
+        .as("n_blocks"),
+      (size(filter(col("cleaned"), c => length(c) > 0)) - size(keptIdx))
+        .cast("long").as("n_boiler"),
+      array_join(transform(keptIdx, i => element_at(col("cleaned"), i)), " ")
+        .as("extracted"))
+      .withColumn("extracted_len", length(col("extracted")).cast("long"))
+      .withColumn("round_trip", col("extracted") === col("text"))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  private val q191Sql = {
+    val cleanExpr = decodeEntitiesSql("regexp_replace(b, '<[^>]*>', ' ', 'g')")
+    s"""WITH paras AS (
+       |  SELECT doc_id, text, source,
+       |    string_split(regexp_replace(text, '((\\S+ ){12})', '\\1\u00b6', 'g'),
+       |      '\u00b6') AS paras
+       |  FROM documents),
+       |html AS (
+       |  SELECT doc_id, text,
+       |    $htmlColumnSql AS html
+       |  FROM paras),
+       |blocks AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(string_split(html, '</head>')[2],
+       |      '$blockTagRe') AS blocks
+       |  FROM html),
+       |staged AS (
+       |  SELECT doc_id, text,
+       |    list_transform(blocks, b ->
+       |      trim(regexp_replace($cleanExpr, '\\s+', ' ', 'g'))) AS cleaned,
+       |    list_transform(blocks, b ->
+       |      len(string_split(b, '<a href')) - 1) AS links
+       |  FROM blocks),
+       |kept AS (
+       |  SELECT doc_id, text, cleaned,
+       |    list_filter(range(1, len(cleaned) + 1), i ->
+       |      len(cleaned[i]) > 0 AND
+       |      (links[i] = 0 OR len(cleaned[i]) > links[i] * 25)) AS idx
+       |  FROM staged)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(cleaned, c -> len(c) > 0)) AS BIGINT) AS n_blocks,
+       |  CAST(len(list_filter(cleaned, c -> len(c) > 0)) - len(idx) AS BIGINT)
+       |    AS n_boiler,
+       |  array_to_string(list_transform(idx, i -> cleaned[i]), ' ') AS extracted,
+       |  CAST(len(array_to_string(list_transform(idx, i -> cleaned[i]), ' '))
+       |    AS BIGINT) AS extracted_len,
+       |  array_to_string(list_transform(idx, i -> cleaned[i]), ' ') = text
+       |    AS round_trip
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q107_approx_percentiles", q107, None, "GK-sketch percentiles (see EdaSpec bound)"),
     QueryDef("q103_sentences", q103, Some(q103Sql), "sentence segmentation + per-sentence stats"),
@@ -393,5 +558,7 @@ object TextQueries {
     QueryDef("q33_token_counts", q33, Some(q33Sql), "token counting (ws + regex)"),
     QueryDef("q34_quality_score", q34, Some(q34Sql), "text quality scoring"),
     QueryDef("q35_langid", q35, Some(q35Sql), "marker-based language ID"),
-    QueryDef("q36_fingerprint", q36, Some(q36Sql), "rolling-hash fingerprint"))
+    QueryDef("q36_fingerprint", q36, Some(q36Sql), "rolling-hash fingerprint"),
+    QueryDef("q191_html_extract", q191, Some(q191Sql),
+      "HTML tag strip + entity decode + link-density boilerplate drop"))
 }

@@ -660,7 +660,16 @@ object CurationQueries {
     val winners = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {
       val win0 = bpePairs(sp).orderBy(desc("n"), asc("a"), asc("b")).limit(1)
-      val win = if (eager) win0.localCheckpoint(true) else win0
+      val win = if (eager) {
+        val w = win0.localCheckpoint(true)
+        // Exhausted pair table (every word fully merged before round k):
+        // bpeMergeStep's crossJoin would silently EMPTY the spine, and the
+        // DuckDB mirror empties identically, so the oracle cannot catch
+        // it — fail loudly instead (ADVICE r7).
+        require(!w.isEmpty,
+          s"BPE training round $r: pair table exhausted — k=$k exceeds what this corpus can merge")
+        w
+      } else win0
       winners += win.select(lit(r.toLong).as("round"),
         col("a"), col("b"), col("n"))
       sp = bpeMergeStep(sp, win)
@@ -706,7 +715,19 @@ object CurationQueries {
     * is 8 one-row checkpointed frames — bytes, not corpus data.
     */
   private val bpeMemo =
-    scala.collection.mutable.HashMap.empty[(String, String), Seq[DataFrame]]
+    scala.collection.mutable.HashMap.empty[(String, String, String), Seq[DataFrame]]
+
+  /** Dataset-generation token for the memo key: documents.parquet
+    * mtime+length. Regenerating the dataset at the SAME path within one
+    * Spark app (the decade-harness hygiene workflow does exactly that)
+    * must invalidate the memo, or q186/q158 would replay a stale trained
+    * table (ADVICE r7). One stat syscall; "" when the path is a directory
+    * or missing (then the (app, dir) part of the key still scopes it).
+    */
+  private def datasetToken(d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    if (f.isFile) s"${f.lastModified}:${f.length}" else ""
+  }
 
   /** Best-effort release of a localCheckpoint frame's blocks (the leaf
     * LogicalRDD's rdd — Dataset.unpersist can't reach it).
@@ -718,7 +739,7 @@ object CurationQueries {
 
   private def trainedWinners(s: SparkSession, d: String): Seq[DataFrame] =
     bpeMemo.synchronized {
-      val key = (s.sparkContext.applicationId, d)
+      val key = (s.sparkContext.applicationId, d, datasetToken(d))
       bpeMemo.getOrElse(key, {
         val stale = bpeMemo.keySet.filterNot(_ == key)
         stale.toList.foreach(k =>

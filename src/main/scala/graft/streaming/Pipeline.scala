@@ -136,9 +136,17 @@ object Pipeline {
     // pure function of user_id, so it is recomputed instead of read
     // from the directory names.
     val batchBkts = b.select("bkt").distinct().collect().map(_.getInt(0))
-    val bktDirs = batchBkts
-      .map(v => new java.io.File(s"$dir/bkt=$v"))
-      .filter(_.isDirectory).map(_.toString).toSeq
+    // Trust bucket directories only under the store-level _SUCCESS
+    // commit marker: a failed/partial prior write job leaves bucket dirs
+    // without the marker, and merging those torn files into the new
+    // state would persist the corruption (ADVICE r7 — the round-7
+    // bucket-dir probe dropped this check the round-6 listing had).
+    val committed = new java.io.File(dir, "_SUCCESS").isFile
+    val bktDirs =
+      if (!committed) Seq.empty[String]
+      else batchBkts
+        .map(v => new java.io.File(s"$dir/bkt=$v"))
+        .filter(_.isDirectory).map(_.toString).toSeq
     val existing =
       if (bktDirs.nonEmpty)
         spark.read.schema(batch.schema).parquet(bktDirs: _*)

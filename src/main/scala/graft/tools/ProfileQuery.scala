@@ -8,27 +8,42 @@ import org.apache.spark.sql.SparkSession
   * round-7 q129 adjudication). Prints per-job wall time plus the top
   * stages by task time, which is what actually localizes a hot operator
   * inside a many-stage composition.
-  * Usage: runMain graft.tools.ProfileQuery <queryName> [sfDir]
+  * Usage: runMain graft.tools.ProfileQuery <queryName> [sfDir] [warm]
+  * Pass `warm` to run one untimed warm-up first (codegen + analysis paid),
+  * so the profiled run matches Bench's steady state.
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val warm = args.contains("warm")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (warm) {
+      graft.Registry.queries(name)(spark, sfDir).count()
+      spark.catalog.clearCache()
+      println("[profile] warm-up done; profiling second run")
+    }
     val t00 = System.nanoTime()
     val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      val jobDesc = scala.collection.concurrent.TrieMap.empty[Int, String]
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         starts.put(j.jobId, System.nanoTime())
+        val det = j.stageInfos.flatMap(_.details.linesIterator
+            .filter(l => l.contains("graft/") || l.contains("Queries.scala")))
+          .take(1).mkString
+        jobDesc.put(j.jobId, det)
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { t0 =>
-          println(f"[job] id=${j.jobId}%3d  +${(t0 - t00) / 1e9}%7.2fs  ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+          val det = jobDesc.getOrElse(j.jobId, "")
+          println(f"[job] id=${j.jobId}%3d  +${(t0 - t00) / 1e9}%7.2fs  ${(System.nanoTime() - t0) / 1e9}%7.3fs  $det")
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo

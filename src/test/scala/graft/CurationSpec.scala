@@ -478,4 +478,44 @@ class CurationSpec extends AnyFunSuite {
     // banded 4x4 MinHash at tau=0.9 should have high recall on this corpus
     assert(r.getDouble(4) >= 0.8, s"recall collapsed: ${r.getDouble(4)}")
   }
+
+  test("q191 HTML extraction recovers hand-written text and drops exactly the chrome") {
+    val dir = java.nio.file.Files.createTempDirectory("q191fix").toFile
+    dir.deleteOnExit()
+    // 16 words: lead para = first 12 (&nbsp;-encoded), 'spark' lands in the
+    // second paragraph where it gets <em>-wrapped; 'solo' exercises the
+    // single-paragraph empty-rest-slice path
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu spark extra words here"
+    val docs = Seq((0L, text, "en", "srcX"), (1L, "solo", "en", "srcY"))
+      .toDF("doc_id", "text", "lang", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the synthesized markup really contains what extraction claims to undo
+    val html = docs.filter(col("doc_id") === 0)
+      .select(graft.clean.TextQueries.htmlColumn).head.getString(0)
+    assert(html.contains("lambda&nbsp;mu"))
+    assert(html.contains("<p><em>spark</em> extra words here</p>"))
+    assert(html.contains("&copy; 2024 Example &amp; Sons"))
+    assert(html.contains("<nav><a href=\"/\">Home</a>"))
+    val out = Registry.queries("q191_html_extract")(spark, dir.toString)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[String]("extracted") == text)
+    assert(r0.getAs[Boolean]("round_trip"))
+    // nav + lead para + second para + aside + footer (title dropped with head)
+    assert(r0.getAs[Long]("n_blocks") == 5L)
+    assert(r0.getAs[Long]("n_boiler") == 3L)
+    assert(r0.getAs[Long]("extracted_len") == text.length.toLong)
+    val r1 = out(1L)
+    assert(r1.getAs[String]("extracted") == "solo" && r1.getAs[Long]("n_blocks") == 4L)
+  }
+
+  test("q191 extraction round-trips the whole corpus and always drops 3 chrome blocks") {
+    val out = Registry.queries("q191_html_extract")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("round_trip"), s"doc ${r.getLong(0)} failed round trip")
+      assert(r.getAs[Long]("n_boiler") == 3L)
+    }
+  }
 }

@@ -112,6 +112,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(odd.agg(countDistinct(col("id"))).collect().head.getLong(0) == 97)
   }
 
+  test("Tables.events instants are session-timezone independent (ADVICE r7)") {
+    // The Spark 4.1 NTZ read path must recover epoch instants with pure
+    // field arithmetic: a session in any tz sees the same unix_micros. A
+    // cast("timestamp") regression would shift Tokyo by +9h here.
+    def minMicros(): Long = Tables.events(spark, TestSpark.sf)
+      .selectExpr("min(unix_micros(ts))").head().getLong(0)
+    val utc = minMicros()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try assert(minMicros() == utc)
+    finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("q167 mergeSchema read unions writer generations with null fill") {
     val out = Registry.queries("q167_schema_merge")(spark, TestSpark.sf).collect()
       .map(r => r.getString(0) -> r).toMap
