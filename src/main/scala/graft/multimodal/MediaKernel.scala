@@ -216,6 +216,50 @@ final class MediaKernel {
     Gray(w, h, pix)
   }
 
+  // -------------------------------------------------------------- video
+
+  /** Encode a container-free MJPEG-style frame SEQUENCE — the video
+    * modality: each frame is a 4-byte big-endian length prefix followed
+    * by a complete JFIF (JPEG) payload ([[encodeJpeg]] per frame). This
+    * is the classic motion-JPEG shape (independent intra-coded frames,
+    * no inter-frame prediction), which keeps every frame independently
+    * decodable — the property frame-sampling pipelines rely on: decoding
+    * every k-th frame costs k-th the work, with no keyframe seeking.
+    */
+  def encodeMjpeg(w: Int, h: Int, nFrames: Int, quality: Float,
+                  pix: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val jpg = encodeJpeg(w, h, quality, (x, y) => pix(f, x, y))
+      out.write((jpg.length >>> 24) & 0xff)
+      out.write((jpg.length >>> 16) & 0xff)
+      out.write((jpg.length >>> 8) & 0xff)
+      out.write(jpg.length & 0xff)
+      out.write(jpg, 0, jpg.length)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Walk an MJPEG container: the per-frame JPEG payloads, in order.
+    * Fails loudly on truncation (a partial upload must not silently
+    * shorten the video).
+    */
+  def decodeMjpegFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < bytes.length) {
+      require(i + 4 <= bytes.length, "truncated MJPEG length prefix")
+      val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      require(len > 0 && i + 4 + len <= bytes.length, "truncated MJPEG frame")
+      frames += java.util.Arrays.copyOfRange(bytes, i + 4, i + 4 + len)
+      i += 4 + len
+    }
+    frames.result()
+  }
+
   // -------------------------------------------------------------- audio
 
   /** Encode 16-bit signed PCM mono WAV at `rate` Hz (lossless — like the

@@ -298,6 +298,36 @@ class CurationSpec extends AnyFunSuite {
     assert(expMerges.forall(_._4 > 0))
   }
 
+  test("q192 batched BPE training: per-round invariants and merge throughput on real data") {
+    val got = Registry.queries("q192_bpe_batch_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    val rounds = got.map(_._1).distinct.sorted
+    assert(rounds == (1L to 8L), s"rounds: $rounds")
+    // every round makes progress (rank-1 always accepted), caps hold, and
+    // the suite-wide point of batching: strictly more merges per
+    // corpus-stat round than the sequential trainer's 1
+    got.groupBy(_._1).foreach { case (r, batch) =>
+      assert(batch.nonEmpty && batch.size <= 8, s"round $r size ${batch.size}")
+      val sorted = batch.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to batch.size.toLong), s"round $r j gaps")
+      // pairwise symbol-disjoint within the round
+      sorted.combinations(2).foreach { case Seq(x, y) =>
+        assert((Set(x._3, x._4) & Set(y._3, y._4)).isEmpty,
+          s"round $r overlap: $x $y")
+      }
+      // counts non-increasing in acceptance order
+      assert(sorted.map(_._5) == sorted.map(_._5).sorted.reverse)
+    }
+    assert(got.size > 8, s"batching accepted only ${got.size} merges in 8 rounds")
+    // round 1 rank-1 merge equals the sequential trainer's first merge
+    // (identical pair statistics before any merge diverges them)
+    val seq = Registry.queries("q186_bpe_train")(spark, sf).collect()
+    val (r1a, r1b) = (seq.head.getString(1), seq.head.getString(2))
+    val b1 = got.find(g => g._1 == 1L && g._2 == 1L).get
+    assert((b1._3, b1._4) == (r1a, r1b))
+  }
+
   /** The pinned q163 tokenizer (its frozen merge table), replicated. */
   private def pinnedFanout(w: String): Long = {
     var s = w.map(c => s"|$c|").mkString(" ")

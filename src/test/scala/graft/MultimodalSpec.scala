@@ -168,6 +168,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG container roundtrip: frame-exact walk, independently decodable frames") {
+    val k = new MediaKernel
+    def pix(id: Long)(f: Int, x: Int, y: Int): Int =
+      (((id * 7 + f * 13 + x + 2 * y) % 510) - 255).toInt.abs
+    var worstErr = 0
+    for (id <- 0L until 48L) {
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      val nf = (2 + id % 5).toInt
+      val mjpg = k.encodeMjpeg(w, h, nf, 0.90f, pix(id))
+      val frames = k.decodeMjpegFrames(mjpg)
+      assert(frames.length == nf, s"doc $id frame count")
+      // each frame is a complete standalone JFIF stream (|SOI …| per frame)
+      frames.zipWithIndex.foreach { case (fr, fi) =>
+        assert((fr(0) & 0xff) == 0xff && (fr(1) & 0xff) == 0xd8, s"doc $id frame $fi magic")
+        val (fmt, g) = k.decodeImage(fr)
+        assert(fmt == "jpeg" && g.width == w && g.height == h)
+        val err = g.pix.indices.map(i => (g.pix(i) - pix(id)(fi, i % w, i / w)).abs).max
+        worstErr = math.max(worstErr, err)
+      }
+      // truncation fails loudly — both a cut prefix and a cut payload
+      intercept[IllegalArgumentException] {
+        k.decodeMjpegFrames(java.util.Arrays.copyOf(mjpg, mjpg.length - 3))
+      }
+      intercept[IllegalArgumentException] {
+        k.decodeMjpegFrames(java.util.Arrays.copyOf(mjpg, 2))
+      }
+    }
+    // quantitative pin behind q193's within_tol verdict (tolerance 16)
+    assert(worstErr <= 16, s"MJPEG decode error $worstErr exceeds tolerance")
+    info(s"measured: worst per-frame decode err = $worstErr")
+  }
+
+  test("q193 video: sampled-frame rows match the generator contract, verdicts all true") {
+    val rows = Registry.queries("q193_media_video")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == ids)
+    rows.foreach { case (id, rs) =>
+      val nf = (2 + id % 5).toInt
+      val idxs = rs.map(_.getLong(2)).sorted
+      assert(idxs.sameElements(0L until nf.toLong by 2L), s"doc $id sampled $idxs")
+      rs.foreach { r =>
+        assert(r.getLong(1) == nf.toLong)
+        assert(r.getString(3) == "jpeg")
+        assert(r.getLong(4) == 16 + id % 37 && r.getLong(5) == 16 + id % 23)
+        assert(r.getBoolean(6), s"doc $id frame ${r.getLong(2)} out of tolerance")
+      }
+    }
+  }
+
   test("q67 frame sampling: ceil(nFrames/2) rows per doc, frame 0 present, thumbs ≤ 32") {
     val frames = Registry.queries("q67_media_frames")(spark, sf).collect()
       .groupBy(_.getLong(0))

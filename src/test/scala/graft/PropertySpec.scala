@@ -243,6 +243,78 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("batched BPE ≡ sequential at batchM=1, and ≡ independent batched reference (engine-checked)") {
+    // independent plain-Scala implementation of the batched acceptance
+    // rule: rank top-candM by (-n, a, b); accept iff no HIGHER-RANKED
+    // CANDIDATE shares a symbol; take first batchM; apply as a sequential
+    // literal-replace fold in rank order (exactly the operator's contract)
+    def refBatched(wf: Map[String, Long], rounds: Int, candM: Int, batchM: Int)
+        : Seq[(Long, Long, String, String, Long)] = {
+      var spine = wf.map { case (w, f) =>
+        w -> (w.map(c => s"|$c|").mkString(" "), f)
+      }
+      val out = Seq.newBuilder[(Long, Long, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((_, (s, f)) <- spine) {
+          val syms = s.split(" ").map(_.stripPrefix("|").stripSuffix("|"))
+          for (i <- 0 until syms.length - 1) counts((syms(i), syms(i + 1))) += f
+        }
+        assert(counts.nonEmpty, "fixture exhausted the pair table")
+        val cand = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(candM)
+        val free = cand.zipWithIndex.collect {
+          case (((a, b), n), i) if !cand.take(i).exists { case ((ha, hb), _) =>
+            ha == a || ha == b || hb == a || hb == b } => (a, b, n)
+        }
+        val batch = free.take(batchM)
+        batch.zipWithIndex.foreach { case ((a, b, n), j) =>
+          out += ((r.toLong, (j + 1).toLong, a, b, n))
+        }
+        for ((a, b, _) <- batch)
+          spine = spine.map { case (w, (s, f)) =>
+            w -> (s.replace(s"|$a| |$b|", s"|$a$b|"), f)
+          }
+      }
+      out.result()
+    }
+    val wordGen = Gen.choose(4, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.listOfN(30, wordGen)
+    forAllSampled(corpusGen, n = 3) { words =>
+      val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val spine = wf.toSeq.toDF("w", "freq")
+        .select(col("w"), col("freq"),
+          trim(regexp_replace(col("w"), "(.)", "|$1| ")).as("s"))
+      def runBatched(batchM: Int) = {
+        val (batches, _, _) = graft.curation.CurationQueries
+          .bpeBatchTrainSpine(spine, 3, 16, batchM, eager = false)
+        batches.flatMap(_.collect().sortBy(_.getLong(1)))
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+      }
+      // batchM=1 degenerates to the sequential argmax trainer
+      val (seqWinners, _, _) =
+        graft.curation.CurationQueries.bpeTrainSpine(spine, 3, eager = false)
+      val seq = seqWinners.map(_.collect().head)
+        .map(r => (r.getLong(0), 1L, r.getString(1), r.getString(2), r.getLong(3)))
+      assert(runBatched(1) == seq, s"batchM=1 != sequential on $wf")
+      // full batching matches the independent reference, and each round's
+      // batch is pairwise symbol-disjoint with non-increasing counts
+      val got = runBatched(4)
+      assert(got == refBatched(wf, 3, 16, 4), s"batched diverged on $wf")
+      got.groupBy(_._1).values.foreach { batch =>
+        val sorted = batch.sortBy(_._2)
+        sorted.combinations(2).foreach { case Seq(x, y) =>
+          val sx = Set(x._3, x._4); val sy = Set(y._3, y._4)
+          assert((sx & sy).isEmpty, s"batch not symbol-disjoint: $x $y")
+        }
+        assert(sorted.map(_._5) == sorted.map(_._5).sorted.reverse,
+          s"batch counts not non-increasing: $sorted")
+      }
+    }
+  }
+
   test("q140 dupSpans interval union ≡ brute force on high-repetition corpora (engine-checked)") {
     // tiny alphabet + doc lengths straddling the 8-gram width ⇒ dense
     // overlapping/adjacent/contained duplicated spans — the hard cases for
