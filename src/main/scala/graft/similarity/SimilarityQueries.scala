@@ -973,6 +973,13 @@ object SimilarityQueries {
     * the DB, and builds the per-query ADC lookup tables. Returns
     * (enc: (vec_id, j, code_id), lut: broadcast (q_id, j, code_id, d),
     * q: (q_id, qv)).
+    *
+    * BENCH ATTRIBUTION: unlike the q158/q186 BPE memo, this is NOT
+    * memoized — q181 and q190 each pay their own codebook training
+    * (~2 s of their ~3 s bench lines each; the Lloyd checkpoints are
+    * per-invocation). Kept un-shared deliberately: the two queries are
+    * independent index builds in the catalog's contract, and sharing
+    * would make one of their bench lines an artifact.
     */
   private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)

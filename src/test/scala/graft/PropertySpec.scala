@@ -173,6 +173,58 @@ class PropertySpec extends AnyFunSuite {
     assert(tested == 36)
   }
 
+  test("jaccardDropStats ≡ pair-list reduction, capped and uncapped (engine-checked)") {
+    // the decision form must equal groupBy(id_b).max(ratio) over the
+    // exact pair list, on BOTH routes — duplicate contents included
+    // (Gen.choose(1L, 8L) over short lists makes identical sets common,
+    // which is what the rep-space shortcut reasons about)
+    val setGen = Gen.nonEmptyListOf(Gen.choose(1L, 8L)).map(_.distinct.sorted)
+    val corpusGen = Gen.listOfN(20, Gen.zip(Gen.oneOf("aa", "bb"), setGen))
+    forAllSampled(corpusGen, n = 10) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case ((lang, arr), i) => (i.toLong, lang, arr) }
+        .toDF("doc_id", "lang", "arr")
+      for ((num, den) <- Seq((1, 2), (9, 10))) {
+        val expected = graft.dedup.DedupQueries
+          .jaccardPairs(docs, num, den, 1000000, Some(docs.select("lang")))
+          .collect()
+          .map(r => (r.getLong(1), (r.getLong(3) * 100) / r.getLong(4)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        for (cap <- Seq(3, 1000000)) {
+          val got = graft.dedup.DedupQueries
+            .jaccardDropStats(docs, num, den, cap, Some(docs.select("lang")))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expected, s"dropStats cap=$cap t=$num/$den on $corpus")
+        }
+      }
+    }
+  }
+
+  test("containmentDropIds ≡ pair-list drop rule, capped and uncapped (engine-checked)") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(1L, 10L)).map(_.distinct.sorted)
+    val corpusGen = Gen.listOfN(20, Gen.zip(Gen.oneOf("aa", "bb"), setGen))
+    forAllSampled(corpusGen, n = 10) { corpus =>
+      val byId = corpus.zipWithIndex
+        .map { case ((lang, arr), i) => i.toLong -> ((lang, arr.toSet)) }.toMap
+      val docs = corpus.zipWithIndex
+        .map { case ((lang, arr), i) => (i.toLong, lang, arr) }
+        .toDF("doc_id", "lang", "arr")
+      // brute-force drop rule straight from the q177 contract
+      val expected = byId.collect { case (id, (lang, s))
+        if byId.exists { case (oid, (olang, os)) =>
+          oid != id && olang == lang &&
+            ((s.subsetOf(os) && s != os) || (s == os && oid < id))
+        } => id
+      }.toSet
+      for (cap <- Seq(3, 1000000)) {
+        val got = graft.dedup.DedupQueries
+          .containmentDropIds(docs, cap, Some(docs.select("lang")))
+          .collect().map(_.getLong(0)).toSet
+        assert(got == expected, s"dropIds cap=$cap on $corpus")
+      }
+    }
+  }
+
   test("containmentPairs: capped posting route ≡ all-pairs on random corpora (engine-checked)") {
     // same differential-fuzz shape as the jaccardPairs guard: random
     // sorted-distinct long sets over a small universe (subset pairs are
