@@ -1834,6 +1834,114 @@ object DedupQueries {
        |FROM ranked WHERE rk = 1
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+
+  /** Content-defined chunking (CDC) dedup — the Rabin-style variable
+    * chunker that storage dedup (LBFS, restic/borg) and modern corpus
+    * dedup use where q178's FIXED windows fail: one token inserted near
+    * a document head shifts every fixed 32-token window after it, so no
+    * downstream chunk of the edited doc matches its original and the
+    * dedup silently loses the whole tail. CDC instead cuts a boundary
+    * AFTER token p whenever the rolling hash of the last
+    * [[CdcWindow]] tokens satisfies `g % CdcDivisor == 0` — the decision
+    * depends only on LOCAL content, so boundaries re-synchronize at the
+    * first content-defined cut after any edit and the tail chunks
+    * fingerprint identically again (the resync property
+    * DedupSimilaritySpec pins).
+    *
+    * Relational plan (one shuffle on doc_id, same cost class as q178):
+    * token stream → per-token polyhash → 3 window lags fold the 4-token
+    * rolling hash → boundary bit → chunk id by exclusive running sum of
+    * bits → per-chunk order-pinned rebuild + fingerprint → global
+    * first-occurrence keeper (min (doc_id, chunk) per fingerprint, the
+    * q41 min-struct idiom — skew-safe) → per-doc retention ledger,
+    * directly comparable to q178's. Expected chunk length = divisor (16
+    * tokens); no min/max cap — caps need sequential state (chunk length
+    * since last cut), which breaks the pure-window form; production CDC
+    * adds them to bound chunk-size variance, accepted trade here.
+    */
+  private[dedup] val CdcWindow = 4
+  private[dedup] val CdcDivisor = 16
+
+  /** Per-chunk CDC frame: (doc_id, chunk, n_toks, from_pos, fp). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("h", Det.polyHash(col("w")))
+    // 4-token rolling hash, mod-reduced at each fold step (mirrors the
+    // SQL exactly; intermediates stay < 2^35)
+    val g1 = (lag("h", 3).over(win) * 31 + lag("h", 2).over(win)) % P
+    val g2 = (g1 * 31 + lag("h", 1).over(win)) % P
+    val g3 = (g2 * 31 + col("h")) % P
+    val marked = toks.withColumn("b",
+      when(col("pos") >= CdcWindow - 1 && g3 % CdcDivisor === 0, 1L)
+        .otherwise(0L))
+    // boundary AFTER token p ⇒ chunk(p) = Σ_{q<p} b(q) (exclusive frame)
+    val chunked = marked.withColumn("chunk",
+      coalesce(sum("b").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    chunked.groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_toks"),
+        min("pos").cast("long").as("from_pos"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("ctext"))
+      .withColumn("fp", Det.polyHash(col("ctext")))
+      .select("doc_id", "chunk", "n_toks", "from_pos", "fp")
+  }
+
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(s, d))
+    val keeper = chunks.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("chunk"))).as("k"))
+    chunks.join(keeper, "fp")
+      .withColumn("kept", struct(col("doc_id"), col("chunk")) === col("k"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), col("n_toks")).otherwise(lit(0L))).as("toks_removed"))
+      .orderBy("doc_id")
+  }
+
+  private val q194Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, pos, w, ${Det.polyHashSql("w")} AS h FROM toks),
+       |r AS (
+       |  SELECT doc_id, pos, w, h,
+       |    lag(h, 3) OVER win AS h3, lag(h, 2) OVER win AS h2,
+       |    lag(h, 1) OVER win AS h1
+       |  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |b AS (
+       |  SELECT doc_id, pos, w,
+       |    CASE WHEN pos >= ${CdcWindow - 1} AND
+       |      (((((h3 * 31 + h2) % 1000000007) * 31 + h1) % 1000000007)
+       |        * 31 + h) % 1000000007 % $CdcDivisor = 0
+       |    THEN 1 ELSE 0 END AS b
+       |  FROM r),
+       |c AS (
+       |  SELECT doc_id, pos, w,
+       |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk, count(*) AS n_toks,
+       |    ${Det.polyHashSql("string_agg(w, ' ' ORDER BY pos)")} AS fp
+       |  FROM c GROUP BY doc_id, chunk),
+       |ranked AS (
+       |  SELECT doc_id, n_toks,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk) AS rk
+       |  FROM ch)
+       |SELECT doc_id,
+       |  count(*) AS n_chunks,
+       |  CAST(coalesce(sum(CASE WHEN rk = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN rk > 1 THEN n_toks END), 0) AS BIGINT)
+       |    AS toks_removed
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q179
 
   /** Dedup threshold sensitivity curve: how many documents the q176
@@ -2084,6 +2192,8 @@ object DedupQueries {
     QueryDef("q179_threshold_curve", q179, Some(q179Sql),
       "dedup threshold sensitivity: docs dropped/kept at Jaccard 0.5-0.9",
       planFn = Some(q179Lazy)),
+    QueryDef("q194_cdc_chunks", q194, Some(q194Sql),
+      "content-defined chunking dedup: rolling-hash boundaries, insertion-robust retention ledger"),
     QueryDef("q180_chunk_clean", q180, Some(q180Sql),
       "chunk-dedup transform: cleaned corpus (kept chunks re-concatenated per doc)"),
     QueryDef("q184_lsh_tuning", q184, Some(q184Sql),

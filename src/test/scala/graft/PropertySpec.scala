@@ -173,6 +173,57 @@ class PropertySpec extends AnyFunSuite {
     assert(tested == 36)
   }
 
+  test("q194 CDC chunks ≡ independent reference; boundaries resync after insertion (engine-checked)") {
+    val P = 1000000007L
+    def ph(s: String, seed: Long = 7L): Long =
+      s.foldLeft(seed)((a, c) => (a * 31 + c.toLong) % P)
+    // independent reference of the CDC contract: boundary after token p
+    // iff the 4-token rolling polyhash ≡ 0 mod 16
+    def refChunks(toks: Vector[String]): Vector[Vector[String]] = {
+      val hs = toks.map(w => ph(w))
+      val cuts = (0 until toks.length).filter { p =>
+        p >= 3 && {
+          val g = ((((hs(p - 3) * 31 + hs(p - 2)) % P) * 31 + hs(p - 1)) % P * 31 + hs(p)) % P
+          g % 16 == 0
+        }
+      }
+      val bounds = (-1 +: cuts) :+ (toks.length - 1)
+      bounds.sliding(2).collect {
+        case Seq(a, b) if b > a => toks.slice(a + 1, b + 1)
+      }.toVector.filter(_.nonEmpty)
+    }
+    val tokGen = Gen.oneOf((0 until 40).map(i => s"w$i"))
+    val docGen = Gen.choose(40, 120).flatMap(n => Gen.listOfN(n, tokGen))
+      .map(_.toVector)
+    forAllSampled(Gen.zip(docGen, Gen.choose(2, 10)), n = 6) { case (base, at) =>
+      val edited = (base.take(at) :+ "zINS") ++ base.drop(at)
+      val docs = Seq((0L, base.mkString(" ")), (1L, edited.mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = graft.dedup.DedupQueries.cdcChunks(docs).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(r =>
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toVector).toMap
+      for ((id, doc) <- Seq(0L -> base, 1L -> edited)) {
+        val exp = refChunks(doc)
+        val expRows = exp.scanLeft(0)(_ + _.length).zip(exp).map {
+          case (from, c) => (c.length.toLong, from.toLong, ph(c.mkString(" ")))
+        }.toVector
+        assert(got(id) == expRows, s"doc $id chunks diverged (insert at $at)")
+      }
+      // RESYNC: every base chunk lying entirely after the edit window
+      // reappears verbatim in the edited doc (boundary decisions there
+      // see identical 4-token windows) — the property fixed-window
+      // chunking (q178) provably lacks
+      val editedFps = refChunks(edited).map(c => ph(c.mkString(" "))).toSet
+      val tail = refChunks(base).zip(
+        refChunks(base).scanLeft(0)(_ + _.length))
+        .collect { case (c, from) if from > at + 3 => ph(c.mkString(" ")) }
+      assert(tail.forall(editedFps.contains),
+        s"CDC failed to resync after insertion at $at")
+      assert(tail.nonEmpty, "fixture too short to exercise resync")
+    }
+  }
+
   test("jaccardDropStats ≡ pair-list reduction, capped and uncapped (engine-checked)") {
     // the decision form must equal groupBy(id_b).max(ratio) over the
     // exact pair list, on BOTH routes — duplicate contents included
