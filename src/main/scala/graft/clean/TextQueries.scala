@@ -543,7 +543,119 @@ object TextQueries {
        |FROM kept ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- q195
+  // URL normalization + canonical dedup — the crawl-frontier operator
+  // every web pipeline runs beside q191's extraction: raw crawl URLs
+  // differ in case, default ports, tracking params, fragments, and
+  // trailing slashes while naming the same resource; the frontier (and
+  // the doc-level dedup above it) keys on the CANONICAL form (the
+  // canonical-relevant residues repeat every 12 ids while the tracking
+  // junk cycles at 13/7, so distinct raw URLs genuinely collapse at any
+  // SF). Like q191
+  // the fixture is synthesized deterministically per doc (mixed-case
+  // scheme/host, :80/:443 default ports, utm_* tracking junk, a
+  // fragment, an id%2-dependent trailing slash), then canonicalized:
+  // fragment drop → scheme/host lowercase → www. strip → default-port
+  // strip → utm_* param drop → param sort → trailing-slash strip. All
+  // per-row string/array expressions (zero shuffles), then ONE aggregate
+  // on the canonical form: group size + first-seen flag (min doc_id) —
+  // the same-resource collapse the frontier performs. Tracking params
+  // vary by id%13 while the resource class varies by coarser residues,
+  // so genuinely distinct raw URLs collapse into shared canonicals.
+
+  /** Deterministic raw-URL column (ASCII; exercises every rule). */
+  private[graft] def urlColumn: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+    lit("WWW.Example"), (col("doc_id") % 4).cast("string"), lit(".COM"),
+    when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+    lit("/Cat"), (col("doc_id") % 3).cast("string"),
+    lit("/item"), (col("doc_id") % 12).cast("string"),
+    when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+    lit("?utm_source=s"), (col("doc_id") % 13).cast("string"),
+    lit("&ref=r"), (col("doc_id") % 6).cast("string"),
+    lit("&q="), (col("doc_id") % 3).cast("string"),
+    lit("&utm_campaign=c"), (col("doc_id") % 7).cast("string"),
+    lit("#sec"), (col("doc_id") % 5).cast("string"))
+
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d).select(col("doc_id"), urlColumn.as("url"))
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)
+    val host0 = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val pathQ = regexp_replace(noFrag, "^[A-Za-z]+://[^/?]+", "")
+    val path0 = regexp_replace(pathQ, "\\?.*$", "")
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query = when(pathQ.contains("?"),
+      regexp_replace(pathQ, "^[^?]*\\?", "")).otherwise(lit(""))
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(keptParams) > 0,
+        concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit("")))
+    val canoned = raw.select(col("doc_id"), col("url"), canon.as("canon"),
+      host.as("host"))
+    val groups = canoned.groupBy("canon")
+      .agg(min("doc_id").as("first_id"), count(lit(1)).as("n_same"))
+    canoned.join(groups, "canon")
+      .select(col("doc_id"), col("url"), col("canon"), col("host"),
+        col("n_same"), (col("doc_id") === col("first_id")).as("is_first"))
+      .orderBy("doc_id")
+  }
+
+  private val q195Sql = {
+    val url =
+      """CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |'WWW.Example' || (doc_id % 4) || '.COM' ||
+        |CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+        |'/Cat' || (doc_id % 3) || '/item' || (doc_id % 12) ||
+        |CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+        |'?utm_source=s' || (doc_id % 13) || '&ref=r' || (doc_id % 6) ||
+        |'&q=' || (doc_id % 3) || '&utm_campaign=c' || (doc_id % 7) ||
+        |'#sec' || (doc_id % 5)""".stripMargin.replace("\n", " ")
+    s"""WITH raw AS (SELECT doc_id, $url AS url FROM documents),
+       |st AS (
+       |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag
+       |  FROM raw),
+       |parts AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(lower(regexp_replace(
+       |      regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1),
+       |      ':[0-9]+$$', '')), '^www\\.', '') AS host,
+       |    regexp_replace(regexp_replace(nofrag, '^[A-Za-z]+://[^/?]+', ''),
+       |      '\\?.*$$', '') AS path0,
+       |    CASE WHEN contains(regexp_replace(nofrag, '^[A-Za-z]+://[^/?]+', ''), '?')
+       |      THEN regexp_replace(regexp_replace(nofrag, '^[A-Za-z]+://[^/?]+', ''),
+       |        '^[^?]*\\?', '')
+       |      ELSE '' END AS query
+       |  FROM st),
+       |canoned AS (
+       |  SELECT doc_id, url, host,
+       |    scheme || '://' || host ||
+       |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(path0, '/+$$', '') END ||
+       |    CASE WHEN len(list_filter(string_split(query, '&'),
+       |           p -> p != '' AND NOT starts_with(p, 'utm_'))) > 0
+       |      THEN '?' || array_to_string(list_sort(list_filter(
+       |        string_split(query, '&'),
+       |        p -> p != '' AND NOT starts_with(p, 'utm_'))), '&')
+       |      ELSE '' END AS canon
+       |  FROM parts),
+       |groups AS (
+       |  SELECT canon, min(doc_id) AS first_id, count(*) AS n_same
+       |  FROM canoned GROUP BY canon)
+       |SELECT c.doc_id, c.url, c.canon, c.host, g.n_same,
+       |  c.doc_id = g.first_id AS is_first
+       |FROM canoned c JOIN groups g USING (canon)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_url_normalize", q195, Some(q195Sql),
+      "URL canonicalization + frontier dedup: port/case/utm/fragment/slash rules, canonical-group collapse"),
     QueryDef("q107_approx_percentiles", q107, None, "GK-sketch percentiles (see EdaSpec bound)"),
     QueryDef("q103_sentences", q103, Some(q103Sql), "sentence segmentation + per-sentence stats"),
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),

@@ -21,6 +21,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clean1("  A,B;;C   d  ") == "a b c d")
   }
 
+  test("q195 URL canonicalization pins every rule (hand-computed vectors)") {
+    val rows = graft.Registry.queries("q195_url_normalize")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // doc 0: HTTP://WWW.Example0.COM:80/Cat0/item0?utm_source=s0&ref=r0
+    //        &q=0&utm_campaign=c0#sec0
+    val (u0, c0, h0, _, f0) = rows(0L)
+    assert(u0 == "HTTP://WWW.Example0.COM:80/Cat0/item0?utm_source=s0&ref=r0&q=0&utm_campaign=c0#sec0")
+    assert(rows(0L)._2 == rows(12L)._2 && rows(12L)._1 != u0) // 12 collapses onto 0's canon
+    assert(c0 == "http://example0.com/Cat0/item0?q=0&ref=r0") // lower scheme+host,
+    // www+port+fragment+utm stripped, params sorted (q=0 < ref=r0)
+    assert(h0 == "example0.com" && f0)
+    // doc 1: https, :443, trailing slash — all normalized away
+    val (_, c1, h1, _, _) = rows(1L)
+    assert(c1 == "https://example1.com/Cat1/item1?q=1&ref=r1")
+    assert(h1 == "example1.com")
+    // canonical class = id mod 12 (lcm of the canonical-relevant
+    // residues), so docs 0 and 12 share a canon while their raw URLs
+    // differ in tracking params; every group's is_first marks its min
+    val byCanon = rows.toSeq.groupBy(_._2._2)
+    byCanon.foreach { case (_, ms) =>
+      val ids = ms.map(_._1)
+      ms.foreach { case (id, (_, _, _, nSame, isFirst)) =>
+        assert(nSame == ids.size.toLong)
+        assert(isFirst == (id == ids.min))
+      }
+    }
+    // the fixture genuinely exercises the collapse (some group > 1)
+    assert(byCanon.exists(_._2.size > 1), "no canonical collisions at this SF")
+  }
+
   test("cleanPost is idempotent") {
     val samples = Seq("Hello, World! x@y.com", "a  b   c", "http://a.b c&d")
     samples.foreach { s =>
