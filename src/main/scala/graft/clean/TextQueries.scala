@@ -653,7 +653,92 @@ object TextQueries {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- q196
+  // Link-graph extraction from markup — the third web-corpus operator
+  // (q191 extracts text, q195 canonicalizes URLs; this one mines the
+  // hyperlink STRUCTURE): parse anchor targets out of document markup,
+  // build the directed doc→doc edge list, and derive per-page degree +
+  // 2-hop reach — the inputs to PageRank-style quality priors (q132 runs
+  // the iteration) and link-spam heuristics. Fixture: doc i's markup
+  // carries 1 + i%3 anchors to docs (i·7 + k) mod N (N = corpus size, a
+  // 1-row broadcast scalar), so the graph spans the corpus
+  // deterministically. Extraction is regexp_extract_all over the markup
+  // (per-row, shuffle-free); edges explode once; degrees are two keyed
+  // aggregates; 2-hop is ONE self-join on the edge list shuffled by its
+  // join key — the standard adjacency shuffle, linear in edges at any
+  // corpus size.
+
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val markup = Tables.documents(s, d)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n"),
+        concat(lit("<html><body><p>See also:</p><ul>"),
+          array_join(transform(sequence(lit(1), (col("doc_id") % 3 + 1).cast("int")),
+            k => concat(lit("<li><a href=\"/doc/"),
+              ((col("doc_id") * 7 + k) % col("n")).cast("string"),
+              lit("\">ref</a></li>"))), ""),
+          lit("</ul></body></html>")).as("html"))
+    val edges = markup
+      .select(col("doc_id").as("src"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"/doc/([0-9]+)\""), lit(1))).as("dst"))
+      .select(col("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val outDeg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = edges.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    val twoHop = edges
+      .join(edges.select(col("src").as("dst"), col("dst").as("dst2")), "dst")
+      .filter(col("dst2") =!= col("src"))
+      .select(col("src"), col("dst2")).distinct()
+      .groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("n_two_hop"))
+    Tables.documents(s, d).select("doc_id")
+      .join(outDeg, Seq("doc_id"), "left")
+      .join(inDeg, Seq("doc_id"), "left")
+      .join(twoHop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+      .orderBy("doc_id")
+  }
+
+  private val q196Sql =
+    """WITH nd AS (SELECT count(*) AS n FROM documents),
+      |markup AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>See also:</p><ul>' ||
+      |    array_to_string(list_transform(range(1, CAST(doc_id % 3 + 2 AS BIGINT)),
+      |      k -> '<li><a href="/doc/' || ((doc_id * 7 + k) % n) || '">ref</a></li>'), '') ||
+      |    '</ul></body></html>' AS html
+      |  FROM documents, nd),
+      |edges AS (
+      |  SELECT DISTINCT doc_id AS src,
+      |    CAST(unnest(regexp_extract_all(html, 'href="/doc/([0-9]+)"', 1)) AS BIGINT) AS dst
+      |  FROM markup),
+      |outd AS (SELECT src AS doc_id, count(*) AS out_deg FROM edges GROUP BY src),
+      |ind AS (SELECT dst AS doc_id, count(*) AS in_deg FROM edges GROUP BY dst),
+      |two AS (
+      |  SELECT src AS doc_id, count(*) AS n_two_hop FROM (
+      |    SELECT DISTINCT e1.src, e2.dst AS dst2
+      |    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      |    WHERE e2.dst != e1.src) GROUP BY src)
+      |SELECT d.doc_id,
+      |  coalesce(o.out_deg, 0) AS out_deg,
+      |  coalesce(i.in_deg, 0) AS in_deg,
+      |  coalesce(t.n_two_hop, 0) AS n_two_hop
+      |FROM documents d
+      |LEFT JOIN outd o ON d.doc_id = o.doc_id
+      |LEFT JOIN ind i ON d.doc_id = i.doc_id
+      |LEFT JOIN two t ON d.doc_id = t.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_link_graph", q196, Some(q196Sql),
+      "link-graph mining from markup: anchor extraction, degree stats, 2-hop reach"),
     QueryDef("q195_url_normalize", q195, Some(q195Sql),
       "URL canonicalization + frontier dedup: port/case/utm/fragment/slash rules, canonical-group collapse"),
     QueryDef("q107_approx_percentiles", q107, None, "GK-sketch percentiles (see EdaSpec bound)"),
