@@ -364,7 +364,120 @@ object MultimodalQueries {
       |FROM d, fs WHERE f < nf AND f % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Format detection + dispatch over a HETEROGENEOUS binary column —
+    * the 100 TB reality the per-format queries above idealize away: a
+    * crawled media column holds PNG, GIF, JPEG, and WAV payloads mixed
+    * row by row, and the pipeline's first media operator must sniff each
+    * payload's container from its MAGIC BYTES (never from metadata,
+    * which crawls get wrong) and route it to the right codec. Fixture:
+    * doc id%4 picks the encoder; decode goes through ONE dispatch kernel
+    * pass (mapPartitions, one MediaKernel per partition) that sniffs
+    * `\\x89PNG` / `GIF8` / `\\xFF\\xD8` / `RIFF` and emits a unified
+    * feature row: detected format, payload bytes, a pixel/sample count,
+    * and the exact content feature for the LOSSLESS formats (luma sum /
+    * |x| sum) with a tolerance verdict standing in for JPEG (lossy —
+    * same oracle design as q187). A payload whose magic matches nothing
+    * fails loudly — silent skips hide corruption at scale.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.map { id =>
+          val (w, h) = dims(id)
+          def tri(x: Int, y: Int): Int =
+            (((id * 7 + x + 2 * y) % 510) - 255).toInt.abs
+          val payload: Array[Byte] = (id % 4) match {
+            case 0 => k.encodePng(w, h, (x, y) => ((id * 7 + x + 2 * y) % 256).toInt)
+            case 1 => k.encodeGif(w, h, 1, (_, x, y) => ((id * 7 + x + 2 * y) % 256).toInt)
+            case 2 => k.encodeJpeg(w, h, 0.90f, tri)
+            case _ =>
+              val n = (256 + id % 241).toInt
+              k.encodeWav(8000,
+                Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort))
+          }
+          // dispatch on MAGIC BYTES only
+          def b(i: Int) = payload(i) & 0xff
+          val fmt =
+            if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+            else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+            else if (b(0) == 0xff && b(1) == 0xd8) "jpeg"
+            else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "wav"
+            else throw new IllegalArgumentException(
+              s"doc $id: unrecognized payload magic")
+          fmt match {
+            case "png" | "gif" =>
+              val g = k.decodeImage(payload)._2
+              (id, fmt, payload.length.toLong,
+                (g.width * g.height).toLong, k.lumaSum(g), true)
+            case "jpeg" =>
+              val g = k.decodeImage(payload)._2
+              var maxErr = 0
+              var i = 0
+              while (i < g.pix.length) {
+                val e = (g.pix(i) - tri(i % g.width, i / g.width)).abs
+                if (e > maxErr) maxErr = e
+                i += 1
+              }
+              // lossy member: exact feature unavailable by construction —
+              // report the unit count exactly and the bounded-error verdict
+              (id, fmt, payload.length.toLong,
+                (g.width * g.height).toLong, -1L, maxErr <= JpegTol)
+            case _ =>
+              val pcm = k.decodeWav(payload)
+              var sumAbs = 0L
+              var i = 0
+              while (i < pcm.samples.length) {
+                sumAbs += math.abs(pcm.samples(i).toLong); i += 1
+              }
+              (id, fmt, payload.length.toLong,
+                pcm.samples.length.toLong, sumAbs, true)
+          }
+        }
+      }
+      .toDF("doc_id", "fmt", "n_bytes", "n_units", "feat", "within_tol")
+      .select(col("doc_id"), col("fmt"), col("n_units"), col("feat"),
+        col("within_tol")) // n_bytes is codec-version-dependent; dropped
+      .orderBy("doc_id")
+  }
+
+  // lossless rows mirror in closed form (pixel/sample sums from the
+  // generating formula); jpeg rows pin fmt + unit count + TRUE verdict
+  private val q197Sql =
+    """WITH xs AS (SELECT range AS x FROM range(64)),
+      |     ys AS (SELECT range AS y FROM range(64)),
+      |d AS (SELECT doc_id, 16 + doc_id % 37 AS w, 16 + doc_id % 23 AS h,
+      |             doc_id % 4 AS kind
+      |      FROM documents),
+      |img AS (
+      |  SELECT doc_id, kind, w, h,
+      |    CAST(w * h AS BIGINT) AS n_units,
+      |    CAST(sum((doc_id * 7 + xs.x + 2 * ys.y) % 256) AS BIGINT) AS luma
+      |  FROM d, xs, ys WHERE xs.x < w AND ys.y < h AND kind <= 2
+      |  GROUP BY doc_id, kind, w, h),
+      |wav AS (
+      |  SELECT doc_id,
+      |    CAST(256 + doc_id % 241 AS BIGINT) AS n_units,
+      |    CAST(sum(abs(((doc_id * 31 + i * 7) % 2048) - 1024)) AS BIGINT) AS sum_abs
+      |  FROM (SELECT doc_id, unnest(range(0, 256 + doc_id % 241)) AS i
+      |        FROM documents WHERE doc_id % 4 = 3) t
+      |  GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+      |  n_units,
+      |  CASE WHEN kind = 2 THEN CAST(-1 AS BIGINT) ELSE luma END AS feat,
+      |  TRUE AS within_tol
+      |FROM img
+      |UNION ALL
+      |SELECT doc_id, 'wav' AS fmt, n_units, sum_abs AS feat, TRUE AS within_tol
+      |FROM wav
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_media_dispatch", q197, Some(q197Sql),
+      "heterogeneous media column: magic-byte format sniff dispatching to the right codec per row"),
     QueryDef("q193_media_video", q193, Some(q193Sql),
       "MJPEG video: container walk + every-2nd-frame real JPEG decode, per-frame tolerance verdicts"),
     QueryDef("q65_media_meta", q65, Some(q65Sql), "binary payload + metadata projection"),

@@ -219,6 +219,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 dispatch: magic-sniffed format matches the generator, features exact for lossless") {
+    val rows = Registry.queries("q197_media_dispatch")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expectFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "jpeg"; case _ => "wav"
+      }
+      assert(r.getString(1) == expectFmt, s"doc $id dispatched wrong")
+      assert(r.getBoolean(4), s"doc $id verdict")
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      (id % 4) match {
+        case 0 | 1 =>
+          val luma = (for (y <- 0 until h; x <- 0 until w)
+            yield (id * 7 + x + 2 * y) % 256).sum
+          assert(r.getLong(2) == (w * h).toLong && r.getLong(3) == luma, s"doc $id")
+        case 2 =>
+          assert(r.getLong(2) == (w * h).toLong && r.getLong(3) == -1L, s"doc $id")
+        case _ =>
+          val n = (256 + id % 241).toInt
+          val sumAbs = (0 until n).map(i => math.abs(((id * 31 + i * 7) % 2048) - 1024)).sum
+          assert(r.getLong(2) == n.toLong && r.getLong(3) == sumAbs, s"doc $id")
+      }
+    }
+  }
+
   test("q67 frame sampling: ceil(nFrames/2) rows per doc, frame 0 present, thumbs ≤ 32") {
     val frames = Registry.queries("q67_media_frames")(spark, sf).collect()
       .groupBy(_.getLong(0))
