@@ -1942,6 +1942,97 @@ object DedupQueries {
        |    AS toks_removed
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+
+  /** Bloom-filter dedup pre-filter — the two-table exact-dedup pattern a
+    * 100 TB pipeline runs before any join: probing "is this delta doc an
+    * exact copy of anything in the base?" with a plain semi-join shuffles
+    * the FULL delta against the FULL base fingerprint store; a Bloom
+    * filter built over base fingerprints turns that into a broadcast
+    * bitmap probe that eliminates the (overwhelmingly common) definite-
+    * misses before any shuffle. Bloom guarantees NO false negatives, so
+    * the exact verify on the surviving candidates makes the operator
+    * output EXACT — the filter is invisible to correctness (the oracle
+    * is the plain semi-join) and only changes the plan's cost shape.
+    *
+    * Built RELATIONALLY, not via driver-side `stat.bloomFilter` (which
+    * collects): k=3 bit positions per fingerprint → bit masks grouped
+    * into 64-bit blocks by `bit_or` (order-insensitive, partial-agg
+    * friendly) → a [[BloomBlocks]]-row bitmap that broadcasts anywhere;
+    * the probe joins delta positions to blocks and keeps docs with all
+    * k bits set. At 100 TB: the bitmap is fixed-size (here 2^16 bits =
+    * 1024 rows; production sizes m to the base cardinality), the probe
+    * is a broadcast join + aggregate, and only candidates (true dups +
+    * the bounded false-positive mass) reach the exact text verify.
+    * DedupSimilaritySpec measures the pruning and pins zero false
+    * negatives against brute force.
+    */
+  private[dedup] val BloomBits = 1 << 16
+  private[dedup] val BloomBlocks = BloomBits / 64
+  private val bloomHashes: Seq[(Long, Long)] =
+    Seq((131L, 7L), (137L, 89L), (139L, 283L))
+
+  private def bloomPositions(fp: Column): Column =
+    array(bloomHashes.map { case (a, b) =>
+      ((fp * a + b) % P) % BloomBits
+    }: _*)
+
+  /** q198's core on an injectable (doc_id, text, is_delta) frame —
+    * returns (bloom candidates, exact result) so the spec can measure
+    * pruning and pin zero false negatives independently of the fixture.
+    */
+  private[graft] def bloomDedupFrame(docsIn: DataFrame): (DataFrame, DataFrame) = {
+    val docs = docsIn.withColumn("fp", Det.polyHash(col("text")))
+    val base = docs.filter(!col("is_delta"))
+    // build: base fp → 3 positions → 64-bit blocks OR'd together
+    val bitmap = base
+      .select(explode(bloomPositions(col("fp"))).as("pos"))
+      .select(expr("pos div 64").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy("block").agg(expr("bit_or(m)").as("bits"))
+    // probe: delta doc survives iff ALL 3 of its bits are set
+    val delta = docs.filter(col("is_delta"))
+    val cand = delta
+      .select(col("doc_id"), posexplode(bloomPositions(col("fp")))
+        .as(Seq("i", "pos")))
+      .select(col("doc_id"), expr("pos div 64").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .join(broadcast(bitmap), Seq("block"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("m")) =!= 0), 1).otherwise(0)).as("hits"))
+      .filter(col("hits") === bloomHashes.size)
+      .select("doc_id")
+    // exact verify on candidates only — Bloom has no false negatives,
+    // so non-candidates are definite non-dups
+    val verified = delta.join(cand, "doc_id")
+      .join(base.select(col("text")).distinct().withColumn("in_base", lit(1)),
+        Seq("text"), "left")
+      .select(col("doc_id"), (col("in_base") === 1).as("dup"))
+      .filter(col("dup"))
+    val out = delta.select("doc_id")
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("is_dup_of_base"))
+      .orderBy("doc_id")
+    (cand, out)
+  }
+
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val cut = lit(all.agg(expr("(max(doc_id) + 1) * 9 div 10")).head().getLong(0))
+    bloomDedupFrame(all.select(col("doc_id"), col("text"),
+      (col("doc_id") >= cut).as("is_delta")))._2
+  }
+
+  // the oracle is the PLAIN semi-join — the Bloom stage must be invisible
+  private val q198Sql =
+    """WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS cut FROM documents),
+      |delta AS (SELECT doc_id, text FROM documents, cut WHERE doc_id >= cut),
+      |base AS (SELECT DISTINCT text FROM documents, cut WHERE doc_id < cut)
+      |SELECT d.doc_id, b.text IS NOT NULL AS is_dup_of_base
+      |FROM delta d LEFT JOIN base b ON d.text = b.text
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q179
 
   /** Dedup threshold sensitivity curve: how many documents the q176
@@ -2192,6 +2283,8 @@ object DedupQueries {
     QueryDef("q179_threshold_curve", q179, Some(q179Sql),
       "dedup threshold sensitivity: docs dropped/kept at Jaccard 0.5-0.9",
       planFn = Some(q179Lazy)),
+    QueryDef("q198_bloom_dedup", q198, Some(q198Sql),
+      "Bloom-filter dedup pre-filter: relational bitmap build + broadcast probe, exact verify on candidates"),
     QueryDef("q194_cdc_chunks", q194, Some(q194Sql),
       "content-defined chunking dedup: rolling-hash boundaries, insertion-robust retention ledger"),
     QueryDef("q180_chunk_clean", q180, Some(q180Sql),

@@ -173,6 +173,34 @@ class PropertySpec extends AnyFunSuite {
     assert(tested == 36)
   }
 
+  test("q198 Bloom pre-filter: zero false negatives, bounded false positives (engine-checked)") {
+    // copy-injected random corpora: every 3rd delta doc copies a base doc
+    val txtGen = Gen.choose(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ka", "kb", "kc", "kd")).map(_.mkString(" ")))
+    forAllSampled(Gen.listOfN(30, txtGen), n = 8) { texts =>
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, false) }
+      val delta = texts.indices.map { i =>
+        val id = (texts.size + i).toLong
+        if (i % 3 == 0) (id, texts(i), true)                  // exact copy
+        else (id, texts(i) + s" zz$i", true)                  // novel
+      }
+      val docs = (base ++ delta).toDF("doc_id", "text", "is_delta")
+      val (cand, out) = graft.dedup.DedupQueries.bloomDedupFrame(docs)
+      val baseTexts = base.map(_._2).toSet
+      val expected = delta.map { case (id, t, _) => id -> baseTexts(t) }.toMap
+      val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == expected, s"bloom dedup diverged")
+      // no false negatives by construction; candidates must cover all dups
+      val candIds = cand.collect().map(_.getLong(0)).toSet
+      val dupIds = expected.collect { case (id, true) => id }.toSet
+      assert(dupIds.subsetOf(candIds), "bloom dropped a true duplicate")
+      // pruning: with 2^16 bits and ~90 set, false positives should be
+      // essentially absent at this scale
+      assert(candIds.size <= dupIds.size + 2,
+        s"bloom passed ${candIds.size - dupIds.size} false positives")
+    }
+  }
+
   test("q194 CDC chunks ≡ independent reference; boundaries resync after insertion (engine-checked)") {
     val P = 1000000007L
     def ph(s: String, seed: Long = 7L): Long =
