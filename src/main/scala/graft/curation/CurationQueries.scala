@@ -813,6 +813,45 @@ object CurationQueries {
          |  CAST(len(string_split(subtokens, ' ')) AS INTEGER) AS n_subtokens
          |FROM tk ORDER BY w""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+
+  /** PII span EXTRACTION — the audit companion to q110's in-place mask:
+    * redaction pipelines must also emit WHERE each hit sat (span offsets
+    * per doc) so downstream consumers can audit, exempt, or re-window
+    * around redactions, and so labelers can verify recall. Token-level
+    * spans: one row per (doc, hit) with the token position, the matched
+    * term, and the token-span length of the surrounding context window —
+    * derived RELATIONALLY (token stream + rlike filter), not with a
+    * per-row position-scanning lambda. Shuffle-free until the output
+    * sort; at 100 TB the hit stream is the (small) output, never joined
+    * back against full text.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val hitPat = "^(key|hash|scan|merge)$"
+    tokenStream(s, d)
+      .filter(col("w").rlike(hitPat))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => concat(x("pos").cast("string"), lit(":"), x("w"))))
+          .as("spans"))
+      .orderBy("doc_id")
+  }
+
+  private val q199Sql =
+    s"""WITH toks AS ($tokenStreamSql),
+       |hits AS (
+       |  SELECT doc_id, pos, w FROM toks
+       |  WHERE regexp_matches(w, '^(key|hash|scan|merge)$$'))
+       |SELECT doc_id, count(*) AS n_hits,
+       |  CAST(min(pos) AS BIGINT) AS first_pos,
+       |  CAST(max(pos) AS BIGINT) AS last_pos,
+       |  string_agg(pos || ':' || w, ',' ORDER BY pos) AS spans
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q192
 
   /** Batched-merge knobs for [[q192]]: rounds unrolled, max accepted
@@ -1363,6 +1402,8 @@ object CurationQueries {
       "BPE merge-candidate pair counts over the word-frequency table"),
     QueryDef("q110_redact", q110, Some(q110Sql),
       "blocklist redaction (PII-scrub shape) with per-doc mask counts"),
+    QueryDef("q199_pii_spans", q199, Some(q199Sql),
+      "PII span extraction: per-doc hit positions + ordered span list (redaction audit)"),
     QueryDef("q111_ngram_lm", q111, Some(q111Sql),
       "corpus trigram counts via window-lead (n-gram LM statistics)"),
     QueryDef("q112_contamination", q112, Some(q112Sql),

@@ -743,7 +743,98 @@ object OperatorQueries {
       |  AND (h.valid_to_sec IS NULL OR h.valid_to_sec > t.as_of_sec)
       |ORDER BY h.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+
+  /** Columnar encoding-size estimator — the storage-layout advisor that
+    * decides how a write path should encode each column (the decision
+    * parquet writers make page-by-page; q172 BUILDS a dictionary, q124
+    * picks a sort order — this op produces the per-column evidence):
+    * for each candidate column of `events` in event_id order, compute
+    * plain size, RLE run count (runs = value-change points + 1, via one
+    * lag window), dictionary cardinality, and the integer bit widths the
+    * encodings would need (`ceil(log2(k)) = length(bin(k-1))`, exact
+    * integer math — no libm), then estimate encoded bytes:
+    * plain = Σ len (strings) / 8·n (longs); dict = distinct·avg_len +
+    * n·width(distinct)/8; RLE = runs·(width(distinct)/8 + run-length
+    * varint ≈ 2 B). Best encoding = argmin with a fixed tiebreak order.
+    * One window pass + one aggregate per column, unioned — linear, and
+    * the per-column stats are exactly what a 100 TB writer's
+    * column-chunk statistics task computes.
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.orderBy("event_id")
+    def colStats(name: String, c: Column, pbOf: Column => Column): DataFrame = {
+      val runs = ev.select(col("event_id"), c.as("v"))
+        .select(when(lag("v", 1).over(w).isNull ||
+          col("v") =!= lag("v", 1).over(w), 1L).otherwise(0L).as("chg"),
+          col("v"), pbOf(col("v")).as("pb"))
+      runs.agg(
+        lit(name).as("column"),
+        count(lit(1)).as("n"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum("chg").as("n_runs"),
+        sum("pb").as("plain_bytes"))
+    }
+    val stats = Seq(
+      colStats("event_type", col("event_type"), v => length(v).cast("long")),
+      colStats("user_id", col("user_id"), _ => lit(8L)),
+      colStats("props", col("props"), v => length(v).cast("long"))
+    ).reduce(_ unionAll _)
+    // avg dict entry size ≈ plain_bytes / n (integer div — an estimator)
+    val dictBytes = col("n_distinct") * expr("plain_bytes div n") +
+      expr("(n * length(bin(greatest(n_distinct - 1, 1))) + 7) div 8")
+    val rleBytes = col("n_runs") *
+      (expr("(length(bin(greatest(n_distinct - 1, 1))) + 7) div 8") + lit(2L))
+    stats
+      .withColumn("dict_bytes", dictBytes.cast("long"))
+      .withColumn("rle_bytes", rleBytes.cast("long"))
+      .withColumn("best_encoding",
+        when(col("rle_bytes") <= col("dict_bytes") &&
+          col("rle_bytes") <= col("plain_bytes"), "rle")
+          .when(col("dict_bytes") <= col("plain_bytes"), "dict")
+          .otherwise("plain"))
+      .select("column", "n", "n_distinct", "n_runs", "plain_bytes",
+        "dict_bytes", "rle_bytes", "best_encoding")
+      .orderBy("column")
+  }
+
+  private val q200Sql = {
+    def one(name: String, v: String, plain: String) =
+      s"""SELECT '$name' AS "column", count(*) AS n,
+         |  count(DISTINCT v) AS n_distinct,
+         |  CAST(sum(chg) AS BIGINT) AS n_runs,
+         |  CAST(sum(pb) AS BIGINT) AS plain_bytes
+         |FROM (
+         |  SELECT v, $plain AS pb,
+         |    CASE WHEN lag(v) OVER (ORDER BY event_id) IS NULL
+         |           OR v != lag(v) OVER (ORDER BY event_id)
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM (SELECT event_id, $v AS v FROM events) t)""".stripMargin
+    s"""WITH stats AS (
+       |${one("event_type", "event_type", "length(v)")}
+       |UNION ALL
+       |${one("user_id", "user_id", "8")}
+       |UNION ALL
+       |${one("props", "props", "length(v)")}),
+       |est AS (
+       |  SELECT *,
+       |    CAST(n_distinct * (plain_bytes // n) +
+       |      (n * length(bin(greatest(n_distinct - 1, 1))) + 7) // 8 AS BIGINT)
+       |      AS dict_bytes,
+       |    CAST(n_runs * ((length(bin(greatest(n_distinct - 1, 1))) + 7) // 8 + 2)
+       |      AS BIGINT) AS rle_bytes
+       |  FROM stats)
+       |SELECT "column", n, n_distinct, n_runs, plain_bytes, dict_bytes, rle_bytes,
+       |  CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes THEN 'rle'
+       |       WHEN dict_bytes <= plain_bytes THEN 'dict'
+       |       ELSE 'plain' END AS best_encoding
+       |FROM est ORDER BY "column"""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_encoding_advisor", q200, Some(q200Sql),
+      "columnar encoding-size advisor: RLE runs, dictionary width, plain size per column (integer bit math)"),
     QueryDef("q175_time_travel", q175, Some(q175Sql),
       "AS OF time-travel read over the SCD2 history (state at the corpus midpoint)"),
     QueryDef("q174_data_contract", q174, Some(q174Sql),
