@@ -1893,10 +1893,14 @@ object DedupQueries {
 
   private def q194(s: SparkSession, d: String): DataFrame = {
     val chunks = cdcChunks(Tables.documents(s, d))
-    val keeper = chunks.groupBy("fp")
-      .agg(min(struct(col("doc_id"), col("chunk"))).as("k"))
-    chunks.join(keeper, "fp")
-      .withColumn("kept", struct(col("doc_id"), col("chunk")) === col("k"))
+    // keeper election as a WINDOW over the fingerprint, not a groupBy +
+    // self-join: the join form computed the whole chunk build twice (the
+    // two subtrees don't canonicalize identically, so exchange reuse
+    // never fires) — the window form is one pass, three keyed exchanges
+    // total (doc_id build, fp election, doc_id ledger), PlanSpec-pinned
+    val wFp = Window.partitionBy("fp").orderBy("doc_id", "chunk")
+    chunks
+      .withColumn("kept", row_number().over(wFp) === 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

@@ -228,4 +228,41 @@ class PlanSpec extends AnyFunSuite {
       s"candidate verify should broadcast-join token sets:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs stage allowed:\n$plan")
   }
+
+  test("q194 CDC chunking: one chunk build, three keyed exchanges, no pairwise stage") {
+    val plan = physicalPlan("q194_cdc_chunks")
+    // doc_id build → fp keeper election (window) → doc_id ledger; the
+    // token stream is generated ONCE (the groupBy+join keeper form built
+    // the chunks twice — two Generate nodes — because the subtrees don't
+    // canonicalize identically and exchange reuse never fires)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"CDC keyed exchanges grew past build/election/ledger:\n$plan")
+    assert("Generate".r.findAllIn(plan).size == 1,
+      s"token stream must be generated exactly once:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise stage belongs in CDC:\n$plan")
+  }
+
+  test("q198 Bloom pre-filter broadcasts the bitmap, never shuffles delta for the probe") {
+    val plan = physicalPlan("q198_bloom_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the fixed-size bitmap must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs stage:\n$plan")
+  }
+
+  test("q195 URL canonicalization: extraction is shuffle-free before the canonical aggregate") {
+    val plan = physicalPlan("q195_url_normalize")
+    // per-row regex/array canonicalization happens below the single
+    // canonical-group aggregate; no join-driven shuffle of raw URLs
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"group attach should broadcast or reuse the aggregate exchange:\n$plan")
+    assert(plan.contains("HashAggregate"), s"canonical group aggregate missing:\n$plan")
+  }
+
+  test("q196 link graph: anchor extraction stays per-row; degrees are partial aggregates") {
+    val plan = physicalPlan("q196_link_graph")
+    assert(plan.contains("HashAggregate"), s"degree aggregates missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"2-hop must be an equi-join on the edge key:\n$plan")
+  }
 }
