@@ -949,10 +949,25 @@ object CurationQueries {
       () => { if (eager) { sp0.unpersist(); () } })
   }
 
-  private def q192(s: SparkSession, d: String): DataFrame = {
+  /** Run `body` with AQE off, restoring the previous setting. The batched
+    * trainer's eager loop checkpoints ~3 vocab-sized frames per round;
+    * under AQE every exchange materializes as its own stage-job, turning
+    * 8 rounds into ~200 scheduler round-trips of 8–15 ms each (profiled:
+    * 5.3 s wall, almost no executor time). With AQE off each checkpoint
+    * is ONE job with its stages chained — the plans here are tiny and
+    * fixed-shape, so nothing AQE would re-plan is lost.
+    */
+  private def withAqeOff[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def q192(s: SparkSession, d: String): DataFrame = withAqeOff(s) {
     val (batches, _, release) = bpeBatchTrainSpine(bpeSpine(s, d),
       Q192Rounds, Q192CandM, Q192BatchM, eager = true)
     val out = batches.reduce(_ unionAll _).orderBy("round", "j")
+      .localCheckpoint(true) // materialize while AQE is off; ≤64 rows
     release()
     out
   }
