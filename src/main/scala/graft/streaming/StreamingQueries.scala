@@ -150,6 +150,97 @@ object StreamingQueries {
       |FROM (SELECT * FROM events ORDER BY event_id LIMIT 1000)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming SCD2 history maintenance — the CDC-to-warehouse pattern
+    * q88 computes in one batch pass, maintained INCREMENTALLY under
+    * append-only micro-batches: each batch's per-user state changes
+    * (seeded by the store's current open version, so chains continue
+    * across batches) close the previously-open version and append new
+    * ones, and the history table is atomically swapped (q108's
+    * read-merge-write refresh). Contract is ARRIVAL-order CDC (ordered
+    * by event_id — what a change stream actually delivers); the oracle
+    * is the from-scratch arrival-ordered SCD2 over the same head-1000,
+    * so stream ≡ batch is the correctness statement. At 100 TB/day this
+    * is how dimension history stays current: O(batch + open rows) work
+    * per refresh, never O(history).
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val dir = graft.util.TempDirs.create("graft_scd2_stream_")
+    val histSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, version BIGINT, state STRING, " +
+        "valid_from_sec BIGINT, valid_to_sec BIGINT, is_current BIGINT")
+    def mergeBatch(batch: DataFrame, @annotation.unused id: Long): Unit = {
+      val ev = batch.select(col("user_id"), col("event_id"),
+        col("ts_sec"), col("event_type"))
+      val existing =
+        if (Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+          s.read.parquet(dir)
+        else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          histSchema)
+      val open = existing.filter(col("is_current") === 1L)
+        .select(col("user_id"), col("version").as("seed_version"),
+          col("state").as("seed_state"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      // change points within the batch, seeded by the open version's
+      // state (a batch whose first event repeats the stored state opens
+      // no new version)
+      val changes = ev.join(open, Seq("user_id"), "left")
+        .withColumn("prev_type",
+          coalesce(lag("event_type", 1).over(w), col("seed_state")))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version",
+          (row_number().over(w) + coalesce(col("seed_version"), lit(0L))).cast("long"))
+        .withColumn("valid_to_sec", lead("ts_sec", 1).over(w))
+      val newRows = changes.select(col("user_id"), col("version"),
+        col("event_type").as("state"), col("ts_sec").as("valid_from_sec"),
+        col("valid_to_sec"),
+        when(col("valid_to_sec").isNull, 1L).otherwise(0L).as("is_current"))
+      // close the previously-open version of any user the batch changed
+      val firstChange = changes.groupBy("user_id")
+        .agg(min("ts_sec").as("close_at"))
+      val openRows = existing.filter(col("is_current") === 1L)
+      val openUpdated = openRows.join(firstChange, Seq("user_id"), "left")
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from_sec"),
+          coalesce(col("close_at"), col("valid_to_sec")).as("valid_to_sec"),
+          when(col("close_at").isNull, col("is_current")).otherwise(0L)
+            .as("is_current"))
+      val merged = existing.filter(col("is_current") === 0L)
+        .unionByName(openUpdated).unionByName(newRows)
+      val tmp = dir + ".tmp"
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    }
+    Pipeline.withShufflePartitions(s, 8) {
+      Pipeline.runSliced(s, eventsSeq, 250, "graft_q201_sink")(_.toDF())(
+        Some(mergeBatch))
+    }
+    s.read.parquet(dir)
+      .select("user_id", "version", "state", "valid_from_sec",
+        "valid_to_sec", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  private val q201Sql =
+    """WITH head AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |         event_type
+      |  FROM events ORDER BY event_id LIMIT 1000),
+      |marked AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |    AS prev FROM head),
+      |changes AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+      |    AS version,
+      |  event_type AS state, ts_sec AS valid_from_sec,
+      |  lead(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_sec,
+      |  CAST(CASE WHEN lead(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id)
+      |       IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM changes ORDER BY user_id, version""".stripMargin
+
   /** q62's counter through the Spark 4 `transformWithState` API (typed
     * named state + RocksDB store): same semantics, same oracle — proving
     * the engine's custom-state operators port to the successor API
@@ -499,5 +590,7 @@ object StreamingQueries {
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),
     QueryDef("q102_tws_author_state", q102, Some(q62Sql), "ST5 via Spark 4 transformWithState + RocksDB"),
     QueryDef("q108_incremental_agg", q108, Some(q108Sql), "incremental aggregate-table maintenance"),
+    QueryDef("q201_stream_scd2", q201, Some(q201Sql),
+      "streaming SCD2 history maintenance: per-batch change append + open-version close, stream = batch"),
     QueryDef("q63_stream_batch_anomaly", q63, Some(q63Sql), "ST4 batch-local z-score in foreachBatch"))
 }

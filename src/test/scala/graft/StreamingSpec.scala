@@ -199,4 +199,30 @@ class StreamingSpec extends AnyFunSuite {
     // the outer semantics are non-trivial on the testdata
     assert(expected.exists(_._3.isEmpty) && expected.exists(_._3.nonEmpty))
   }
+
+  test("q201 streaming SCD2: contiguous versions, one open row per user, closed intervals chain") {
+    val rows = Registry.queries("q201_stream_scd2")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (uid, hist) =>
+      val sorted = hist.sortBy(_._2)
+      // versions are 1..n with no gaps (cross-batch chaining must not
+      // restart numbering), exactly the last one is open
+      assert(sorted.map(_._2).sameElements(1L to sorted.length.toLong), s"user $uid versions")
+      assert(sorted.count(_._6 == 1L) == 1 && sorted.last._6 == 1L, s"user $uid open rows")
+      // each closed version's valid_to equals the successor's valid_from,
+      // and adjacent versions always change state
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $uid interval chain broke at v${a._2}")
+          assert(a._3 != b._3, s"user $uid adjacent versions share state")
+        case _ =>
+      }
+      assert(sorted.last._5.isEmpty)
+    }
+    // multi-batch behavior is actually exercised: some user crosses a
+    // batch boundary with >1 version (head-1000 split into 4 slices)
+    assert(rows.groupBy(_._1).values.exists(_.size > 2))
+  }
 }
