@@ -1044,7 +1044,53 @@ object Eda {
       |  FROM events)
       |GROUP BY k, v ORDER BY k, v""".stripMargin
 
+  /** Six-table analytic join, TPC-H Q5 shape (local-supplier revenue by
+    * nation): lineitem ⋈ orders ⋈ customer ⋈ supplier (with the
+    * local-supplier c_nationkey = s_nationkey condition riding the join)
+    * ⋈ nation ⋈ region, region filtered before the join so only matching
+    * nations survive. The plan the classic warehouse query deserves:
+    * nation/region broadcast (5/25 rows at any SF — at 100 TB they are
+    * still KBs), the date filter pushes to the orders scan, and the big
+    * three tables hash-join on their keys with AQE free to re-plan at
+    * runtime. Revenue accumulates through decimal (Det rules).
+    */
+  private def q202(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  private val q202Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_local_supplier_revenue", q202, Some(q202Sql),
+      "TPC-H Q5 shape: six-table join, broadcast dims, pushed date filter, decimal revenue"),
     QueryDef("q77_window_extras", q77, Some(q77Sql), "percent_rank/cume_dist/first/last"),
     QueryDef("q78_date_math", q78, Some(q78Sql), "date arithmetic family"),
     QueryDef("q79_map_explode", q79, Some(q79Sql), "map build + entry explode"),

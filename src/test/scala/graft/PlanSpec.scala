@@ -229,6 +229,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no all-pairs stage allowed:\n$plan")
   }
 
+  test("q202 six-table join: date filter pushed to the orders scan, dims broadcast") {
+    val plan = physicalPlan("q202_local_supplier_revenue")
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(o_orderdate") ||
+        plan.contains("GreaterThanOrEqual(`o_orderdate`")),
+      s"o_orderdate range not pushed to the scan:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation/region must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
+  }
+
   test("q194 CDC chunking: one chunk build, three keyed exchanges, no pairwise stage") {
     val plan = physicalPlan("q194_cdc_chunks")
     // doc_id build → fp keeper election (window) → doc_id ledger; the
