@@ -1088,7 +1088,35 @@ object Eda {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** PIVOT — the wide-format companion to q93's UNPIVOT: per-hour-bucket
+    * event counts spread into one column per event type. The value list
+    * is EXPLICIT (the five types the reference's schema fixes): with it,
+    * Spark's pivot skips the extra distinct-values job AND the output
+    * schema is static, which is what makes the operator both
+    * single-shuffle (one partial-aggregated pivot_first pass) and
+    * mirrorable as CASE-WHEN conditional aggregates — the form every
+    * engine's PIVOT desugars to.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((hour(col("ts")) % 6).cast("long").as("hr_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("hr_bucket")
+
+  private val q203Sql =
+    """SELECT CAST(hour(ts) % 6 AS BIGINT) AS hr_bucket,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q203_pivot", q203, Some(q203Sql),
+      "PIVOT with an explicit value list: single-shuffle wide-format counts"),
     QueryDef("q202_local_supplier_revenue", q202, Some(q202Sql),
       "TPC-H Q5 shape: six-table join, broadcast dims, pushed date filter, decimal revenue"),
     QueryDef("q77_window_extras", q77, Some(q77Sql), "percent_rank/cume_dist/first/last"),
