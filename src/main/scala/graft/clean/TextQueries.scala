@@ -736,7 +736,76 @@ object TextQueries {
       |LEFT JOIN two t ON d.doc_id = t.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+
+  /** Encoding-quality / mojibake detection — the byte-sanity gate every
+    * web-scale corpus needs BEFORE linguistic filters (a page that went
+    * through a UTF-8→Latin-1→UTF-8 round trip, or got U+FFFD-substituted
+    * by a lenient decoder, poisons tokenizers and dedup alike). The
+    * testdata text is clean ASCII, so the fixture first injects the three
+    * classic corruption modes deterministically by doc_id%7 — double
+    * encoding ('a'→'Ã¡', the UTF-8-as-Latin-1 signature), replacement
+    * characters ('e'→U+FFFD), and embedded C0 control bytes (BEL) — then
+    * the detector measures, per doc: U+FFFD count, control-char count
+    * (C0 minus tab/LF/CR), 'Ã' mojibake-marker count, non-ASCII count,
+    * and the keep verdict (all three corruption families absent).
+    *
+    * Pure per-row expressions (replace-based counting for the single-char
+    * markers, one codegen'd higher-order filter for the class counts) —
+    * zero shuffles before the final sort; at 100 TB this runs at scan
+    * speed inside whole-stage codegen.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val corrupted = expr(
+      """CASE CAST(doc_id % 7 AS INT)
+        |  WHEN 0 THEN replace(text, 'a', 'Ã¡')
+        |  WHEN 1 THEN replace(text, 'e', '�')
+        |  WHEN 2 THEN concat(text, 'x')
+        |  ELSE text END""".stripMargin)
+    def nOf(marker: String) =
+      length(col("s")) - length(regexp_replace(col("s"), marker, ""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), corrupted.as("s"))
+      .select(col("doc_id"),
+        nOf("�").cast("long").as("n_repl"),
+        size(filter(split(col("s"), ""), c =>
+          c =!= "" && ascii(c) < 32 && !ascii(c).isin(9, 10, 13)))
+          .cast("long").as("n_ctrl"),
+        nOf("Ã").cast("long").as("n_moji"),
+        size(filter(split(col("s"), ""), c => ascii(c) > 127))
+          .cast("long").as("n_nonascii"),
+        length(col("s")).cast("long").as("n_chars"))
+      .withColumn("keep",
+        col("n_repl") === 0 && col("n_ctrl") === 0 && col("n_moji") === 0)
+      .orderBy("doc_id")
+  }
+
+  private val q207Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 7
+      |      WHEN 0 THEN replace(text, 'a', 'Ã¡')
+      |      WHEN 1 THEN replace(text, 'e', chr(65533))
+      |      WHEN 2 THEN text || chr(7) || 'x'
+      |      ELSE text END AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(s) - length(replace(s, chr(65533), '')) AS BIGINT) AS n_repl,
+      |  CAST(len(list_filter(string_split(s, ''), ch -> ch != '' AND
+      |    unicode(ch) < 32 AND unicode(ch) NOT IN (9, 10, 13))) AS BIGINT) AS n_ctrl,
+      |  CAST(length(s) - length(replace(s, 'Ã', '')) AS BIGINT) AS n_moji,
+      |  CAST(len(list_filter(string_split(s, ''), ch -> ch != '' AND
+      |    unicode(ch) > 127)) AS BIGINT) AS n_nonascii,
+      |  CAST(length(s) AS BIGINT) AS n_chars,
+      |  (length(s) - length(replace(s, chr(65533), '')) = 0
+      |    AND len(list_filter(string_split(s, ''), ch -> ch != '' AND
+      |      unicode(ch) < 32 AND unicode(ch) NOT IN (9, 10, 13))) = 0
+      |    AND length(s) - length(replace(s, 'Ã', '')) = 0) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q207_mojibake", q207, Some(q207Sql),
+      "encoding-quality gate: U+FFFD / C0-control / double-encoding marker detection with keep verdict"),
     QueryDef("q196_link_graph", q196, Some(q196Sql),
       "link-graph mining from markup: anchor extraction, degree stats, 2-hop reach"),
     QueryDef("q195_url_normalize", q195, Some(q195Sql),

@@ -1408,7 +1408,90 @@ object CurationQueries {
        |FROM c, tot ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q206
+
+  /** Weighted sampling without replacement — PRIORITY SAMPLING (Duffield,
+    * Lund & Thorup 2007), the weighted counterpart of q147's uniform
+    * per-group reservoir: each doc draws priority q_i = w_i / u_i with
+    * u_i uniform in (0,1], and the top-k priorities per stratum form the
+    * sample (heavier docs proportionally likelier). The same draw yields
+    * an unbiased subset-sum ESTIMATOR: with τ = the (k+1)-th priority,
+    * ŵ_i = max(w_i, τ) — so a k-doc sample also carries a provably
+    * near-optimal estimate of its stratum's TOTAL weight (the sketch that
+    * lets a 100 TB pipeline audit per-source token mass from samples
+    * alone, CurationSpec pins the accuracy on the testdata).
+    *
+    * Determinism: u_i is a multiplicative hash of doc_id mapped into
+    * [1, 10^9+7] (never a float RNG), priorities are integer fixed point
+    * at scale 10^9 — every emitted cell hash-exact vs the mirror. Scale:
+    * ONE window shuffle on the stratum key; k is a constant, so the
+    * per-partition top-k + final top-k pattern applies unchanged at
+    * 1000 executors (Spark's WindowGroupLimit pushes the rank filter
+    * below the sort).
+    */
+  private val PrioK = 8
+  private val PrioFix = 1000000000L
+
+  private def q206(s: SparkSession, d: String): DataFrame =
+    prioritySample(
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars").as("weight")),
+      PrioK, seed = 0L)
+
+  /** q206's core on an injectable (lang, doc_id, weight) frame with a
+    * seed-shiftable hash — exposed so CurationSpec can average the DLT
+    * estimator over many independent draws (unbiasedness is a property
+    * ACROSS draws; any single draw at small k has high variance by
+    * design). seed = 0 reproduces the oracled query exactly.
+    */
+  private[graft] def prioritySample(docs: DataFrame, k: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("priority"), asc("doc_id"))
+    val wl = Window.partitionBy("lang")
+    docs
+      .withColumn("u",
+        pmod(col("doc_id") * 2654435761L + lit(seed) * 1315423911L,
+          lit(1000000007L)) + 1L)
+      .withColumn("priority", expr(s"weight * $PrioFix div u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("tau",
+        coalesce(max(when(col("rank") === k + 1, col("priority"))).over(wl),
+          lit(0L)))
+      .filter(col("rank") <= k)
+      // the stored priority w·10^9/u IS w/u_float in plain weight units
+      // (u ranges over the same ~10^9 grid, so the scales cancel) — τ and
+      // the DLT estimate ŵ = max(w, τ) need no de-scaling
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"),
+        col("rank"),
+        greatest(col("weight"), col("tau")).as("est_w"))
+      .orderBy("lang", "rank")
+  }
+
+  private val q206Sql =
+    s"""WITH p AS (
+       |  SELECT lang, doc_id, n_chars AS weight,
+       |    ((doc_id * 2654435761) % 1000000007) + 1 AS u
+       |  FROM documents),
+       |pr AS (
+       |  SELECT lang, doc_id, weight, (weight * $PrioFix) // u AS priority
+       |  FROM p),
+       |rk AS (
+       |  SELECT *, CAST(row_number() OVER
+       |      (PARTITION BY lang ORDER BY priority DESC, doc_id) AS BIGINT) AS rank
+       |  FROM pr),
+       |tau AS (
+       |  SELECT lang,
+       |    coalesce(max(CASE WHEN rank = ${PrioK + 1} THEN priority END), 0) AS tau
+       |  FROM rk GROUP BY lang)
+       |SELECT rk.lang, rk.doc_id, rk.weight, rk.priority, rk.rank,
+       |  greatest(rk.weight, tau.tau) AS est_w
+       |FROM rk JOIN tau ON rk.lang = tau.lang
+       |WHERE rk.rank <= $PrioK
+       |ORDER BY rk.lang, rk.rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_priority_sample", q206, Some(q206Sql),
+      "weighted sampling without replacement (priority sampling) + the Duffield-Lund-Thorup per-stratum total-weight estimator"),
     QueryDef("q148_collocations", q148, Some(q148Sql),
       "collocation mining by fixed-point PMI lift (min-support bigrams)"),
     QueryDef("q142_lm_surprise", q142, Some(q142Sql),

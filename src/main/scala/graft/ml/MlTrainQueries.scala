@@ -572,7 +572,145 @@ object MlTrainQueries {
          |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q205
+
+  /** Integer fixed-point log2 at scale 4096 — the piecewise-linear
+    * approximation log2(n) ≈ (bl−1) + (n − 2^(bl−1))/2^(bl−1) where bl is
+    * n's bit length, evaluated ENTIRELY in int64 arithmetic (bit length
+    * via the binary-string length — exact in both engines; no float log
+    * whose last-ulp could differ between libm and DuckDB). Monotonic,
+    * exact at powers of two, max error ~0.086 bits — classification
+    * argmaxes are insensitive at that error, and the score stays
+    * hash-exact across engines. `e` must be ≥ 1.
+    */
+  private def fplogSpark(e: String): String = {
+    val bl = s"length(bin($e))"
+    val p = s"shiftleft(CAST(1 AS BIGINT), $bl - 1)"
+    s"(CAST($bl - 1 AS BIGINT) * 4096 + (4096 * (($e) - $p)) div $p)"
+  }
+
+  /** DuckDB mirror of [[fplogSpark]] (binary string via printf('%b')). */
+  private def fplogSql(e: String): String = {
+    val bl = s"length(printf('%b', $e))"
+    val p = s"(CAST(1 AS BIGINT) << ($bl - 1))"
+    s"(CAST($bl - 1 AS BIGINT) * 4096 + (4096 * (($e) - $p)) // $p)"
+  }
+
+  /** Multinomial Naive Bayes language classifier — TRAINED FROM THE DATA
+    * (the fastText/CCNet-style learned quality-and-language classifier
+    * family; complements q35's fixed n-gram heuristic and q153's
+    * pinned-weight scorer, which never train). One declarative plan does
+    * both stages:
+    *
+    *  - TRAIN (docs with doc_id%5 < 4): per-(lang, word) counts, per-lang
+    *    token totals and doc priors, vocabulary size — Laplace(+1)
+    *    smoothing. These are vocabulary-scale aggregates: ONE shuffle on
+    *    (lang, word), then the model is a small frame.
+    *  - APPLY (held-out docs): score(c, d) = fplog(docs_c)
+    *    + Σ_w cnt_dw·fplog(n_cw+1) − n_d·fplog(tot_c+V), argmax over
+    *    classes (ties → lexicographically first class). The model, class
+    *    priors, and vocab count are BROADCAST — scoring a 100 TB corpus
+    *    shuffles only (doc_id, word) counts, never the model.
+    *
+    * All arithmetic is [[fplogSpark]] int64 fixed point, so the emitted
+    * score column is hash-exact against the DuckDB mirror.
+    */
+  private def q205(s: SparkSession, d: String): DataFrame =
+    nbClassify(Tables.documents(s, d))
+
+  /** q205's core on an injectable (doc_id, lang, text) frame — exposed so
+    * MlTrainSpec can prove the LEARNING mechanics on a corpus whose class
+    * vocabularies are actually separable (the driver testdata's `lang`
+    * labels are independent of its synthetic text, so there the held-out
+    * accuracy is necessarily ≈ the class prior — the oracle checks engine
+    * parity, the spec checks that the classifier classifies).
+    */
+  private[graft] def nbClassify(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.clean.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val tr = toks.filter(col("doc_id") % 5 < 4)
+    val te = toks.filter(col("doc_id") % 5 === 4)
+    val model = tr.groupBy("lang", "word").agg(count(lit(1)).as("n_cw"))
+    val tot = tr.groupBy("lang").agg(count(lit(1)).as("tot_c"))
+    val pri = docs.filter(col("doc_id") % 5 < 4)
+      .groupBy("lang").agg(count(lit(1)).as("docs_c"))
+    val vocab = tr.agg(countDistinct(col("word")).as("vocab"))
+    val twc = te.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val tn = te.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val tdocs = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("lang").as("actual"))
+    val contrib = twc
+      .crossJoin(broadcast(pri.select(col("lang"))))
+      .join(broadcast(model), Seq("lang", "word"), "left")
+      .withColumn("t",
+        expr(s"cnt * ${fplogSpark("coalesce(n_cw, CAST(0 AS BIGINT)) + 1")}"))
+      .groupBy("doc_id", "lang").agg(sum(col("t")).as("s"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    tdocs
+      .crossJoin(broadcast(pri))
+      .join(broadcast(tot), Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .join(contrib, Seq("doc_id", "lang"), "left")
+      .join(tn, Seq("doc_id"), "left")
+      .withColumn("score", expr(
+        s"${fplogSpark("docs_c")} + coalesce(s, CAST(0 AS BIGINT)) " +
+          s"- coalesce(n_tok, CAST(0 AS BIGINT)) * ${fplogSpark("tot_c + vocab")}"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted"), col("actual"),
+        (col("lang") === col("actual")).as("correct"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val q205Sql = {
+    val contribLog = fplogSql("coalesce(m.n_cw, 0) + 1")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, w AS word
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  WHERE w != ''),
+       |tr AS (SELECT * FROM toks WHERE doc_id % 5 < 4),
+       |te AS (SELECT * FROM toks WHERE doc_id % 5 = 4),
+       |model AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n_cw
+       |          FROM tr GROUP BY lang, word),
+       |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot_c
+       |        FROM tr GROUP BY lang),
+       |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs_c
+       |        FROM documents WHERE doc_id % 5 < 4 GROUP BY lang),
+       |v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS vocab FROM tr),
+       |twc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM te GROUP BY doc_id, word),
+       |tn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+       |       FROM te GROUP BY doc_id),
+       |tdocs AS (SELECT doc_id, lang AS actual FROM documents
+       |          WHERE doc_id % 5 = 4),
+       |contrib AS (
+       |  SELECT t.doc_id, c.lang,
+       |    CAST(sum(t.cnt * $contribLog) AS BIGINT) AS s
+       |  FROM twc t CROSS JOIN (SELECT lang FROM pri) c
+       |  LEFT JOIN model m ON m.lang = c.lang AND m.word = t.word
+       |  GROUP BY t.doc_id, c.lang),
+       |sc AS (
+       |  SELECT d.doc_id, d.actual, p.lang,
+       |    ${fplogSql("p.docs_c")} + coalesce(ct.s, 0)
+       |      - coalesce(tn.n_tok, 0) * ${fplogSql("tot.tot_c + v.vocab")} AS score
+       |  FROM tdocs d CROSS JOIN pri p
+       |  JOIN tot ON tot.lang = p.lang CROSS JOIN v
+       |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id AND ct.lang = p.lang
+       |  LEFT JOIN tn ON tn.doc_id = d.doc_id),
+       |rk AS (SELECT *, row_number() OVER
+       |         (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |       FROM sc)
+       |SELECT doc_id, lang AS predicted, actual, (lang = actual) AS correct,
+       |  CAST(score AS BIGINT) AS score
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q205_naive_bayes", q205, Some(q205Sql),
+      "multinomial Naive Bayes language classifier trained from the corpus (Laplace smoothing, int64 fixed-point log scores, broadcast model apply)"),
     QueryDef("q168_sliced_eval", q168, Some(q168Sql),
       "held-out accuracy sliced by order priority (no single-number model acceptance)"),
     QueryDef("q169_calibration", q169, Some(q169Sql),

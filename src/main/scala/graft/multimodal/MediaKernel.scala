@@ -325,6 +325,41 @@ final class MediaKernel {
   def resizeAreaAvg(g: Gray, maxSide: Int): Gray = {
     val (tw, th) = thumbDims(g.width, g.height, maxSide)
     if (tw == g.width && th == g.height) return g
+    resizeTo(g, tw, th)
+  }
+
+  /** Integer box-filter resize to EXPLICIT target dims (downscale only:
+    * tw ≤ width, th ≤ height — the `x·tw/w` cell map is then surjective,
+    * so every cell averages ≥ 1 source pixel). Same floor-division
+    * arithmetic as [[resizeAreaAvg]]; the q204 oracle mirrors it with
+    * `sum(g) // count(*)` over `(x*tw)//w` cells.
+    */
+  /** 64-bit difference hash (dHash, the standard perceptual image
+    * fingerprint): box-filter resize to 9×8, then bit (ty·8+tx) is set
+    * iff cell(tx,ty) > cell(tx+1,ty). Horizontal-gradient signs survive
+    * re-encoding, mild blur, and GLOBAL brightness shifts (comparisons
+    * are shift-invariant), so near-identical images land within a small
+    * Hamming distance — the image-content analogue of MinHash for text.
+    * Bit 63 makes the packed value negative; all consumers treat it as
+    * an opaque 64-bit pattern (xor + bit_count), never as a magnitude.
+    */
+  def dHash64(g: Gray): Long = {
+    val t = resizeTo(g, 9, 8)
+    var h = 0L
+    var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        if (t.pix(ty * 9 + tx) > t.pix(ty * 9 + tx + 1))
+          h |= 1L << (ty * 8 + tx)
+        tx += 1
+      }
+      ty += 1
+    }
+    h
+  }
+
+  def resizeTo(g: Gray, tw: Int, th: Int): Gray = {
     val sums = new Array[Long](tw * th)
     val counts = new Array[Int](tw * th)
     var y = 0

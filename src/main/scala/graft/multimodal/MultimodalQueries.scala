@@ -475,7 +475,122 @@ object MultimodalQueries {
       |FROM wav
       |ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash NEAR-DUPLICATE IMAGE detection — the image-content
+    * member of the dedup family (q41 exact / q44 MinHash / q45 SimHash
+    * are text-side): crawled image corpora are full of re-encodes,
+    * brightness tweaks, and thumbnails of the same picture, which
+    * byte-level dedup (q41's shape) cannot see. Pipeline, end to end on
+    * REAL codec output:
+    *
+    *  1. decode each genuine PNG payload ([[MediaKernel.decodeImage]]),
+    *     box-filter to 9×8, pack the 64-bit dHash
+    *     ([[MediaKernel.dHash64]]) — one mapPartitions pass; the binary
+    *     column dies inside the task that decoded it and only
+    *     (doc_id, int64) ever shuffles — at 100 TB of images this is the
+    *     entire scale argument.
+    *  2. band the hash into 4×16-bit keys and self-join on
+    *     (band, value) — Hamming-ball LSH. By pigeonhole, any pair with
+    *     distance ≤ 3 shares at least one intact band, so the banded
+    *     join finds EVERY qualifying pair (exact recall, unlike the
+    *     probabilistic MinHash bands); candidate count scales with
+    *     bucket occupancy, not n².
+    *  3. exact verify: bit_count(xor) ≤ 3 on candidates only, then per
+    *     doc: neighbor count and the greedy keep bit (q42's rule: keep
+    *     iff no smaller doc_id within the ball).
+    *
+    * Fixture: doc_id/3 is the image GROUP (shared base pattern + dims);
+    * doc_id%3 perturbs brightness and one pixel column, so same-group
+    * hashes differ by a few bits while different groups are far apart.
+    * The oracle recomputes hash + banding + pairs from the generating
+    * formula in closed form — identical pair semantics, so parity holds
+    * regardless of how the fixture distances fall.
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.map { id =>
+          val gid = id / 3
+          val r = (id % 3).toInt
+          val w = (16 + gid % 37).toInt
+          val h = (16 + gid % 23).toInt
+          val png = k.encodePng(w, h, (x, y) =>
+            (((gid * 2654435761L + x * 40503L + y * 65027L) % 1000003 % 200)
+              + r * 3 + (if (x == 7) r * 4 else 0)).toInt)
+          (id, k.dHash64(k.decodeImage(png)._2))
+        }
+      }
+      .toDF("doc_id", "dhash")
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("shiftright(dhash, b * 16) & 65535"))
+    val a = bands.select(col("b"), col("bv"),
+      col("doc_id").as("ida"), col("dhash").as("ha"))
+    val bb = bands.select(col("b"), col("bv"),
+      col("doc_id").as("idb"), col("dhash").as("hb"))
+    val pairs = a.join(bb, Seq("b", "bv"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb", "ha", "hb").distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+    val nbrs = pairs.select(col("ida").as("doc_id"), col("idb").as("nb"))
+      .unionAll(pairs.select(col("idb").as("doc_id"), col("ida").as("nb")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near"), min(col("nb")).as("mn"))
+    hashes.join(nbrs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (col("mn").isNull || col("mn") > col("doc_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // closed-form mirror: pixels → 9×8 cells (integer box filter) → dHash
+  // bits (bit 63 via the min-long literal — DuckDB rejects 1<<63) →
+  // identical band join + Hamming verify
+  private val q204Sql =
+    """WITH xs AS (SELECT range AS x FROM range(64)),
+      |     ys AS (SELECT range AS y FROM range(64)),
+      |dm AS (SELECT doc_id, doc_id // 3 AS gid, doc_id % 3 AS r,
+      |              16 + (doc_id // 3) % 37 AS w, 16 + (doc_id // 3) % 23 AS h
+      |       FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |         ((gid * 2654435761 + x * 40503 + y * 65027) % 1000003 % 200)
+      |           + r * 3 + CASE WHEN x = 7 THEN r * 4 ELSE 0 END AS g
+      |       FROM dm, xs, ys WHERE x < w AND y < h),
+      |cells AS (SELECT doc_id, (x * 9) // w AS tx, (y * 8) // h AS ty,
+      |                 sum(g) // count(*) AS cg
+      |          FROM px GROUP BY doc_id, (x * 9) // w, (y * 8) // h),
+      |bits AS (SELECT c.doc_id, c.ty, c.tx,
+      |           CASE WHEN c.cg > n.cg THEN 1 ELSE 0 END AS bit
+      |         FROM cells c JOIN cells n
+      |           ON c.doc_id = n.doc_id AND c.ty = n.ty AND n.tx = c.tx + 1
+      |         WHERE c.tx < 8),
+      |h AS (SELECT doc_id,
+      |        bit_or(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+      |               WHEN ty * 8 + tx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |               ELSE (CAST(1 AS BIGINT) << (ty * 8 + tx)) END) AS dhash
+      |      FROM bits GROUP BY doc_id),
+      |bands AS (SELECT doc_id, dhash, b, (dhash >> (b * 16)) & 65535 AS bv
+      |          FROM h, (SELECT range AS b FROM range(4)) t),
+      |cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
+      |                x.dhash AS ha, y.dhash AS hb
+      |         FROM bands x JOIN bands y
+      |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT * FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      |nbrs AS (SELECT ida AS doc_id, idb AS nb FROM pairs
+      |         UNION ALL SELECT idb, ida FROM pairs),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near, min(nb) AS mn
+      |        FROM nbrs GROUP BY doc_id)
+      |SELECT h.doc_id, h.dhash,
+      |  COALESCE(agg.n_near, CAST(0 AS BIGINT)) AS n_near,
+      |  (agg.mn IS NULL OR agg.mn > h.doc_id) AS keep
+      |FROM h LEFT JOIN agg ON h.doc_id = agg.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q204_phash_dedup", q204, Some(q204Sql),
+      "perceptual-hash (dHash) near-duplicate image detection: real PNG decode → 64-bit dHash → 4×16 Hamming-ball LSH bands → exact verify + keep bit"),
     QueryDef("q197_media_dispatch", q197, Some(q197Sql),
       "heterogeneous media column: magic-byte format sniff dispatching to the right codec per row"),
     QueryDef("q193_media_video", q193, Some(q193Sql),

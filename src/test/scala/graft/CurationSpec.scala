@@ -548,4 +548,50 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_boiler") == 3L)
     }
   }
+
+  test("q206 priority sample: exact top-k by priority, maximal, ranked correctly") {
+    import spark.implicits._
+    val docs = (0L until 120L)
+      .map(i => ("s", i, 1L + (i % 50) * (i % 7)))
+      .toDF("lang", "doc_id", "weight")
+    val out = curation.CurationQueries.prioritySample(docs, 16, seed = 3L)
+      .collect().map(r => (r.getLong(1), r.getLong(4)))
+    // plain-Scala reference of the same integer draw
+    val ref = (0L until 120L).map { i =>
+      val w = 1L + (i % 50) * (i % 7)
+      val u = java.lang.Math.floorMod(i * 2654435761L + 3L * 1315423911L,
+        1000000007L) + 1L
+      (i, w * 1000000000L / u)
+    }.sortBy { case (id, p) => (-p, id) }.take(16).map(_._1)
+    assert(out.sortBy(_._2).map(_._1).sameElements(ref),
+      s"sample is not the exact top-k of the reference draw\n" +
+        s"spark=${out.sortBy(_._2).map(_._1).mkString(",")}\nref=${ref.mkString(",")}")
+  }
+
+  test("q206 DLT estimator: unbiased across draws, heavier docs sampled more") {
+    import spark.implicits._
+    val n = 150L
+    def wgt(i: Long): Long = 1L + (i % 40) * (i % 11)
+    val docs = (0L until n).map(i => ("s", i, wgt(i))).toDF("lang", "doc_id", "weight")
+    val trueTotal = (0L until n).map(wgt).sum.toDouble
+    val seeds = 1L to 24L
+    var estSum = 0.0
+    val hits = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    seeds.foreach { sd =>
+      val rows = curation.CurationQueries.prioritySample(docs, 12, sd).collect()
+      estSum += rows.map(_.getAs[Long]("est_w")).sum.toDouble
+      rows.foreach(r => hits(r.getLong(1)) += 1)
+    }
+    val meanEst = estSum / seeds.length
+    val relErr = math.abs(meanEst - trueTotal) / trueTotal
+    assert(relErr < 0.15,
+      s"mean estimate $meanEst vs true $trueTotal (rel err $relErr)")
+    // inclusion is weight-monotone in aggregate: the heaviest third must be
+    // sampled strictly more often than the lightest third
+    val byW = (0L until n).sortBy(wgt)
+    val light = byW.take(50).map(hits(_)).sum
+    val heavy = byW.takeRight(50).map(hits(_)).sum
+    assert(heavy > light * 2,
+      s"heavy-third hits $heavy not dominating light-third $light")
+  }
 }

@@ -106,4 +106,44 @@ class MlTrainSpec extends AnyFunSuite {
       s"calibration flat: bottom bin rate $bottom, top bin rate $top")
     bins.foreach(b => assert(b._3 <= b._2))
   }
+
+  test("q205 NB: learns separable class vocabularies to perfect held-out accuracy") {
+    import spark.implicits._
+    // two classes with disjoint core vocabularies plus shared filler; the
+    // %5==4 held-out docs follow the same generating rule, so a correct
+    // multinomial NB must recover every label
+    val vocabA = Seq("alpha", "ember", "quartz", "raven")
+    val vocabB = Seq("delta", "willow", "onyx", "tern")
+    val filler = Seq("the", "of", "and")
+    val docs = (0L until 60L).map { i =>
+      val cls = if (i % 2 == 0) "aa" else "bb"
+      val core = if (i % 2 == 0) vocabA else vocabB
+      val words = (0 until 12).map { j =>
+        if (j % 3 == 2) filler(((i + j) % filler.length).toInt)
+        else core(((i * 7 + j) % core.length).toInt)
+      }
+      (i, cls, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = ml.MlTrainQueries.nbClassify(docs).collect()
+    assert(out.length == 12) // 60/5 held out
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)}: predicted ${r.getString(1)}, actual ${r.getString(2)}")
+    }
+  }
+
+  test("q205 NB: unseen words fall back to smoothing, prior breaks pure-filler ties") {
+    import spark.implicits._
+    // class 'aa' has 3x the training docs of 'bb'; the held-out doc is one
+    // unseen word, so its factor is the smoothed 1/(tot_c+V) for BOTH
+    // classes and the argmax comes down to prior vs normalizer:
+    // fplog(30)−fplog(66) > fplog(10)−fplog(26) — a crash or a
+    // zero-probability shortcut on unseen words is the classic NB bug
+    val docs = ((0L until 40L).map { i =>
+      val cls = if (i % 4 == 3) "bb" else "aa"
+      (i * 5, cls, s"w${i % 6} w${(i * 3) % 6}") // doc_id%5==0 → all train
+    } :+ (9L, "aa", "zzz")).toDF("doc_id", "lang", "text")
+    val out = ml.MlTrainQueries.nbClassify(docs).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "aa")
+  }
 }

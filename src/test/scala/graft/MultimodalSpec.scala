@@ -261,4 +261,60 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows.forall(r => r.getLong(2) == tw && r.getLong(3) == th))
     }
   }
+
+  test("dHash64: invariant under global brightness shift, sensitive to content") {
+    val k = new MediaKernel
+    def hash(px: (Int, Int) => Int): Long =
+      k.dHash64(k.decodeImage(k.encodePng(40, 24, px))._2)
+    def base(x: Int, y: Int): Int =
+      ((x * 40503L + y * 65027L) % 1000003 % 200).toInt
+    val h0 = hash(base)
+    // +40 gray everywhere: every comparison sign unchanged → same hash
+    assert(hash((x, y) => base(x, y) + 40) == h0)
+    // different content (transposed frequencies) → far in Hamming space
+    val h1 = hash((x, y) => ((x * 65027L + y * 40503L) % 1000003 % 200).toInt)
+    assert(java.lang.Long.bitCount(h0 ^ h1) > 10)
+  }
+
+  test("q204: same-group perturbations stay in the Hamming ball, groups separate") {
+    val k = new MediaKernel
+    def fixtureHash(gid: Long, r: Int): Long = {
+      val w = (16 + gid % 37).toInt
+      val h = (16 + gid % 23).toInt
+      k.dHash64(k.decodeImage(k.encodePng(w, h, (x, y) =>
+        (((gid * 2654435761L + x * 40503L + y * 65027L) % 1000003 % 200)
+          + r * 3 + (if (x == 7) r * 4 else 0)).toInt))._2)
+    }
+    val gids = 0L until 40L
+    // within-group: the r-perturbation (brightness + one pixel column) must
+    // usually stay inside the distance-3 ball the query uses
+    val withinOk = gids.count { g =>
+      val hs = (0 to 2).map(fixtureHash(g, _))
+      hs.combinations(2).forall { case Seq(a, b) =>
+        java.lang.Long.bitCount(a ^ b) <= 3
+      }
+    }
+    assert(withinOk >= 30, s"only $withinOk/40 groups stayed near-dup")
+    // across groups: the hash-mixed base patterns must be far apart
+    val h0 = gids.map(fixtureHash(_, 0))
+    val crossClose = h0.combinations(2).count { case Seq(a, b) =>
+      java.lang.Long.bitCount(a ^ b) <= 3
+    }
+    assert(crossClose <= 2, s"$crossClose cross-group pairs inside the ball")
+  }
+
+  test("q204: every distance<=3 pair shares an intact 16-bit band (exact recall)") {
+    // pigeonhole sanity over adversarial bit placements: 3 flipped bits
+    // can corrupt at most 3 of the 4 bands
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val a = rnd.nextLong()
+      val flips = Seq.fill(rnd.nextInt(4))(rnd.nextInt(64))
+      val b = flips.foldLeft(a)((v, i) => v ^ (1L << i))
+      val shared = (0 until 4).exists { band =>
+        ((a >>> (band * 16)) & 0xffffL) == ((b >>> (band * 16)) & 0xffffL)
+      }
+      assert(shared, s"no shared band for a=$a flips=$flips")
+    }
+  }
 }

@@ -86,4 +86,31 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Int, Int)].head()
     assert(row == ((4, 16)))
   }
+
+  test("q207 mojibake: counts match a plain-Scala mirror of the corruption + detector") {
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Registry.queries("q207_mojibake")(spark, TestSpark.sf).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val s = (id % 7) match {
+        case 0 => texts(id).replace("a", "Ã¡")
+        case 1 => texts(id).replace("e", "�")
+        case 2 => texts(id) + "x"
+        case _ => texts(id)
+      }
+      val nRepl = s.count(_ == '�').toLong
+      val nCtrl = s.count(c => c < 32 && c != 9 && c != 10 && c != 13).toLong
+      val nMoji = s.count(_ == 'Ã').toLong
+      val nNonAscii = s.count(_ > 127).toLong
+      assert(r.getLong(1) == nRepl, s"doc $id n_repl")
+      assert(r.getLong(2) == nCtrl, s"doc $id n_ctrl")
+      assert(r.getLong(3) == nMoji, s"doc $id n_moji")
+      assert(r.getLong(4) == nNonAscii, s"doc $id n_nonascii")
+      assert(r.getLong(5) == s.length.toLong, s"doc $id n_chars")
+      assert(r.getBoolean(6) == (nRepl == 0 && nCtrl == 0 && nMoji == 0), s"doc $id keep")
+    }
+  }
 }
