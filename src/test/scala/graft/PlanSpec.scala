@@ -276,4 +276,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"2-hop must be an equi-join on the edge key:\n$plan")
   }
+
+  test("q205 NB apply: model/priors/totals/vocab all broadcast, never shuffled") {
+    val plan = physicalPlan("q205_naive_bayes")
+    // the (lang,word) model, the priors, the totals and the 1-row vocab
+    // count must each reach the scoring side as broadcasts — the corpus
+    // side shuffles only its own (doc_id, word) aggregate
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"model-side joins must broadcast:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 1,
+      s"the 1-row vocab cross join should be a broadcast NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no local cartesian belongs in scoring:\n$plan")
+  }
+
+  test("q204 pHash: banded self-join is an equi-join; binary column never shuffles") {
+    val plan = physicalPlan("q204_phash_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from the (band,value) equi-join:\n$plan")
+    // the payload dies inside the decode task: no plan column carries it
+    assert(!plan.contains("png") && !plan.contains("payload"),
+      s"image bytes leaked into the shuffle plan:\n$plan")
+  }
+
+  test("q207 mojibake detector is shuffle-free before the result sort") {
+    val plan = physicalPlan("q207_mojibake")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-row detector must not shuffle:\n$plan")
+  }
+
+  test("q206 priority sampling: one keyed shuffle, rank filter pushed below sort") {
+    val plan = physicalPlan("q206_priority_sample")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyed == 1, s"expected exactly one stratum shuffle, got $keyed:\n$plan")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("RunningWindowFunction")
+      || plan.contains("Window"), s"window rank stage missing:\n$plan")
+  }
 }
