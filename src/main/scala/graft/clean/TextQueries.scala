@@ -736,6 +736,115 @@ object TextQueries {
       |LEFT JOIN two t ON d.doc_id = t.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+
+  /** The q196 link-graph edge list as a reusable frame: directed distinct
+    * doc→doc edges extracted from the same markup fixture (regex over
+    * per-row generated anchors). Kept in exact lockstep with
+    * [[linkEdgesCteSql]] — q196 and q208 both build on this pair.
+    */
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    Tables.documents(s, d)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        concat(lit("<html><body><p>See also:</p><ul>"),
+          array_join(transform(sequence(lit(1), (col("doc_id") % 3 + 1).cast("int")),
+            k => concat(lit("<li><a href=\"/doc/"),
+              ((col("doc_id") * 7 + k) % col("n")).cast("string"),
+              lit("\">ref</a></li>"))), ""),
+          lit("</ul></body></html>")).as("html"))
+      .select(col("doc_id").as("src"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"/doc/([0-9]+)\""), lit(1))).as("dst"))
+      .select(col("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+  }
+
+  /** DuckDB CTE bodies mirroring [[linkEdges]] (`nd`, `markup`, `edges`). */
+  private val linkEdgesCteSql =
+    """nd AS (SELECT count(*) AS n FROM documents),
+      |markup AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>See also:</p><ul>' ||
+      |    array_to_string(list_transform(range(1, CAST(doc_id % 3 + 2 AS BIGINT)),
+      |      k -> '<li><a href="/doc/' || ((doc_id * 7 + k) % n) || '">ref</a></li>'), '') ||
+      |    '</ul></body></html>' AS html
+      |  FROM documents, nd),
+      |edges AS (
+      |  SELECT DISTINCT doc_id AS src,
+      |    CAST(unnest(regexp_extract_all(html, 'href="/doc/([0-9]+)"', 1)) AS BIGINT) AS dst
+      |  FROM markup)""".stripMargin
+
+  /** Triangle counting over the link graph — the canonical graph-mining
+    * primitive next to q132's PageRank and q196's degrees/2-hop (cluster
+    * coefficients, community cores, link-farm detection all start here).
+    * The classic DISTRIBUTED algorithm, relationally:
+    *
+    *  1. canonicalize to undirected edges {a<b}, drop self-loops;
+    *  2. DEGREE-ORIENT every edge from its (deg, id)-smaller endpoint to
+    *     the larger (the Suri-Vassilvitskii / "node-iterator++" trick:
+    *     every node's oriented out-degree is O(√m), so wedge fan-out is
+    *     bounded by O(m^{3/2}) TOTAL, independent of skew — a raw hub
+    *     node would otherwise fan deg² wedges);
+    *  3. wedges = oriented ⋈ oriented on the pivot, x<y;
+    *  4. close each wedge against the canonical edge set with one more
+    *     equi-join — each triangle is found EXACTLY once (at its
+    *     ≺-minimal vertex).
+    *
+    * Every join is a keyed equi-join (no broadcast needed — the edge list
+    * scales with the corpus); per-node participation counts come from one
+    * explode + aggregate.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val e = linkEdges(s, d)
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(col("dega") <= col("degb"), col("a")).otherwise(col("b")).as("lo"),
+        when(col("dega") <= col("degb"), col("b")).otherwise(col("a")).as("hi"))
+    val wedges = o.select(col("lo"), col("hi").as("x"))
+      .join(o.select(col("lo"), col("hi").as("y")), "lo")
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(und,
+      wedges("x") === und("a") && wedges("y") === und("b"))
+      .select(col("lo"), col("x"), col("y"))
+    tris.select(explode(array(col("lo"), col("x"), col("y"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  private val q208Sql =
+    s"""WITH $linkEdgesCteSql,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst),
+       |deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |o AS (
+       |  SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS lo,
+       |         CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS hi
+       |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+       |wedges AS (
+       |  SELECT o1.lo, o1.hi AS x, o2.hi AS y
+       |  FROM o o1 JOIN o o2 ON o1.lo = o2.lo WHERE o1.hi < o2.hi),
+       |tris AS (
+       |  SELECT w.lo, w.x, w.y FROM wedges w
+       |  JOIN und u ON u.a = w.x AND u.b = w.y)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT lo AS doc_id FROM tris
+       |  UNION ALL SELECT x FROM tris
+       |  UNION ALL SELECT y FROM tris)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q207
 
   /** Encoding-quality / mojibake detection — the byte-sanity gate every
@@ -804,6 +913,8 @@ object TextQueries {
       |FROM c ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q208_triangles", q208, Some(q208Sql),
+      "degree-oriented triangle counting over the link graph (Suri-Vassilvitskii orientation: O(m^1.5) wedges, skew-immune)"),
     QueryDef("q207_mojibake", q207, Some(q207Sql),
       "encoding-quality gate: U+FFFD / C0-control / double-encoding marker detection with keep verdict"),
     QueryDef("q196_link_graph", q196, Some(q196Sql),

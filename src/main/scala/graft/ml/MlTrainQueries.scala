@@ -574,27 +574,9 @@ object MlTrainQueries {
 
   // ---------------------------------------------------------------- q205
 
-  /** Integer fixed-point log2 at scale 4096 — the piecewise-linear
-    * approximation log2(n) ≈ (bl−1) + (n − 2^(bl−1))/2^(bl−1) where bl is
-    * n's bit length, evaluated ENTIRELY in int64 arithmetic (bit length
-    * via the binary-string length — exact in both engines; no float log
-    * whose last-ulp could differ between libm and DuckDB). Monotonic,
-    * exact at powers of two, max error ~0.086 bits — classification
-    * argmaxes are insensitive at that error, and the score stays
-    * hash-exact across engines. `e` must be ≥ 1.
-    */
-  private def fplogSpark(e: String): String = {
-    val bl = s"length(bin($e))"
-    val p = s"shiftleft(CAST(1 AS BIGINT), $bl - 1)"
-    s"(CAST($bl - 1 AS BIGINT) * 4096 + (4096 * (($e) - $p)) div $p)"
-  }
-
-  /** DuckDB mirror of [[fplogSpark]] (binary string via printf('%b')). */
-  private def fplogSql(e: String): String = {
-    val bl = s"length(printf('%b', $e))"
-    val p = s"(CAST(1 AS BIGINT) << ($bl - 1))"
-    s"(CAST($bl - 1 AS BIGINT) * 4096 + (4096 * (($e) - $p)) // $p)"
-  }
+  // fixed-point log2 shared with q209 BM25 — see graft.util.Det
+  private def fplogSpark(e: String): String = Det.fplog2Spark(e)
+  private def fplogSql(e: String): String = Det.fplog2Sql(e)
 
   /** Multinomial Naive Bayes language classifier — TRAINED FROM THE DATA
     * (the fastText/CCNet-style learned quality-and-language classifier

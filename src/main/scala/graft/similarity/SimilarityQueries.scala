@@ -1241,7 +1241,105 @@ object SimilarityQueries {
        |  FROM rer) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+
+  /** The BM25 query set, shared verbatim between the Spark plan and the
+    * oracle VALUES list.
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "table",
+    2L -> "data", 2L -> "stream",
+    3L -> "join", 3L -> "merge", 3L -> "window")
+  private val Bm25K = 10
+
+  /** BM25 ranked retrieval — the standard lexical relevance scorer (the
+    * probabilistic-IR counterpart of q57's TF-IDF and the lexical leg
+    * q144's hybrid search approximates):
+    *   score(d,q) = Σ_t idf(t) · tf/(tf + k1·(1−b+b·|d|/avgdl)),
+    * k1 = 1.2, b = 0.75, idf = log((N−df+½)/(df+½)) — computed WHOLLY in
+    * int64 fixed point: idf via [[Det.fplog2Spark]] on the ×2 integers
+    * (log2-scale shifts every idf by a constant factor — rank-neutral),
+    * the length normalizer and tf saturation as milli-scaled integer
+    * divisions. Scores are hash-exact against the mirror.
+    *
+    * Scale (the reason BM25 fits 100 TB as one declarative plan): the
+    * corpus is filtered to QUERY TERMS before any aggregation — postings,
+    * tf, and df exist only for the handful of query words; doc lengths
+    * are one keyed aggregate; N/avgdl are a broadcast 1-row frame; the
+    * query list is a broadcast literal. Nothing vocabulary-sized ever
+    * shuffles, and the final top-k window gets WindowGroupLimit-pushed.
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(graft.clean.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("tot")))
+      .select(col("n_docs"), expr("tot * 1000 div n_docs").as("avgdl_fp"))
+    val post = toks
+      .filter(col("word").isin(Bm25Queries.map(_._2).distinct: _*))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfq = post.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = post
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_fp", expr(
+        s"${Det.fplog2Spark("2*n_docs + 2")} - ${Det.fplog2Spark("2*df + 1")}"))
+      .withColumn("nf_fp", expr("250 + (750 * dl * 1000) div avgdl_fp"))
+      .withColumn("tscore", expr(
+        "idf_fp * ((tf * 1000000) div (tf * 1000 + (1200 * nf_fp) div 1000))"))
+    val byQuery = scored
+      .join(broadcast(Bm25Queries.toDF("qid", "term")),
+        col("term") === col("word"))
+      .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score_fp"))
+    val w = Window.partitionBy("qid").orderBy(desc("score_fp"), asc("doc_id"))
+    byQuery.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25K)
+      .orderBy("qid", "rank")
+  }
+
+  private val q209Sql = {
+    val values = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val inList = Bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, term
+       |           FROM (VALUES $values) v(qid, term)),
+       |toks AS (SELECT doc_id, w AS word
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |               FROM documents) t WHERE w != ''),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM toks GROUP BY doc_id),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       |              (SELECT CAST(sum(dl) AS BIGINT) FROM dl) * 1000
+       |                // (SELECT count(*) FROM documents) AS avgdl_fp),
+       |post AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks WHERE word IN ($inList) GROUP BY word, doc_id),
+       |dfq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM post GROUP BY word),
+       |sc AS (SELECT p.word, p.doc_id,
+       |         (${Det.fplog2Sql("2*s.n_docs + 2")}
+       |           - ${Det.fplog2Sql("2*f.df + 1")})
+       |         * ((p.tf * 1000000) // (p.tf * 1000 +
+       |             (1200 * (250 + (750 * l.dl * 1000) // s.avgdl_fp)) // 1000))
+       |           AS tscore
+       |       FROM post p JOIN dfq f USING (word) JOIN dl l USING (doc_id)
+       |       CROSS JOIN st s),
+       |bq AS (SELECT q.qid, t.doc_id, CAST(sum(t.tscore) AS BIGINT) AS score_fp
+       |       FROM sc t JOIN q ON q.term = t.word GROUP BY q.qid, t.doc_id),
+       |rk AS (SELECT *, CAST(row_number() OVER
+       |         (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+       |       FROM bq)
+       |SELECT qid, doc_id, score_fp, rank FROM rk
+       |WHERE rank <= $Bm25K ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q209_bm25", q209, Some(q209Sql),
+      "BM25 ranked retrieval in int64 fixed point (query-term-filtered postings, broadcast stats, top-k per query)"),
     QueryDef("q181_pq_search", q181, Some(q181Sql),
       "PQ-ADC search: 32x16 Lloyd-trained codebook, 32-lookup distances, exact top-10 re-rank"),
     QueryDef("q190_ivf_pq", q190, Some(q190Sql),

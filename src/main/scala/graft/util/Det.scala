@@ -113,4 +113,27 @@ object Det {
     s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
       s"list_transform(list_filter(string_split($e, ''), c -> c != ''), " +
       "c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Integer fixed-point log2 at scale 4096 — the piecewise-linear
+    * approximation log2(n) ≈ (bl−1) + (n − 2^(bl−1))/2^(bl−1) with bl =
+    * n's bit length, evaluated ENTIRELY in int64 arithmetic (bit length
+    * via the binary-string length — exact in both engines; no float log
+    * whose last ulp could differ between libm and DuckDB). Monotonic,
+    * exact at powers of two, max error ~0.086 bits — argmax/ranking
+    * consumers (q205 NB, q209 BM25) are insensitive at that error, and
+    * the scores stay hash-exact across engines. `e` must be ≥ 1.
+    * Returns a Spark SQL expression string (use inside `expr`).
+    */
+  def fplog2Spark(e: String): String = {
+    val bl = s"length(bin($e))"
+    val p = s"shiftleft(CAST(1 AS BIGINT), $bl - 1)"
+    s"(CAST($bl - 1 AS BIGINT) * 4096 + (4096 * (($e) - $p)) div $p)"
+  }
+
+  /** DuckDB mirror of [[fplog2Spark]] (binary string via printf('%b')). */
+  def fplog2Sql(e: String): String = {
+    val bl = s"length(printf('%b', $e))"
+    val p = s"(CAST(1 AS BIGINT) << ($bl - 1))"
+    s"(CAST($bl - 1 AS BIGINT) * 4096 + (4096 * (($e) - $p)) // $p)"
+  }
 }

@@ -826,4 +826,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.exists { case (_, _, cont, purge) => purge && !cont },
       "no cluster-propagated purge found — fixture lost its dup-laundered leak")
   }
+
+  test("q209 BM25 matches a plain-Scala fixed-point reference; ranking is sane") {
+    val queries = Seq(1L -> "spark", 1L -> "table", 2L -> "data", 2L -> "stream",
+      3L -> "join", 3L -> "merge", 3L -> "window")
+    val qTerms = queries.map(_._2).distinct.toSet
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    def fplog(n: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val p = 1L << (bl - 1)
+      (bl - 1).toLong * 4096 + 4096 * (n - p) / p
+    }
+    val nDocs = docs.length.toLong
+    val dl = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val avgdlFp = dl.values.sum * 1000 / nDocs
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.filter(qTerms).groupBy(identity).map { case (w, o) => (w, id, o.length.toLong) }
+    }
+    val df = tf.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val perDoc = tf.map { case (w, id, f) =>
+      val idf = fplog(2 * nDocs + 2) - fplog(2 * df(w) + 1)
+      val nf = 250 + 750 * dl(id) * 1000 / avgdlFp
+      (w, id, idf * (f * 1000000 / (f * 1000 + 1200 * nf / 1000)))
+    }
+    val expected = queries.flatMap { case (qid, t) =>
+      perDoc.collect { case (w, id, sc) if w == t => ((qid, id), sc) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .groupBy(_._1._1).flatMap { case (qid, rows) =>
+        rows.sortBy { case ((_, id), sc) => (-sc, id) }.take(10).zipWithIndex
+          .map { case (((_, id), sc), i) => (qid, id, sc, i + 1L) }
+      }.toSet
+    val got = Registry.queries("q209_bm25")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"got ${got.toSeq.sorted}\nexpected ${expected.toSeq.sorted}")
+    // scores positive and each query returned something
+    assert(got.nonEmpty && got.forall(_._3 > 0))
+    assert(got.map(_._1) == Set(1L, 2L, 3L))
+  }
 }

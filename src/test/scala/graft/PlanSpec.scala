@@ -306,6 +306,26 @@ class PlanSpec extends AnyFunSuite {
       s"per-row detector must not shuffle:\n$plan")
   }
 
+  test("q208 triangles: every stage an equi-join, no cartesian/NLJ anywhere") {
+    val plan = physicalPlan("q208_triangles")
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge/closure stages must be keyed equi-joins:\n$plan")
+    // at sf0.001 every side fits a broadcast; the invariant is that the
+    // wedge and closure joins are KEYED (equi) joins of any flavor — the
+    // only NLJ allowed is the fixture's 1-row corpus-count cross join
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size >= 4,
+      s"expected keyed equi-joins for degree/wedge/closure stages:\n$plan")
+  }
+
+  test("q209 BM25: stats and model sides broadcast; corpus side keyed only") {
+    val plan = physicalPlan("q209_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"df/query-list joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no local cartesian in scoring:\n$plan")
+  }
+
   test("q206 priority sampling: one keyed shuffle, rank filter pushed below sort") {
     val plan = physicalPlan("q206_priority_sample")
     val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -113,4 +113,22 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getBoolean(6) == (nRepl == 0 && nCtrl == 0 && nMoji == 0), s"doc $id keep")
     }
   }
+
+  test("q208 triangles match a brute-force count of the fixture graph") {
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    // the q196/q208 fixture: doc i links to (i*7+k) mod n for k in 1..1+i%3
+    val edges = (0L until n).flatMap { i =>
+      (1L to (1 + i % 3)).map(k => (i, (i * 7 + k) % n))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if edges((a, b)) && edges((a, c)) && edges((b, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val got = Registry.queries("q208_triangles")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triCount.toMap, s"got $got expected $triCount")
+  }
 }
