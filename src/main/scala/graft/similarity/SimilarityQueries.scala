@@ -1337,7 +1337,99 @@ object SimilarityQueries {
        |WHERE rank <= $Bm25K ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q210
+
+  /** NDCG@10 evaluation of the q209 BM25 ranking — the standard graded
+    * ranking-quality metric, closing the eval loop for retrieval the way
+    * q160 (recall@k) closes it for ANN and q139 (AUC) for classification.
+    * Ground truth is INDEPENDENT of the scorer: rel(q, d) = total
+    * q-term occurrences in d, capped at 8 (graded 0..8 — occurrence
+    * grading diverges from BM25's length-normalized view, so the metric
+    * actually discriminates; distinct-term grading saturated at 1.0 on
+    * this corpus). Then
+    *   DCG@10  = Σ_ranks (2^rel − 1) / log2(rank+1),
+    *   IDCG@10 = the same over the corpus-wide ideal ordering
+    *             (rel desc, doc_id) — so a high-rel doc BM25 missed
+    *             genuinely lowers the score,
+    *   NDCG = DCG/IDCG in basis points.
+    * All arithmetic int64 fixed point: the discount via [[Det.fplog2Sql]]
+    * (exact at the power-of-two ranks, identical in both engines
+    * elsewhere), the ratio one integer division at scale 10^4.
+    *
+    * Scale: inherits q209's shape (only query-term postings exist); the
+    * ideal ranking is a per-query top-10 over the rel frame — another
+    * WindowGroupLimit-pushed window on a frame that only contains docs
+    * matching ≥ 1 query term.
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranked = q209(s, d) // (qid, doc_id, score_fp, rank)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.clean.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").isin(Bm25Queries.map(_._2).distinct: _*))
+    val rel = toks
+      .join(broadcast(Bm25Queries.toDF("qid", "term")), col("term") === col("word"))
+      .groupBy("qid", "doc_id")
+      .agg(least(count(lit(1)), lit(8L)).as("rel"))
+    // integer `div`, never Column `/` (which is double division and can
+    // round up across an integer boundary where DuckDB's `//` floors)
+    val gTerm = expr(
+      s"((shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1) * 40960000)" +
+        s" div (${Det.fplog2Spark("rank + 1")})")
+    val dcg = ranked.join(rel, Seq("qid", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .select(col("qid"), gTerm.as("g"))
+      .groupBy("qid").agg(sum(col("g")).as("dcg_fp"))
+    val w = Window.partitionBy("qid").orderBy(desc("rel"), asc("doc_id"))
+    val ideal = rel.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25K)
+      .select(col("qid"), gTerm.as("g"))
+      .groupBy("qid").agg(sum(col("g")).as("idcg_fp"))
+    dcg.join(ideal, Seq("qid"))
+      .select(col("qid"), col("dcg_fp"), col("idcg_fp"),
+        expr("CASE WHEN idcg_fp = 0 THEN 10000 ELSE (dcg_fp * 10000) div idcg_fp END")
+          .as("ndcg_bp"))
+      .orderBy("qid")
+  }
+
+  private val q210Sql = {
+    val inList = Bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val values = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val disc = Det.fplog2Sql("rank + 1")
+    s"""WITH bm AS (${q209Sql.replace("\n", "\n     ")}),
+       |qv AS (SELECT CAST(qid AS BIGINT) AS qid, term
+       |       FROM (VALUES $values) v(qid, term)),
+       |tk AS (SELECT doc_id, w AS word
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |             FROM documents) t WHERE w IN ($inList)),
+       |rel AS (SELECT q.qid, t.doc_id,
+       |          least(CAST(count(*) AS BIGINT), 8) AS rel
+       |        FROM tk t JOIN qv q ON q.term = t.word GROUP BY q.qid, t.doc_id),
+       |dcg AS (
+       |  SELECT b.qid,
+       |    CAST(sum(((1::BIGINT << CAST(coalesce(r.rel, 0) AS INT)) - 1)
+       |      * 40960000 // ($disc)) AS BIGINT) AS dcg_fp
+       |  FROM bm b LEFT JOIN rel r ON r.qid = b.qid AND r.doc_id = b.doc_id
+       |  GROUP BY b.qid),
+       |idl AS (SELECT qid, rel,
+       |          CAST(row_number() OVER
+       |            (PARTITION BY qid ORDER BY rel DESC, doc_id) AS BIGINT) AS rank
+       |        FROM rel),
+       |idcg AS (
+       |  SELECT qid,
+       |    CAST(sum(((1::BIGINT << CAST(rel AS INT)) - 1)
+       |      * 40960000 // ($disc)) AS BIGINT) AS idcg_fp
+       |  FROM idl WHERE rank <= $Bm25K GROUP BY qid)
+       |SELECT d.qid, d.dcg_fp, i.idcg_fp,
+       |  CASE WHEN i.idcg_fp = 0 THEN 10000
+       |       ELSE (d.dcg_fp * 10000) // i.idcg_fp END AS ndcg_bp
+       |FROM dcg d JOIN idcg i ON d.qid = i.qid
+       |ORDER BY d.qid""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q210_ndcg", q210, Some(q210Sql),
+      "NDCG@10 of the BM25 ranking vs graded term-overlap relevance (fixed-point DCG, corpus-wide ideal)"),
     QueryDef("q209_bm25", q209, Some(q209Sql),
       "BM25 ranked retrieval in int64 fixed point (query-term-filtered postings, broadcast stats, top-k per query)"),
     QueryDef("q181_pq_search", q181, Some(q181Sql),

@@ -864,4 +864,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 > 0))
     assert(got.map(_._1) == Set(1L, 2L, 3L))
   }
+
+  test("q210 NDCG matches a plain-Scala reference and is bounded by the ideal") {
+    val queries = Seq(1L -> "spark", 1L -> "table", 2L -> "data", 2L -> "stream",
+      3L -> "join", 3L -> "merge", 3L -> "window")
+    def fplog(n: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val p = 1L << (bl - 1)
+      (bl - 1).toLong * 4096 + 4096 * (n - p) / p
+    }
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    // graded relevance: capped occurrence count per (query, doc)
+    val rel = queries.groupBy(_._1).view.mapValues { qs =>
+      val terms = qs.map(_._2).toSet
+      docs.map { case (id, ws) =>
+        id -> math.min(8L, ws.count(terms).toLong)
+      }.filter(_._2 > 0).toMap
+    }.toMap
+    val ranked = Registry.queries("q209_bm25")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    def g(relv: Long, rank: Long): Long =
+      ((1L << relv.toInt) - 1) * 40960000L / fplog(rank + 1)
+    val expDcg = ranked.groupBy(_._1).view.mapValues(_.map { case (q, id, rk) =>
+      g(rel(q).getOrElse(id, 0L), rk)
+    }.sum).toMap
+    val expIdcg = rel.map { case (q, m) =>
+      q -> m.toSeq.sortBy { case (id, r) => (-r, id) }.take(10).zipWithIndex
+        .map { case ((_, r), i) => g(r, i + 1L) }.sum
+    }
+    val got = Registry.queries("q210_ndcg")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    got.foreach { case (q, (dcg, idcg, ndcg)) =>
+      assert(dcg == expDcg(q), s"q$q dcg $dcg != ${expDcg(q)}")
+      assert(idcg == expIdcg(q), s"q$q idcg $idcg != ${expIdcg(q)}")
+      assert(dcg <= idcg, s"q$q dcg above ideal")
+      assert(ndcg == dcg * 10000 / idcg && ndcg >= 0 && ndcg <= 10000)
+    }
+  }
 }
