@@ -334,6 +334,44 @@ final class MediaKernel {
     * arithmetic as [[resizeAreaAvg]]; the q204 oracle mirrors it with
     * `sum(g) // count(*)` over `(x*tw)//w` cells.
     */
+  /** Horizontal mirror: out(x, y) = in(w−1−x, y). */
+  def hflip(g: Gray): Gray =
+    Gray(g.width, g.height, Array.tabulate(g.width * g.height) { i =>
+      val (x, y) = (i % g.width, i / g.width)
+      g.pix(y * g.width + (g.width - 1 - x))
+    })
+
+  /** 90° clockwise rotation: out dims (h, w); out(x, y) = in(y, h−1−x). */
+  def rot90cw(g: Gray): Gray = {
+    val (tw, th) = (g.height, g.width)
+    Gray(tw, th, Array.tabulate(tw * th) { i =>
+      val (x, y) = (i % tw, i / tw)
+      g.pix((g.height - 1 - x) * g.width + y)
+    })
+  }
+
+  /** Rectangular crop: out(x, y) = in(x+x0, y+y0). Caller guarantees the
+    * window lies inside the image.
+    */
+  def crop(g: Gray, x0: Int, y0: Int, w: Int, h: Int): Gray =
+    Gray(w, h, Array.tabulate(w * h) { i =>
+      g.pix((i / w + y0) * g.width + (i % w + x0))
+    })
+
+  /** Position-weighted checksum Σ g(x,y)·(x + 7y) — unlike the plain luma
+    * sum (invariant under flips/rotations), this pins WHERE every pixel
+    * landed, so a transposed or off-by-one kernel fails its oracle.
+    */
+  def posSum(g: Gray): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < g.pix.length) {
+      acc += g.pix(i).toLong * ((i % g.width) + 7L * (i / g.width))
+      i += 1
+    }
+    acc
+  }
+
   /** 64-bit difference hash (dHash, the standard perceptual image
     * fingerprint): box-filter resize to 9×8, then bit (ty·8+tx) is set
     * iff cell(tx,ty) > cell(tx+1,ty). Horizontal-gradient signs survive

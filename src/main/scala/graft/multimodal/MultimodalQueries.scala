@@ -588,7 +588,148 @@ object MultimodalQueries {
       |FROM h LEFT JOIN agg ON h.doc_id = agg.doc_id
       |ORDER BY h.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+
+  /** Frame-level audio analysis — the windowed-DSP layer on top of q189's
+    * whole-clip features, which is what real audio pipelines operate on
+    * (voice-activity detection, segmentation, and diarization all consume
+    * per-frame energy/ZCR contours, never clip-level sums). Each clip
+    * round-trips the REAL WAV codec, then one pass frames the decoded PCM
+    * into 128-sample windows at a 64-sample hop (50% overlap, the
+    * standard analysis framing) and emits per frame: energy (Σx²), peak,
+    * zero crossings (frame-local), and an activity verdict against a
+    * fixed energy threshold. Same mapPartitions batched-kernel shape as
+    * the rest of the family — payload bytes never cross an operator
+    * boundary, only (doc_id, frame, 4 ints) rows shuffle.
+    */
+  private val FrameLen = 128
+  private val FrameHop = 64
+  private val ActiveThresh = 40000000L
+
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.flatMap { id =>
+          val n = (256 + id % 241).toInt
+          val src = Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
+          val pcm = k.decodeWav(k.encodeWav(8000, src))
+          val nf = (pcm.samples.length - FrameLen) / FrameHop + 1
+          (0 until nf).iterator.map { f =>
+            val st = f * FrameHop
+            var energy = 0L; var peak = 0L; var zc = 0L
+            var j = 0
+            while (j < FrameLen) {
+              val v = pcm.samples(st + j).toLong
+              energy += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (j > 0 && (v < 0) != (pcm.samples(st + j - 1) < 0)) zc += 1
+              j += 1
+            }
+            (id, f.toLong, energy, peak, zc, energy > ActiveThresh)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "energy", "peak", "n_zero_cross", "active")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val q212Sql =
+    s"""WITH n AS (SELECT doc_id, 256 + doc_id % 241 AS ns FROM documents),
+       |fr AS (SELECT doc_id, ns, unnest(range(0, (ns - $FrameLen) // $FrameHop + 1)) AS f
+       |       FROM n),
+       |sm AS (SELECT doc_id, f, j,
+       |         ((doc_id * 31 + (f * $FrameHop + j) * 7) % 2048) - 1024 AS v
+       |       FROM (SELECT doc_id, f, unnest(range(0, $FrameLen)) AS j FROM fr) t),
+       |sl AS (SELECT doc_id, f, j, v,
+       |         lag(v) OVER (PARTITION BY doc_id, f ORDER BY j) AS pv
+       |       FROM sm)
+       |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(sum(v * v) AS BIGINT) AS energy,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak,
+       |  CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) != (pv < 0)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+       |  (CAST(sum(v * v) AS BIGINT) > $ActiveThresh) AS active
+       |FROM sl GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+
+  /** Deterministic image AUGMENTATION — the training-set expansion ops
+    * every vision pipeline runs at ingest (flips, rotations, crops), each
+    * executed on REAL decoded pixels by the kernel and verified against a
+    * closed-form oracle. The position-weighted checksum Σ g·(x+7y) is the
+    * load-bearing check: the plain luma sum is INVARIANT under
+    * flip/rotation, so only the positional sum catches a transposed axis,
+    * a reversed row order, or an off-by-one crop origin. One mapPartitions
+    * pass emits all four variants per image (decode once, transform in
+    * memory); at 100 TB augmentation multiplies bytes 4×, so doing it
+    * inside the task that decoded the source — never materializing
+    * intermediate variants — is the only affordable shape.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.flatMap { id =>
+          val (w, h) = dims(id)
+          val png = k.encodePng(w, h, (x, y) => ((id * 7 + x + 2 * y) % 256).toInt)
+          val g = k.decodeImage(png)._2
+          Seq(
+            ("orig", g),
+            ("hflip", k.hflip(g)),
+            ("rot90", k.rot90cw(g)),
+            ("crop", k.crop(g, 4, 4, w - 8, h - 8))
+          ).map { case (v, t) =>
+            (id, v, t.width.toLong, t.height.toLong, k.lumaSum(t), k.posSum(t))
+          }
+        }
+      }
+      .toDF("doc_id", "variant", "width", "height", "luma_sum", "pos_sum")
+      .orderBy("doc_id", "variant")
+  }
+
+  // closed-form mirrors per variant: the OUTPUT-coordinate weight (x'+7y')
+  // re-expressed in source coordinates under each transform's map
+  private val q213Sql =
+    """WITH xs AS (SELECT range AS x FROM range(64)),
+      |     ys AS (SELECT range AS y FROM range(64)),
+      |d AS (SELECT doc_id, 16 + doc_id % 37 AS w, 16 + doc_id % 23 AS h
+      |      FROM documents),
+      |px AS (SELECT doc_id, w, h, x, y, (doc_id * 7 + x + 2 * y) % 256 AS g
+      |       FROM d, xs, ys WHERE x < w AND y < h)
+      |SELECT doc_id, 'orig' AS variant,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum(g) AS BIGINT) AS luma_sum,
+      |  CAST(sum(g * (x + 7 * y)) AS BIGINT) AS pos_sum
+      |FROM px GROUP BY doc_id, w, h
+      |UNION ALL
+      |SELECT doc_id, 'hflip', CAST(w AS BIGINT), CAST(h AS BIGINT),
+      |  CAST(sum(g) AS BIGINT),
+      |  CAST(sum(g * ((w - 1 - x) + 7 * y)) AS BIGINT)
+      |FROM px GROUP BY doc_id, w, h
+      |UNION ALL
+      |SELECT doc_id, 'rot90', CAST(h AS BIGINT), CAST(w AS BIGINT),
+      |  CAST(sum(g) AS BIGINT),
+      |  CAST(sum(g * ((h - 1 - y) + 7 * x)) AS BIGINT)
+      |FROM px GROUP BY doc_id, w, h
+      |UNION ALL
+      |SELECT doc_id, 'crop', CAST(w - 8 AS BIGINT), CAST(h - 8 AS BIGINT),
+      |  CAST(sum(CASE WHEN x >= 4 AND x < w - 4 AND y >= 4 AND y < h - 4
+      |           THEN g ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN x >= 4 AND x < w - 4 AND y >= 4 AND y < h - 4
+      |           THEN g * ((x - 4) + 7 * (y - 4)) ELSE 0 END) AS BIGINT)
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY doc_id, variant""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q212_audio_frames", q212, Some(q212Sql),
+      "frame-level audio features over the real WAV roundtrip: 128/64 sliding windows, energy/peak/ZCR contour + activity verdicts"),
+    QueryDef("q213_image_augment", q213, Some(q213Sql),
+      "deterministic augmentation (hflip/rot90/center-crop) on decoded pixels, position-weighted checksum oracle"),
     QueryDef("q204_phash_dedup", q204, Some(q204Sql),
       "perceptual-hash (dHash) near-duplicate image detection: real PNG decode → 64-bit dHash → 4×16 Hamming-ball LSH bands → exact verify + keep bit"),
     QueryDef("q197_media_dispatch", q197, Some(q197Sql),

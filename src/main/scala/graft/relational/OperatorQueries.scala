@@ -832,7 +832,98 @@ object OperatorQueries {
        |FROM est ORDER BY "column"""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q211
+
+  /** CDC LOG REPLAY — apply an ordered insert/update/delete change log
+    * (the Debezium/binlog shape) onto a base snapshot and emit the final
+    * table state. Distinct from q143's single-batch MERGE (no deletes, no
+    * intra-batch ordering) and q88/q201's SCD2 (which KEEP history): this
+    * is the "latest state wins, deletes really delete, ops apply in LSN
+    * order" materialization every replicated table needs.
+    *
+    * Fixture (deterministic from `orders`): base = (o_orderkey, cents);
+    * keys ≡1 (mod 4) get 1+key%2 UPDATE ops (val += lsn·37), of which any
+    * op with (key+lsn) ≡0 (mod 5) is a DELETE instead; keys ≡2 (mod 4)
+    * insert a brand-new key (key+10^9). Money stays exact via
+    * DECIMAL(18,2)→cents — never double arithmetic.
+    *
+    * Scale shape: the log and base UNION into one frame; ONE window
+    * shuffle on key ordered by (lsn DESC) picks each key's final op
+    * (row_number=1), deletes filter out. No join at all — the union-window
+    * replay is the same single-shuffle recipe as the as-of join above, and
+    * it stays linear no matter how many ops a hot key accumulates.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("val_c"),
+        lit("B").as("op"), lit(0L).as("lsn"))
+    val touched = Tables.orders(s, d).filter(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey").as("key"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v0"),
+        explode(sequence(lit(1L), lit(1L) + col("o_orderkey") % 2)).as("lsn"))
+      .select(col("key"),
+        when((col("key") + col("lsn")) % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        when((col("key") + col("lsn")) % 5 === 0, lit(0L))
+          .otherwise(col("v0") + col("lsn") * 37L).as("val_c"),
+        col("lsn"))
+    val inserts = Tables.orders(s, d).filter(col("o_orderkey") % 4 === 2)
+      .select((col("o_orderkey") + 1000000000L).as("key"),
+        lit("I").as("op"),
+        (col("o_orderkey") % 1000L).as("val_c"),
+        lit(1L).as("lsn"))
+    val log = touched.select("key", "val_c", "op", "lsn")
+      .unionByName(inserts.select("key", "val_c", "op", "lsn"))
+    val all = base.select("key", "val_c", "op", "lsn").unionByName(log)
+    val w = Window.partitionBy("key").orderBy(desc("lsn"))
+    val nOps = log.groupBy("key").agg(count(lit(1)).as("n_ops"))
+    all
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .join(nOps, Seq("key"), "left")
+      .select(col("key"), col("val_c"),
+        coalesce(col("n_ops"), lit(0L)).as("n_ops"),
+        col("lsn").as("last_lsn"))
+      .orderBy("key")
+  }
+
+  private val q211Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_c,
+      |    'B' AS op, CAST(0 AS BIGINT) AS lsn
+      |  FROM orders),
+      |touched AS (
+      |  SELECT key, CASE WHEN (key + lsn) % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CASE WHEN (key + lsn) % 5 = 0 THEN 0 ELSE v0 + lsn * 37 END AS val_c,
+      |    lsn
+      |  FROM (
+      |    SELECT o_orderkey AS key,
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v0,
+      |      unnest(range(1, 2 + o_orderkey % 2)) AS lsn
+      |    FROM orders WHERE o_orderkey % 4 = 1) t),
+      |inserts AS (
+      |  SELECT o_orderkey + 1000000000 AS key, 'I' AS op,
+      |    o_orderkey % 1000 AS val_c, CAST(1 AS BIGINT) AS lsn
+      |  FROM orders WHERE o_orderkey % 4 = 2),
+      |log AS (SELECT key, val_c, op, lsn FROM touched
+      |        UNION ALL SELECT key, val_c, op, lsn FROM inserts),
+      |alltab AS (SELECT key, val_c, op, lsn FROM base
+      |           UNION ALL SELECT key, val_c, op, lsn FROM log),
+      |nops AS (SELECT key, CAST(count(*) AS BIGINT) AS n_ops FROM log GROUP BY key),
+      |fin AS (
+      |  SELECT key, val_c, op, lsn,
+      |    row_number() OVER (PARTITION BY key ORDER BY lsn DESC) AS rn
+      |  FROM alltab)
+      |SELECT f.key, CAST(f.val_c AS BIGINT) AS val_c,
+      |  coalesce(n.n_ops, 0) AS n_ops, f.lsn AS last_lsn
+      |FROM fin f LEFT JOIN nops n ON n.key = f.key
+      |WHERE f.rn = 1 AND f.op != 'D'
+      |ORDER BY f.key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q211_cdc_apply", q211, Some(q211Sql),
+      "CDC log replay: ordered insert/update/delete ops materialized onto a base snapshot via one union-window pass (no join)"),
     QueryDef("q200_encoding_advisor", q200, Some(q200Sql),
       "columnar encoding-size advisor: RLE runs, dictionary width, plain size per column (integer bit math)"),
     QueryDef("q175_time_travel", q175, Some(q175Sql),

@@ -303,6 +303,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(crossClose <= 2, s"$crossClose cross-group pairs inside the ball")
   }
 
+  test("augment kernels: hand-computed 3x2 vectors for hflip/rot90/crop/posSum") {
+    import graft.multimodal.MediaKernel.Gray
+    val k = new MediaKernel
+    // | 1 2 3 |
+    // | 4 5 6 |
+    val g = Gray(3, 2, Array(1, 2, 3, 4, 5, 6))
+    assert(k.hflip(g).pix.toSeq == Seq(3, 2, 1, 6, 5, 4))
+    // clockwise: first output row = first input column bottom-up
+    val r = k.rot90cw(g)
+    assert((r.width, r.height) == ((2, 3)))
+    assert(r.pix.toSeq == Seq(4, 1, 5, 2, 6, 3))
+    assert(k.crop(g, 1, 0, 2, 2).pix.toSeq == Seq(2, 3, 5, 6))
+    // posSum: sum g*(x+7y) = 1*0+2*1+3*2 + 4*7+5*8+6*9 = 130
+    assert(k.posSum(g) == 130L)
+    // rotation preserves mass, not position
+    assert(k.lumaSum(r) == k.lumaSum(g) && k.posSum(r) != k.posSum(g))
+  }
+
   test("q204: every distance<=3 pair shares an intact 16-bit band (exact recall)") {
     // pigeonhole sanity over adversarial bit placements: 3 flipped bits
     // can corrupt at most 3 of the 4 bands
