@@ -576,7 +576,79 @@ object StreamingQueries {
       |FROM events e JOIN dim d ON e.user_id % 5 = d.mod5
       |GROUP BY 1 ORDER BY d.dim_name""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  /** Streaming windowed TOP-K ("trending entities"): per 5-minute
+    * event-time window, the 3 most active users — the canonical
+    * leaderboard/trending-topics job. Structured Streaming cannot rank
+    * inside an append-mode aggregation (no windowed row_number over an
+    * unclosed group), so the scalable decomposition is:
+    *
+    *  1. in-stream: watermarked (window × user) counts in APPEND mode —
+    *     each (window, user) row emits EXACTLY ONCE, when the watermark
+    *     closes its window (state bounded by open windows only);
+    *  2. a far-future sentinel event advances the watermark so every real
+    *     window provably closes before the query stops (the bounded-feed
+    *     analogue of stream retirement; the sentinel's own window stays
+    *     open and never emits);
+    *  3. post-sink: a batch top-k window rank over the CLOSED-window
+    *     table — O(closed windows × users-per-window), incremental in
+    *     production because append mode never rewrites a closed window.
+    *
+    * Stream-equals-batch oracle: the sink must equal the batch
+    * (window × user) counts over the same 400 events, so the top-3 ranks
+    * match the all-batch formulation exactly.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 400)
+    val sentinel = Pipeline.StreamEvent(-1L,
+      eventsSeq.map(_.ts_sec).max + 86400L, -1L, "sentinel", 0.0, "{}")
+    val slices = (0 until 400 by 100).map(i => eventsSeq.slice(i, i + 100))
+      .filter(_.nonEmpty) :+ Seq(sentinel)
+    s.catalog.dropTempView("graft_q214_sink")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Pipeline.StreamEvent](s)
+    val ckpt = Pipeline.checkpointDir("ckpt_q214")
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = stream.toDS()
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("graft_q214_sink").start()
+      slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
+      q.stop(); q.awaitTermination()
+    }
+    Pipeline.dropCheckpoint(ckpt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(desc("n"), asc("user_id"))
+    s.table("graft_q214_sink")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("user_id"), col("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("win_start", "rank")
+  }
+
+  private val q214Sql =
+    """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 400),
+      |c AS (
+      |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+      |           '%Y-%m-%d %H:%M:%S') AS win_start,
+      |    user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1, 2),
+      |rk AS (SELECT *, CAST(row_number() OVER
+      |         (PARTITION BY win_start ORDER BY n DESC, user_id) AS BIGINT) AS rank
+      |       FROM c)
+      |SELECT win_start, user_id, n, rank FROM rk
+      |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q214_stream_topk", q214, Some(q214Sql),
+      "streaming windowed top-k (trending users): append-mode closed-window counts + sentinel watermark advance + post-sink rank"),
     QueryDef("q146_stream_outer_join", q146, Some(q146Sql),
       "watermarked stream-stream LEFT OUTER interval join (null rows on state eviction)"),
     QueryDef("q123_stream_static_join", q123, Some(q123Sql),

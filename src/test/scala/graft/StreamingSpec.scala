@@ -225,4 +225,24 @@ class StreamingSpec extends AnyFunSuite {
     // batch boundary with >1 version (head-1000 split into 4 slices)
     assert(rows.groupBy(_._1).values.exists(_.size > 2))
   }
+
+  test("q214 stream top-k: closed windows emit once, sentinel never leaks, ranks dense") {
+    val rows = Registry.queries("q214_stream_topk")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the sentinel user (-1) and its far-future window must never appear
+    assert(rows.forall(_._2 >= 0L), "sentinel leaked into the sink")
+    rows.groupBy(_._1).foreach { case (win, rs) =>
+      // append-mode exactly-once: each (window, user) appears once
+      assert(rs.map(_._2).distinct.length == rs.length, s"dup user in window $win")
+      // ranks are 1..k dense, ordered by (n desc, user asc)
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rs.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"rank order broken in $win")
+        case _ =>
+      }
+    }
+  }
 }
