@@ -1489,7 +1489,64 @@ object CurationQueries {
        |WHERE rk.rank <= $PrioK
        |ORDER BY rk.lang, rk.rank""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+
+  /** K-ANONYMITY AUDIT — the privacy gate of the curation family (q110
+    * redacts direct identifiers, q199 locates PII spans; this measures
+    * RE-IDENTIFICATION risk from quasi-identifier combinations): group
+    * the table by its QI tuple (order status, priority, order DAY),
+    * flag every equivalence class smaller than k = 5, and evaluate ONE
+    * generalization step up the lattice (day → month) — reporting,
+    * per class, whether coarsening repairs it. This is the
+    * Samarati/Sweeney audit loop's inner step, relationally: two grouped
+    * counts and a window-free rejoin on the coarser key.
+    *
+    * Scale: both aggregates are map-side-combinable counts on low-
+    * cardinality keys; the month-level counts re-attach by broadcast
+    * (the generalized key space is tiny by construction — that is WHY
+    * generalization works). Nothing row-scale ever shuffles twice.
+    */
+  private val AnonK = 5
+
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+    val classes = base.groupBy("status", "priority", "day", "mon")
+      .agg(count(lit(1)).as("n"))
+    val months = base.groupBy("status", "priority", "mon")
+      .agg(count(lit(1)).as("n_m"))
+    classes
+      .join(broadcast(months), Seq("status", "priority", "mon"))
+      .select(col("status"), col("priority"), col("day"), col("n"),
+        (col("n") < AnonK).as("risky"),
+        col("n_m"),
+        (col("n_m") < AnonK).as("risky_after_generalize"))
+      .orderBy("status", "priority", "day")
+  }
+
+  private val q215Sql =
+    s"""WITH base AS (
+       |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       |    strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    strftime(o_orderdate, '%Y-%m') AS mon
+       |  FROM orders),
+       |cls AS (SELECT status, priority, day, mon, CAST(count(*) AS BIGINT) AS n
+       |        FROM base GROUP BY status, priority, day, mon),
+       |mth AS (SELECT status, priority, mon, CAST(count(*) AS BIGINT) AS n_m
+       |        FROM base GROUP BY status, priority, mon)
+       |SELECT c.status, c.priority, c.day, c.n,
+       |  (c.n < $AnonK) AS risky, m.n_m,
+       |  (m.n_m < $AnonK) AS risky_after_generalize
+       |FROM cls c JOIN mth m
+       |  ON m.status = c.status AND m.priority = c.priority AND m.mon = c.mon
+       |ORDER BY c.status, c.priority, c.day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q215_k_anonymity", q215, Some(q215Sql),
+      "k-anonymity audit over quasi-identifier classes + one generalization step (day→month) with repair verdicts"),
     QueryDef("q206_priority_sample", q206, Some(q206Sql),
       "weighted sampling without replacement (priority sampling) + the Duffield-Lund-Thorup per-stratum total-weight estimator"),
     QueryDef("q148_collocations", q148, Some(q148Sql),

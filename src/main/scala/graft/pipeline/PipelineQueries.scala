@@ -670,7 +670,105 @@ object PipelineQueries {
        |FROM led ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q216
+
+  /** SKETCH-BASED JOIN-SIZE ESTIMATION — the plan-time statistic that
+    * decides broadcast-vs-shuffle and flags exploding joins BEFORE paying
+    * for them (the CBO input Spark's `ANALYZE` approximates; q173's KMV
+    * machinery composed into a two-table estimator):
+    *
+    *  - per side, a WEIGHTED KMV sketch: the K = 64 smallest scrambled
+    *    key hashes over DISTINCT join keys, each carrying its key's row
+    *    multiplicity — a fixed-size uniform sample of the key domain;
+    *  - union sketch U = K smallest of the merged hash sets, τ = max(U):
+    *    distinct-union estimate (|U|−1)·P/τ, and every h ∈ U is a
+    *    uniform sample of the union domain at known rate |U|/D_union;
+    *  - join size: Σ over sampled keys present in BOTH sides of
+    *    cntA·cntB, inverse-probability scaled by D_union_est/|U| —
+    *    Horvitz-Thompson over the KMV sample.
+    *
+    * Output: exact values (the oracle's own join) next to the estimates
+    * and the basis-point error, so the operator self-reports its
+    * accuracy. Everything is pinned integer arithmetic — sketches AND
+    * estimates hash-match the oracle, unusual for a CBO statistic.
+    *
+    * Scale: each sketch is one distinct + bounded top-K per side (merge-
+    * able across shards by construction); the estimator touches 2K rows
+    * no matter how large the tables — THE point: join size of two 100 TB
+    * tables priced from kilobytes of state.
+    */
+  private val JK = 64
+  private val JP = 1000000007L
+
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    def sketch(keys: DataFrame): DataFrame = {
+      // keys: (key) with multiplicity rows → (h, cnt) for K smallest h
+      val counted = keys.groupBy("key").agg(count(lit(1)).as("cnt"))
+        .select(pmod(col("key") * 2654435761L + 12345L, lit(JP)).as("h"),
+          col("cnt"))
+      // orderBy+limit → TakeOrderedAndProject: per-partition partial
+      // top-K then a K-row driver merge — the distributed sketch build
+      // (a global row_number window would single-partition the distinct
+      // key set)
+      counted.orderBy("h").limit(JK).select("h", "cnt")
+    }
+    val a = sketch(Tables.orders(s, d).select(col("o_custkey").as("key")))
+    val b = sketch(Tables.customer(s, d).select(col("c_custkey").as("key")))
+    val u = a.select("h").unionByName(b.select("h")).distinct()
+      .orderBy("h").limit(JK)
+      .agg(count(lit(1)).as("u_n"), max(col("h")).as("tau"))
+    val matched = a.select(col("h"), col("cnt").as("cnt_a"))
+      .join(b.select(col("h"), col("cnt").as("cnt_b")), "h")
+      .crossJoin(u)
+      .filter(col("h") <= col("tau"))
+      .agg(coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("m_sum"),
+        count(lit(1)).as("m_n"))
+    val truth = Tables.orders(s, d).select(col("o_custkey").as("key"))
+      .join(Tables.customer(s, d).select(col("c_custkey").as("key")), "key")
+      .agg(count(lit(1)).as("true_size"))
+    u.crossJoin(matched).crossJoin(truth)
+      .select(col("u_n"), col("tau"), col("m_n"), col("true_size"),
+        expr(s"(u_n - 1) * $JP div tau").as("d_union_est"),
+        expr(s"m_sum * ((u_n - 1) * $JP div tau) div u_n").as("join_est"))
+      .withColumn("err_bp",
+        expr("abs(join_est - true_size) * 10000 div true_size"))
+      .orderBy("u_n")
+  }
+
+  private val q216Sql =
+    s"""WITH ka AS (
+       |  SELECT (key * 2654435761 + 12345) % $JP AS h, cnt FROM (
+       |    SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM orders GROUP BY o_custkey) t
+       |  ORDER BY h LIMIT $JK),
+       |kb AS (
+       |  SELECT (key * 2654435761 + 12345) % $JP AS h, cnt FROM (
+       |    SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM customer GROUP BY c_custkey) t
+       |  ORDER BY h LIMIT $JK),
+       |u AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS u_n, max(h) AS tau FROM (
+       |    SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) x
+       |    ORDER BY h LIMIT $JK) y),
+       |m AS (
+       |  SELECT coalesce(CAST(sum(a.cnt * b.cnt) AS BIGINT), 0) AS m_sum,
+       |    CAST(count(*) AS BIGINT) AS m_n
+       |  FROM ka a JOIN kb b ON a.h = b.h CROSS JOIN u
+       |  WHERE a.h <= u.tau),
+       |tr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS true_size
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+       |SELECT u.u_n, u.tau, m.m_n, tr.true_size,
+       |  (u.u_n - 1) * $JP // u.tau AS d_union_est,
+       |  m.m_sum * ((u.u_n - 1) * $JP // u.tau) // u.u_n AS join_est,
+       |  abs(m.m_sum * ((u.u_n - 1) * $JP // u.tau) // u.u_n - tr.true_size)
+       |    * 10000 // tr.true_size AS err_bp
+       |FROM u CROSS JOIN m CROSS JOIN tr
+       |ORDER BY u.u_n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q216_join_size_est", q216, Some(q216Sql),
+      "KMV-sketch join-size estimation (weighted sketches, Horvitz-Thompson over the union sample) with self-reported error vs the exact join"),
     QueryDef("q188_pipeline_ledger", q188, Some(q188Sql),
       "end-to-end curation pipeline: gate→dedup→decontam→budget→shard, per-stage ledger",
       planFn = Some(q188Lazy)),

@@ -594,4 +594,23 @@ class CurationSpec extends AnyFunSuite {
     assert(heavy > light * 2,
       s"heavy-third hits $heavy not dominating light-third $light")
   }
+
+  test("q215 k-anonymity: flags consistent, month classes contain their day classes") {
+    val rows = Registry.queries("q215_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, n, risky, nM, riskyAfter) =>
+      assert(risky == (n < 5) && riskyAfter == (nM < 5))
+      assert(nM >= n, "month class smaller than one of its day classes")
+    }
+    // the month counts must equal the sum of their day classes
+    val bySum = rows.groupBy { case (st, pr, day, _, _, _, _) => (st, pr, day.take(7)) }
+    bySum.foreach { case (k, rs) =>
+      assert(rs.map(_._4).sum == rs.head._6, s"month total mismatch for $k")
+    }
+    // generalization genuinely repairs something on this corpus
+    assert(rows.exists { case (_, _, _, _, r, _, ra) => r && !ra },
+      "no class repaired by day→month generalization")
+  }
 }

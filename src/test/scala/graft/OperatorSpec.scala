@@ -360,4 +360,47 @@ class OperatorSpec extends AnyFunSuite {
     // at least one language overflows k on the testdata (vocab is 31 > 16)
     assert(got.exists(_._2 == 16L))
   }
+
+  test("q216 join-size estimate: sketch saturates, estimate lands within 25%") {
+    val r = Registry.queries("q216_join_size_est")(spark, TestSpark.sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (uN, trueSize, dUnion, joinEst, errBp) =
+      (row.getLong(0), row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    assert(uN == 64L, s"union sketch not saturated: $uN")
+    assert(trueSize > 0 && joinEst > 0)
+    assert(errBp == math.abs(joinEst - trueSize) * 10000 / trueSize)
+    assert(errBp < 2500, s"join estimate off by $errBp bp (est $joinEst vs $trueSize)")
+    // distinct-union estimate also sane (custkey domain ~ customer count)
+    val custs = Tables.customer(spark, TestSpark.sf).count()
+    assert(math.abs(dUnion - custs) * 100 / custs < 50,
+      s"distinct-union estimate $dUnion vs $custs")
+  }
+
+  test("q211 CDC replay: deletes gone, inserts present, updates carry the last LSN") {
+    val out = Registry.queries("q211_cdc_apply")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2))
+    orders.foreach { case (k, price) =>
+      val cents = (price * 100).toLongExact
+      val nOps = if (k % 4 == 1) 1 + k % 2 else 0
+      val deleted = (1L to nOps).exists(l => (k + l) % 5 == 0 && l == nOps)
+      // final op wins: delete only if the LAST op is a delete
+      if (deleted) assert(!out.contains(k), s"key $k should be deleted")
+      else if (nOps > 0) {
+        val (v, n, lsn) = out(k)
+        assert(n == nOps && lsn == nOps)
+        assert(v == cents + nOps * 37, s"key $k updated value")
+      } else {
+        val (v, n, lsn) = out(k)
+        assert(v == cents && n == 0 && lsn == 0L, s"key $k untouched")
+      }
+    }
+    // inserts: every key%4==2 appears shifted by 1e9
+    orders.filter(_._1 % 4 == 2).foreach { case (k, _) =>
+      assert(out.contains(k + 1000000000L), s"insert for $k missing")
+    }
+  }
 }
