@@ -766,7 +766,104 @@ object PipelineQueries {
        |FROM u CROSS JOIN m CROSS JOIN tr
        |ORDER BY u.u_n""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** SAMPLED EQUI-DEPTH RANGE BOUNDARIES — the planning primitive behind
+    * every distributed sort / range partitioner (Spark's own
+    * RangePartitioner does exactly this with a reservoir sample): pick
+    * B−1 split points from a deterministic hash sample so each range
+    * bucket carries ~1/B of the rows, then EVALUATE the plan by bucketing
+    * the full table and reporting per-bucket occupancy — side by side
+    * with the naive equal-width split (q90's bucketing), which the
+    * right-skewed `value` column punishes (its top half-range is nearly
+    * empty). The operator self-reports: skew_bp = occupancy/ideal in
+    * basis points per bucket, for both schemes.
+    *
+    * Determinism & scale: the sample is a pure hash predicate (5% of
+    * rows, no RNG), boundaries are exact rank statistics of the sample
+    * (the global sample sort is bounded by the sampling rate; production
+    * caps it further with per-partition reservoirs merged on the driver —
+    * q216's two-level recipe), and the evaluation pass joins the 7-row
+    * boundary frame by broadcast: bucket = count of boundaries below the
+    * value, one scan, no shuffle of the data itself.
+    */
+  private val RbB = 8
+
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.events(s, d)
+      .select(col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val sample = vals.filter(pmod(col("event_id") * 2654435761L + 7L, lit(100L)) < 5)
+    val nS = sample.agg(count(lit(1)).as("n_s"))
+    val ranked = sample.crossJoin(broadcast(nS))
+      .withColumn("rn", row_number().over(Window.orderBy("cents", "event_id")).cast("long"))
+    val is = s.range(1, RbB).select(col("id").as("i"))
+    val bounds = ranked.join(broadcast(is),
+      col("rn") === expr(s"(i * n_s) div $RbB"))
+      .select(col("i"), col("cents").as("b"))
+    val lims = vals.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val bucketed = vals.crossJoin(broadcast(lims))
+      .join(broadcast(bounds.select(col("b"))),
+        col("cents") > col("b"), "left")
+      .groupBy("event_id")
+      .agg(count(col("b")).as("bucket"),
+        min(expr(s"least($RbB - 1, (cents - lo) * $RbB div (hi - lo + 1))"))
+          .as("bucket_w"))
+    val total = vals.agg(count(lit(1)).as("n_tot"))
+    val depth = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_eqdepth"))
+    val width = bucketed.groupBy(col("bucket_w").as("bucket"))
+      .agg(count(lit(1)).as("n_eqwidth"))
+    depth.join(width, Seq("bucket"), "full")
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        coalesce(col("n_eqdepth"), lit(0L)).as("n_eqdepth"),
+        expr(s"coalesce(n_eqdepth, 0) * ${RbB * 10000L} div n_tot").as("skew_bp_depth"),
+        coalesce(col("n_eqwidth"), lit(0L)).as("n_eqwidth"),
+        expr(s"coalesce(n_eqwidth, 0) * ${RbB * 10000L} div n_tot").as("skew_bp_width"))
+      .orderBy("bucket")
+  }
+
+  private val q217Sql =
+    s"""WITH vals AS (
+       |  SELECT event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |smp AS (SELECT * FROM vals
+       |        WHERE (event_id * 2654435761 + 7) % 100 < 5),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM smp),
+       |rk AS (SELECT cents, CAST(row_number() OVER
+       |         (ORDER BY cents, event_id) AS BIGINT) AS rn FROM smp),
+       |bounds AS (
+       |  SELECT i, r.cents AS b
+       |  FROM rk r CROSS JOIN ns
+       |  JOIN (SELECT unnest(range(1, $RbB)) AS i) t
+       |    ON r.rn = (t.i * ns.n_s) // $RbB),
+       |lims AS (SELECT min(cents) AS lo, max(cents) AS hi FROM vals),
+       |bucketed AS (
+       |  SELECT v.event_id,
+       |    CAST(count(bo.b) AS BIGINT) AS bucket,
+       |    CAST(min(least($RbB - 1,
+       |      (v.cents - l.lo) * $RbB // (l.hi - l.lo + 1))) AS BIGINT) AS bucket_w
+       |  FROM vals v CROSS JOIN lims l
+       |  LEFT JOIN (SELECT b FROM bounds) bo ON v.cents > bo.b
+       |  GROUP BY v.event_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM vals),
+       |dep AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_eqdepth
+       |        FROM bucketed GROUP BY bucket),
+       |wid AS (SELECT bucket_w AS bucket, CAST(count(*) AS BIGINT) AS n_eqwidth
+       |        FROM bucketed GROUP BY bucket_w)
+       |SELECT coalesce(d.bucket, w.bucket) AS bucket,
+       |  coalesce(d.n_eqdepth, 0) AS n_eqdepth,
+       |  coalesce(d.n_eqdepth, 0) * ${RbB * 10000L} // t.n_tot AS skew_bp_depth,
+       |  coalesce(w.n_eqwidth, 0) AS n_eqwidth,
+       |  coalesce(w.n_eqwidth, 0) * ${RbB * 10000L} // t.n_tot AS skew_bp_width
+       |FROM dep d FULL OUTER JOIN wid w ON d.bucket = w.bucket
+       |CROSS JOIN tot t
+       |ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q217_range_boundaries", q217, Some(q217Sql),
+      "sampled equi-depth range-partition boundaries + full-table occupancy evaluation vs naive equal-width (self-reported skew)"),
     QueryDef("q216_join_size_est", q216, Some(q216Sql),
       "KMV-sketch join-size estimation (weighted sketches, Horvitz-Thompson over the union sample) with self-reported error vs the exact join"),
     QueryDef("q188_pipeline_ledger", q188, Some(q188Sql),

@@ -403,4 +403,23 @@ class OperatorSpec extends AnyFunSuite {
       assert(out.contains(k + 1000000000L), s"insert for $k missing")
     }
   }
+
+  test("q217 boundaries: equi-depth near-uniform where equal-width is skewed") {
+    val rows = Registry.queries("q217_range_boundaries")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 8L).toSeq)
+    val total = Tables.events(spark, TestSpark.sf).count()
+    // both schemes partition the table completely
+    assert(rows.map(_._2).sum == total && rows.map(_._4).sum == total)
+    // the load-bearing claim: the sampled equi-depth plan dominates the
+    // equal-width one — its WORST bucket is strictly less overloaded (at
+    // sf0.001 the 5% sample is ~50 points, so per-bucket bounds would be
+    // noise; the dominance ordering is scale-stable)
+    val maxD = rows.map(_._3).max
+    val maxW = rows.map(_._5).max
+    assert(maxD < maxW, s"equi-depth max $maxD bp not below equal-width max $maxW bp")
+    assert(maxD < 30000, s"equi-depth worst bucket $maxD bp is pathological")
+    // the skewed value distribution punishes equal-width: some bucket > 2x ideal
+    assert(maxW > 20000, "equal-width unexpectedly uniform")
+  }
 }
