@@ -1114,7 +1114,60 @@ object Eda {
       |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+
+  /** COHORT RETENTION — the product-analytics staple the funnel (q125)
+    * and sessionization (q68) family was missing: users are cohorted by
+    * their FIRST-SEEN day, and each (cohort, day-offset) cell counts how
+    * many of that cohort's users were active again `offset` days later —
+    * the diagonal retention matrix every growth dashboard draws.
+    * Retention is reported in basis points of the cohort's size
+    * (integer division — hash-exact).
+    *
+    * Scale: first-seen is one min-aggregate on user_id; activity days
+    * dedupe map-side via distinct (user, day); the matrix join is
+    * activity ⋈ first-seen on user_id — one shuffle each, and the output
+    * is cohorts × offsets (tiny) no matter how many events. The classic
+    * trap — a window over each user's full event history — is avoided
+    * entirely; nothing here holds per-user state beyond the min.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val active = ev.distinct()
+    val cohortSize = firstSeen.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    active.join(firstSeen, "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset"),
+        col("user_id"))
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_active"))
+      .join(cohortSize, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset"), col("n_active"), col("n_users"),
+        expr("n_active * 10000 div n_users").as("retention_bp"))
+      .orderBy("cohort", "offset")
+  }
+
+  private val q218Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fs AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+      |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      |       FROM fs GROUP BY cohort),
+      |act AS (SELECT DISTINCT user_id, day FROM ev),
+      |cell AS (
+      |  SELECT f.cohort, CAST(a.day - f.cohort AS BIGINT) AS "offset",
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM act a JOIN fs f ON f.user_id = a.user_id
+      |  GROUP BY f.cohort, a.day - f.cohort)
+      |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort, c."offset",
+      |  c.n_active, s.n_users,
+      |  c.n_active * 10000 // s.n_users AS retention_bp
+      |FROM cell c JOIN cs s ON s.cohort = c.cohort
+      |ORDER BY cohort, c."offset"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q218_cohort_retention", q218, Some(q218Sql),
+      "cohort retention matrix: first-seen-day cohorts x day-offset activity, retention in basis points"),
     QueryDef("q203_pivot", q203, Some(q203Sql),
       "PIVOT with an explicit value list: single-shuffle wide-format counts"),
     QueryDef("q202_local_supplier_revenue", q202, Some(q202Sql),

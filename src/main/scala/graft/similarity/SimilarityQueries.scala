@@ -1427,7 +1427,103 @@ object SimilarityQueries {
        |ORDER BY d.qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q219
+
+  /** KWIC SNIPPET EXTRACTION — the result-presentation stage of the
+    * search stack (q209 ranks, q210 evaluates, this renders): for each
+    * query's top-3 documents, find the densest 9-token window around a
+    * query-term occurrence (hit count within ±4 tokens, ties to the
+    * earliest position) and emit the snippet text with its hit count —
+    * the keyword-in-context highlighting every SERP shows.
+    *
+    * Relational shape: term positions come from ONE posexplode filtered
+    * to query terms (so the position frame is query-vocabulary-sized,
+    * q209's discipline); window density is a bounded self-join of that
+    * small frame against itself (|positions|² per (query, doc), with
+    * positions ≈ a handful); the snippet slice is a per-row array
+    * expression over the already-fetched text — the full corpus is
+    * scanned once and never shuffled.
+    */
+  private val SnipHalf = 4 // window = 2·4+1 = 9 tokens
+
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranked = q209(s, d).filter(col("rank") <= 3)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(graft.clean.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.clean.TextOps.tokens(col("text"))).as(Seq("p", "word")))
+      .filter(col("word").isin(Bm25Queries.map(_._2).distinct: _*))
+      .join(broadcast(Bm25Queries.toDF("qid", "term")), col("term") === col("word"))
+      .select(col("qid"), col("doc_id"), col("p").cast("long").as("p"))
+    val hitPos = ranked.join(pos, Seq("qid", "doc_id"))
+    val density = hitPos.alias("c")
+      .join(hitPos.alias("o"),
+        col("c.qid") === col("o.qid") && col("c.doc_id") === col("o.doc_id") &&
+          abs(col("o.p") - col("c.p")) <= SnipHalf)
+      .groupBy(col("c.qid").as("qid"), col("c.doc_id").as("doc_id"),
+        col("c.rank").as("rank"), col("c.p").as("p"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("qid", "doc_id").orderBy(desc("hits"), asc("p"))
+    density
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(docs, "doc_id")
+      .withColumn("start",
+        greatest(lit(0L), least(col("p") - SnipHalf, col("n_tok") - (2 * SnipHalf + 1))))
+      .select(col("qid"), col("doc_id"), col("rank"),
+        array_join(slice(graft.clean.TextOps.tokens(col("text")),
+          (col("start") + 1).cast("int"), lit(2 * SnipHalf + 1)), " ").as("snippet"),
+        col("hits"), col("start"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q219Sql = {
+    val values = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val inList = Bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH bm AS (${q209Sql.replace("\n", "\n     ")}),
+       |qv AS (SELECT CAST(qid AS BIGINT) AS qid, term
+       |       FROM (VALUES $values) v(qid, term)),
+       |ranked AS (SELECT qid, doc_id, rank FROM bm WHERE rank <= 3),
+       |docs AS (SELECT doc_id, text,
+       |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |         FROM documents),
+       |pos AS (
+       |  SELECT q.qid, t.doc_id, CAST(t.p AS BIGINT) AS p
+       |  FROM (SELECT doc_id,
+       |          unnest(range(0, len(string_split(text, ' ')))) AS p,
+       |          unnest(string_split(text, ' ')) AS word
+       |        FROM documents) t
+       |  JOIN qv q ON q.term = t.word
+       |  WHERE t.word IN ($inList)),
+       |hp AS (SELECT r.qid, r.doc_id, r.rank, p.p
+       |       FROM ranked r JOIN pos p ON p.qid = r.qid AND p.doc_id = r.doc_id),
+       |dens AS (
+       |  SELECT c.qid, c.doc_id, c.rank, c.p, CAST(count(*) AS BIGINT) AS hits
+       |  FROM hp c JOIN hp o ON o.qid = c.qid AND o.doc_id = c.doc_id
+       |    AND abs(o.p - c.p) <= $SnipHalf
+       |  GROUP BY c.qid, c.doc_id, c.rank, c.p),
+       |best AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY qid, doc_id ORDER BY hits DESC, p) AS rn
+       |  FROM dens)
+       |SELECT b.qid, b.doc_id, b.rank,
+       |  array_to_string(list_slice(string_split(d.text, ' '),
+       |    CAST(greatest(0, least(b.p - $SnipHalf, d.n_tok - ${2 * SnipHalf + 1})) AS BIGINT) + 1,
+       |    CAST(greatest(0, least(b.p - $SnipHalf, d.n_tok - ${2 * SnipHalf + 1})) AS BIGINT) + ${2 * SnipHalf + 1}), ' ') AS snippet,
+       |  b.hits,
+       |  CAST(greatest(0, least(b.p - $SnipHalf, d.n_tok - ${2 * SnipHalf + 1})) AS BIGINT) AS start
+       |FROM best b JOIN docs d ON d.doc_id = b.doc_id
+       |WHERE b.rn = 1
+       |ORDER BY b.qid, b.rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q219_kwic_snippets", q219, Some(q219Sql),
+      "KWIC snippet extraction for BM25 top hits: densest 9-token window around query-term occurrences"),
     QueryDef("q210_ndcg", q210, Some(q210Sql),
       "NDCG@10 of the BM25 ranking vs graded term-overlap relevance (fixed-point DCG, corpus-wide ideal)"),
     QueryDef("q209_bm25", q209, Some(q209Sql),
