@@ -921,7 +921,104 @@ object OperatorQueries {
       |WHERE f.rn = 1 AND f.op != 'D'
       |ORDER BY f.key""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+
+  /** INCREMENTAL VIEW MAINTENANCE for a JOIN view — the delta-rule
+    * algebra (ΔV = ΔA⋈B′ ∪ A′⋈ΔB ∪ ΔA⋈ΔB) that keeps a materialized
+    * join-aggregate fresh without re-joining the full tables; q108
+    * maintains an AGGREGATE incrementally, this maintains a two-table
+    * JOIN view, the genuinely hard IVM case. View: revenue cents per
+    * customer nation over orders ⋈ customer. Fixture deltas: orders with
+    * key ≡ 3 (mod 7) arrive as ΔA, customers with key ≡ 5 (mod 11) as
+    * ΔB; A′/B′ are the bases. The operator computes the view BOTH ways —
+    * base + three delta joins vs full recompute — and emits them side by
+    * side with an equality verdict, so the algebra proves itself row by
+    * row (asserted all-true in OperatorSpec).
+    *
+    * Scale: this is THE pattern for keeping a 100 TB join view fresh
+    * under a 0.1% daily delta — the three delta joins touch |Δ|-sized
+    * sides (broadcast when small), and the base view is never re-joined,
+    * only re-aggregated with the delta contributions (map-side
+    * combinable).
+    */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey").as("ck"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 7 === 3).as("is_delta"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+        (col("c_custkey") % 11 === 5).as("is_delta"))
+    val aBase = orders.filter(!col("is_delta")).drop("is_delta")
+    val aDelta = orders.filter(col("is_delta")).drop("is_delta")
+    val bBase = cust.filter(!col("is_delta")).drop("is_delta")
+    val bDelta = cust.filter(col("is_delta")).drop("is_delta")
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("nk").agg(sum(col("cents")).as("v"), count(lit(1)).as("n"))
+    val vBase = agg(aBase.join(bBase, "ck"))
+    val d1 = agg(aDelta.join(bBase, "ck"))
+    val d2 = agg(aBase.join(bDelta, "ck"))
+    val d3 = agg(aDelta.join(bDelta, "ck"))
+    val vIncr = vBase.unionByName(d1).unionByName(d2).unionByName(d3)
+      .groupBy("nk").agg(sum(col("v")).as("v_incr"), sum(col("n")).as("n_incr"))
+    val vFull = agg(orders.drop("is_delta").join(cust.drop("is_delta"), "ck"))
+      .select(col("nk"), col("v").as("v_full"), col("n").as("n_full"))
+    vIncr.join(vFull, Seq("nk"), "full")
+      .select(col("nk"),
+        coalesce(col("v_incr"), lit(0L)).as("v_incr"),
+        coalesce(col("v_full"), lit(0L)).as("v_full"),
+        coalesce(col("n_incr"), lit(0L)).as("n_incr"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"),
+        (coalesce(col("v_incr"), lit(0L)) === coalesce(col("v_full"), lit(0L)) &&
+          coalesce(col("n_incr"), lit(0L)) === coalesce(col("n_full"), lit(0L)))
+          .as("algebra_holds"))
+      .orderBy("nk")
+  }
+
+  private val q220Sql =
+    """WITH o AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    (o_orderkey % 7 = 3) AS is_delta
+      |  FROM orders),
+      |c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+      |        (c_custkey % 11 = 5) AS is_delta
+      |      FROM customer),
+      |vb AS (SELECT c.nk, CAST(sum(o.cents) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM o JOIN c ON o.ck = c.ck
+      |       WHERE NOT o.is_delta AND NOT c.is_delta GROUP BY c.nk),
+      |d1 AS (SELECT c.nk, CAST(sum(o.cents) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM o JOIN c ON o.ck = c.ck
+      |       WHERE o.is_delta AND NOT c.is_delta GROUP BY c.nk),
+      |d2 AS (SELECT c.nk, CAST(sum(o.cents) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM o JOIN c ON o.ck = c.ck
+      |       WHERE NOT o.is_delta AND c.is_delta GROUP BY c.nk),
+      |d3 AS (SELECT c.nk, CAST(sum(o.cents) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM o JOIN c ON o.ck = c.ck
+      |       WHERE o.is_delta AND c.is_delta GROUP BY c.nk),
+      |vi AS (SELECT nk, CAST(sum(v) AS BIGINT) AS v_incr,
+      |         CAST(sum(n) AS BIGINT) AS n_incr
+      |       FROM (SELECT * FROM vb UNION ALL SELECT * FROM d1
+      |             UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) u
+      |       GROUP BY nk),
+      |vf AS (SELECT c.nk, CAST(sum(o.cents) AS BIGINT) AS v_full,
+      |         CAST(count(*) AS BIGINT) AS n_full
+      |       FROM o JOIN c ON o.ck = c.ck GROUP BY c.nk)
+      |SELECT coalesce(vi.nk, vf.nk) AS nk,
+      |  coalesce(vi.v_incr, 0) AS v_incr, coalesce(vf.v_full, 0) AS v_full,
+      |  coalesce(vi.n_incr, 0) AS n_incr, coalesce(vf.n_full, 0) AS n_full,
+      |  (coalesce(vi.v_incr, 0) = coalesce(vf.v_full, 0)
+      |    AND coalesce(vi.n_incr, 0) = coalesce(vf.n_full, 0)) AS algebra_holds
+      |FROM vi FULL OUTER JOIN vf ON vi.nk = vf.nk
+      |ORDER BY nk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_ivm_join", q220, Some(q220Sql),
+      "incremental view maintenance for a join view (delta rule: base + dA*B' + A'*dB + dA*dB) with self-verifying equality vs full recompute"),
     QueryDef("q211_cdc_apply", q211, Some(q211Sql),
       "CDC log replay: ordered insert/update/delete ops materialized onto a base snapshot via one union-window pass (no join)"),
     QueryDef("q200_encoding_advisor", q200, Some(q200Sql),

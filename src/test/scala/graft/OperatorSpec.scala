@@ -422,4 +422,23 @@ class OperatorSpec extends AnyFunSuite {
     // the skewed value distribution punishes equal-width: some bucket > 2x ideal
     assert(maxW > 20000, "equal-width unexpectedly uniform")
   }
+
+  test("q220 IVM: the delta algebra reproduces the full recompute on every group") {
+    val rows = Registry.queries("q220_ivm_join")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"nation ${r.get(0)}: incr ${r.getLong(1)} != full ${r.getLong(2)}")
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == r.getLong(4))
+    }
+    // the fixture actually exercises all three delta terms
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dA = orders.filter(_._1 % 7 == 3).map(_._2).toSet
+    val custs = Tables.customer(spark, TestSpark.sf).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val dB = custs.filter(_ % 11 == 5)
+    assert(dA.nonEmpty && dB.nonEmpty && dA.intersect(dB).nonEmpty,
+      "fixture must hit dA x B', A' x dB AND dA x dB")
+  }
 }
