@@ -912,7 +912,109 @@ object TextQueries {
       |    AND length(s) - length(replace(s, 'Ã', '')) = 0) AS keep
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010 — Rapid Automatic Keyword
+    * Extraction), the classic unsupervised keyphrase miner: candidate
+    * phrases are maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) where freq counts its phrase occurrences and deg
+    * additionally credits the length of every phrase it appears in
+    * (co-occurrence degree, self included); a phrase scores the sum of
+    * its words' scores. Corpus-wide top 25 phrases by (score desc,
+    * phrase asc), with occurrence counts. Scores in fixed point ×1000
+    * (integer division) — hash-exact.
+    *
+    * Relational shape: phrase segmentation is a running count of
+    * stopword boundaries (one window per doc), phrase text is an
+    * order-pinned sort_array(collect_list(struct(pos, w))) — no UDF;
+    * word statistics are two corpus-wide aggregates joined back by
+    * broadcast (vocabulary-sized). Complements q31 (word freq), q57
+    * (TF-IDF terms), q148 (PMI collocations) — RAKE is the phrase-level
+    * member of the keyword family.
+    */
+  private def q221(s: SparkSession, d: String): DataFrame =
+    rakeKeywords(Tables.documents(s, d))
+
+  /** q221's core on an injectable (doc_id, text) frame — spec-tested on a
+    * real-stopword English fixture where the canonical RAKE behavior
+    * (multi-word technical phrases outscore frequent single words) is
+    * hand-checkable. Candidate phrases are capped at 4 words (standard
+    * RAKE practice; uncapped, a stopword-poor corpus degenerates to
+    * whole-document runs).
+    */
+  private[graft] def rakeKeywords(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("stop", array_contains(TextOps.stopwordArray, col("w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val phrased = toks
+      .withColumn("pid", sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("stop"))
+    val phrases = phrased.groupBy("doc_id", "pid")
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= 4)
+    val words = phrased.join(
+      phrases.select(col("doc_id"), col("pid"), col("plen")), Seq("doc_id", "pid"))
+    val stats = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("deg * 1000 div freq"))
+    words.join(broadcast(stats.select(col("w"), col("wscore"))), "w")
+      .groupBy("doc_id", "pid")
+      .agg(sum(col("wscore")).as("pscore"))
+      .join(phrases, Seq("doc_id", "pid"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max(col("pscore")).as("score_fp"))
+      .orderBy(desc("score_fp"), asc("phrase"))
+      .limit(25)
+  }
+
+  private val q221Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, p AS pos, w,
+       |    list_contains(${TextOps.stopwordSqlList}, w) AS stop
+       |  FROM (SELECT doc_id,
+       |          unnest(range(0, len(string_split(text, ' ')))) AS p,
+       |          unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  WHERE w != ''),
+       |ph AS (
+       |  SELECT doc_id, pos, w,
+       |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid, stop
+       |  FROM toks),
+       |body AS (SELECT doc_id, pid, pos, w FROM ph WHERE NOT stop),
+       |phrases AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, pid,
+       |      array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+       |      CAST(count(*) AS BIGINT) AS plen
+       |    FROM body GROUP BY doc_id, pid) x WHERE plen <= 4),
+       |words AS (
+       |  SELECT b.doc_id, b.pid, b.w, p.plen
+       |  FROM body b JOIN phrases p ON p.doc_id = b.doc_id AND p.pid = b.pid),
+       |stats AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM words GROUP BY w),
+       |ws AS (SELECT w, deg * 1000 // freq AS wscore FROM stats),
+       |ps AS (
+       |  SELECT wo.doc_id, wo.pid, CAST(sum(ws.wscore) AS BIGINT) AS pscore
+       |  FROM words wo JOIN ws ON ws.w = wo.w GROUP BY wo.doc_id, wo.pid)
+       |SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(max(s.pscore) AS BIGINT) AS score_fp
+       |FROM ps s JOIN phrases p ON p.doc_id = s.doc_id AND p.pid = s.pid
+       |GROUP BY p.phrase
+       |ORDER BY score_fp DESC, phrase LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q221_rake_keywords", q221, Some(q221Sql),
+      "RAKE keyphrase extraction: stopword-run segmentation, deg/freq word scores, top-25 phrases (fixed-point)"),
     QueryDef("q208_triangles", q208, Some(q208Sql),
       "degree-oriented triangle counting over the link graph (Suri-Vassilvitskii orientation: O(m^1.5) wedges, skew-immune)"),
     QueryDef("q207_mojibake", q207, Some(q207Sql),

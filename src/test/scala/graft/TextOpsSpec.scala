@@ -114,6 +114,26 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q221 RAKE: hand-computed scores on a real-stopword fixture") {
+    // the classic RAKE abstract example, trimmed to our stopword list
+    // (of/the/over are stopwords): candidate phrases are
+    // [compatibility] [systems] [linear constraints] [set] [natural numbers]
+    val docs = Seq((0L,
+      "compatibility of systems of linear constraints over the set of natural numbers"))
+      .toDF("doc_id", "text")
+    val out = clean.TextQueries.rakeKeywords(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // deg/freq: words in 2-word phrases score 2000 fp; singles 1000
+    assert(out("linear constraints") == ((1L, 4000L)))
+    assert(out("natural numbers") == ((1L, 4000L)))
+    assert(out("compatibility") == ((1L, 1000L)))
+    assert(out("systems") == ((1L, 1000L)))
+    assert(out("set") == ((1L, 1000L)))
+    // multi-word technical phrases outrank frequent singles — RAKE's point
+    val ranked = clean.TextQueries.rakeKeywords(docs).collect().map(_.getString(0))
+    assert(ranked.take(2).toSet == Set("linear constraints", "natural numbers"))
+  }
+
   test("q208 triangles match a brute-force count of the fixture graph") {
     val n = Tables.documents(spark, TestSpark.sf).count()
     // the q196/q208 fixture: doc i links to (i*7+k) mod n for k in 1..1+i%3
