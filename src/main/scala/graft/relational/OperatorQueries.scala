@@ -874,7 +874,16 @@ object OperatorQueries {
         lit(1L).as("lsn"))
     val log = touched.select("key", "val_c", "op", "lsn")
       .unionByName(inserts.select("key", "val_c", "op", "lsn"))
-    val all = base.select("key", "val_c", "op", "lsn").unionByName(log)
+    cdcApply(base.select("key", "val_c", "op", "lsn"), log)
+  }
+
+  /** q211's replay core on injectable base/log frames, both shaped
+    * (key, val_c, op, lsn) with base rows at lsn 0 — exposed so
+    * PropertySpec can fuzz the ordering semantics on random op logs
+    * against a sequential driver-side apply.
+    */
+  private[graft] def cdcApply(base: DataFrame, log: DataFrame): DataFrame = {
+    val all = base.unionByName(log)
     val w = Window.partitionBy("key").orderBy(desc("lsn"))
     val nOps = log.groupBy("key").agg(count(lit(1)).as("n_ops"))
     all

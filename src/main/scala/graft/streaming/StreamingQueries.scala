@@ -646,7 +646,66 @@ object StreamingQueries {
       |SELECT win_start, user_id, n, rank FROM rk
       |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+
+  /** WATERMARK-LATENESS AUDIT — the planning query every watermark knob
+    * should be set from, not guessed: replay the event stream in ARRIVAL
+    * order, track the running max event time (exactly the value Spark's
+    * watermark trails), measure each event's lateness against it, and
+    * report how many events each candidate delay (0/1/5/10/30 minutes)
+    * would have dropped. The testdata's event time is monotone in
+    * event_id, so arrival order is synthesized with deterministic
+    * BOUNDED jitter (each event displaced up to ±8 positions by a hash —
+    * the mostly-ordered-with-small-reordering shape real ingest has);
+    * the out-of-order-ness is the fixture, the audit arithmetic is the
+    * operator.
+    *
+    * Batch relational form: ONE running-max window over arrival order
+    * (production shards this by source partition — a Kinesis shard's
+    * arrival order is per-shard anyway), then a 5-row grouped rollup.
+    * Lateness is integer seconds throughout.
+    */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lates = Tables.events(s, d)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("arr",
+        col("event_id") + pmod(col("event_id") * 2654435761L, lit(17L)) - 8L)
+      .withColumn("run_max", max(col("ts_sec")).over(w))
+      .withColumn("late_s", col("run_max") - col("ts_sec"))
+    val bands = Seq(0L, 60L, 300L, 600L, 1800L)
+    lates.select(explode(array(bands.map(lit): _*)).as("delay_s"), col("late_s"))
+      .groupBy("delay_s")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > col("delay_s"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_bp", expr("n_dropped * 10000 div n_events"))
+      .orderBy("delay_s")
+  }
+
+  private val q222Sql =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    event_id + (event_id * 2654435761) % 17 - 8 AS arr
+      |  FROM events),
+      |lt AS (
+      |  SELECT ts_sec,
+      |    max(ts_sec) OVER (ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_sec AS late_s
+      |  FROM ev),
+      |bands AS (SELECT unnest([0, 60, 300, 600, 1800]) AS delay_s)
+      |SELECT CAST(b.delay_s AS BIGINT) AS delay_s,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN l.late_s > b.delay_s THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN l.late_s > b.delay_s THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 10000 // count(*) AS drop_bp
+      |FROM lt l CROSS JOIN bands b
+      |GROUP BY b.delay_s ORDER BY delay_s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q222_watermark_audit", q222, Some(q222Sql),
+      "watermark-lateness audit: running-max event time over (synthesized) arrival order, would-drop counts per candidate delay"),
     QueryDef("q214_stream_topk", q214, Some(q214Sql),
       "streaming windowed top-k (trending users): append-mode closed-window counts + sentinel watermark advance + post-sink rank"),
     QueryDef("q146_stream_outer_join", q146, Some(q146Sql),

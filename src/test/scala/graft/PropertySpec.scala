@@ -574,4 +574,38 @@ class PropertySpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted == (1L to rows.size.toLong))
     }
   }
+
+  test("q211 cdcApply fuzz: union-window replay equals a sequential driver apply") {
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      val keys = 0L until 30L
+      val baseRows = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, rnd.nextInt(1000).toLong, "B", 0L))
+      // random op log: per key 0..4 ops with strictly increasing lsn,
+      // op type random (I/U/D), values random
+      val logRows = keys.flatMap { k =>
+        (1 to rnd.nextInt(5)).map { l =>
+          val op = Seq("I", "U", "D")(rnd.nextInt(3))
+          (k, if (op == "D") 0L else rnd.nextInt(1000).toLong, op, l.toLong)
+        }
+      }
+      // sequential reference: apply ops per key in lsn order
+      val expected = keys.flatMap { k =>
+        val b = baseRows.find(_._1 == k).map(r => (r._2, 0L))
+        val fin = logRows.filter(_._1 == k).sortBy(_._4)
+          .foldLeft(b) { case (_, (_, v, op, l)) =>
+            if (op == "D") None else Some((v, l))
+          }
+        fin.map { case (v, l) =>
+          k -> ((v, logRows.count(_._1 == k).toLong, l))
+        }
+      }.toMap
+      val got = graft.relational.OperatorQueries.cdcApply(
+        baseRows.toDF("key", "val_c", "op", "lsn"),
+        logRows.toDF("key", "val_c", "op", "lsn"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }
