@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,7 +12,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Contention sentinel (VERDICT r8 task 1): a fixed trivial scan-filter
+    // (q39 shape, ~0.1 s warm) timed every SENTINEL_EVERY queries.  Its
+    // floor is its own min over the run; any window where the sentinel
+    // exceeds ~3x that floor is machine noise, not a regression — the
+    // record becomes self-diagnosing instead of needing a human to
+    // cross-read two rounds' tails (BENCH_r06 3.13 s for a 0.6 s query,
+    // BENCH_r08 3.26 s for q39 were both such windows).
+    val SentinelEvery = 10
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .filter(col("value") > 100.0 && col("event_type") === "purchase")
+        .agg(count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce(); sentinelOnce() // untimed warm-ups (codegen + JIT + FS)
+    val sentinels = scala.collection.mutable.ListBuffer[(String, Double)]()
+    sentinels += (("<start>", sentinelOnce()))
+
     val failed = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       // isolate queries: drop caches/temp state a previous query pinned so
       // later queries aren't timed under accumulated memory pressure
@@ -37,13 +60,23 @@ object Bench {
       // contaminate the record.
       val (ok, tWarm) = once()
       val t = if (ok) math.min(once()._2, once()._2) else tWarm
+      i += 1
+      if (i % SentinelEvery == 0) sentinels += ((name, sentinelOnce()))
       name -> t
     }
+    sentinels += (("<end>", sentinelOnce()))
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    val sFloor = sentinels.map(_._2).min
+    // sentinel entries are keyed by the query they ran AFTER, in run
+    // order; contended = sentinel > 3x its own floor for this run
+    val sjson = sentinels.map { case (after, t) =>
+      s"""{"after":"$after","t":$t,"contended":${t > 3 * sFloor}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sentinel_floor":$sFloor,"sentinel":$sjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -845,16 +845,43 @@ object Eda {
       |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
       |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
 
-  /** Approximate distinct (HLL++): sketch implementations differ across
-    * engines, so no value oracle — rows-only check plus the relative-error
-    * bound asserted against exact counts in EdaSpec.
+  /** Approximate distinct (HLL++). Sketch implementations differ across
+    * engines, so the ESTIMATE itself can't be hash-compared — instead the
+    * frame emits the exact distinct count alongside a `within_bound`
+    * verdict (|estimate − exact| ≤ 5% of exact = 2.5× the requested 2%
+    * rsd) and the oracle pins the exact counts plus verdict TRUE — the
+    * q187 tolerance-verdict pattern (VERDICT r8 task 2). The raw estimate
+    * is still produced by the very same plan (the verdict derives from
+    * it); EdaSpec additionally asserts the numeric bound on the estimate
+    * values directly.
+    *
+    * Scale note: the exact count_distinct here exists only to JUDGE the
+    * sketch at test SF — the 100 TB user runs the sketch alone (one pass,
+    * bounded buffers, map-side mergeable); the exact pass is the
+    * per-group shuffle the sketch replaces.
     */
-  private def q27(s: SparkSession, d: String): DataFrame =
+  /** The estimate-bearing frame (EdaSpec asserts the numeric bound on
+    * these raw values; q27 folds them into the oracled verdict).
+    */
+  private[graft] def q27Raw(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n"))
+
+  private def q27(s: SparkSession, d: String): DataFrame =
+    q27Raw(s, d)
+      .select(col("event_type"), col("n_users_exact"), col("n"),
+        (abs(col("approx_users") - col("n_users_exact")) * 100 <=
+          col("n_users_exact") * 5).as("within_bound"))
       .orderBy("event_type")
+
+  private val q27Sql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |  count(*) AS n, TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Set operations beyond UNION (SURVEY §2.7 notes the reference has
     * none — owed for engine completeness): INTERSECT and EXCEPT with
@@ -1181,7 +1208,8 @@ object Eda {
     QueryDef("q29_range_ntile", q29, Some(q29Sql), "RANGE frame + ntile analytics"),
     QueryDef("q25_rollup", q25, Some(q25Sql), "ROLLUP grouping-set totals"),
     QueryDef("q26_pivot_counts", q26, Some(q26Sql), "pivot-shaped conditional agg"),
-    QueryDef("q27_approx_distinct", q27, None, "HLL approx distinct (see EdaSpec)"),
+    QueryDef("q27_approx_distinct", q27, Some(q27Sql),
+      "HLL approx distinct, tolerance-verdict oracled (+EdaSpec bound)"),
     QueryDef("q24_salted_agg", q24, Some(q24Sql), "two-phase salted skew aggregation"),
     QueryDef("q01_count_by_type", q01, Some(q01Sql), "A1+O1 groupBy-count ordered"),
     QueryDef("q02_count_type_hour", q02, Some(q02Sql), "A2+D3 two-key count with hour()"),

@@ -166,16 +166,45 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Porter2 (Snowball) stemming over token lists (F7/U5, NB cell 65) —
-    * the reference's actual SnowballStemmer algorithm. No DuckDB
-    * oracle (the fts/stem extension is unavailable offline) — rows-only
-    * check + pinned-value tests in StemmerSpec.
+    * the reference's actual SnowballStemmer algorithm. DuckDB's stem()
+    * lives in the offline-unavailable fts extension, so the oracle pins
+    * the testdata corpus vocabulary's expected stems as a literal CASE
+    * map (VERDICT r8 task 2): the generator vocabulary is a fixed 31
+    * words at EVERY SF, so the map is SF-independent; an out-of-map
+    * token maps to a visible '<unmapped>' sentinel (never silent
+    * identity), so vocabulary drift breaks the hash instead of passing.
+    * The ALGORITHM's correctness over general English is what
+    * StemmerSpec's published Snowball vectors pin; this oracle proves
+    * the distributed application (tokenize → per-token stem → rejoin)
+    * end to end. Map regenerated by tools/StemDump.
     */
+  private[graft] val stemMap: Seq[(String, String)] = Seq(
+    "a" -> "a", "agg" -> "agg", "batch" -> "batch", "big" -> "big",
+    "column" -> "column", "customer" -> "custom", "data" -> "data",
+    "dup" -> "dup", "fast" -> "fast", "filter" -> "filter",
+    "group" -> "group", "hash" -> "hash", "join" -> "join", "key" -> "key",
+    "line" -> "line", "merge" -> "merg", "order" -> "order",
+    "part" -> "part", "query" -> "queri", "row" -> "row", "scan" -> "scan",
+    "slow" -> "slow", "small" -> "small", "sort" -> "sort",
+    "spark" -> "spark", "stream" -> "stream", "table" -> "tabl",
+    "the" -> "the", "value" -> "valu", "vector" -> "vector",
+    "window" -> "window")
+
   private def q49(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         array_join(Porter2.stemTokens(TextOps.tokens(col("text"))), " ")
           .as("stemmed"))
       .orderBy("doc_id")
+
+  private val q49Sql = {
+    val cases = stemMap.map { case (w, st) => s"WHEN '$w' THEN '$st'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(string_split(text, ' '),
+       |    t -> CASE t $cases ELSE '<unmapped>' END), ' ') AS stemmed
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** Deterministic stratified sampling (training-pipeline operator):
     * hash-mod selection — `polyHash(doc_id) mod 100 < 20` keeps a stable
@@ -365,18 +394,76 @@ object TextQueries {
     * the single-pass mergeable-sketch path that replaces q53's full
     * per-group sort at 100 TB — the sketch is a bounded-size aggregation
     * buffer with map-side partials, so cost is one narrow pass regardless
-    * of group size. Deterministic given the data, but the GK algorithm is
-    * not expressible in DuckDB SQL → rows-only check; EdaSpec bounds the
-    * rank error against exact q53.
+    * of group size. The GK algorithm is not expressible in DuckDB SQL, so
+    * the raw sketch values can't be hash-compared — instead (the q187
+    * tolerance-verdict pattern, VERDICT r8 task 2) the frame carries the
+    * exact nearest-rank p50/p90 (q53's engine-identical formulation) plus
+    * per-quantile verdicts that the sketch value's RANK interval
+    * intersects the GK guarantee window [q·n − ε·n − 1, q·n + ε·n + 1]
+    * (ε = 1/accuracy; the ±1 absorbs nearest-rank rounding conventions).
+    * The oracle pins the exact values and verdict TRUE. EdaSpec still
+    * asserts the numeric bound on the raw estimates (q107Raw).
+    *
+    * Scale: the judging passes (rank counts, exact window percentiles)
+    * exist to grade the sketch at test SF; the production path is
+    * q107Raw alone. The rank-count join broadcasts the |langs|-row
+    * sketch frame — one extra narrow scan, no data shuffle.
     */
-  private def q107(s: SparkSession, d: String): DataFrame =
+  private[graft] def q107Raw(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(
         percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90"),
         count(lit(1)).as("n"))
+
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = q107Raw(s, d)
+      .select(col("lang"), col("p50").as("ap50"), col("p90").as("ap90"))
+    // rank interval of each sketch value within its group: a value v
+    // occupies ranks [count(<v)+1, count(<=v)]
+    val ranks = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      .join(broadcast(approx), "lang")
+      .groupBy("lang")
+      .agg(
+        sum(when(col("n_chars") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("n_chars") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("n_chars") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("n_chars") < col("ap90"), 1L).otherwise(0L)).as("lt90"))
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val exact = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), col("doc_id"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("lang")).as("n"))
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars"))).as("p50_exact"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("n_chars"))).as("p90_exact"),
+        count(lit(1)).as("n"))
+    def ok(le: String, lt: String, q: Double) = {
+      val target = ceil(col("n") * q)
+      val slack = lit(1L) + floor(col("n") / 10000)
+      (col(le) >= target - slack) && (col(lt) + 1 <= target + slack)
+    }
+    exact.join(ranks, "lang")
+      .select(col("lang"), col("n"), col("p50_exact"), col("p90_exact"),
+        ok("le50", "lt50", 0.5).as("ok_p50"),
+        ok("le90", "lt90", 0.9).as("ok_p90"))
       .orderBy("lang")
+  }
+
+  private val q107Sql =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang, count(*) AS n,
+      |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_chars END) AS p50_exact,
+      |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_chars END) AS p90_exact,
+      |  TRUE AS ok_p50, TRUE AS ok_p90
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------- q191
   // HTML/markup text extraction — the FIRST operator of every web-crawl
@@ -869,7 +956,7 @@ object TextQueries {
       """CASE CAST(doc_id % 7 AS INT)
         |  WHEN 0 THEN replace(text, 'a', 'Ã¡')
         |  WHEN 1 THEN replace(text, 'e', '�')
-        |  WHEN 2 THEN concat(text, 'x')
+        |  WHEN 2 THEN concat(text, chr(7), 'x')
         |  ELSE text END""".stripMargin)
     def nOf(marker: String) =
       length(col("s")) - length(regexp_replace(col("s"), marker, ""))
@@ -1023,10 +1110,12 @@ object TextQueries {
       "link-graph mining from markup: anchor extraction, degree stats, 2-hop reach"),
     QueryDef("q195_url_normalize", q195, Some(q195Sql),
       "URL canonicalization + frontier dedup: port/case/utm/fragment/slash rules, canonical-group collapse"),
-    QueryDef("q107_approx_percentiles", q107, None, "GK-sketch percentiles (see EdaSpec bound)"),
+    QueryDef("q107_approx_percentiles", q107, Some(q107Sql),
+      "GK-sketch percentiles, rank-bound-verdict oracled (+EdaSpec bound)"),
     QueryDef("q103_sentences", q103, Some(q103Sql), "sentence segmentation + per-sentence stats"),
     QueryDef("q30_clean_text", q30, Some(q30Sql), "F1-F3 clean_post regex chain"),
-    QueryDef("q49_stem_tokens", q49, None, "F7 Porter2 (Snowball) stemmer UDF (see StemmerSpec)"),
+    QueryDef("q49_stem_tokens", q49, Some(q49Sql),
+      "F7 Porter2 (Snowball) stemmer UDF, vocab-map oracled (+StemmerSpec)"),
     QueryDef("q57_tfidf_topk", q57, Some(q57Sql), "TF-IDF top-3 keywords per doc"),
     QueryDef("q52_hash_sample", q52, Some(q52Sql), "deterministic stratified sampling"),
     QueryDef("q147_group_sample", q147, Some(q147Sql), "deterministic exact-k per-group sample (reservoir shape)"),

@@ -709,8 +709,11 @@ object PipelineQueries {
       // orderBy+limit → TakeOrderedAndProject: per-partition partial
       // top-K then a K-row driver merge — the distributed sketch build
       // (a global row_number window would single-partition the distinct
-      // key set)
-      counted.orderBy("h").limit(JK).select("h", "cnt")
+      // key set). cnt is a secondary sort key: if two keys hash-collide
+      // on h exactly at the K boundary, the retained row would otherwise
+      // be nondeterministic (ADVICE r8) — the tiebreak makes Spark and
+      // the oracle keep the same row.
+      counted.orderBy("h", "cnt").limit(JK).select("h", "cnt")
     }
     val a = sketch(Tables.orders(s, d).select(col("o_custkey").as("key")))
     val b = sketch(Tables.customer(s, d).select(col("c_custkey").as("key")))
@@ -740,12 +743,12 @@ object PipelineQueries {
        |  SELECT (key * 2654435761 + 12345) % $JP AS h, cnt FROM (
        |    SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
        |    FROM orders GROUP BY o_custkey) t
-       |  ORDER BY h LIMIT $JK),
+       |  ORDER BY h, cnt LIMIT $JK),
        |kb AS (
        |  SELECT (key * 2654435761 + 12345) % $JP AS h, cnt FROM (
        |    SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
        |    FROM customer GROUP BY c_custkey) t
-       |  ORDER BY h LIMIT $JK),
+       |  ORDER BY h, cnt LIMIT $JK),
        |u AS (
        |  SELECT CAST(count(*) AS BIGINT) AS u_n, max(h) AS tau FROM (
        |    SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) x

@@ -881,10 +881,15 @@ object OperatorQueries {
     * (key, val_c, op, lsn) with base rows at lsn 0 — exposed so
     * PropertySpec can fuzz the ordering semantics on random op logs
     * against a sequential driver-side apply.
+    *
+    * Equal-lsn ops on one key (possible through this API, never emitted
+    * by a real WAL) resolve deterministically: delete beats upsert
+    * (tombstone-wins, the log-compaction rule), then lower val_c wins —
+    * so replay order can never change the final state (ADVICE r8).
     */
   private[graft] def cdcApply(base: DataFrame, log: DataFrame): DataFrame = {
     val all = base.unionByName(log)
-    val w = Window.partitionBy("key").orderBy(desc("lsn"))
+    val w = Window.partitionBy("key").orderBy(desc("lsn"), asc("op"), asc("val_c"))
     val nOps = log.groupBy("key").agg(count(lit(1)).as("n_ops"))
     all
       .withColumn("rn", row_number().over(w))
@@ -922,7 +927,7 @@ object OperatorQueries {
       |nops AS (SELECT key, CAST(count(*) AS BIGINT) AS n_ops FROM log GROUP BY key),
       |fin AS (
       |  SELECT key, val_c, op, lsn,
-      |    row_number() OVER (PARTITION BY key ORDER BY lsn DESC) AS rn
+      |    row_number() OVER (PARTITION BY key ORDER BY lsn DESC, op, val_c) AS rn
       |  FROM alltab)
       |SELECT f.key, CAST(f.val_c AS BIGINT) AS val_c,
       |  coalesce(n.n_ops, 0) AS n_ops, f.lsn AS last_lsn

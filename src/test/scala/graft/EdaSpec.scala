@@ -9,7 +9,8 @@ class EdaSpec extends AnyFunSuite {
     // pinned per-SF (the q124-class risk: a constant that only holds at
     // one calibration size) — the bound must hold at tiny AND 10x corpora
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
-      val rows = Registry.queries("q27_approx_distinct")(spark, dir).collect()
+      val rows = analyze.Eda.q27Raw(spark, dir)
+        .select("event_type", "approx_users").collect()
       val exact = Registry.queries("q21_distinct_agg")(spark, dir).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(rows.nonEmpty)
@@ -24,7 +25,7 @@ class EdaSpec extends AnyFunSuite {
   }
 
   test("approx percentiles land within tight rank error of the exact nearest-rank answer") {
-    val approx = Registry.queries("q107_approx_percentiles")(spark, sf).collect()
+    val approx = clean.TextQueries.q107Raw(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Registry.queries("q53_len_percentiles")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -98,7 +98,7 @@ class TextOpsSpec extends AnyFunSuite {
       val s = (id % 7) match {
         case 0 => texts(id).replace("a", "Ã¡")
         case 1 => texts(id).replace("e", "�")
-        case 2 => texts(id) + "x"
+        case 2 => texts(id) + "\u0007x"
         case _ => texts(id)
       }
       val nRepl = s.count(_ == '�').toLong
