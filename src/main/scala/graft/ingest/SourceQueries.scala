@@ -270,6 +270,41 @@ object SourceQueries {
       |  CAST(sum(val) AS BIGINT) AS v_sum
       |FROM g GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** DataSource V2 WRITE path round trip (VERDICT r8 task 6 — SeqSource
+    * covers the V2 read contract, [[graft.sources.GraftStoreProvider]]
+    * the write side): the deterministic V2 seq source is written through
+    * graft-store's two-phase commit (task temp files → job-level rename
+    * + `_SCHEMA` + `_SUCCESS` published last), read back through the
+    * same provider's `_SUCCESS`-gated scan, and aggregated — the oracle
+    * recomputes the generator contract over `range()`, so the whole
+    * write/commit/read chain must be value-exact. Commit-protocol
+    * failure semantics (aborted job publishes nothing) are asserted in
+    * SourcesSpec.
+    */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_store_") + "/seqstore"
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("slices", "8").load()
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("val").as("v_min"),
+        max("val").as("v_max"), sum("val").as("v_sum"))
+      .orderBy("label")
+  }
+
+  private val q226Sql =
+    """WITH g AS (
+      |  SELECT CAST(t.i AS BIGINT) AS id,
+      |    (t.i * 2654435761) % 1000000007 AS val,
+      |    'r' || CAST(t.i % 7 AS VARCHAR) AS label
+      |  FROM range(0, 20000) AS t(i))
+      |SELECT label, count(*) AS n, min(val) AS v_min, max(val) AS v_max,
+      |  CAST(sum(val) AS BIGINT) AS v_sum
+      |FROM g GROUP BY 1 ORDER BY label""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -435,6 +470,8 @@ object SourceQueries {
     QueryDef("q74_bucketed_join", q74, Some(q74Sql), "shuffle-free bucketed join"),
     QueryDef("q119_orc_roundtrip", q119, Some(q119Sql), "ORC source write/read round trip"),
     QueryDef("q126_dsv2_source", q126, Some(q126Sql), "custom DataSource V2 scan (splits + pruning)"),
+    QueryDef("q226_dsv2_write_roundtrip", q226, Some(q226Sql),
+      "DataSource V2 BatchWrite round trip: two-phase commit (task temp -> rename + _SUCCESS last) then _SUCCESS-gated V2 scan"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

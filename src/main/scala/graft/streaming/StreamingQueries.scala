@@ -82,6 +82,79 @@ object StreamingQueries {
       |SELECT user_id, event_id, value, pop, time_of_day
       |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** RATE-LIMITED trigger ingestion (ST1's Limit=100-per-poll contract
+    * exercised through the ENGINE's own rate limiter, not fixture
+    * slicing — VERDICT r8 task 9): the q61 head is laid out as FOUR
+    * parquet files with pinned mtimes, the file source reads them with
+    * `maxFilesPerTrigger = 1` (so Spark's admission control, not the
+    * test harness, forms the micro-batches), and each batch upserts into
+    * the keyed store. The emitted `n_batches` column carries the
+    * OBSERVED trigger count and the oracle pins it to the file count —
+    * if rate limiting collapsed the files into one batch, the hash
+    * breaks. Final store ≡ "latest event per user, enriched" (q61's
+    * stream-equals-batch law; upsert is last-event-id-wins, so the
+    * verdict is independent of batch arrival order).
+    *
+    * Scale: maxFilesPerTrigger is THE knob for bounded-catch-up restarts
+    * over a 100 TB backlog — per-batch work stays ∝ files admitted, and
+    * the upsert store probe stays ∝ touched buckets (upsertBatch).
+    */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = graft.util.TempDirs.create("graft_mft_")
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val store = base + "/store"
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val slices = eventsSeq.grouped(250).toSeq
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      val tmp = base + s"/tmp$i"
+      s.createDataset(sl).toDF().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"slice-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // pin the (mtime, path) admission order the file source sorts by
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_sec", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    Pipeline.withShufflePartitions(s, 8) {
+      val ckpt = Pipeline.checkpointDir("ckpt_q227")
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = Pipeline.enrich(stream).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          nBatches.incrementAndGet()
+          Pipeline.upsertBatch(s, batch.toDF(), store)
+        }.start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      Pipeline.dropCheckpoint(ckpt)
+    }
+    s.read.parquet(store)
+      .select("user_id", "event_id", "value", "pop", "time_of_day")
+      .crossJoin(broadcast(
+        s.range(1).select(lit(nBatches.get().toLong).as("n_batches"))))
+      .orderBy("user_id")
+  }
+
+  private val q227Sql =
+    """WITH head AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
+      |ranked AS (
+      |  SELECT user_id, event_id, value,
+      |    value * coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0, 0.0)
+      |      + 0.5 * CAST(event_id % 97 AS DOUBLE) AS pop,
+      |    CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END AS time_of_day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM head)
+      |SELECT user_id, event_id, value, pop, time_of_day,
+      |  CAST(4 AS BIGINT) AS n_batches
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Cross-batch stateful author counts (ST5/A7): flatMapGroupsWithState
     * accumulating per-user totals across 4 MemoryStream micro-batches,
     * emitting the as-of count on every row. Stream ≡ batch running count.
@@ -718,6 +791,8 @@ object StreamingQueries {
     QueryDef("q101_stream_dedup_wm", q101, Some(q101Sql), "bounded-state dedup within watermark"),
     QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
+    QueryDef("q227_rate_limited_upsert", q227, Some(q227Sql),
+      "ST1 rate-limited ingestion: maxFilesPerTrigger=1 over a 4-file layout, oracle pins the trigger count"),
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),
     QueryDef("q102_tws_author_state", q102, Some(q62Sql), "ST5 via Spark 4 transformWithState + RocksDB"),
     QueryDef("q108_incremental_agg", q108, Some(q108Sql), "incremental aggregate-table maintenance"),

@@ -613,4 +613,80 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists { case (_, _, _, _, r, _, ra) => r && !ra },
       "no class repaired by day→month generalization")
   }
+
+  test("q224/q225 unigram-LM trainer agrees with a plain-Scala reference implementation") {
+    import graft.clean.TextOps
+    // independent driver-side trainer with the same published recipe:
+    // substring seed -> hard-EM Viterbi rounds -> contribution pruning
+    def fplog2(n: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      val p = 1L << (bl - 1)
+      (bl - 1).toLong * 4096 + 4096 * (n - p) / p
+    }
+    val words = org.apache.spark.sql.functions.explode(
+      TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+    val freqs = Tables.documents(spark, TestSpark.sf)
+      .select(words.as("w")).collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter { case (w, _) => w.length >= 1 && w.length <= 10 }
+    def score(kept: Seq[(String, Long)]): Map[String, (Long, Long)] = {
+      val tot = kept.map(_._2 + 1).sum
+      kept.map { case (pc, c) => pc -> ((c, fplog2(c + 1) - fplog2(tot))) }.toMap
+    }
+    val seedCnt = collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freqs; l <- 1 to 4; i <- 0 to w.length - l)
+      seedCnt(w.substring(i, i + l)) = seedCnt.getOrElse(w.substring(i, i + l), 0L) + f
+    def split2(c: Map[String, Long]) =
+      (c.filter(_._1.length == 1).toSeq, c.filter(_._1.length > 1).toSeq)
+    val (s1, m1) = split2(seedCnt.toMap)
+    var vocab = score(s1 ++ m1.sortBy { case (pc, c) => (-c, pc) }.take(24))
+    def viterbi(w: String, v: Map[String, (Long, Long)]): (Long, String) = {
+      val best = Array.fill[Option[(Long, String)]](w.length + 1)(None)
+      best(0) = Some((0L, ""))
+      for (p <- 1 to w.length) {
+        var cur: Option[(Long, String)] = None
+        for (k <- 1 to math.min(4, p); j = p - k) {
+          val piece = w.substring(j, p)
+          (best(j), v.get(piece)) match {
+            case (Some((s0, g0)), Some((_, fp))) =>
+              val cand = (s0 + fp, g0 + " " + piece)
+              cur = Some(cur.fold(cand)(c =>
+                if (cand._1 > c._1 || (cand._1 == c._1 && cand._2 < c._2)) cand
+                else c))
+            case _ => ()
+          }
+        }
+        best(p) = cur
+      }
+      val (sc, seg) = best(w.length).get
+      (sc, seg.trim)
+    }
+    for (cap <- Seq(20, 16, 12)) {
+      val segs = freqs.map { case (w, f) => (w, f, viterbi(w, vocab)) }
+      val usage = collection.mutable.Map.empty[String, Long]
+      for ((_, f, (_, seg)) <- segs; pc <- seg.split(" "))
+        usage(pc) = usage.getOrElse(pc, 0L) + f
+      val withZero = vocab.keys.map(pc => pc -> usage.getOrElse(pc, 0L)).toMap
+      val tot = withZero.values.map(_ + 1).sum
+      def contrib(c: Long) = c * (fplog2(tot) - fplog2(c + 1))
+      val (sg, ml) = split2(withZero)
+      vocab = score(sg ++ ml.sortBy { case (pc, c) => (-contrib(c), pc) }.take(cap))
+    }
+    val gotTrain = Registry.queries("q224_unigram_lm_train")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expTrain = vocab.toSeq
+      .map { case (pc, (c, fp)) => (pc, pc.length.toLong, c, fp) }.sortBy(_._1)
+    assert(gotTrain.toSeq == expTrain, "trained vocab mismatch")
+    val gotApply = Registry.queries("q225_unigram_lm_apply")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val expApply = freqs.toSeq.map { case (w, f) =>
+      val (sc, seg) = viterbi(w, vocab)
+      (w, f, seg, seg.split(" ").length.toLong, sc)
+    }.sortBy(_._1)
+    assert(gotApply.toSeq == expApply, "apply segmentation mismatch")
+    // the trainer learned something: at least one multi-char piece is
+    // actually used by the final segmentation
+    assert(expApply.exists(_._3.split(" ").exists(_.length > 1)))
+  }
 }

@@ -903,4 +903,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(ndcg == dcg * 10000 / idcg && ndcg >= 0 && ndcg <= 10000)
     }
   }
+
+  test("q223 multi-probe IVF: per-query recall monotone in nprobe, mean recall@3 >= 0.85 at nprobe=8") {
+    val rows = Registry.queries("q223_ivf_nprobe_sweep")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    val byQ = rows.groupBy(_._2)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_._1)
+      assert(ordered.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L), s"query $q nprobe rows")
+      // candidate sets nest as nprobe grows and the exact top-3 is the
+      // global cosine order, so hits (and cost) can only grow
+      assert(ordered.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+        s"query $q recall not monotone: ${ordered.map(_._3).mkString(",")}")
+      assert(ordered.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"query $q probe cost not monotone")
+    }
+    val at8 = rows.filter(_._1 == 8L).map(_._3)
+    val mean = at8.sum.toDouble / at8.length
+    assert(mean >= 85.0, s"mean recall@3 at nprobe=8 = $mean < 85")
+  }
 }

@@ -138,4 +138,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(out("v1").getDouble(4) == 0.0)
     assert(out("v2").getDouble(4) > 0.0)
   }
+
+  test("graft-store commit publishes a complete table: parts + _SCHEMA, _SUCCESS last, no temp residue") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.TempDirs.create("graft_store_spec_") + "/t1"
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 3).as("v"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("tag"))
+    df.write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.contains("_SUCCESS") && files.contains("_SCHEMA"))
+    assert(files.exists(_.startsWith("part-")))
+    assert(!files.contains("_temporary"), s"temp residue: $files")
+    // read back through the provider (schema from _SCHEMA)
+    val back = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(back.count() == 100)
+    assert(back.agg(sum("v")).head().getLong(0) == (0L until 100).map(_ * 3).sum)
+    // overwrite truncates the previous generation
+    df.limit(10).write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    assert(spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load().count() == 10)
+    // append keeps it
+    df.limit(5).write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("append").save()
+    assert(spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load().count() == 15)
+  }
+
+  test("graft-store failed job publishes nothing: no _SUCCESS, no parts, reader sees empty") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.TempDirs.create("graft_store_spec_") + "/t2"
+    // one task throws mid-write; other tasks may have completed their temps
+    val poisoned = spark.range(0, 1000, 1, 8).select(col("id"),
+      when(assert_true(col("id") =!= 777).isNull, col("id") * 2)
+        .otherwise(col("id")).as("v"))
+    val failed =
+      try {
+        poisoned.write.format("graft.sources.GraftStoreProvider")
+          .option("path", dir).mode("overwrite").save()
+        false
+      } catch { case _: Throwable => true }
+    assert(failed, "write was expected to fail")
+    val d = new java.io.File(dir)
+    val files = if (d.isDirectory) d.listFiles().map(_.getName).toSet else Set.empty[String]
+    assert(!files.contains("_SUCCESS"), s"failed job published a marker: $files")
+    assert(!files.exists(_.startsWith("part-")), s"failed job left parts: $files")
+    // the _SUCCESS gate: an explicit-schema read of the aborted dir is empty
+    val back = spark.read.format("graft.sources.GraftStoreProvider")
+      .schema("id bigint, v bigint")
+      .option("path", dir).load()
+    assert(back.count() == 0)
+  }
 }

@@ -245,4 +245,11 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q227 admission control forms exactly one micro-batch per file (maxFilesPerTrigger=1, 4 files)") {
+    val rows = Registry.queries("q227_rate_limited_upsert")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val nb = rows.map(_.getLong(5)).distinct
+    assert(nb.toSeq == Seq(4L), s"observed trigger counts: ${nb.mkString(",")}")
+  }
 }
