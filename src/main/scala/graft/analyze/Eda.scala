@@ -1197,7 +1197,103 @@ object Eda {
       |FROM cell c JOIN cs s ON s.cohort = c.cohort
       |ORDER BY cohort, c."offset"""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+
+  /** MULTI-TOUCH ATTRIBUTION — the revenue-credit complement of the
+    * funnel (q125) and cohort-retention (q218) family: every purchase's
+    * revenue is credited back to the view/click touchpoints the same
+    * user produced in the preceding 7 days, under the two canonical
+    * models side by side — LAST-TOUCH (full credit to the most recent
+    * touch) and LINEAR (equal split). Purchases with no in-window touch
+    * credit an explicit `organic` channel, so total credited cents ==
+    * total purchase cents under BOTH models (the books balance — the
+    * property AttributionSpec pins).
+    *
+    * Determinism: revenue is floor(DECIMAL(18,4) × 100) integer cents;
+    * the linear split is integer division with the remainder assigned to
+    * the LAST touch (ties on touch ts broken by event_id), so every cent
+    * is placed identically in both engines.
+    *
+    * Scale: the touch↔purchase match is an equi-join on user_id with the
+    * 7-day range as a residual predicate — one shuffle keyed on user_id,
+    * per-user state bounded by that user's 7-day activity (never a
+    * cross-user product, never a global window). The per-purchase
+    * rank/count windows partition by purchase id — same key locality as
+    * the join output. Output is |channels| rows regardless of input size.
+    */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+        expr("CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)").as("cents"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("ts").as("t_ts"), col("event_type").as("t_channel"))
+    val joined = p.join(t,
+      p("user_id") === t("t_user") &&
+        t("t_ts") < p("p_ts") &&
+        t("t_ts") >= p("p_ts") - expr("INTERVAL 7 DAYS"),
+      "left")
+    val w = Window.partitionBy("p_id").orderBy(asc("t_ts"), asc("t_id"))
+    val credited = joined
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_t", count(col("t_id")).over(Window.partitionBy("p_id")))
+      .withColumn("channel", coalesce(col("t_channel"), lit("organic")))
+      .withColumn("lin_cents",
+        when(col("n_t") === 0, col("cents"))
+          .otherwise(
+            expr("cents div n_t") +
+              when(col("rk") === col("n_t"),
+                col("cents") - expr("cents div n_t") * col("n_t"))
+                .otherwise(lit(0L))))
+      .withColumn("lt_cents",
+        when(col("n_t") === 0 || col("rk") === col("n_t"), col("cents"))
+          .otherwise(lit(0L)))
+    credited.groupBy("channel")
+      .agg(count(col("t_id")).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum("lin_cents").as("lin_cents"),
+        sum("lt_cents").as("lt_cents"))
+      .orderBy("channel")
+  }
+
+  private val q231Sql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts,
+      |    CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+      |    event_type AS t_channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.*, t.t_id, t.t_ts, t.t_channel
+      |  FROM p LEFT JOIN t
+      |    ON p.user_id = t.t_user
+      |   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+      |c AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rk,
+      |    count(t_id) OVER (PARTITION BY p_id) AS n_t,
+      |    coalesce(t_channel, 'organic') AS channel
+      |  FROM j),
+      |cr AS (
+      |  SELECT channel, t_id, p_id,
+      |    CASE WHEN n_t = 0 THEN cents
+      |         ELSE cents // n_t +
+      |           CASE WHEN rk = n_t THEN cents - (cents // n_t) * n_t
+      |                ELSE 0 END END AS lin_cents,
+      |    CASE WHEN n_t = 0 OR rk = n_t THEN cents ELSE 0 END AS lt_cents
+      |  FROM c)
+      |SELECT channel, count(t_id) AS n_touches,
+      |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+      |  CAST(sum(lin_cents) AS BIGINT) AS lin_cents,
+      |  CAST(sum(lt_cents) AS BIGINT) AS lt_cents
+      |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q231_attribution", q231, Some(q231Sql),
+      "multi-touch revenue attribution: last-touch + linear credit over 7-day touch windows, organic balance"),
     QueryDef("q218_cohort_retention", q218, Some(q218Sql),
       "cohort retention matrix: first-seen-day cohorts x day-offset activity, retention in basis points"),
     QueryDef("q203_pivot", q203, Some(q203Sql),

@@ -1909,7 +1909,112 @@ object CurationQueries {
          |  score AS fp_score
          |FROM r${UlmPruneCaps.size + 1}fin ORDER BY w""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+
+  /** RIGHT-TO-BE-FORGOTTEN ERASURE CASCADE — the data-governance
+    * operator the redaction (q110) / PII (q199) / k-anonymity (q215)
+    * family was missing: erase a subject set (customers picked by a
+    * deterministic rule standing in for the deletion-request queue) and
+    * CASCADE the deletion through the FK graph — the subjects' orders,
+    * those orders' lineitems, and the subjects' event history — then
+    * AUDIT the result. The per-table ledger (rows before / erased /
+    * after) is what a compliance review signs off on, and the two orphan
+    * counts prove referential integrity survived the cascade: zero
+    * surviving orders pointing at erased customers, zero surviving
+    * lineitems pointing at erased orders.
+    *
+    * Scale: the subject set is ~1% of one dimension — broadcast it and
+    * every cascade step is one scan of the fact table with a broadcast
+    * semi/anti join (no fact-side shuffle anywhere). The orders→lineitem
+    * hop reuses the already-filtered erased-orders key set (itself
+    * bounded by the subject set's order fan-out). The ledger is 4 rows
+    * and the audit 2 integers regardless of input size. In production
+    * the same plan runs as a deletion-vector write rather than a full
+    * rewrite; the relational shape (broadcast key set + anti join) is
+    * identical.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    val subj = Tables.customer(s, d)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val ev = Tables.events(s, d)
+    val erasedOrders = ord.join(broadcast(subj), col("o_custkey") === col("k"))
+      .select(col("o_orderkey").as("ok"))
+    def ledger(name: String, before: DataFrame, erased: DataFrame) = {
+      val nb = before.agg(count(lit(1)).as("n_before"))
+      val ne = erased.agg(count(lit(1)).as("n_erased"))
+      nb.crossJoin(ne).select(lit(name).as("table_name"),
+        col("n_before"), col("n_erased"),
+        (col("n_before") - col("n_erased")).as("n_after"))
+    }
+    val cust = Tables.customer(s, d)
+    val custErased = cust.join(broadcast(subj), col("c_custkey") === col("k"))
+    val ordErased = ord.join(broadcast(subj), col("o_custkey") === col("k"))
+    val liErased = li.join(broadcast(erasedOrders), col("l_orderkey") === col("ok"))
+    val evErased = ev.filter(col("user_id") % 97 === 0)
+    val rows = ledger("customer", cust, custErased)
+      .unionByName(ledger("events", ev, evErased))
+      .unionByName(ledger("lineitem", li, liErased))
+      .unionByName(ledger("orders", ord, ordErased))
+    // referential-integrity audit over the SURVIVING rows
+    val ordKept = ord.join(broadcast(subj), col("o_custkey") === col("k"), "left_anti")
+    val orphanOrders = ordKept
+      .join(broadcast(custErased.select(col("c_custkey").as("ck"))),
+        col("o_custkey") === col("ck"))
+      .agg(count(lit(1)).as("n_erased"))
+    val liKept = li.join(broadcast(erasedOrders), col("l_orderkey") === col("ok"), "left_anti")
+    val orphanLi = liKept
+      .join(broadcast(erasedOrders), col("l_orderkey") === col("ok"))
+      .agg(count(lit(1)).as("n_erased"))
+    val audit = orphanOrders
+      .select(lit("audit_orphan_orders").as("table_name"),
+        lit(0L).as("n_before"), col("n_erased"), lit(0L).as("n_after"))
+      .unionByName(orphanLi.select(lit("audit_orphan_lineitems").as("table_name"),
+        lit(0L).as("n_before"), col("n_erased"), lit(0L).as("n_after")))
+    rows.unionByName(audit).orderBy("table_name")
+  }
+
+  private val q230Sql =
+    """WITH subj AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      |eo AS (SELECT o_orderkey AS ok FROM orders
+      |       JOIN subj ON o_custkey = k),
+      |led AS (
+      |  SELECT 'customer' AS table_name,
+      |    (SELECT count(*) FROM customer) AS n_before,
+      |    (SELECT count(*) FROM customer JOIN subj ON c_custkey = k) AS n_erased
+      |  UNION ALL SELECT 'events',
+      |    (SELECT count(*) FROM events),
+      |    (SELECT count(*) FROM events WHERE user_id % 97 = 0)
+      |  UNION ALL SELECT 'lineitem',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem JOIN eo ON l_orderkey = ok)
+      |  UNION ALL SELECT 'orders',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders JOIN subj ON o_custkey = k)),
+      |audit AS (
+      |  SELECT 'audit_orphan_orders' AS table_name, CAST(0 AS BIGINT) AS n_before,
+      |    (SELECT count(*) FROM orders o
+      |     WHERE o.o_custkey NOT IN (SELECT k FROM subj)
+      |       AND o.o_custkey IN (SELECT k FROM subj)) AS n_erased,
+      |    CAST(0 AS BIGINT) AS n_after
+      |  UNION ALL
+      |  SELECT 'audit_orphan_lineitems', CAST(0 AS BIGINT),
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE l.l_orderkey NOT IN (SELECT ok FROM eo)
+      |       AND l.l_orderkey IN (SELECT ok FROM eo)), CAST(0 AS BIGINT))
+      |SELECT table_name, CAST(n_before AS BIGINT) AS n_before,
+      |  CAST(n_erased AS BIGINT) AS n_erased,
+      |  CAST(n_before - n_erased AS BIGINT) AS n_after
+      |FROM led
+      |UNION ALL SELECT table_name, n_before, CAST(n_erased AS BIGINT), n_after
+      |FROM audit
+      |ORDER BY table_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q230_erasure_cascade", q230, Some(q230Sql),
+      "right-to-be-forgotten erasure cascade: broadcast subject set, FK-cascaded deletes, per-table ledger + orphan audit"),
     QueryDef("q224_unigram_lm_train", q224, Some(q224Sql),
       "unigram-LM (SentencePiece-style) tokenizer training: substring seed + hard-EM Viterbi rounds + loss-contribution pruning, fixed-point log-probs",
       planFn = Some(q224Lazy)),

@@ -603,23 +603,45 @@ object DedupQueries {
       .orderBy("canonical_id")
 
   /** SQL mirror of [[clusterLabels]]: recursive-CTE reachability closure →
-    * `labels(doc_id, label)`. Shared prefix of the q58/q154/q156 oracles.
+    * `labels(doc_id, label)`. Shared prefix of the q58/q154/q156/q185
+    * oracles.
+    *
+    * The mirror collapses exact token-set duplicates to a representative
+    * BEFORE the pairwise Jaccard join — the same two-tier shape the Spark
+    * side uses (lesson 19) — because through round 8 the naive within-lang
+    * all-pairs form was ~4·10⁸ list-intersects on the duplicate-heavy
+    * 50k-doc corpus and blew the sf1 gate's 1500 s DuckDB budget.
+    * Component equivalence (labels are IDENTICAL, not approximate):
+    * members of one exact group are pairwise J=1 ≥ 0.9, so the old graph
+    * held a clique where the star edges (rep↔member) now connect the same
+    * vertex set; and J(x,y) for x,y in different groups depends only on
+    * their token sets, so the old cross edge x–y exists iff the rep edge
+    * rep(x)–rep(y) does, reachable via the stars. Same components ⇒ same
+    * min-id labels.
     */
   private val clusterLabelsSqlPrefix =
-    s"""WITH RECURSIVE t AS (
+    s"""WITH RECURSIVE t AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |tgrp AS MATERIALIZED (
+       |  SELECT lang, toks, min(doc_id) AS rep, list(doc_id) AS members
+       |  FROM t GROUP BY lang, toks),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.rep AS id_a, b.rep AS id_b
+       |  FROM tgrp a JOIN tgrp b ON a.lang = b.lang AND a.rep < b.rep
        |  WHERE 10 * len(list_intersect(a.toks, b.toks))
        |    >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))),
+       |tstar AS MATERIALIZED (
+       |  SELECT rep AS id_a, m AS id_b
+       |  FROM (SELECT rep, unnest(members) AS m FROM tgrp) WHERE m != rep),
        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |          UNION ALL SELECT id_b, id_a FROM pairs
+       |          UNION ALL SELECT id_a, id_b FROM tstar
+       |          UNION ALL SELECT id_b, id_a FROM tstar),
        |reach(v, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.b, r.r FROM reach r JOIN edges e ON r.v = e.a),
-       |labels AS (SELECT v AS doc_id, min(r) AS label FROM reach GROUP BY v)""".stripMargin
+       |labels AS MATERIALIZED (SELECT v AS doc_id, min(r) AS label FROM reach GROUP BY v)""".stripMargin
 
   private val q58Sql =
     s"""$clusterLabelsSqlPrefix
@@ -2252,7 +2274,118 @@ object DedupQueries {
        |JOIN dirty dy ON l.label = dy.label
        |ORDER BY o.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q228
+
+  /** FUZZY RECORD LINKAGE (entity resolution) — the typo-tolerant
+    * complement of the edit-distance join (q59): two registries are
+    * linked by Jaro-Winkler similarity, the scorer record-linkage
+    * actually uses (it weights shared prefixes and tolerates
+    * transpositions — the shapes human-entered names take). Registry A =
+    * the corpus's distinct 24-char ASCII titles (exact-dup collapse
+    * FIRST — lesson 19's two-tier shape: linkage runs on distinct
+    * entities, never on raw duplicate-heavy rows); registry B = each
+    * title under a deterministic per-entity corruption (identity /
+    * mid-delete / mid-replace / first-char replace — the fixture is the
+    * corruption, the operator is the linkage).
+    *
+    * MULTI-PASS BLOCKING, the production linkage shape: pass P blocks on
+    * (6-char prefix, length band ±1), pass S on (6-char suffix, length
+    * band) — a corruption that breaks one pass's key survives the other,
+    * so every planted pair is reachable while candidates stay
+    * Θ(near-dups): the 6-gram keys are high-entropy (title text), so no
+    * block grows with corpus size, and both passes are plain equi-joins
+    * — shuffle keyed on the block key, never all-pairs. Scoring is the
+    * native codegen [[org.apache.spark.sql.graft.JaroWinkler]] — BIT-
+    * IDENTICAL to DuckDB's `jaro_winkler_similarity` (ExpressionSpec:
+    * published Winkler vectors + a 20k random-pair sweep, zero bitwise
+    * diffs), so the raw double scores hash-match, as do the (jw desc,
+    * id) best-match ranking and the ≥0.85 match verdict. `lev` (exact
+    * Levenshtein) rides along as the integer cross-check.
+    */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val titles = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      .filter(col("t").rlike("^[ -~]{24}$"))
+      .groupBy("t").agg(min("doc_id").as("rep"))
+    val dirty = titles.select(
+      (col("rep") + 1000000000L).as("id_b"),
+      expr("""CASE rep % 4
+             |  WHEN 0 THEN t
+             |  WHEN 1 THEN substr(t, 1, 11) || substr(t, 13)
+             |  WHEN 2 THEN substr(t, 1, 8) || 'x' || substr(t, 10)
+             |  ELSE 'Z' || substr(t, 2) END""".stripMargin).as("tb"))
+    def keysFor(t: Column, lens: Column => Seq[Column]): Column = {
+      val l = length(t)
+      array(lens(l).flatMap(lb => Seq(
+        struct(lit("p").as("kind"), substring(t, 1, 6).as("kstr"), lb.as("klen")),
+        struct(lit("s").as("kind"), t.substr(l - 5, lit(6)).as("kstr"), lb.as("klen"))
+      )): _*)
+    }
+    val aKeys = titles.select(col("rep").as("id_a"), col("t").as("ta"),
+        explode(keysFor(col("t"), l => Seq(l - 1, l, l + 1))).as("k"))
+      .select(col("id_a"), col("ta"), col("k.kind"), col("k.kstr"), col("k.klen"))
+    val bKeys = dirty.select(col("id_b"), col("tb"),
+        explode(keysFor(col("tb"), l => Seq(l))).as("k"))
+      .select(col("id_b"), col("tb"), col("k.kind"), col("k.kstr"), col("k.klen"))
+    val scored = aKeys.join(bKeys, Seq("kind", "kstr", "klen"))
+      .select("id_a", "ta", "id_b", "tb").dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        Det.jaroWinkler(col("ta"), col("tb")).as("jw"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+    val w = Window.partitionBy("id_a").orderBy(desc("jw"), asc("id_b"))
+    val best = scored
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("id_a")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    best.select(col("id_a"), col("id_b"), col("jw"), col("lev"), col("n_cand"),
+        (col("jw") >= 0.85).as("is_match"),
+        (col("id_b") - 1000000000L === col("id_a")).as("true_match"))
+      .orderBy("id_a")
+  }
+
+  private val q228Sql =
+    """WITH titles AS (
+      |  SELECT min(doc_id) AS rep, t FROM (
+      |    SELECT doc_id, substr(text, 1, 24) AS t FROM documents)
+      |  WHERE regexp_matches(t, '^[ -~]{24}$') GROUP BY t),
+      |dirty AS (
+      |  SELECT rep + 1000000000 AS id_b,
+      |    CASE rep % 4
+      |      WHEN 0 THEN t
+      |      WHEN 1 THEN substr(t, 1, 11) || substr(t, 13)
+      |      WHEN 2 THEN substr(t, 1, 8) || 'x' || substr(t, 10)
+      |      ELSE 'Z' || substr(t, 2) END AS tb
+      |  FROM titles),
+      |ak AS (
+      |  SELECT rep AS id_a, t AS ta, kind, kstr, klen FROM titles,
+      |    LATERAL (SELECT unnest(['p', 's']) AS kind) k1,
+      |    LATERAL (SELECT CASE WHEN kind = 'p' THEN substr(t, 1, 6)
+      |                    ELSE substr(t, length(t) - 5, 6) END AS kstr) k2,
+      |    LATERAL (SELECT unnest([length(t) - 1, length(t), length(t) + 1]) AS klen) k3),
+      |bk AS (
+      |  SELECT id_b, tb, kind,
+      |    CASE WHEN kind = 'p' THEN substr(tb, 1, 6)
+      |         ELSE substr(tb, length(tb) - 5, 6) END AS kstr,
+      |    length(tb) AS klen
+      |  FROM dirty, LATERAL (SELECT unnest(['p', 's']) AS kind) k1),
+      |cand AS (
+      |  SELECT DISTINCT a.id_a, a.ta, b.id_b, b.tb
+      |  FROM ak a JOIN bk b USING (kind, kstr, klen)),
+      |scored AS (
+      |  SELECT id_a, id_b, jaro_winkler_similarity(ta, tb) AS jw,
+      |    CAST(levenshtein(ta, tb) AS BIGINT) AS lev
+      |  FROM cand),
+      |best AS (
+      |  SELECT *, count(*) OVER (PARTITION BY id_a) AS n_cand,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS rn
+      |  FROM scored)
+      |SELECT id_a, id_b, jw, lev, n_cand,
+      |  jw >= 0.85 AS is_match,
+      |  id_b - 1000000000 = id_a AS true_match
+      |FROM best WHERE rn = 1 ORDER BY id_a""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q228_record_linkage", q228, Some(q228Sql),
+      "fuzzy record linkage: multi-pass blocked Jaro-Winkler entity resolution (native codegen scorer)"),
     QueryDef("q149_subset_pairs", q149, Some(q149Sql),
       "token-set subsumption (containment-1.0) pairs, sub/sup oriented"),
     QueryDef("q176_jaccard_keep", q176, Some(q176Sql),

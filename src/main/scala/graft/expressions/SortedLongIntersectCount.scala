@@ -89,6 +89,10 @@ object GraftFunctions {
   def polyHash(s: Column, seed: Long): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s), seed))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Runtime installation into an ALREADY-BUILT session — the path for
     * environments that construct the SparkSession themselves (the driver's
     * Verify/Bench harness). Build-time wiring via [[GraftExtensions]] is

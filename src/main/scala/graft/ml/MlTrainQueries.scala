@@ -298,7 +298,7 @@ object MlTrainQueries {
 
   /** Shared DuckDB mirror of [[featureFrame]]. */
   private val featsSql =
-    s"""fx AS (
+    s"""fx AS MATERIALIZED (
        |  SELECT o.o_orderkey, ((o.o_orderkey % 1000000007) * 2654435761) % 100 AS bkt,
        |    CASE WHEN (3*x1 - 2*x2 + x0 > -300) != ((o.o_orderkey * 7919) % 10 = 0)
        |         THEN 1 ELSE -1 END AS y,
@@ -312,7 +312,7 @@ object MlTrainQueries {
        |    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
        |    GROUP BY o.o_orderkey) o)""".stripMargin
 
-  private val zeroWSql = "w0 AS (SELECT " +
+  private val zeroWSql = "w0 AS MATERIALIZED (SELECT " +
     (0 until NumFeats).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
 
   private def marginSql = (0 until NumFeats).map(j => s"f.x$j*w.w$j").mkString(" + ")
@@ -323,14 +323,14 @@ object MlTrainQueries {
     val loss =
       if (withLoss) s" CAST(sum(greatest(0, $MarginUnit - ym)) AS BIGINT) AS loss," else ""
     val a =
-      s"""a$t AS (
+      s"""a$t AS MATERIALIZED (
          |  SELECT count(*) AS n,$loss
          |    ${(0 until NumFeats).map(j =>
                s"CAST(coalesce(sum(CASE WHEN ym < $MarginUnit THEN y*x$j END), 0) AS BIGINT) AS g$j")
                .mkString(",\n    ")}
          |  FROM (SELECT f.*, f.y*($marginSql) AS ym FROM $src f CROSS JOIN w$t w))""".stripMargin
     val w =
-      s"w${t + 1} AS (SELECT ${(0 until NumFeats).map(j =>
+      s"w${t + 1} AS MATERIALIZED (SELECT ${(0 until NumFeats).map(j =>
         s"w.w$j + ($lrNum*$WScale*a.g$j) // ($lrDen*1024*a.n) AS w$j").mkString(", ")}" +
         s" FROM w$t w CROSS JOIN a$t a)"
     if (emitNext) Seq(a, w) else Seq(a)
@@ -381,7 +381,7 @@ object MlTrainQueries {
   private val q138Sql = {
     val ctes = Seq.newBuilder[String]
     ctes += featsSql
-    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += "tr AS MATERIALIZED (SELECT * FROM fx WHERE bkt < 80)"
     ctes += zeroWSql
     for (t <- 0 until EvalIters)
       ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)
@@ -440,7 +440,7 @@ object MlTrainQueries {
   private val q139Sql = {
     val ctes = Seq.newBuilder[String]
     ctes += featsSql
-    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += "tr AS MATERIALIZED (SELECT * FROM fx WHERE bkt < 80)"
     ctes += zeroWSql
     for (t <- 0 until EvalIters)
       ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)
@@ -502,7 +502,7 @@ object MlTrainQueries {
   private val q168Sql = {
     val ctes = Seq.newBuilder[String]
     ctes += featsSql
-    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += "tr AS MATERIALIZED (SELECT * FROM fx WHERE bkt < 80)"
     ctes += zeroWSql
     for (t <- 0 until EvalIters)
       ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)
@@ -555,7 +555,7 @@ object MlTrainQueries {
   private val q169Sql = {
     val ctes = Seq.newBuilder[String]
     ctes += featsSql
-    ctes += "tr AS (SELECT * FROM fx WHERE bkt < 80)"
+    ctes += "tr AS MATERIALIZED (SELECT * FROM fx WHERE bkt < 80)"
     ctes += zeroWSql
     for (t <- 0 until EvalIters)
       ctes ++= iterSql(t, "tr", 1, 1, withLoss = false, emitNext = true)

@@ -334,7 +334,11 @@ object OperatorQueries {
   private def q127(s: SparkSession, d: String): DataFrame = {
     def audit(name: String) =
       Tables.table(s, d, name)
-        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+        // Extract the TABLE-level "<name>.parquet" path segment, not the
+        // leaf basename: under a Spark-written directory layout the leaf
+        // is part-*.snappy.parquet and the table name is the parent dir.
+        // Leftmost-match keeps the single-file layout working unchanged.
+        .select(regexp_extract(input_file_name(), "([^/]+\\.parquet)(/|$)", 1).as("file"))
     audit("lineitem").unionAll(audit("orders")).unionAll(audit("customer"))
       .groupBy("file").agg(count(lit(1)).as("n"))
       .orderBy("file")

@@ -342,10 +342,18 @@ object Pipeline {
         .schema("ts").dataType == LongType)
     val sch = StructType(eventsFileSchema.map(f =>
       if (f.name == "ts" && !tsIsLong) f.copy(dataType = TimestampNTZType) else f))
-    val raw = spark.readStream
-      .schema(sch)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    // The events table may be a single file (driver testdata) or a
+    // Spark-written DIRECTORY of part files (ScaleGen dirs, production
+    // layouts). pathGlobFilter matches LEAF file names, so globbing
+    // "events.parquet" over a directory layout silently streams 0 rows —
+    // point the stream at the directory itself in that case.
+    val evPath = new org.apache.hadoop.fs.Path(sfDir, "events.parquet")
+    val isDir = evPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(evPath).isDirectory
+    val base = spark.readStream.schema(sch)
+    val raw =
+      if (isDir) base.parquet(evPath.toString)
+      else base.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }

@@ -776,7 +776,88 @@ object StreamingQueries {
       |FROM lt l CROSS JOIN bands b
       |GROUP BY b.delay_s ORDER BY delay_s""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+
+  /** STREAMING NATIVE SESSION WINDOWS — the stateful complement of q128's
+    * batch `session_window` and q68's hand-built mapGroupsWithState
+    * sessionizer: Spark's built-in `session_window` running in a
+    * watermarked APPEND-mode streaming aggregation. Each (user, session)
+    * row emits EXACTLY ONCE, when the watermark passes the session's
+    * close (last event + gap) — the production shape for "emit the
+    * session record when the visitor goes quiet". State is bounded by
+    * OPEN sessions only; closed sessions leave the store the moment they
+    * emit, so a 100 TB firehose holds state proportional to concurrently
+    * active users, not to history.
+    *
+    * Feed: the bounded 600-event fixture in event-id order (event time is
+    * monotone in event_id, so nothing is watermark-dropped), then a
+    * far-future sentinel that advances the watermark past every real
+    * session's close — the bounded-feed analogue of stream retirement
+    * (q214's pattern; the sentinel's own session stays open and never
+    * emits). Stream ≡ batch: the emitted session table must equal the
+    * gap-islands SQL over the same 600 events (session end = last event
+    * + 30 min gap, second granularity — the feed carries epoch seconds).
+    */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 600)
+    val sentinel = Pipeline.StreamEvent(-1L,
+      eventsSeq.map(_.ts_sec).max + 30L * 86400L, -1L, "sentinel", 0.0, "{}")
+    val slices = (0 until 600 by 150).map(i => eventsSeq.slice(i, i + 150))
+      .filter(_.nonEmpty) :+ Seq(sentinel)
+    s.catalog.dropTempView("graft_q229_sink")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Pipeline.StreamEvent](s)
+    val ckpt = Pipeline.checkpointDir("ckpt_q229")
+    Pipeline.withShufflePartitions(s, 8) {
+      val q = stream.toDS()
+        .filter(col("user_id") < 30 || col("user_id") === -1L)
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("graft_q229_sink").start()
+      slices.foreach { sl => stream.addData(sl); q.processAllAvailable() }
+      q.stop(); q.awaitTermination()
+    }
+    Pipeline.dropCheckpoint(ckpt)
+    s.table("graft_q229_sink")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
+  private val q229Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 600)
+      |  WHERE user_id < 30),
+      |flagged AS (
+      |  SELECT user_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL
+      |           OR ts_sec - lag(ts_sec) OVER w >= 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+      |sess AS (
+      |  SELECT user_id, ts_sec,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(make_timestamp(min(ts_sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS s_start,
+      |  strftime(make_timestamp((max(ts_sec) + 1800) * 1000000), '%Y-%m-%d %H:%M:%S') AS s_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q229_stream_sessions", q229, Some(q229Sql),
+      "streaming native session_window: watermarked append-mode gap sessions, stream == gap-islands batch"),
     QueryDef("q222_watermark_audit", q222, Some(q222Sql),
       "watermark-lateness audit: running-max event time over (synthesized) arrival order, would-drop counts per candidate delay"),
     QueryDef("q214_stream_topk", q214, Some(q214Sql),

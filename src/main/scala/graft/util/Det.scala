@@ -72,6 +72,16 @@ object Det {
   /** Sequential sum of squares of one array (for norms). */
   def seqNormSq(a: Column): Column = seqDot(a, a)
 
+  /** Jaro-Winkler similarity (native codegen expression,
+    * [[org.apache.spark.sql.graft.JaroWinkler]]) — bit-identical to
+    * DuckDB's `jaro_winkler_similarity` (same match window,
+    * transposition halving, 0.7 boost threshold and operation order;
+    * ExpressionSpec pins the published Winkler vectors and a 20k-pair
+    * random sweep ran bitwise-clean), so raw doubles hash-match.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftFunctions.jaroWinkler(a, b)
+
   /** Polynomial rolling hash of a string, char-by-char:
     * fold(acc = seed; acc = (acc*31 + codepoint) mod 1_000_000_007).
     * Pure integer math — bit-exact in any engine; intermediate values stay

@@ -924,4 +924,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val mean = at8.sum.toDouble / at8.length
     assert(mean >= 85.0, s"mean recall@3 at nprobe=8 = $mean < 85")
   }
+
+  test("q228 record linkage: planted pairs resolved, verdicts consistent") {
+    val rows = Registry.queries("q228_record_linkage")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // every entity has at least its planted counterpart in the block
+    assert(rows.forall(_._5 >= 1))
+    // verdict is exactly the threshold predicate
+    assert(rows.forall { case (_, _, jw, _, _, m, _) => m == (jw >= 0.85) })
+    // a planted pair is <= 1 edit away by construction
+    rows.filter(_._7).foreach { case (a, _, _, lev, _, _, _) =>
+      assert(lev <= 1, s"planted pair for $a: lev=$lev")
+    }
+    // linkage quality on the fixture: >= 90% of entities resolve to
+    // their planted counterpart (near-identical titles in the dedup
+    // corpus can legitimately out-score the corrupted self), and >= 90%
+    // of those clear the 0.85 verdict (JW of a single mid-string edit
+    // occasionally dips below it when the deletion shifts the match
+    // window — that recall loss IS the operator's documented tradeoff)
+    val frac = rows.count(_._7).toDouble / rows.length
+    assert(frac >= 0.9, s"planted-pair resolution $frac < 0.9")
+    val planted = rows.filter(_._7)
+    val matched = planted.count(_._6).toDouble / planted.length
+    assert(matched >= 0.9, s"planted-pair match rate $matched < 0.9")
+  }
 }

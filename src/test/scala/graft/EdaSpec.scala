@@ -58,4 +58,21 @@ class EdaSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == direct)
   }
+
+  test("q231 attribution: both credit models conserve total purchase cents") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.queries("q231_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val channels = rows.map(_._1).toSet
+    assert(channels.subsetOf(Set("view", "click", "organic")) && channels("organic"))
+    val totalCents = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(floor(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sum
+    // every cent is placed exactly once under BOTH models
+    assert(rows.map(_._4).sum == totalCents, "linear credit does not balance")
+    assert(rows.map(_._5).sum == totalCents, "last-touch credit does not balance")
+    // organic rows carry no touches by definition
+    rows.filter(_._1 == "organic").foreach(r => assert(r._2 == 0))
+  }
 }

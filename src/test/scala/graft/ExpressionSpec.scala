@@ -107,6 +107,65 @@ class ExpressionSpec extends AnyFunSuite {
     assert(pinned == ((7L * 31 + 'a') * 31 + 'b') % 1000000007L)
   }
 
+  test("JaroWinkler: published Winkler vectors + DuckDB conventions") {
+    def jw(a: String, b: String): Double =
+      org.apache.spark.sql.graft.JaroWinkler.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // classic Winkler vectors (exact doubles pinned against DuckDB's
+    // jaro_winkler_similarity output on 2026-08-14)
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") == 0.8962962962962964)
+    assert(jw("DwAyNE", "DuANE") == 0.8400000000000001)
+    assert(jw("abc", "abc") == 1.0)
+    // boost applies only above the 0.7 jaro threshold
+    assert(jw("abcdefgh", "abzyxwvu") == 0.5) // prefix 2, no boost
+    assert(jw("TRATE", "TRACE") == 0.9066666666666667) // boosted
+    // transposition count halves by INTEGER division (strcmp95 heritage)
+    assert(jw("abcdef", "bcadef") == 0.9444444444444445)
+    // window 0 for length-2 strings -> no cross-position matches
+    assert(jw("ab", "ba") == 0.0)
+    // DuckDB's empty-string convention: 0.0, including both-empty
+    assert(jw("", "") == 0.0)
+    assert(jw("", "abc") == 0.0)
+  }
+
+  test("JaroWinkler: codegen result equals interpreted eval") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("goldenrod", "lavender", "spring", "chocolate", "lace",
+      "misty", "tomato", "navy", "rose", "sandy")
+    val rows = (1 to 300).map { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.size))).mkString(" ")
+      val chars = a.toCharArray.toBuffer
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        val p = rnd.nextInt(chars.size)
+        rnd.nextInt(3) match {
+          case 0 => chars(p) = ('a' + rnd.nextInt(26)).toChar
+          case 1 => chars.insert(p, ('a' + rnd.nextInt(26)).toChar)
+          case _ => if (chars.size > 1) chars.remove(p)
+        }
+      }
+      (a, chars.mkString)
+    }
+    // through a range-backed plan so WholeStageCodegen covers the call
+    val df = rows.toDF("a", "b")
+    val viaPlan = df.select(
+      org.apache.spark.sql.graft.GraftFunctions.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    val direct = rows.map { case (a, b) =>
+      org.apache.spark.sql.graft.JaroWinkler.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
+    assert(viaPlan.toSeq == direct)
+    // null-safety
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.GraftFunctions.jaroWinkler(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(n.isEmpty)
+  }
+
   test("codegen path is exercised (no fallback)") {
     // a range source keeps the projection out of ConvertToLocalRelation so
     // WholeStageCodegen must actually cover the expression

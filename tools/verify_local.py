@@ -8,25 +8,58 @@ Reads <outDir>/oracle_sql.json (written by graft.Verify), runs each SQL in
 DuckDB over the parquet tables in <sfDir>, loads the corresponding Spark
 result parquet, sorts columns by name + rows by all columns, and compares
 values exactly. Prints per-query PASS/FAIL."""
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# Optional: --only q1,q2,...  and --mem 30GB --threads 10 (for parallel
+# chunked runs over big SFs where one process would hog the host).
+only = None
+mem = thr = None
+budget = None  # --budget SECONDS: per-query oracle cap (interrupt + record)
+argv = sys.argv[3:]
+while argv:
+    a = argv.pop(0)
+    if a == "--only": only = set(argv.pop(0).split(","))
+    elif a == "--mem": mem = argv.pop(0)
+    elif a == "--threads": thr = argv.pop(0)
+    elif a == "--budget": budget = float(argv.pop(0))
 con = duckdb.connect()
+if mem: con.execute(f"SET memory_limit='{mem}'")
+if thr: con.execute(f"SET threads={thr}")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # Spark writes <table>.parquet as a DIRECTORY of part files; glob those.
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
+    timer = None
+    if budget:
+        import threading
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
     try:
         want = con.sql(sql).df()
-    except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {e}")
+    except KeyboardInterrupt:
+        print(f"TIMEOUT {name}: oracle exceeded {budget}s budget")
         n_fail += 1
         continue
+    except Exception as e:
+        msg = str(e)
+        if "INTERRUPT" in msg.upper():
+            print(f"TIMEOUT {name}: oracle exceeded {budget}s budget")
+        else:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+        n_fail += 1
+        continue
+    finally:
+        if timer: timer.cancel()
     try:
         got = pd.read_parquet(f"{out_dir}/{name}")
     except Exception as e:
