@@ -46,6 +46,84 @@ object DedupQueries {
   private[graft] val hashedToksSql: String =
     s"list_transform(list_distinct(string_split(text, ' ')), t -> ${Det.polyHashSql("t")})"
 
+  /** DuckDB-mirror helper: the collapsed (two-tier) form of the
+    * within-lang all-pairs Jaccard join, for oracles over the
+    * duplicate-heavy corpus. Through round 8 every pairwise mirror was a
+    * naive `t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id` —
+    * ~2.9·10⁸ list-intersects on the 50k-doc corpus, far past any DuckDB
+    * budget at the sf1 gate. This emits CTEs that (1) collapse identical
+    * (lang, array) rows to a representative, (2) run the pairwise
+    * predicate on REPS only (~5k on the gate corpus), and (3) expand
+    * back to the EXACT doc-level pair set `<p>pairs(id_a, id_b, ni, nu)`
+    * with id_a < id_b, ni = |∩|, nu = |∪| — bit-identical to the naive
+    * join's pairs because cross-group (ni, nu) depend only on the arrays
+    * and within-group pairs share one array (the within-group branch
+    * re-applies the threshold so the exotic intra-array hash-collision
+    * case — ni < len — resolves exactly as the naive form would).
+    *
+    * `in` must provide (doc_id, lang, `arr`); threshold is
+    * Jaccard ≥ num/den.
+    */
+  private[graft] def collapsedJaccardCtes(
+      in: String, arr: String, num: Int, den: Int, p: String): String =
+    s"""${p}g AS MATERIALIZED (
+       |  SELECT lang, $arr AS ga, min(doc_id) AS rep, list(doc_id) AS members
+       |  FROM $in GROUP BY lang, $arr),
+       |${p}rp AS MATERIALIZED (
+       |  SELECT a.ga AS gaa, b.ga AS gab, a.members AS ma, b.members AS mb
+       |  FROM ${p}g a JOIN ${p}g b ON a.lang = b.lang AND a.rep < b.rep
+       |  WHERE $den * len(list_intersect(a.ga, b.ga))
+       |    >= $num * (len(a.ga) + len(b.ga) - len(list_intersect(a.ga, b.ga)))),
+       |${p}pairs AS MATERIALIZED (
+       |  SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b,
+       |    len(list_intersect(gaa, gab)) AS ni,
+       |    len(gaa) + len(gab) - len(list_intersect(gaa, gab)) AS nu
+       |  FROM ${p}rp, unnest(ma) AS x(m), unnest(mb) AS y(m)
+       |  UNION ALL
+       |  SELECT x.m AS id_a, y.m AS id_b,
+       |    len(list_intersect(ga, ga)) AS ni,
+       |    2 * len(ga) - len(list_intersect(ga, ga)) AS nu
+       |  FROM ${p}g, unnest(members) AS x(m), unnest(members) AS y(m)
+       |  WHERE x.m < y.m
+       |    AND $den * len(list_intersect(ga, ga))
+       |      >= $num * (2 * len(ga) - len(list_intersect(ga, ga))))""".stripMargin
+
+  /** Containment twin of [[collapsedJaccardCtes]]: emits
+    * `<p>cpairs(sub_id, sup_id, n_shared, sz_sup)` — the pairs where one
+    * token set contains the other (|∩| = min(|a|,|b|)), oriented
+    * smaller-side-as-sub with the id tiebreak on equal sizes, exactly as
+    * the naive q149/q177 mirrors oriented them (for a cross-group pair
+    * the CASE depends only on the two arrays; for a within-group pair
+    * both sides are one array, so the naive ELSE branch — sub = the
+    * lower doc_id — is `least/greatest`).
+    */
+  private[graft] def collapsedContainCtes(
+      in: String, arr: String, p: String): String =
+    s"""${p}g AS MATERIALIZED (
+       |  SELECT lang, $arr AS ga, min(doc_id) AS rep, list(doc_id) AS members
+       |  FROM $in GROUP BY lang, $arr),
+       |${p}rp AS MATERIALIZED (
+       |  SELECT a.ga AS gaa, b.ga AS gab, a.members AS ma, b.members AS mb
+       |  FROM ${p}g a JOIN ${p}g b ON a.lang = b.lang AND a.rep < b.rep
+       |  WHERE len(list_intersect(a.ga, b.ga)) = least(len(a.ga), len(b.ga))),
+       |${p}cpairs AS MATERIALIZED (
+       |  SELECT
+       |    CASE WHEN len(gaa) < len(gab) THEN x.m
+       |         WHEN len(gab) < len(gaa) THEN y.m
+       |         ELSE least(x.m, y.m) END AS sub_id,
+       |    CASE WHEN len(gaa) < len(gab) THEN y.m
+       |         WHEN len(gab) < len(gaa) THEN x.m
+       |         ELSE greatest(x.m, y.m) END AS sup_id,
+       |    CAST(len(list_intersect(gaa, gab)) AS BIGINT) AS n_shared,
+       |    greatest(len(gaa), len(gab)) AS sz_sup
+       |  FROM ${p}rp, unnest(ma) AS x(m), unnest(mb) AS y(m)
+       |  UNION ALL
+       |  SELECT x.m AS sub_id, y.m AS sup_id,
+       |    CAST(len(list_intersect(ga, ga)) AS BIGINT) AS n_shared,
+       |    len(ga) AS sz_sup
+       |  FROM ${p}g, unnest(members) AS x(m), unnest(members) AS y(m)
+       |  WHERE x.m < y.m AND len(list_intersect(ga, ga)) = len(ga))""".stripMargin
+
   /** Block-size cap for the exact pairwise queries (q42/q43): blocks with
     * more rows than this route through [[prefixCandidates]] instead of the
     * all-pairs self-join. Testdata blocks (≤ ~1000 docs/lang at sf0.1)
@@ -296,15 +374,12 @@ object DedupQueries {
   }
 
   private val q42Sql =
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks
-       |  FROM documents)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-       |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE 10 * len(list_intersect(a.toks, b.toks))
-       |  >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+       |  FROM documents),
+       |${collapsedJaccardCtes("t", "toks", 9, 10, "cj")}
+       |SELECT id_a, id_b, CAST(ni AS DOUBLE) / nu AS jaccard
+       |FROM cjpairs
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Word-bigram (shingle) Jaccard ≥ 0.1 — n-gram dedup variant; shingles
@@ -362,16 +437,13 @@ object DedupQueries {
        |  SELECT doc_id, lang,
        |    list_transform(string_split(text, ' '), t -> ${Det.polyHashSql("t")}) AS h
        |  FROM documents),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |    list_distinct([(h[i] * 31 + h[i+1]) % 1000000007 for i in range(1, len(h))]) AS bg
-       |  FROM th)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-       |    / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jaccard
-       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE 10 * len(list_intersect(a.bg, b.bg))
-       |  >= (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
+       |  FROM th),
+       |${collapsedJaccardCtes("t", "bg", 1, 10, "cj")}
+       |SELECT id_a, id_b, CAST(ni AS DOUBLE) / nu AS jaccard
+       |FROM cjpairs
        |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash signature parameters: k=16 permutations h_i(x)=(a_i·x+b_i)
@@ -1078,11 +1150,22 @@ object DedupQueries {
   }
 
   private val q59Sql =
-    """WITH p AS (SELECT doc_id, lang, substring(text, 1, 16) AS pfx FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-      |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE levenshtein(a.pfx, b.pfx) <= 3
+    """WITH p AS MATERIALIZED (
+      |  SELECT doc_id, lang, substring(text, 1, 16) AS pfx FROM documents),
+      |eg AS MATERIALIZED (
+      |  SELECT lang, pfx, min(doc_id) AS rep, list(doc_id) AS members
+      |  FROM p GROUP BY lang, pfx),
+      |erp AS MATERIALIZED (
+      |  SELECT a.members AS ma, b.members AS mb,
+      |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      |  FROM eg a JOIN eg b ON a.lang = b.lang AND a.rep < b.rep
+      |  WHERE levenshtein(a.pfx, b.pfx) <= 3)
+      |SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b, dist
+      |FROM erp, unnest(ma) AS x(m), unnest(mb) AS y(m)
+      |UNION ALL
+      |SELECT x.m AS id_a, y.m AS id_b, CAST(0 AS BIGINT) AS dist
+      |FROM eg, unnest(members) AS x(m), unnest(members) AS y(m)
+      |WHERE x.m < y.m
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup PAIRS via pigeonhole half-blocks: hamming ≤ 1 on the
@@ -1622,18 +1705,11 @@ object DedupQueries {
   }
 
   private val q149Sql =
-    s"""WITH t AS (
-       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents)
-       |SELECT
-       |  CASE WHEN len(a.toks) < len(b.toks) THEN a.doc_id
-       |       WHEN len(b.toks) < len(a.toks) THEN b.doc_id
-       |       ELSE a.doc_id END AS sub_id,
-       |  CASE WHEN len(a.toks) < len(b.toks) THEN b.doc_id
-       |       WHEN len(b.toks) < len(a.toks) THEN a.doc_id
-       |       ELSE b.doc_id END AS sup_id,
-       |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared
-       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.toks, b.toks)) = least(len(a.toks), len(b.toks))
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |${collapsedContainCtes("t", "toks", "cc")}
+       |SELECT sub_id, sup_id, n_shared
+       |FROM cccpairs
        |ORDER BY sub_id, sup_id""".stripMargin
 
   // ---------------------------------------------------------------- q176
@@ -1675,13 +1751,10 @@ object DedupQueries {
   }
 
   private val q176Sql =
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
-       |dropped AS (
-       |  SELECT DISTINCT b.doc_id
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE 10 * len(list_intersect(a.toks, b.toks))
-       |    >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+       |${collapsedJaccardCtes("t", "toks", 9, 10, "cj")},
+       |dropped AS (SELECT DISTINCT id_b AS doc_id FROM cjpairs)
        |SELECT t.doc_id, dr.doc_id IS NULL AS keep
        |FROM t LEFT JOIN dropped dr ON t.doc_id = dr.doc_id
        |ORDER BY t.doc_id""".stripMargin
@@ -1720,24 +1793,13 @@ object DedupQueries {
   }
 
   private val q177Sql =
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
-       |pairs AS (
-       |  SELECT
-       |    CASE WHEN len(a.toks) < len(b.toks) THEN a.doc_id
-       |         WHEN len(b.toks) < len(a.toks) THEN b.doc_id
-       |         ELSE a.doc_id END AS sub_id,
-       |    CASE WHEN len(a.toks) < len(b.toks) THEN b.doc_id
-       |         WHEN len(b.toks) < len(a.toks) THEN a.doc_id
-       |         ELSE b.doc_id END AS sup_id,
-       |    least(len(a.toks), len(b.toks)) AS n_shared,
-       |    greatest(len(a.toks), len(b.toks)) AS sz_sup
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.toks, b.toks)) = least(len(a.toks), len(b.toks))),
+       |${collapsedContainCtes("t", "toks", "cc")},
        |dropped AS (
        |  SELECT DISTINCT CASE WHEN n_shared < sz_sup THEN sub_id
        |                       ELSE sup_id END AS doc_id
-       |  FROM pairs)
+       |  FROM cccpairs)
        |SELECT t.doc_id, dr.doc_id IS NULL AS keep
        |FROM t LEFT JOIN dropped dr ON t.doc_id = dr.doc_id
        |ORDER BY t.doc_id""".stripMargin
@@ -2120,19 +2182,13 @@ object DedupQueries {
   }
 
   private val q179Sql =
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
-       |pairs AS (
-       |  SELECT b.doc_id AS id_b,
-       |    len(list_intersect(a.toks, b.toks)) AS ni,
-       |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS nu
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE 2 * len(list_intersect(a.toks, b.toks))
-       |    >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+       |${collapsedJaccardCtes("t", "toks", 1, 2, "cj")},
        |th AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS threshold_pct),
        |drops AS (
        |  SELECT threshold_pct, count(DISTINCT id_b) AS n_dropped
-       |  FROM th LEFT JOIN pairs ON ni * 100 >= threshold_pct * nu
+       |  FROM th LEFT JOIN cjpairs ON ni * 100 >= threshold_pct * nu
        |  GROUP BY threshold_pct)
        |SELECT threshold_pct, n_dropped,
        |  (SELECT count(*) FROM documents) - n_dropped AS n_kept
@@ -2190,7 +2246,7 @@ object DedupQueries {
   }
 
   private val q184Sql =
-    s"""WITH th AS (
+    s"""WITH th AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
        |sig AS (
        |  SELECT doc_id, lang, [
@@ -2198,15 +2254,12 @@ object DedupQueries {
        |bands AS (
        |  SELECT doc_id, lang, t.b AS bi, ${bandKeySql("t.b")} AS band_key
        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
        |    AND a.lang = b.lang AND a.doc_id < b.doc_id),
-       |ex AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM th a JOIN th b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE 10 * len(list_intersect(a.toks, b.toks))
-       |    >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))),
+       |${collapsedJaccardCtes("th", "toks", 9, 10, "cj")},
+       |ex AS MATERIALIZED (SELECT id_a, id_b FROM cjpairs),
        |hit AS (
        |  SELECT count(*) AS n_hit FROM cand c
        |  WHERE EXISTS (SELECT 1 FROM ex e

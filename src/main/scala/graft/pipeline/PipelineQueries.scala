@@ -617,21 +617,17 @@ object PipelineQueries {
        |    AND g.tot_len * 10 <= g.n_tokens * 80
        |    AND g.max_cnt * 5 <= g.n_tokens
        |    AND g.n_distinct * 10 >= g.n_tokens * 4),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT d.doc_id, d.lang, ${graft.dedup.DedupQueries.hashedToksSql} AS tk
        |  FROM documents d JOIN s1 ON d.doc_id = s1.doc_id),
-       |prs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE 10 * len(list_intersect(a.tk, b.tk))
-       |    >= 9 * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))),
+       |${graft.dedup.DedupQueries.collapsedJaccardCtes("t", "tk", 9, 10, "cj")},
        |s2 AS (
-       |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM prs)),
+       |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM cjpairs)),
        |contam AS (
        |  SELECT doc_id FROM shared WHERE n_shared > 0),
        |drop3 AS (
        |  SELECT doc_id FROM contam
-       |  UNION SELECT id_a AS doc_id FROM prs WHERE id_b IN (SELECT doc_id FROM contam)
+       |  UNION SELECT id_a AS doc_id FROM cjpairs WHERE id_b IN (SELECT doc_id FROM contam)
        |  UNION SELECT doc_id FROM documents WHERE source = 'src0'),
        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
        |bud AS (SELECT lang, CAST(sum(n_tokens) // 2 AS BIGINT) AS budget
