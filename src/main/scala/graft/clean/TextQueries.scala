@@ -932,6 +932,72 @@ object TextQueries {
        |  UNION ALL SELECT y FROM tris)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+
+  /** CRAWL-FRONTIER BFS — seed-set hop distance over the directed link
+    * graph: the iterative-Pregel member the graph family was missing
+    * (q196 degrees and q208 triangles are single-pass; q132's PageRank
+    * iterates a FIXED number of rounds; BFS must iterate TO CONVERGENCE
+    * with a data-dependent round count — the shape of crawl scheduling,
+    * recursive reachability, and taint propagation). Seeds are every
+    * doc_id ≡ 0 (mod 101); output per document: min link-hops from any
+    * seed (−1 if unreachable) — i.e. the crawl depth at which a frontier
+    * starting from the seed list first fetches each page.
+    *
+    * Execution is textbook distributed BFS: per round, ONE equi-join of
+    * the frontier against the edge list (shuffle keyed on src — edges
+    * scale with the corpus, so no broadcast) plus one anti-join against
+    * the visited set; the frontier is `localCheckpoint`ed each round,
+    * which both truncates the Catalyst lineage (an unbounded iterative
+    * plan re-analyzes the whole history every round — lesson: plan
+    * explosion) and bounds recomputation. Rounds stop when the frontier
+    * empties or at the 64-hop cap (the DuckDB mirror carries the same
+    * cap, so both engines truncate identically). Round count is the seed
+    * eccentricity — O(log n) on link graphs with expander-like fan-out;
+    * the driver loop holds only a row COUNT per round, never data.
+    */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val edges = linkEdges(s, d).localCheckpoint(true) // reused every round
+    val seeds = Tables.documents(s, d)
+      .filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("v"), lit(0L).as("dist"))
+    var visited = seeds.localCheckpoint(true)
+    var frontier = visited
+    var dist = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && dist < 64) {
+      dist += 1
+      val next = frontier
+        .join(edges, frontier("v") === edges("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .select(col("v"), lit(dist).as("dist"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      frontierSize = next.count()
+    }
+    Tables.documents(s, d).select("doc_id")
+      .join(visited.select(col("v").as("doc_id"), col("dist")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("dist").isNotNull.as("reached"))
+      .orderBy("doc_id")
+  }
+
+  private val q232Sql =
+    s"""WITH RECURSIVE $linkEdgesCteSql,
+       |walk(v, dist) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id % 101 = 0
+       |  UNION
+       |  SELECT e.dst, w.dist + 1
+       |  FROM walk w JOIN edges e ON w.v = e.src
+       |  WHERE w.dist < 64),
+       |md AS MATERIALIZED (SELECT v AS doc_id, min(dist) AS dist FROM walk GROUP BY v)
+       |SELECT d.doc_id, coalesce(m.dist, -1) AS dist, m.doc_id IS NOT NULL AS reached
+       |FROM documents d LEFT JOIN md m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q207
 
   /** Encoding-quality / mojibake detection — the byte-sanity gate every
@@ -1100,6 +1166,8 @@ object TextQueries {
        |ORDER BY score_fp DESC, phrase LIMIT 25""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q232_crawl_frontier", q232, Some(q232Sql),
+      "crawl-frontier BFS: seed-set hop distance over the directed link graph, iterate-to-convergence with per-round checkpointed frontier"),
     QueryDef("q221_rake_keywords", q221, Some(q221Sql),
       "RAKE keyphrase extraction: stopword-run segmentation, deg/freq word scores, top-25 phrases (fixed-point)"),
     QueryDef("q208_triangles", q208, Some(q208Sql),

@@ -2350,8 +2350,9 @@ object DedupQueries {
     * — shuffle keyed on the block key, never all-pairs. Scoring is the
     * native codegen [[org.apache.spark.sql.graft.JaroWinkler]] — BIT-
     * IDENTICAL to DuckDB's `jaro_winkler_similarity` (ExpressionSpec:
-    * published Winkler vectors + a 20k random-pair sweep, zero bitwise
-    * diffs), so the raw double scores hash-match, as do the (jw desc,
+    * DuckDB-pinned published Winkler vectors + a 20k random-pair
+    * codegen≡interpreted sweep; this oracle then hash-compares the raw
+    * scores of every candidate pair), so the doubles match, as do the (jw desc,
     * id) best-match ranking and the ≥0.85 match verdict. `lev` (exact
     * Levenshtein) rides along as the integer cross-check.
     */

@@ -75,9 +75,11 @@ object Det {
   /** Jaro-Winkler similarity (native codegen expression,
     * [[org.apache.spark.sql.graft.JaroWinkler]]) — bit-identical to
     * DuckDB's `jaro_winkler_similarity` (same match window,
-    * transposition halving, 0.7 boost threshold and operation order;
-    * ExpressionSpec pins the published Winkler vectors and a 20k-pair
-    * random sweep ran bitwise-clean), so raw doubles hash-match.
+    * transposition halving, 0.7 boost threshold and operation order).
+    * Evidence: ExpressionSpec pins the published Winkler vectors to
+    * DuckDB's exact output doubles plus a 20k-random-pair
+    * codegen≡interpreted sweep, and the q228 oracle hash-compares the
+    * raw scores of every blocked candidate pair against DuckDB.
     */
   def jaroWinkler(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.GraftFunctions.jaroWinkler(a, b)

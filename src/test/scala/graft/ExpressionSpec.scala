@@ -135,7 +135,7 @@ class ExpressionSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     val words = Seq("goldenrod", "lavender", "spring", "chocolate", "lace",
       "misty", "tomato", "navy", "rose", "sandy")
-    val rows = (1 to 300).map { _ =>
+    val rows = (1 to 20000).map { _ =>
       val a = Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.size))).mkString(" ")
       val chars = a.toCharArray.toBuffer
       (0 until rnd.nextInt(4)).foreach { _ =>

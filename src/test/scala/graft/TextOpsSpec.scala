@@ -151,4 +151,27 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == triCount.toMap, s"got $got expected $triCount")
   }
+
+  test("q232 crawl-frontier BFS equals a sequential BFS over the fixture graph") {
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    val adj = (0L until n).map { i =>
+      i -> (1L to (1 + i % 3)).map(k => (i * 7 + k) % n).distinct
+    }.toMap
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = (0L until n).filter(_ % 101 == 0)
+    frontier.foreach(v => dist(v) = 0L)
+    var d = 0L
+    while (frontier.nonEmpty && d < 64) {
+      d += 1
+      frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = d)
+    }
+    val got = Registry.queries("q232_crawl_frontier")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == n)
+    got.foreach { case (v, dv, reached) =>
+      assert(reached == dist.contains(v), s"reached bit wrong for $v")
+      assert(dv == dist.getOrElse(v, -1L), s"dist($v): got $dv want ${dist.getOrElse(v, -1L)}")
+    }
+  }
 }
