@@ -1291,7 +1291,113 @@ object Eda {
       |  CAST(sum(lt_cents) AS BIGINT) AS lt_cents
       |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the statistical-rigor step
+    * the eval family (q138 accuracy, q139 AUC, q168 slices, q169
+    * calibration) reports around: a point metric without an interval is
+    * uninterpretable when two pipeline variants differ by 0.3%. The
+    * classic resample-with-replacement bootstrap cannot run at corpus
+    * scale (each replicate would be a full shuffle of a 100 TB table);
+    * the POISSON bootstrap (Chamandy et al., Google 2012 — "Estimating
+    * uncertainty for massive data streams") replaces it with one
+    * streaming pass: row i's multiplicity in replicate b is
+    * Poisson(1)-distributed, independent per (i, b), so ALL B replicate
+    * sums accumulate in a single scan + one (group, b) aggregate.
+    *
+    * Determinism: multiplicities come from a hash of (doc_id, b) mapped
+    * through the exact integer inverse-CDF of Poisson(1) (cutoffs =
+    * cumulative probabilities × 10⁶, tail capped at 6); replicate means
+    * are fixed-point `sum(x·m)·10⁴ div sum(m)`; the 95% interval is
+    * nearest-rank over the B = 200 replicate means with (mean, b)
+    * tiebreak — every value integer, every rank unique, both engines
+    * bit-identical.
+    *
+    * Scale: the explode is a constant B-fold fan-out feeding ONE shuffle
+    * keyed on (lang, b) — B·|langs| partial aggregates, corpus read once;
+    * the rank step runs on B·|langs| rows (hundreds), nothing
+    * corpus-sized ever re-sorts. This is the published production shape
+    * for CI at scale.
+    */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    val B = 200
+    // integer inverse-CDF of Poisson(1): cumulative ×1e6, tail cap 6
+    val cuts = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("x"))
+    val rep = docs.select(col("doc_id"), col("lang"), col("x"),
+      explode(sequence(lit(0), lit(B - 1))).as("b"))
+      // mix b BEFORE the multiplicative scramble: a hash linear in b
+      // (doc·c + b·k) gives every replicate nearly the same residue per
+      // doc — 200 copies of ONE subsample, not 200 independent ones
+      .withColumn("r",
+        pmod(pmod(col("doc_id") + col("b") * 1000003L + 13L, lit(1000000007L))
+          * 2654435761L, lit(1000000007L)) % 1000000L)
+    // fold from the LARGEST cutoff inward so the smallest matching
+    // cutoff ends up outermost (first-match-wins semantics)
+    val mExpr = cuts.zipWithIndex.reverse.foldLeft(lit(6L)) {
+      case (acc, (c, i)) => when(col("r") < c, lit(i.toLong)).otherwise(acc)
+    }
+    val bmeans = rep.withColumn("m", mExpr)
+      .groupBy("lang", "b")
+      .agg(sum(col("x") * col("m")).as("sx"), sum("m").as("sm"))
+      .filter(col("sm") > 0)
+      .select(col("lang"), col("b"),
+        expr("sx * 10000 div sm").as("mean_fp"))
+    val w = Window.partitionBy("lang").orderBy(asc("mean_fp"), asc("b"))
+    val ranked = bmeans.withColumn("rk", row_number().over(w))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("lang")))
+    val ci = ranked.groupBy("lang")
+      .agg(max("nb").as("b_used"),
+        sum(when(col("rk") === ceil(col("nb") * 0.025), col("mean_fp"))).as("lo_fp"),
+        sum(when(col("rk") === ceil(col("nb") * 0.975), col("mean_fp"))).as("hi_fp"))
+    val point = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(x) * 10000 div count(*)").as("point_fp"))
+    point.join(ci, "lang")
+      .select(col("lang"), col("n_docs"), col("point_fp"),
+        col("lo_fp"), col("hi_fp"), col("b_used"))
+      .orderBy("lang")
+  }
+
+  private val q233Sql =
+    """WITH rep AS MATERIALIZED (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS x, b,
+      |    ((doc_id + b * 1000003 + 13) % 1000000007) * 2654435761 % 1000000007 % 1000000 AS r
+      |  FROM documents, (SELECT unnest(range(0, 200)) AS b)),
+      |wm AS MATERIALIZED (
+      |  SELECT lang, b, x,
+      |    CASE WHEN r < 367879 THEN 0 WHEN r < 735759 THEN 1
+      |         WHEN r < 919699 THEN 2 WHEN r < 981012 THEN 3
+      |         WHEN r < 996340 THEN 4 WHEN r < 999406 THEN 5
+      |         ELSE 6 END AS m
+      |  FROM rep),
+      |bmeans AS MATERIALIZED (
+      |  SELECT lang, b, sum(x * m) * 10000 // sum(m) AS mean_fp
+      |  FROM wm GROUP BY lang, b HAVING sum(m) > 0),
+      |ranked AS MATERIALIZED (
+      |  SELECT lang, b, mean_fp,
+      |    row_number() OVER (PARTITION BY lang ORDER BY mean_fp, b) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS nb
+      |  FROM bmeans),
+      |ci AS (
+      |  SELECT lang, max(nb) AS b_used,
+      |    sum(CASE WHEN rk = ceil(nb * 0.025) THEN mean_fp END) AS lo_fp,
+      |    sum(CASE WHEN rk = ceil(nb * 0.975) THEN mean_fp END) AS hi_fp
+      |  FROM ranked GROUP BY lang),
+      |pt AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    sum(CAST(n_chars AS BIGINT)) * 10000 // count(*) AS point_fp
+      |  FROM documents GROUP BY lang)
+      |SELECT p.lang, p.n_docs, CAST(p.point_fp AS BIGINT) AS point_fp,
+      |  CAST(c.lo_fp AS BIGINT) AS lo_fp, CAST(c.hi_fp AS BIGINT) AS hi_fp,
+      |  CAST(c.b_used AS BIGINT) AS b_used
+      |FROM pt p JOIN ci c ON p.lang = c.lang
+      |ORDER BY p.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q233_bootstrap_ci", q233, Some(q233Sql),
+      "Poisson-bootstrap 95% CI for per-lang mean doc length: hash-deterministic multiplicities, one-pass B=200 replicates, nearest-rank interval"),
     QueryDef("q231_attribution", q231, Some(q231Sql),
       "multi-touch revenue attribution: last-touch + linear credit over 7-day touch windows, organic balance"),
     QueryDef("q218_cohort_retention", q218, Some(q218Sql),

@@ -70,23 +70,27 @@ object DedupQueries {
        |  SELECT lang, $arr AS ga, min(doc_id) AS rep, list(doc_id) AS members
        |  FROM $in GROUP BY lang, $arr),
        |${p}rp AS MATERIALIZED (
-       |  SELECT a.ga AS gaa, b.ga AS gab, a.members AS ma, b.members AS mb
+       |  SELECT a.rep AS ra, b.rep AS rb, a.members AS ma, b.members AS mb,
+       |    len(list_intersect(a.ga, b.ga)) AS ni,
+       |    len(a.ga) + len(b.ga) - len(list_intersect(a.ga, b.ga)) AS nu
        |  FROM ${p}g a JOIN ${p}g b ON a.lang = b.lang AND a.rep < b.rep
        |  WHERE $den * len(list_intersect(a.ga, b.ga))
        |    >= $num * (len(a.ga) + len(b.ga) - len(list_intersect(a.ga, b.ga)))),
-       |${p}pairs AS MATERIALIZED (
-       |  SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b,
-       |    len(list_intersect(gaa, gab)) AS ni,
-       |    len(gaa) + len(gab) - len(list_intersect(gaa, gab)) AS nu
-       |  FROM ${p}rp, unnest(ma) AS x(m), unnest(mb) AS y(m)
-       |  UNION ALL
-       |  SELECT x.m AS id_a, y.m AS id_b,
+       |${p}wg AS MATERIALIZED (
+       |  SELECT rep, members,
        |    len(list_intersect(ga, ga)) AS ni,
        |    2 * len(ga) - len(list_intersect(ga, ga)) AS nu
-       |  FROM ${p}g, unnest(members) AS x(m), unnest(members) AS y(m)
-       |  WHERE x.m < y.m
+       |  FROM ${p}g
+       |  WHERE len(members) > 1
        |    AND $den * len(list_intersect(ga, ga))
-       |      >= $num * (2 * len(ga) - len(list_intersect(ga, ga))))""".stripMargin
+       |      >= $num * (2 * len(ga) - len(list_intersect(ga, ga)))),
+       |${p}pairs AS MATERIALIZED (
+       |  SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b, ni, nu
+       |  FROM ${p}rp, unnest(ma) AS x(m), unnest(mb) AS y(m)
+       |  UNION ALL
+       |  SELECT x.m AS id_a, y.m AS id_b, ni, nu
+       |  FROM ${p}wg, unnest(members) AS x(m), unnest(members) AS y(m)
+       |  WHERE x.m < y.m)""".stripMargin
 
   /** Containment twin of [[collapsedJaccardCtes]]: emits
     * `<p>cpairs(sub_id, sup_id, n_shared, sz_sup)` — the pairs where one
@@ -2185,10 +2189,24 @@ object DedupQueries {
     s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
        |${collapsedJaccardCtes("t", "toks", 1, 2, "cj")},
+       |perdoc AS MATERIALIZED (
+       |  -- rep-space decision form (the Spark side's shape): a doc's best
+       |  -- ratio as the HIGHER id of a pair, never the expanded pair list.
+       |  -- Within a group every non-min member sits above its group min;
+       |  -- across groups member x is an id_b iff it exceeds the OTHER
+       |  -- group's min, and its ratio is the group-pair's ratio.
+       |  SELECT doc_id, max((100 * ni) // nu) AS maxr FROM (
+       |    SELECT x.m AS doc_id, ni, nu
+       |    FROM cjwg, unnest(members) AS x(m) WHERE x.m != rep
+       |    UNION ALL
+       |    SELECT x.m, ni, nu FROM cjrp, unnest(ma) AS x(m) WHERE x.m > rb
+       |    UNION ALL
+       |    SELECT y.m, ni, nu FROM cjrp, unnest(mb) AS y(m) WHERE y.m > ra)
+       |  GROUP BY doc_id),
        |th AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS threshold_pct),
        |drops AS (
-       |  SELECT threshold_pct, count(DISTINCT id_b) AS n_dropped
-       |  FROM th LEFT JOIN cjpairs ON ni * 100 >= threshold_pct * nu
+       |  SELECT threshold_pct, count(doc_id) AS n_dropped
+       |  FROM th LEFT JOIN perdoc ON maxr >= threshold_pct
        |  GROUP BY threshold_pct)
        |SELECT threshold_pct, n_dropped,
        |  (SELECT count(*) FROM documents) - n_dropped AS n_kept

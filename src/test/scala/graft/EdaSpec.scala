@@ -59,6 +59,22 @@ class EdaSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("q233 bootstrap CI: interval brackets the point estimate, B intact") {
+    val rows = Registry.queries("q233_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, point, lo, hi, b) =>
+      assert(b == 200, s"$lang: lost replicates ($b)")
+      assert(lo <= hi, s"$lang: inverted interval")
+      // a 95% bootstrap interval on hundreds of docs straddles the mean
+      assert(lo <= point && point <= hi, s"$lang: point $point outside [$lo,$hi]")
+      // width sanity: non-degenerate but far tighter than the mean itself
+      assert(hi - lo > 0 && hi - lo < point, s"$lang: width ${hi - lo}")
+      assert(nDocs > 0)
+    }
+  }
+
   test("q231 attribution: both credit models conserve total purchase cents") {
     import org.apache.spark.sql.functions._
     val rows = Registry.queries("q231_attribution")(spark, sf).collect()
