@@ -424,6 +424,79 @@ object Eda {
       |  CAST(CASE WHEN total IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_missing
       |FROM j ORDER BY o_orderpriority, day""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+
+  /** EWMA CONTROL CHART over the daily event series — exponential
+    * smoothing (α = 1/4) per event type with a spike verdict per day,
+    * the classic ops-telemetry monitor (Roberts' EWMA chart) and the
+    * volume-anomaly gate a continuously-ingesting corpus pipeline runs
+    * on its own intake: a day whose raw count exceeds 2× the previous
+    * smoothed level is flagged before it contaminates downstream stats.
+    * Complements q109 (fixed decay weighting) and q94 (gap repair) with
+    * the RECURRENCE the family lacked: s_t = (3·s_{t-1} + 1000·v_t) div 4
+    * — a sequential per-step-floored integer fold, not a closed form.
+    *
+    * Determinism: the fold is exact int64 at scale 1000 — the division
+    * by 4 is written `floor(x/4)` (x < 2^53, so the double divide by a
+    * power of two is exact and floor matches DuckDB's integer `//`
+    * bit-for-bit). The DuckDB mirror computes the SAME recurrence by
+    * sequential recursion (recursive CTE stepping t → t+1), so the two
+    * engines traverse the series in the same order by construction.
+    *
+    * Scale: the only corpus-sized work is the daily pre-aggregation —
+    * a map-side-combinable count down to |types|×|days| rows. The fold
+    * runs per key over an array bounded by CALENDAR LENGTH (not data
+    * volume): a decade of daily telemetry is ~3.7k elements, constant
+    * with corpus size at 100 TB. One shuffle total; the spike lag is a
+    * window over the same tiny frame.
+    */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val folded = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("d"), col("n")))).as("vs"))
+      .select(col("event_type"),
+        aggregate(col("vs"),
+          expr("CAST(array() AS ARRAY<STRUCT<d: DATE, n: BIGINT, s: BIGINT>>)"),
+          (acc, x) => concat(acc, array(struct(
+            x.getField("d").as("d"),
+            x.getField("n").as("n"),
+            when(size(acc) === 0, x.getField("n") * 1000L)
+              .otherwise(floor(
+                (element_at(acc, -1).getField("s") * 3L + x.getField("n") * 1000L) / 4)
+                .cast("long")).as("s")))))
+          .as("series"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    folded.select(col("event_type"), explode(col("series")).as("e"))
+      .select(col("event_type"), col("e.d").as("d"), col("e.n").as("n"),
+        col("e.s").as("ewma_fp"))
+      .withColumn("prev", lag(col("ewma_fp"), 1).over(w))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("ewma_fp"),
+        coalesce(col("n") * 1000L > col("prev") * 2L, lit(false)).as("spike"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q237Sql =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (
+      |  SELECT event_type, d, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+      |  FROM daily),
+      |ew(event_type, t, d, n, s) AS (
+      |  SELECT event_type, t, d, n, n * 1000 FROM idx WHERE t = 1
+      |  UNION ALL
+      |  SELECT i.event_type, i.t, i.d, i.n, (3 * e.s + i.n * 1000) // 4
+      |  FROM ew e JOIN idx i ON i.event_type = e.event_type AND i.t = e.t + 1)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+      |  CAST(s AS BIGINT) AS ewma_fp,
+      |  coalesce(n * 1000 > 2 * lag(s) OVER (PARTITION BY event_type ORDER BY d),
+      |    false) AS spike
+      |FROM ew ORDER BY event_type, day""".stripMargin
+
   /** Fixed-width histogram (10 buckets of 20 over `value`, clamped): the
     * profiling primitive; pure integer/floor arithmetic so both engines
     * bucket identically.
@@ -1396,6 +1469,8 @@ object Eda {
       |ORDER BY p.lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q237_ewma_chart", q237, Some(q237Sql),
+      "EWMA control chart (α=1/4) over daily event volumes: exact integer recurrence + 2× spike verdicts, mirrored by sequential recursion"),
     QueryDef("q233_bootstrap_ci", q233, Some(q233Sql),
       "Poisson-bootstrap 95% CI for per-lang mean doc length: hash-deterministic multiplicities, one-pass B=200 replicates, nearest-rank interval"),
     QueryDef("q231_attribution", q231, Some(q231Sql),

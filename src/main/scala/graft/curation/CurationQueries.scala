@@ -1544,6 +1544,84 @@ object CurationQueries {
        |  ON m.status = c.status AND m.priority = c.priority AND m.mon = c.mon
        |ORDER BY c.status, c.priority, c.day""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+
+  /** DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE — the publication end of the
+    * privacy family (q110 redacts, q199 locates, q215 measures
+    * re-identification risk, q230 erases; this RELEASES aggregate
+    * statistics with a formal guarantee): two disjoint-domain count
+    * histograms (events by type, documents by language) released under
+    * ε-DP via the two-sided geometric mechanism (Ghosh–Roughgarden–
+    * Sundararajan's discrete Laplace — the universally-optimal mechanism
+    * for counts), ε = ln 2, sensitivity Δ = 1 (each row contributes to
+    * exactly one cell; disjoint cells compose in parallel, so the whole
+    * release spends ε total).
+    *
+    * The ε = ln 2 choice is load-bearing for exactness: α = e^(−ε) = 1/2
+    * makes every CDF value of P(Z = z) ∝ α^(−|z|) a DYADIC rational over
+    * denominator 3·2^20 — F(k) = 2^(21+k) for k < 0 and 3·2^20 − 2^(20−k)
+    * for k ≥ 0 — so inverse-CDF sampling is pure int64 threshold counting:
+    * z = −20 + |{k : F(k) ≤ h}| over a 41-entry literal threshold array,
+    * h uniform on [0, 3·2^20) from the polyHash of the cell key. No
+    * floats anywhere; both engines draw bit-identical noise. Noise is
+    * hash-seeded (replayable releases — re-running the release job must
+    * not spend fresh ε budget); production swaps the hash for a secure
+    * RNG recorded alongside the release, the mechanism is unchanged.
+    * Released counts are clamped at 0 (post-processing preserves DP).
+    *
+    * Scale: the histograms are map-side-combinable counts on tiny key
+    * domains; the mechanism itself runs on |cells| rows. The release
+    * NEVER exposes the true counts in production — they appear here
+    * because this frame IS the audit artifact (true vs released vs noise),
+    * same contract as q215's risk bits.
+    */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val S = 3L << 20
+    val thresholds = (-20 to 20).map { k =>
+      if (k < 0) 1L << (21 + k) else S - (1L << (20 - k))
+    }
+    val tArr = array(thresholds.map(lit): _*)
+    val hist = Tables.events(s, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .select(lit("events_by_type").as("source_table"),
+        col("event_type").as("cell"), col("n_true"))
+      .unionByName(
+        Tables.documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+          .select(lit("docs_by_lang").as("source_table"),
+            col("lang").as("cell"), col("n_true")))
+    hist
+      .withColumn("h",
+        Det.polyHash(concat_ws(":", col("source_table"), col("cell")), 51L) % S)
+      .withColumn("z",
+        lit(-20L) + size(filter(tArr, t => t <= col("h"))).cast("long"))
+      .select(col("source_table"), col("cell"), col("n_true"), col("z"),
+        greatest(lit(0L), col("n_true") + col("z")).as("n_released"))
+      .orderBy("source_table", "cell")
+  }
+
+  private val q235Sql = {
+    val S = 3L << 20
+    val ts = (-20 to 20).map { k =>
+      if (k < 0) 1L << (21 + k) else S - (1L << (20 - k))
+    }.mkString("[", ", ", "]")
+    s"""WITH hist AS (
+       |  SELECT 'events_by_type' AS source_table, event_type AS cell,
+       |    CAST(count(*) AS BIGINT) AS n_true
+       |  FROM events GROUP BY event_type
+       |  UNION ALL
+       |  SELECT 'docs_by_lang', lang, CAST(count(*) AS BIGINT)
+       |  FROM documents GROUP BY lang),
+       |noised AS (
+       |  SELECT source_table, cell, n_true,
+       |    -20 + len(list_filter($ts,
+       |      t -> t <= ${Det.polyHashSql("source_table || ':' || cell", 51L)} % $S)) AS z
+       |  FROM hist)
+       |SELECT source_table, cell, n_true, CAST(z AS BIGINT) AS z,
+       |  greatest(CAST(0 AS BIGINT), n_true + z) AS n_released
+       |FROM noised ORDER BY source_table, cell""".stripMargin
+  }
+
   // ------------------------------------------------------- q224 + q225
 
   /** UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINING — the second of
@@ -2021,6 +2099,8 @@ object CurationQueries {
     QueryDef("q225_unigram_lm_apply", q225, Some(q225Sql),
       "unigram-LM tokenizer apply: Viterbi segmentation of the corpus vocabulary under the q224-trained model",
       planFn = Some(q225Lazy)),
+    QueryDef("q235_dp_histogram", q235, Some(q235Sql),
+      "ε-DP histogram release: two-sided geometric (discrete Laplace) noise at ε=ln2, exact dyadic inverse-CDF in int64, clamped post-processing"),
     QueryDef("q215_k_anonymity", q215, Some(q215Sql),
       "k-anonymity audit over quasi-identifier classes + one generalization step (day→month) with repair verdicts"),
     QueryDef("q206_priority_sample", q206, Some(q206Sql),

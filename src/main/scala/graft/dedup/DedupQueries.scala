@@ -534,27 +534,47 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q44's mirror is TWO-TIER like the engine (lesson 19): identical
+    * (lang, toks) rows share identical signatures, band keys, and
+    * Jaccards, so the LSH join runs on ~|distinct| reps and doc-level
+    * pairs come from member expansion — cross pairs inherit the rep
+    * pair's jaccard, within-group pairs are exactly 1.0 (identical
+    * arrays). The pre-r9 naive form banded all 50k gate docs and its
+    * bucket join blew up 100× on the duplicate-heavy dir (the one
+    * mirror the e1dc6d5 collapse missed — found by the sf1 gate).
+    */
   private val q44Sql =
     s"""WITH th AS (
        |  SELECT doc_id, lang, $hashedToksSql AS toks FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT lang, toks, min(doc_id) AS rep, list(doc_id) AS members
+       |  FROM th GROUP BY lang, toks),
        |sig AS (
-       |  SELECT doc_id, lang, [
-       |      $minhashMinsSql] AS mh FROM th),
+       |  SELECT rep, lang, [
+       |      $minhashMinsSql] AS mh FROM g),
        |bands AS (
-       |  SELECT doc_id, lang, t.b AS bi, ${bandKeySql("t.b")} AS band_key
+       |  SELECT rep, lang, t.b AS bi, ${bandKeySql("t.b")} AS band_key
        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
        |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
-       |    AND a.lang = b.lang AND a.doc_id < b.doc_id)
-       |SELECT c.id_a, c.id_b,
-       |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-       |    / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard
-       |FROM cand c
-       |JOIN th ta ON c.id_a = ta.doc_id
-       |JOIN th tb ON c.id_b = tb.doc_id
-       |WHERE 10 * len(list_intersect(ta.toks, tb.toks))
-       |  >= 9 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+       |    AND a.lang = b.lang AND a.rep < b.rep),
+       |vp AS MATERIALIZED (
+       |  SELECT ga.members AS ma, gb.members AS mb,
+       |    CAST(len(list_intersect(ga.toks, gb.toks)) AS DOUBLE)
+       |      / (len(ga.toks) + len(gb.toks) - len(list_intersect(ga.toks, gb.toks))) AS jaccard
+       |  FROM cand c
+       |  JOIN g ga ON c.ra = ga.rep
+       |  JOIN g gb ON c.rb = gb.rep
+       |  WHERE 10 * len(list_intersect(ga.toks, gb.toks))
+       |    >= 9 * (len(ga.toks) + len(gb.toks) - len(list_intersect(ga.toks, gb.toks))))
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b, jaccard
+       |  FROM vp, unnest(ma) AS x(m), unnest(mb) AS y(m)
+       |  UNION ALL
+       |  SELECT x.m AS id_a, y.m AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM g, unnest(members) AS x(m), unnest(members) AS y(m)
+       |  WHERE x.m < y.m)
        |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash (32-bit) per document from distinct-token hashes — hamming-

@@ -1751,7 +1751,135 @@ object SimilarityQueries {
        |ORDER BY b.qid, b.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q236
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein '98)
+    * DIVERSIFICATION of the BM25 ranking — the missing last stage of the
+    * retrieval stack (q209 ranks, q144 fuses lexical+dense, q210/q219
+    * evaluate/render; this DE-DUPLICATES the result list): greedily pick
+    * K=5 of the top-10 candidates maximizing
+    *   λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s),   λ = 0.7,
+    * so near-identical top hits (exactly what a near-dup-heavy web corpus
+    * produces) don't crowd out coverage. The same greedy loop is how
+    * RAG context windows and per-topic training-data quotas are filled.
+    *
+    * Determinism: relevance is q209's int64 fixed-point score normalized
+    * per query to [0,1000] by integer division; pairwise cosines are the
+    * repo's sequential-fold doubles floored at 1e-6 resolution to int64;
+    * the MMR objective is then the pure integer 7000·rel − 3·maxsim with
+    * doc_id tiebreak — both engines select bit-identically.
+    *
+    * Scale: the candidate list per query is BOUNDED (top-10), so the
+    * pairwise sim table is ≤ k² rows per query and every greedy round
+    * runs on |queries|·k rows — the corpus is touched exactly once, by
+    * q209's query-term-filtered scan. The K rounds are unrolled with
+    * each round's picks localCheckpoint'ed: each step references its
+    * predecessor twice (union + anti-join), so the lazy composition
+    * would duplicate the base plan 2^K times (the measured
+    * plan-explosion lesson); checkpointing re-roots each tiny frame.
+    */
+  private val MmrK = 5
+  private val MmrLambda10 = 7 // λ = 0.7 in tenths
+
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val lamRel = MmrLambda10 * 1000L
+    val lamSim = 10L - MmrLambda10
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    val cand0 = q209(s, d)
+      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val mx = cand0.groupBy("qid").agg(max(col("score_fp")).as("mx"))
+    val cn = cand0.join(broadcast(mx), "qid")
+      .select(col("qid"), col("doc_id"),
+        expr("(score_fp * 1000) div mx").as("rel_n"))
+      .localCheckpoint(true)
+    val ea = e.select(col("vec_id").as("doc_id"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val eb = e.select(col("vec_id").as("db"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    val sims = cn.select(col("qid"), col("doc_id"))
+      .join(cn.select(col("qid"), col("doc_id").as("db")), "qid")
+      .filter(col("doc_id") =!= col("db"))
+      .join(ea, "doc_id").join(eb, "db")
+      .select(col("qid"), col("doc_id").as("da"), col("db"),
+        floor(cosinePre(Det.seqDot(col("va"), col("vb")),
+          col("na"), col("nb")) * 1000000).cast("long").as("sim_fp"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy("qid").orderBy(desc("rel_n"), asc("doc_id"))
+    var sel = cn.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), col("rel_n"),
+        lit(0L).as("maxsim_fp"),
+        (col("rel_n") * lamRel).as("mmr"),
+        lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
+    for (r <- 2 to MmrK) {
+      val ms = sims
+        .join(sel.select(col("qid"), col("doc_id").as("db")), Seq("qid", "db"))
+        .groupBy(col("qid"), col("da")).agg(max(col("sim_fp")).as("maxsim_fp"))
+        .select(col("qid"), col("da").as("doc_id"), col("maxsim_fp"))
+      val wr = Window.partitionBy("qid").orderBy(desc("mmr"), asc("doc_id"))
+      val pick = cn
+        .join(sel.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")
+        .join(ms, Seq("qid", "doc_id"))
+        .withColumn("mmr", col("rel_n") * lamRel - lit(lamSim) * col("maxsim_fp"))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("qid"), col("doc_id"), col("rel_n"), col("maxsim_fp"),
+          col("mmr"), lit(r.toLong).as("mmr_rank"))
+        .localCheckpoint(true)
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.orderBy("qid", "mmr_rank")
+  }
+
+  private val q236Sql = {
+    val lamRel = MmrLambda10 * 1000L
+    val lamSim = 10L - MmrLambda10
+    val rounds = (2 to MmrK).map { r =>
+      s"""ms$r AS (
+         |  SELECT s.qid, s.da AS doc_id, max(s.sim_fp) AS maxsim_fp
+         |  FROM sims s JOIN sel${r - 1} t ON t.qid = s.qid AND t.doc_id = s.db
+         |  GROUP BY s.qid, s.da),
+         |p$r AS MATERIALIZED (
+         |  SELECT qid, doc_id, rel_n, maxsim_fp, mmr, CAST($r AS BIGINT) AS mmr_rank FROM (
+         |    SELECT c.qid, c.doc_id, c.rel_n, m.maxsim_fp,
+         |      $lamRel * c.rel_n - $lamSim * m.maxsim_fp AS mmr,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY ($lamRel * c.rel_n - $lamSim * m.maxsim_fp) DESC, c.doc_id) AS rn
+         |    FROM cn c JOIN ms$r m ON m.qid = c.qid AND m.doc_id = c.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} t
+         |                      WHERE t.qid = c.qid AND t.doc_id = c.doc_id))
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bm AS (${q209Sql.replace("\n", "\n     ")}),
+       |cand AS (SELECT qid, doc_id, score_fp FROM bm
+       |         WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+       |mx AS (SELECT qid, max(score_fp) AS mx FROM cand GROUP BY qid),
+       |cn AS MATERIALIZED (
+       |  SELECT c.qid, c.doc_id, (c.score_fp * 1000) // m.mx AS rel_n
+       |  FROM cand c JOIN mx m USING (qid)),
+       |sims AS MATERIALIZED (
+       |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+       |    CAST(floor(${sqlCos("ea.embedding", "eb.embedding")} * 1000000) AS BIGINT) AS sim_fp
+       |  FROM cn a JOIN cn b ON a.qid = b.qid AND a.doc_id != b.doc_id
+       |  JOIN embeddings ea ON ea.vec_id = a.doc_id
+       |  JOIN embeddings eb ON eb.vec_id = b.doc_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT qid, doc_id, rel_n, CAST(0 AS BIGINT) AS maxsim_fp,
+       |    $lamRel * rel_n AS mmr, CAST(1 AS BIGINT) AS mmr_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY rel_n DESC, doc_id) AS rn FROM cn)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT qid, doc_id, rel_n, maxsim_fp, mmr, mmr_rank
+       |FROM sel$MmrK ORDER BY qid, mmr_rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q236_mmr_rerank", q236, Some(q236Sql),
+      "MMR diversification of the BM25 top-10: greedy λ=0.7 relevance-vs-max-cosine selection, integer-exact objective"),
     QueryDef("q219_kwic_snippets", q219, Some(q219Sql),
       "KWIC snippet extraction for BM25 top hits: densest 9-token window around query-term occurrences"),
     QueryDef("q210_ndcg", q210, Some(q210Sql),

@@ -689,4 +689,35 @@ class CurationSpec extends AnyFunSuite {
     // actually used by the final segmentation
     assert(expApply.exists(_._3.split(" ").exists(_.length > 1)))
   }
+
+  test("q235 DP release: mechanism matches the exact discrete-Laplace inverse CDF") {
+    val S = 3L << 20
+    // the dyadic CDF thresholds ARE the closed-form CDF of P(Z=z) ∝ 2^-|z|:
+    // F(k) = sum_{z<=k} (1/3)·2^-|z| over denominator S = 3·2^20
+    def pdfNum(z: Int): Long = 1L << (20 - math.abs(z)) // P(z)·S, |z| <= 20
+    val cdf = (-20 to 20).scanLeft(0L) { case (acc, z) => acc + pdfNum(z) }.tail
+    val thr = (-20 to 20).map(k => if (k < 0) 1L << (21 + k) else S - (1L << (20 - k)))
+    // closed form ≡ truncated running sum + 1: the closed form is the EXACT
+    // infinite-support CDF F(k)·S (left tail mass = 1 in these units), the
+    // running sum truncates the support at ±20
+    (0 until 41).foreach { i =>
+      assert(thr(i) == cdf(i) + 1, s"threshold $i: ${thr(i)} vs cdf ${cdf(i)}")
+    }
+    // inverse-CDF sampling: z(h) reproduces the pdf exactly over all h
+    def zOf(h: Long): Int = -20 + thr.count(_ <= h)
+    val counts = (0L until S).foldLeft(Map.empty[Int, Long]) { (m, h) =>
+      val z = zOf(h); m.updated(z, m.getOrElse(z, 0L) + 1L)
+    }
+    (-19 to 19).foreach { z =>
+      assert(counts(z) == pdfNum(z), s"P(Z=$z): ${counts(z)} vs ${pdfNum(z)}")
+    }
+    // the released frame: clamp + reconstruction invariants
+    val rows = Registry.queries("q235_dp_histogram")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, z, rel) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(z >= -20 && z <= 20, s"noise out of support: $z")
+      assert(rel == math.max(0L, n + z), "clamped release broken")
+    }
+  }
 }

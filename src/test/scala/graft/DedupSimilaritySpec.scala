@@ -951,4 +951,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val matched = planted.count(_._6).toDouble / planted.length
     assert(matched >= 0.9, s"planted-pair match rate $matched < 0.9")
   }
+
+  test("q236 MMR selection equals an independent sequential greedy replay") {
+    import org.apache.spark.sql.functions.col
+    val bm = Registry.queries("q209_bm25")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def cosFp(a: Long, b: Long): Long = {
+      val (va, vb) = (emb(a), emb(b))
+      math.floor(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) * 1000000).toLong
+    }
+    val expected = bm.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val cands = rows.filter(r => emb.contains(r._2))
+      val mx = cands.map(_._3).max
+      val rel = cands.map(r => r._2 -> r._3 * 1000 / mx).toMap
+      var selected = Vector.empty[Long]
+      (1 to 5).flatMap { rank =>
+        val remaining = rel.keys.filterNot(selected.contains).toSeq
+        if (remaining.isEmpty) None
+        else {
+          val scored = remaining.map { d =>
+            val ms = if (selected.isEmpty) 0L else selected.map(cosFp(d, _)).max
+            (d, ms, 7000L * rel(d) - 3L * ms)
+          }
+          val (d, ms, mmr) = scored.minBy { case (d, _, m) => (-m, d) }
+          selected :+= d
+          Some((qid, d, rel(d), ms, mmr, rank.toLong))
+        }
+      }
+    }.sortBy(t => (t._1, t._6))
+    val got = Registry.queries("q236_mmr_rerank")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected, s"MMR replay mismatch:\n got=$got\n exp=$expected")
+    // diversification actually bites: some pick differs from pure-relevance order
+    val pureRel = bm.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).map(r => (qid, r._2)).toSeq
+    }.toSet
+    assert(got.exists(g => !pureRel.contains((g._1, g._2))),
+      "MMR never deviated from pure relevance — diversification inert on fixture")
+  }
 }

@@ -91,4 +91,33 @@ class EdaSpec extends AnyFunSuite {
     // organic rows carry no touches by definition
     rows.filter(_._1 == "organic").foreach(r => assert(r._2 == 0))
   }
+
+  test("q237 EWMA equals a sequential driver-side replay of the recurrence") {
+    import org.apache.spark.sql.functions.{col, count, lit, to_date}
+    val daily = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var s = 0L
+      var prev = Option.empty[Long]
+      sorted.map { case (_, day, n) =>
+        s = if (prev.isEmpty) n * 1000 else (3 * s + n * 1000) / 4
+        val spike = prev.exists(p => n * 1000 > 2 * p)
+        prev = Some(s)
+        (et, day, n, s, spike)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Registry.queries("q237_ewma_chart")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == expected, s"EWMA replay mismatch (first got=${got.headOption})")
+    // smoothing is between the extremes: ewma stays within [min,max]·1000 per key
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val (lo, hi) = (rows.map(_._3).min * 1000, rows.map(_._3).max * 1000)
+      rows.foreach(r => assert(r._4 >= lo - 3 && r._4 <= hi, s"ewma escaped range: $r"))
+    }
+  }
 }

@@ -174,4 +174,28 @@ class TextOpsSpec extends AnyFunSuite {
       assert(dv == dist.getOrElse(v, -1L), s"dist($v): got $dv want ${dist.getOrElse(v, -1L)}")
     }
   }
+
+  test("q234 components equal sequential union-find over the fixture graph") {
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).foreach { i =>
+      (1L to (1 + i % 3)).foreach { k =>
+        val j = (i * 7 + k) % n; if (i != j) union(i.toInt, j.toInt)
+      }
+    }
+    // path-compress to component minima (union always roots at the min)
+    val comp = Array.tabulate(n.toInt)(i => find(i).toLong)
+    val size = comp.groupBy(identity).map { case (c, vs) => c -> vs.length.toLong }
+    val got = Registry.queries("q234_connected_components")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (v, c, sz) =>
+      assert(c == comp(v.toInt), s"component($v): got $c want ${comp(v.toInt)}")
+      assert(sz == size(c), s"comp_size($v): got $sz want ${size(c)}")
+    }
+  }
 }

@@ -26,6 +26,9 @@ while argv:
     elif a == "--threads": thr = argv.pop(0)
     elif a == "--budget": budget = float(argv.pop(0))
 con = duckdb.connect()
+# Unique spill dir per process: concurrent chunked runs sharing the cwd
+# default (.tmp/) race on temp-file cleanup and crash with an IOException.
+con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
 if mem: con.execute(f"SET memory_limit='{mem}'")
 if thr: con.execute(f"SET threads={thr}")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
