@@ -364,6 +364,77 @@ object MultimodalQueries {
       |FROM d, fs WHERE f < nf AND f % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+
+  /** SCENE-CUT (KEYFRAME) DETECTION over the MJPEG payloads — the
+    * shot-segmentation primitive a video training-data pipeline runs
+    * before captioning/frame-sampling (sample per SHOT, not per fixed
+    * stride, or long static shots flood the batch and fast cuts vanish):
+    * decode consecutive frame pairs, compute the mean absolute pixel
+    * difference (MAD), and flag a cut where MAD ≥ 64 gray levels.
+    *
+    * Fixture plants the ground truth: each doc's MJPEG has 3 + id%4
+    * frames; shot 1 renders the half-amplitude triangle wave in the
+    * dark band [0,127], and from frame cut = 1 + id%(nf−1) on, the SAME
+    * wave shifted into the bright band [128,255] — so within-shot
+    * neighbors differ by the 1-step drift (MAD ≈ 1 + codec noise) while
+    * the cut pair differs by ≈ 128 AT EVERY PIXEL, independent of where
+    * the doc's value window sits. (A half-period phase jump looks
+    * bigger but is window-dependent: docs whose x+2y range straddles
+    * the wave crossing get near-zero MAD and the cut vanishes —
+    * measured, 121/1629 planted cuts missed.)
+    * The detector works ONLY from real decoded pixels; the oracle pins
+    * the verdicts against the planted truth (the q187/q193 tolerance-
+    * verdict design — MAD itself is codec-noise-dependent and stays out
+    * of the hashed frame; MultimodalSpec pins the quantitative margins).
+    *
+    * Scale: unlike q193's every-k-th sampling, cut detection must decode
+    * every frame — but still inside the task that read the payload, one
+    * kernel per partition, binary never shuffled; production detects on
+    * downsampled thumbnails to cut the decode constant, same plan shape.
+    */
+  private val CutMadThreshold = 64L
+
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val k = new MediaKernel
+        ids.flatMap { id =>
+          val (w, h) = dims(id)
+          val nf = (3 + id % 4).toInt
+          val cut = (1 + id % (nf - 1)).toInt
+          def pix(f: Int, x: Int, y: Int): Int = {
+            val t = (((id * 7 + f + x + 2 * y) % 510) - 255).toInt.abs / 2
+            if (f < cut) t else 128 + t
+          }
+          val mjpg = k.encodeMjpeg(w, h, nf, 0.90f, pix)
+          val grays = k.decodeMjpegFrames(mjpg).map(fb => k.decodeImage(fb)._2)
+          (1 until grays.length).map { f =>
+            val (a, b) = (grays(f - 1).pix, grays(f).pix)
+            var sumAbs = 0L
+            var i = 0
+            while (i < a.length) { sumAbs += (a(i) - b(i)).abs.toLong; i += 1 }
+            (id, grays.length.toLong, f.toLong,
+              sumAbs >= CutMadThreshold * a.length)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_idx", "is_cut")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val q238Sql =
+    """WITH fs AS (SELECT range AS f FROM range(8)),
+      |d AS (SELECT doc_id, 3 + doc_id % 4 AS nf,
+      |             1 + doc_id % (2 + doc_id % 4) AS cut
+      |      FROM documents)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(f AS BIGINT) AS frame_idx, f = cut AS is_cut
+      |FROM d, fs WHERE f >= 1 AND f < nf
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Format detection + dispatch over a HETEROGENEOUS binary column —
     * the 100 TB reality the per-format queries above idealize away: a
     * crawled media column holds PNG, GIF, JPEG, and WAV payloads mixed
@@ -736,6 +807,8 @@ object MultimodalQueries {
       "heterogeneous media column: magic-byte format sniff dispatching to the right codec per row"),
     QueryDef("q193_media_video", q193, Some(q193Sql),
       "MJPEG video: container walk + every-2nd-frame real JPEG decode, per-frame tolerance verdicts"),
+    QueryDef("q238_scene_cuts", q238, Some(q238Sql),
+      "scene-cut detection over MJPEG: consecutive-frame MAD from real decodes vs planted half-period phase jumps, verdicts hash-oracled"),
     QueryDef("q65_media_meta", q65, Some(q65Sql), "binary payload + metadata projection"),
     QueryDef("q189_media_audio", q189, Some(q189Sql),
       "real PCM WAV encode+decode (javax.sound.sampled): exact audio features"),

@@ -448,6 +448,97 @@ object PipelineQueries {
        |       ELSE 15000000105 // k.h_k END AS BIGINT) AS estimate
        |FROM kth k JOIN ex e ON k.lang = e.lang ORDER BY k.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+
+  /** KMV SKETCH MERGE LAW — the property that makes sketches the scale
+    * path at all: a KMV (k-minimum-values) distinct sketch built over a
+    * UNION of shards must equal the merge of the shards' sketches
+    * (merge = union the retained minima, re-keep the k smallest). This
+    * is exactly the partial/final aggregation contract Spark's
+    * map-side combine relies on — if the law failed, per-executor
+    * sketches could not be combined at the reducer and the whole
+    * "sketch 100 TB without reshuffling rows" story collapses. The
+    * query PROVES the law on data: build q173's per-lang sketch over
+    * each half of the corpus (doc_id parity = the shard split), merge,
+    * build the full-corpus sketch directly, and emit both sketch
+    * summaries plus the per-lang `merge_law_holds` verdict (k-th
+    * minimum and effective k identical by both routes).
+    *
+    * Scale: everything after the distinct-hash projection is
+    * k-bounded per (lang, shard): the merge runs on ≤ 2k rows per
+    * lang. No row-level recombination anywhere — which is the point.
+    */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val P = 1000000007L
+    val hashes = Tables.documents(s, d)
+      .select(col("lang"), (col("doc_id") % 2).as("shard"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("lang"), col("shard"),
+        pmod(graft.util.Det.polyHash(col("w")) * 2654435761L + 12345L, lit(P)).as("h"))
+      .distinct()
+    // per-shard sketches: the k smallest distinct hashes of each half
+    val wS = Window.partitionBy("lang", "shard").orderBy("h")
+    val shardSk = hashes.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= K)
+    // merged: union the two retained sets, re-keep the k smallest
+    val wM = Window.partitionBy("lang").orderBy("h")
+    val merged = shardSk.select(col("lang"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wM))
+      .filter(col("rk") <= K)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k_eff_merged"), max("h").as("h_k_merged"))
+    // direct full-corpus sketch (no shard split)
+    val wF = Window.partitionBy("lang").orderBy("h")
+    val full = hashes.select(col("lang"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= K)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k_eff_full"), max("h").as("h_k_full"))
+    full.join(merged, "lang")
+      .select(col("lang"), col("k_eff_full"), col("h_k_full"),
+        col("k_eff_merged"), col("h_k_merged"),
+        when(col("k_eff_full") < K, col("k_eff_full") === col("k_eff_merged"))
+          .otherwise(expr(s"${(K - 1).toLong * P} div h_k_full")
+            === expr(s"${(K - 1).toLong * P} div h_k_merged")).as("est_agree"),
+        (col("k_eff_full") === col("k_eff_merged") &&
+          col("h_k_full") === col("h_k_merged")).as("merge_law_holds"))
+      .orderBy("lang")
+  }
+
+  private val q240Sql = {
+    val hashSql = s"(${graft.util.Det.polyHashSql("w")} * 2654435761 + 12345) % 1000000007"
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT lang, shard, $hashSql AS h
+       |  FROM (SELECT lang, doc_id % 2 AS shard,
+       |          unnest(string_split(text, ' ')) AS w FROM documents)),
+       |ssk AS (
+       |  SELECT lang, shard, h
+       |  FROM (SELECT lang, shard, h, row_number() OVER (
+       |          PARTITION BY lang, shard ORDER BY h) AS rk FROM hashes)
+       |  WHERE rk <= 16),
+       |merged AS (
+       |  SELECT lang, count(*) AS k_eff_merged, max(h) AS h_k_merged
+       |  FROM (SELECT lang, h, row_number() OVER (
+       |          PARTITION BY lang ORDER BY h) AS rk
+       |        FROM (SELECT DISTINCT lang, h FROM ssk))
+       |  WHERE rk <= 16 GROUP BY lang),
+       |fullsk AS (
+       |  SELECT lang, count(*) AS k_eff_full, max(h) AS h_k_full
+       |  FROM (SELECT lang, h, row_number() OVER (
+       |          PARTITION BY lang ORDER BY h) AS rk
+       |        FROM (SELECT DISTINCT lang, h FROM hashes))
+       |  WHERE rk <= 16 GROUP BY lang)
+       |SELECT f.lang, f.k_eff_full, f.h_k_full, m.k_eff_merged, m.h_k_merged,
+       |  CASE WHEN f.k_eff_full < 16 THEN f.k_eff_full = m.k_eff_merged
+       |       ELSE 15000000105 // f.h_k_full = 15000000105 // m.h_k_merged
+       |  END AS est_agree,
+       |  (f.k_eff_full = m.k_eff_merged AND f.h_k_full = m.h_k_merged)
+       |    AS merge_law_holds
+       |FROM fullsk f JOIN merged m ON f.lang = m.lang
+       |ORDER BY f.lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q188
 
   /** End-to-end curation PIPELINE — every stage of the training-data run
@@ -861,6 +952,8 @@ object PipelineQueries {
        |ORDER BY bucket""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q240_kmv_merge_law", q240, Some(q240Sql),
+      "KMV sketch mergeability proof: shard sketches merged == full-corpus sketch, per-lang law + estimate-agreement verdicts"),
     QueryDef("q217_range_boundaries", q217, Some(q217Sql),
       "sampled equi-depth range-partition boundaries + full-table occupancy evaluation vs naive equal-width (self-reported skew)"),
     QueryDef("q216_join_size_est", q216, Some(q216Sql),

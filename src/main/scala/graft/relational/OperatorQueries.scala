@@ -1034,7 +1034,81 @@ object OperatorQueries {
       |FROM vi FULL OUTER JOIN vf ON vi.nk = vf.nk
       |ORDER BY nk""".stripMargin
 
+  // ---------------------------------------------------------------- q239
+
+  /** SHUFFLE-SKEW ADVISOR — the static planning report behind every
+    * "why is one task still running" incident: for each candidate
+    * join/aggregation key across the warehouse, the exact per-key load
+    * profile (rows, distinct keys, heaviest key, skew = max/mean in
+    * fixed point) and a strategy verdict — `two_phase_agg` for
+    * low-cardinality keys (q24's salted partial-aggregate shape: a
+    * straight groupBy on 5 values makes 5 reducers do all the work),
+    * `salt` with an explicit factor where one key dominates its mean by
+    * ≥ 2× (pre-split that key across salt_n reducers), `hash_ok`
+    * otherwise. AQE's skew-join handles the JOIN case at runtime; this
+    * is the design-time complement that tells you which keys to bucket,
+    * salt, or two-phase BEFORE laying out a 100 TB table.
+    *
+    * Scale: each profile is one map-side-combinable count per key then
+    * a 1-row reduce — the advisor costs one scan per audited table and
+    * emits |keys audited| rows. All arithmetic is integer (skew in
+    * thousandths), so the verdicts hash-match the mirror exactly.
+    */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    def profile(df: DataFrame, table: String, key: String): DataFrame =
+      df.select(col(key).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_cnt"))
+        .select(lit(table).as("table_name"), lit(key).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          expr("max_cnt * 1000 * n_keys div n_rows").as("skew_x1000"))
+    val profiles = Seq(
+      profile(Tables.orders(s, d), "orders", "o_custkey"),
+      profile(Tables.lineitem(s, d), "lineitem", "l_orderkey"),
+      profile(Tables.events(s, d), "events", "user_id"),
+      profile(Tables.events(s, d), "events", "event_type"),
+      profile(Tables.documents(s, d), "documents", "lang"))
+      .reduce(_.unionByName(_))
+    profiles
+      .withColumn("verdict",
+        when(col("n_keys") <= 8, lit("two_phase_agg"))
+          .when(col("skew_x1000") >= 2000, lit("salt"))
+          .otherwise(lit("hash_ok")))
+      .withColumn("salt_n",
+        when(col("n_keys") > 8 && col("skew_x1000") >= 2000,
+          expr("(skew_x1000 + 999) div 1000")).otherwise(lit(0L)))
+      .orderBy("table_name", "key_col")
+  }
+
+  private val q239Sql = {
+    val audited = Seq(
+      ("orders", "o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ("lineitem", "l_orderkey", "CAST(l_orderkey AS VARCHAR)"),
+      ("events", "user_id", "CAST(user_id AS VARCHAR)"),
+      ("events", "event_type", "event_type"),
+      ("documents", "lang", "lang"))
+    val parts = audited.map { case (t, kcol, kexpr) =>
+      s"""  SELECT '$t' AS table_name, '$kcol' AS key_col,
+         |    CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(max(c) AS BIGINT) AS max_cnt,
+         |    CAST(max(c) * 1000 * count(*) // sum(c) AS BIGINT) AS skew_x1000
+         |  FROM (SELECT $kexpr AS k, count(*) AS c FROM $t GROUP BY 1)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH p AS (
+       |$parts)
+       |SELECT table_name, key_col, n_rows, n_keys, max_cnt, skew_x1000,
+       |  CASE WHEN n_keys <= 8 THEN 'two_phase_agg'
+       |       WHEN skew_x1000 >= 2000 THEN 'salt'
+       |       ELSE 'hash_ok' END AS verdict,
+       |  CAST(CASE WHEN n_keys > 8 AND skew_x1000 >= 2000
+       |       THEN (skew_x1000 + 999) // 1000 ELSE 0 END AS BIGINT) AS salt_n
+       |FROM p ORDER BY table_name, key_col""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q239_skew_advisor", q239, Some(q239Sql),
+      "shuffle-skew advisor: exact per-key load profiles across warehouse join keys + salt/two-phase/hash verdicts in fixed point"),
     QueryDef("q220_ivm_join", q220, Some(q220Sql),
       "incremental view maintenance for a join view (delta rule: base + dA*B' + A'*dB + dA*dB) with self-verifying equality vs full recompute"),
     QueryDef("q211_cdc_apply", q211, Some(q211Sql),

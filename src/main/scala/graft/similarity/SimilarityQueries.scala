@@ -302,19 +302,44 @@ object SimilarityQueries {
     def dotHp(i: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
         s"k -> CAST(embedding[k] AS DOUBLE) * ${hpv(i, "k")})), (x, y) -> x + y)"
-    s"""WITH sigs AS (
-       |  SELECT vec_id,
+    // Two-tier like the text-pair mirrors (lesson 19): identical vectors
+    // share every bucket and every cosine, so sigs/candidates/verify run
+    // in rep space (~|distinct|) and doc-level pairs come from member
+    // expansion. Within-group cosine is still COMPUTED (sqlCos of the
+    // shared vector with itself — sqrt(n)² ≠ n exactly, so the value is
+    // ~1.0-ε, bit-identical to what the engine's fold produces), once per
+    // group instead of once per expanded pair. The naive form evaluated
+    // 64-element lambda folds per candidate pair and crawled on the
+    // duplicate-heavy sf1 gate dir.
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT embedding, min(vec_id) AS rep, list(vec_id) AS members
+       |  FROM embeddings GROUP BY embedding),
+       |sigs AS (
+       |  SELECT rep,
        |    t.t * 4 + CAST(${dotHp("2 * t.t")} >= 0 AS INT) * 2
        |            + CAST(${dotHp("2 * t.t + 1")} >= 0 AS INT) AS bucket
-       |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS t) t),
+       |  FROM g, (SELECT unnest([0, 1, 2, 3]) AS t) t),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT c.id_a, c.id_b, ${sqlCos("ea.embedding", "eb.embedding")} AS cos
-       |FROM cand c
-       |JOIN embeddings ea ON c.id_a = ea.vec_id
-       |JOIN embeddings eb ON c.id_b = eb.vec_id
-       |WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.4
+       |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.rep < b.rep),
+       |vp AS MATERIALIZED (
+       |  SELECT ga.members AS ma, gb.members AS mb,
+       |    ${sqlCos("ga.embedding", "gb.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN g ga ON c.ra = ga.rep
+       |  JOIN g gb ON c.rb = gb.rep
+       |  WHERE ${sqlCos("ga.embedding", "gb.embedding")} >= 0.4),
+       |sp AS MATERIALIZED (
+       |  SELECT members, ${sqlCos("embedding", "embedding")} AS cos
+       |  FROM g WHERE len(members) > 1
+       |    AND ${sqlCos("embedding", "embedding")} >= 0.4)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b, cos
+       |  FROM vp, unnest(ma) AS x(m), unnest(mb) AS y(m)
+       |  UNION ALL
+       |  SELECT x.m AS id_a, y.m AS id_b, cos
+       |  FROM sp, unnest(members) AS x(m), unnest(members) AS y(m)
+       |  WHERE x.m < y.m)
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -335,4 +335,30 @@ class MultimodalSpec extends AnyFunSuite {
       assert(shared, s"no shared band for a=$a flips=$flips")
     }
   }
+
+  test("q238 scene cuts: MAD margins separate cuts from drift by 4x either side") {
+    val k = new MediaKernel
+    var maxWithin = 0L
+    var minCut = Long.MaxValue
+    (0L until 120L).foreach { id =>
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      val nf = (3 + id % 4).toInt
+      val cut = (1 + id % (nf - 1)).toInt
+      def pix(f: Int, x: Int, y: Int): Int = {
+        val t = (((id * 7 + f + x + 2 * y) % 510) - 255).toInt.abs / 2
+        if (f < cut) t else 128 + t
+      }
+      val grays = k.decodeMjpegFrames(k.encodeMjpeg(w, h, nf, 0.90f, pix))
+        .map(fb => k.decodeImage(fb)._2)
+      (1 until grays.length).foreach { f =>
+        val (a, b) = (grays(f - 1).pix, grays(f).pix)
+        val mad = a.indices.foldLeft(0L)((s, i) => s + (a(i) - b(i)).abs) / a.length
+        if (f == cut) minCut = math.min(minCut, mad)
+        else maxWithin = math.max(maxWithin, mad)
+      }
+    }
+    // threshold 64: drift stays below a quarter of it, cuts above 1.5x
+    assert(maxWithin <= 16, s"within-shot MAD too high: $maxWithin")
+    assert(minCut >= 96, s"cut MAD too low: $minCut")
+  }
 }

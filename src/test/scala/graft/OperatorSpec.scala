@@ -441,4 +441,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(dA.nonEmpty && dB.nonEmpty && dA.intersect(dB).nonEmpty,
       "fixture must hit dA x B', A' x dB AND dA x dB")
   }
+
+  test("q239 advisor: verdicts replay from the raw key profiles, fixture covers all three") {
+    val rows = Registry.queries("q239_skew_advisor")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7)))
+    rows.foreach { case (t, k, nRows, nKeys, maxCnt, skew, verdict, saltN) =>
+      assert(skew == maxCnt * 1000 * nKeys / nRows, s"skew formula broken for $t.$k")
+      val want =
+        if (nKeys <= 8) "two_phase_agg"
+        else if (skew >= 2000) "salt"
+        else "hash_ok"
+      assert(verdict == want, s"verdict for $t.$k: $verdict != $want")
+      assert(saltN == (if (want == "salt") (skew + 999) / 1000 else 0L))
+    }
+    assert(rows.map(_._7).toSet == Set("two_phase_agg", "salt", "hash_ok"),
+      "fixture must exercise every verdict branch")
+  }
+
+  test("q240: merge law holds per lang AND a k-violating merge would break it") {
+    val rows = Registry.queries("q240_kmv_merge_law")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._7, s"merge law failed for lang ${r._1}")
+      assert(r._6, s"estimates disagree for lang ${r._1}")
+    }
+    // the law is NOT vacuous: retaining fewer than k values per shard
+    // (a broken partial aggregate) must change the k-th minimum — replay
+    // the sketch in plain Scala on one lang's hashes and check
+    import org.apache.spark.sql.functions._
+    val P = 1000000007L
+    val hs = Tables.documents(spark, TestSpark.sf)
+      .filter(col("lang") === rows.head._1)
+      .select((col("doc_id") % 2).as("shard"), explode(split(col("text"), " ")).as("w"))
+      .select(col("shard"), pmod(graft.util.Det.polyHash(col("w")) * 2654435761L + 12345L, lit(P)).as("h"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = hs.map(_._2).distinct.sorted.take(16).toList
+    val okMerge = hs.groupBy(_._1).values.flatMap(_.map(_._2).distinct.sorted.take(16))
+      .toList.distinct.sorted.take(16)
+    val badMerge = hs.groupBy(_._1).values.flatMap(_.map(_._2).distinct.sorted.take(4))
+      .toList.distinct.sorted.take(16)
+    assert(okMerge == full, "k-bounded merge must reproduce the full sketch")
+    assert(badMerge != full, "under-retaining shards should break the law (non-vacuous fixture)")
+  }
 }
