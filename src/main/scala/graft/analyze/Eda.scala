@@ -497,6 +497,145 @@ object Eda {
       |    false) AS spike
       |FROM ew ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q241
+
+  /** ROLLING-WINDOW EXACT PERCENTILES — trailing-7-day p50/p95 of event
+    * value per type and day: the SLO/latency dashboard primitive (q53
+    * gives corpus-wide percentiles, q237 smooths means; operations run
+    * on rolling TAIL percentiles, which no mean-based smoother shows).
+    * Nearest-rank (q53's rule: the value at rank ceil(n·p)) — exact, not
+    * a sketch, and hash-identical across engines because ranks are
+    * integers and the ranked values are the raw column.
+    *
+    * Scale shape — the part that survives 100 TB: each event EXPLODES
+    * into exactly the ≤7 day-cells whose trailing window contains it
+    * (bounded ×7 fan-out, the q76 time-band discipline), the day spine
+    * joins broadcast, and the rank runs per (type, day) partition. The
+    * tempting alternative — joining the spine to events on type and
+    * filtering the date band — is |days|×|rows| BEFORE the residual
+    * filter and dies at scale; the explode form never materializes a
+    * pair that isn't in a window.
+    */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("value"), col("event_id"))
+    val spine = ev.groupBy("event_type")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val cells = ev
+      .select(col("event_type"), col("value"), col("event_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6), expr("interval 1 day")))
+          .as("day"))
+      .join(broadcast(spine), Seq("event_type", "day"))
+    val w = Window.partitionBy("event_type", "day").orderBy("value", "event_id")
+    val n = Window.partitionBy("event_type", "day")
+    cells
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy("event_type", "day")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("value"))).as("p95"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("p50"), col("p95"), col("n"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q241Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, value, event_id FROM events),
+      |spine AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT event_type, min(d) AS lo, max(d) AS hi
+      |        FROM ev GROUP BY event_type)),
+      |cells AS (
+      |  SELECT e.event_type, e.value, e.event_id, s.day
+      |  FROM (SELECT event_type, value, event_id,
+      |          CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+      |            AS DATE) AS day
+      |        FROM ev) e
+      |  JOIN spine s ON s.event_type = e.event_type AND s.day = e.day),
+      |ranked AS (
+      |  SELECT event_type, day, value,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type, day) AS n
+      |  FROM cells)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |  max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50,
+      |  max(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM ranked GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q242
+
+  /** EXACT WEIGHTED PERCENTILES per group — the quantity-weighted p50/p90
+    * of unit price per order priority: "half the UNITS shipped cost at
+    * most X", which is the question inventory/pricing actually asks
+    * (q53's unweighted form answers "half the LINE ITEMS", over-counting
+    * single-unit lines 50×). Textbook cumulative-weight nearest-rank:
+    * sort by value within the group, take the first value whose running
+    * weight reaches ceil(p·W) — exact, integer thresholds (quantities
+    * are integral), no interpolation, so both engines pick the identical
+    * row.
+    *
+    * Scale: one shuffle on the group key; the cumulative sum is a single
+    * window pass over each group's sorted run (Spark's running-frame
+    * WindowExec — no self-join), and the pick is an aggregate over the
+    * same pass. Weights never materialize per-unit rows (the naive
+    * "explode quantity copies" form would 25× the table).
+    */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("l_extendedprice") / col("qty")).as("unit_price"),
+        col("qty"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("priority")
+      .orderBy("unit_price", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("priority")
+    li
+      .withColumn("cw", sum(col("qty")).over(w))
+      .withColumn("tw", sum(col("qty")).over(tot))
+      .groupBy("priority")
+      .agg(
+        min(when(col("cw") >= ceil(col("tw") * 0.5), col("unit_price"))).as("wp50"),
+        min(when(col("cw") >= ceil(col("tw") * 0.9), col("unit_price"))).as("wp90"),
+        max(col("tw")).as("total_units"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("priority")
+  }
+
+  private val q242Sql =
+    """WITH li AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    l.l_extendedprice / CAST(l.l_quantity AS BIGINT) AS unit_price,
+      |    CAST(l.l_quantity AS BIGINT) AS qty, l.l_orderkey, l.l_linenumber
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cum AS (
+      |  SELECT priority, unit_price, qty,
+      |    sum(qty) OVER (PARTITION BY priority
+      |      ORDER BY unit_price, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(qty) OVER (PARTITION BY priority) AS tw
+      |  FROM li)
+      |SELECT priority,
+      |  min(CASE WHEN cw >= ceil(tw * 0.5) THEN unit_price END) AS wp50,
+      |  min(CASE WHEN cw >= ceil(tw * 0.9) THEN unit_price END) AS wp90,
+      |  CAST(max(tw) AS BIGINT) AS total_units,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM cum GROUP BY priority ORDER BY priority""".stripMargin
+
   /** Fixed-width histogram (10 buckets of 20 over `value`, clamped): the
     * profiling primitive; pure integer/floor arithmetic so both engines
     * bucket identically.
@@ -1469,6 +1608,10 @@ object Eda {
       |ORDER BY p.lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q242_weighted_percentiles", q242, Some(q242Sql),
+      "exact quantity-weighted p50/p90 unit price per priority: cumulative-weight nearest-rank in one window pass, no per-unit explode"),
+    QueryDef("q241_rolling_percentiles", q241, Some(q241Sql),
+      "trailing-7-day exact p50/p95 per event type and day: bounded x7 explode + broadcast spine + per-cell nearest-rank"),
     QueryDef("q237_ewma_chart", q237, Some(q237Sql),
       "EWMA control chart (α=1/4) over daily event volumes: exact integer recurrence + 2× spike verdicts, mirrored by sequential recursion"),
     QueryDef("q233_bootstrap_ci", q233, Some(q233Sql),

@@ -120,4 +120,58 @@ class EdaSpec extends AnyFunSuite {
       rows.foreach(r => assert(r._4 >= lo - 3 && r._4 <= hi, s"ewma escaped range: $r"))
     }
   }
+
+  test("q241 rolling percentiles equal a driver-side trailing-window replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val (lo, hi) = (rows.map(_._2).minBy(_.toEpochDay), rows.map(_._2).maxBy(_.toEpochDay))
+      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).map { day =>
+        val vals = rows.filter(r => !r._2.isAfter(day) && !r._2.isBefore(day.minusDays(6)))
+          .map(_._3).sorted
+        def nr(p: Double) = vals(math.ceil(vals.length * p).toInt - 1)
+        (et, day.toString, nr(0.5), nr(0.95), vals.length.toLong)
+      }.toSeq
+    }.sortBy(t => (t._1, t._2))
+    val got = Registry.queries("q241_rolling_percentiles")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"rolling percentile mismatch (first got=${got.headOption})")
+    // p95 dominates p50 everywhere — the tail is actually a tail
+    got.foreach(r => assert(r._4 >= r._3, s"p95 < p50 at $r"))
+  }
+
+  test("q242 weighted percentiles equal a driver-side cumulative-weight replay") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getDouble(2).toLong, r.getDouble(3)))
+    val pri = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = li.groupBy(r => pri(r._1)).toSeq.map { case (p, rows) =>
+      val sorted = rows.map(r => (r._4 / r._3, r._3, r._1, r._2))
+        .sortBy(t => (t._1, t._3, t._4))
+      val tw = sorted.map(_._2).sum
+      def wp(pct: Double): Double = {
+        val thr = math.ceil(tw * pct)
+        var cw = 0L
+        sorted.find { t => cw += t._2; cw >= thr }.get._1
+      }
+      (p, wp(0.5), wp(0.9), tw, rows.length.toLong)
+    }.sortBy(_._1)
+    val got = Registry.queries("q242_weighted_percentiles")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"weighted percentile mismatch (first got=${got.headOption})")
+    // weighting bites: at least one group's weighted p50 differs from unweighted
+    val unweighted = li.groupBy(r => pri(r._1)).map { case (p, rows) =>
+      val vals = rows.map(r => r._4 / r._3).sorted
+      p -> vals(math.ceil(vals.length * 0.5).toInt - 1)
+    }
+    assert(got.exists(g => unweighted(g._1) != g._2),
+      "weighted == unweighted everywhere — weighting inert on fixture")
+  }
 }
