@@ -333,4 +333,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit") || plan.contains("RunningWindowFunction")
       || plan.contains("Window"), s"window rank stage missing:\n$plan")
   }
+
+  test("q241 rolling percentiles: day spine broadcasts, event fan-out is a Generate") {
+    val plan = physicalPlan("q241_rolling_percentiles")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"day spine must join broadcast, not shuffle the exploded events:\n$plan")
+    assert(plan.contains("Generate"), s"×7 day fan-out must be an explode:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
+  }
+
+  test("q239 advisor: one keyed shuffle per audited table, all partial-aggregated") {
+    val plan = physicalPlan("q239_skew_advisor")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyed == 5, s"expected exactly one per-key shuffle per profile, got $keyed:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || "HashAggregate".r.findAllIn(plan).size >= 10,
+      s"per-key counts must map-side combine:\n$plan")
+  }
+
+  test("q242 weighted percentiles: single window pass, no per-unit explode") {
+    val plan = physicalPlan("q242_weighted_percentiles")
+    assert(!plan.contains("Generate"),
+      s"weights must never materialize per-unit rows:\n$plan")
+    assert(plan.contains("Window"), s"cumulative-weight window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
+  }
 }
