@@ -1034,12 +1034,17 @@ object TextQueries {
     * component-min labeling, so hash-equality checks the RESULT, not the
     * algorithm).
     */
-  private def q234(s: SparkSession, d: String): DataFrame = {
+  /** The reusable core of q234: alternating star contraction over an
+    * arbitrary directed edge frame (`src`, `dst` long columns), returning
+    * the fixpoint star edges (b → component-min a). Exposed private[graft]
+    * so PropertySpec can fuzz it against union-find on random graphs.
+    */
+  private[graft] def starContract(edgesIn: DataFrame): DataFrame = {
     def canon(df: DataFrame, u: String, v: String): DataFrame =
       df.filter(col(u) =!= col(v))
         .select(least(col(u), col(v)).as("a"), greatest(col(u), col(v)).as("b"))
         .distinct()
-    var edges = canon(linkEdges(s, d), "src", "dst").localCheckpoint(true)
+    var edges = canon(edgesIn, "src", "dst").localCheckpoint(true)
     var converged = false
     var round = 0
     while (!converged && round < 32) {
@@ -1061,7 +1066,12 @@ object TextQueries {
         next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
     }
-    require(converged, s"q234: star-contraction did not converge in $round rounds")
+    require(converged, s"star-contraction did not converge in $round rounds")
+    edges
+  }
+
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val edges = starContract(linkEdges(s, d))
     // fixpoint = stars rooted at component minima; unmatched docs are singletons
     val lab = edges.groupBy("b").agg(min(col("a")).as("comp"))
       .select(col("b").as("doc_id"), col("comp"))

@@ -608,4 +608,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  test("q234 star contraction equals union-find on random graphs (incl. chains)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242L)
+    (0 until 12).foreach { trial =>
+      val n = 2 + rng.nextInt(39)
+      // mix shapes: sparse random, plus an explicit PATH every 3rd trial
+      // (chains are the worst case for label propagation and exercise
+      // multi-round contraction)
+      val edges: Seq[(Long, Long)] =
+        if (trial % 3 == 2) (0L until (n - 1).toLong).map(i => (i, i + 1))
+        else Seq.fill(rng.nextInt(2 * n + 1))(
+          (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = Array.tabulate(n)(i => find(i).toLong)
+      val starRows = graft.clean.TextQueries.starContract(
+        edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(1) -> r.getLong(0))
+      assert(starRows.map(_._1).distinct.length == starRows.length,
+        s"trial $trial: fixpoint is not a star forest (a member has two roots)")
+      val star = starRows.toMap
+      (0 until n).foreach { v =>
+        val got = star.getOrElse(v.toLong, v.toLong)
+        assert(got == want(v), s"trial $trial n=$n: comp($v) got $got want ${want(v)}")
+      }
+    }
+  }
 }
