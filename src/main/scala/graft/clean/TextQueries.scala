@@ -1111,6 +1111,134 @@ object TextQueries {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q243
+
+  /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA, Raghavan et al.
+    * 2007) over the undirected link graph — the graph family's DENSITY
+    * member: q234's components answer "connected at all?", LPA answers
+    * "which densely-linked neighborhood?" (topic clusters, link farms,
+    * mirror rings). Deterministic variant of the classic rule — each
+    * round every node adopts the SMALLEST label among the most frequent
+    * labels in its neighborhood (count desc, label asc — the published
+    * algorithm breaks this tie randomly; the min-tiebreak makes the
+    * fixture hash-oracle-able) — run a FIXED 4 synchronous rounds (the
+    * published stopping regime is "few iterations"; a fixed count keeps
+    * both engines in lockstep, and the mirror unrolls the same 4).
+    *
+    * Scale: each round is one edge-keyed equi-join (labels onto the
+    * bidirected edge list) + two aggregates ((v, lbl) counts, then the
+    * per-v argmax via a max_by-shaped struct max) — all map-side
+    * combinable, per-edge work O(1), no collected state. Label frames
+    * are localCheckpoint'ed per round (iterative-lineage lesson).
+    */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    val und = linkEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val bi = und.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      val nbr = bi.join(labels.select(col("v").as("n"), col("lbl")), "n")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax (c desc, lbl asc) as a single struct max: (c, -lbl) max
+      val next = nbr
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("v"), (-col("best.neg")).as("lbl"))
+      // isolated nodes keep their label
+      labels = labels.select(col("v"), col("lbl").as("old"))
+        .join(next, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl"), col("old")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
+  private val q243Sql = {
+    val rounds = (1 to 4).map { i =>
+      val p = s"lp${i - 1}"
+      s"""nb$i AS (
+         |  SELECT b.v, l.lbl, count(*) AS c
+         |  FROM bi b JOIN $p l ON l.v = b.n
+         |  GROUP BY b.v, l.lbl),
+         |ag$i AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (
+         |      PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM nb$i)
+         |  WHERE rn = 1),
+         |lp$i AS MATERIALIZED (
+         |  SELECT p.v, coalesce(a.lbl, p.lbl) AS lbl
+         |  FROM $p p LEFT JOIN ag$i a ON a.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgesCteSql,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst),
+       |bi AS MATERIALIZED (
+       |  SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |lp0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+       |$rounds,
+       |sz AS MATERIALIZED (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM lp4 GROUP BY lbl)
+       |SELECT l.v AS doc_id, l.lbl AS community, s.community_size
+       |FROM lp4 l JOIN sz s ON s.lbl = l.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q244
+
+  /** LOCAL CLUSTERING COEFFICIENT — per-node transitivity over the link
+    * graph, in basis points: lcc(v) = 10000·2·tri(v) / (deg(v)·(deg(v)−1))
+    * for deg ≥ 2, composing q208's skew-proof triangle counts with q196's
+    * degrees (the standard "is this neighborhood a community or a hub
+    * spray" diagnostic — link farms score near 10000, crawl hubs near 0).
+    * Integer division keeps it hash-exact; nodes of degree < 2 report 0.
+    * Scale: inherits q208's O(m^{3/2}) wedge bound; the coefficient
+    * itself is one broadcast-free keyed join of two aggregates.
+    */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    val und = linkEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = q208(s, d).select(col("doc_id").as("v"), col("n_tri"))
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("10000 * 2 * coalesce(n_tri, 0) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val q244Sql =
+    s"""WITH $linkEdgesCteSql,
+       |ue AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src != dst),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY v),
+       |tri AS MATERIALIZED (${q208Sql.replace("ORDER BY doc_id", "")})
+       |SELECT d.v AS doc_id, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+       |  CAST(CASE WHEN d.deg >= 2
+       |       THEN 10000 * 2 * coalesce(t.n_tri, 0) // (d.deg * (d.deg - 1))
+       |       ELSE 0 END AS BIGINT) AS lcc_bp
+       |FROM deg d LEFT JOIN tri t ON t.doc_id = d.v
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q207
 
   /** Encoding-quality / mojibake detection — the byte-sanity gate every
@@ -1279,6 +1407,10 @@ object TextQueries {
        |ORDER BY score_fp DESC, phrase LIMIT 25""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q243_label_propagation", q243, Some(q243Sql),
+      "synchronous label-propagation communities (4 rounds, deterministic count-desc/label-asc tiebreak) + community sizes"),
+    QueryDef("q244_clustering_coefficient", q244, Some(q244Sql),
+      "local clustering coefficient in basis points from q208 triangles + degrees (integer-exact)"),
     QueryDef("q234_connected_components", q234, Some(q234Sql),
       "global connected components: alternating large-star/small-star contraction (Kiveris et al.), component ids + sizes"),
     QueryDef("q232_crawl_frontier", q232, Some(q232Sql),

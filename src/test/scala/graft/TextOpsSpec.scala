@@ -175,6 +175,54 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q243 LPA equals a sequential synchronous replay; q244 equals brute-force lcc") {
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    val und = (0L until n).flatMap { i =>
+      (1L to (1 + i % 3)).map(k => (i, (i * 7 + k) % n))
+    }.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl = (0L until n).map(v => v -> v).toMap
+    (1 to 4).foreach { _ =>
+      lbl = lbl.map { case (v, old) =>
+        adj.get(v) match {
+          case None => v -> old
+          case Some(ns) =>
+            val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    val gotLpa = Registry.queries("q243_label_propagation")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotLpa.length == n)
+    gotLpa.foreach { case (v, c, sz) =>
+      assert(c == lbl(v), s"community($v): got $c want ${lbl(v)}")
+      assert(sz == sizes(c), s"community_size($v): got $sz want ${sizes(c)}")
+    }
+    // communities are finer than (or equal to) components, never coarser:
+    // same community ⇒ connected (spot: label must be reachable, so lcc
+    // coarsest check — every community label is one of its members)
+    assert(gotLpa.forall { case (_, c, _) => gotLpa.exists(_._1 == c) })
+    // q244: brute-force lcc from the same edge set
+    val undSet = und.toSet
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- adj.keys.toSeq.sorted.combinations(3)
+      if undSet((a, b)) && undSet((a, c)) && undSet((b, c))
+    } { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+    val gotLcc = Registry.queries("q244_clustering_coefficient")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    gotLcc.foreach { case (v, d, t, bp) =>
+      assert(d == deg.getOrElse(v, 0L), s"deg($v)")
+      assert(t == tri(v), s"tri($v)")
+      val want = if (d >= 2) 10000L * 2 * tri(v) / (d * (d - 1)) else 0L
+      assert(bp == want, s"lcc($v): got $bp want $want")
+    }
+  }
+
   test("q234 components equal sequential union-find over the fixture graph") {
     val n = Tables.documents(spark, TestSpark.sf).count()
     val parent = Array.tabulate(n.toInt)(identity)
