@@ -636,6 +636,148 @@ object Eda {
       |  CAST(count(*) AS BIGINT) AS n_lines
       |FROM cum GROUP BY priority ORDER BY priority""".stripMargin
 
+  // ---------------------------------------------------------------- q245
+
+  /** LEAD-LAG CROSS-CORRELATION between event-type daily series — for
+    * every ordered type pair and lag L ∈ [−3, 3], the Pearson correlation
+    * of (volume_a on day t, volume_b on day t+L): the "does signup volume
+    * lead purchase volume by two days" question behind demand forecasting
+    * and incident root-causing (q100 correlates columns within one row
+    * stream; this correlates SERIES against time-shifted series). The
+    * best lag per pair is flagged (max |corr|, lag-asc tiebreak).
+    *
+    * Determinism: daily volumes are integer counts, so all five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) and the three corr building blocks
+    * (n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)²) are EXACT int64; the only
+    * double ops are one division and two sqrts on identical integers —
+    * bit-equal across engines. Zero-variance sides are filtered (corr
+    * undefined), identically in the mirror.
+    *
+    * Scale: the corpus collapses to |types|×|days| daily rows first
+    * (map-side combinable); the lag join and moments run on that tiny
+    * frame — cost is independent of event volume, the q237/q241
+    * pre-aggregate discipline.
+    */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny; referenced from both sides of the lag join
+    val lags = broadcast((-3L to 3L).toDF("lag"))
+    val a = daily.select(col("event_type").as("ta"), col("d").as("da"), col("n").as("x"))
+      .crossJoin(lags)
+    val b = daily.select(col("event_type").as("tb"), col("d").as("db"), col("n").as("y"))
+    val moments = a
+      .join(b, col("tb") =!= col("ta") &&
+        col("db") === expr("date_add(da, CAST(lag AS INT))"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb", "lag")
+      .agg(count(lit(1)).as("nd"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("ta"), col("tb"), col("lag"), col("nd"),
+        (col("nd") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("nd") * col("sx2") - col("sx") * col("sx")).as("vx"),
+        (col("nd") * col("sy2") - col("sy") * col("sy")).as("vy"))
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .withColumn("corr",
+        col("num").cast("double") /
+          (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))))
+    moments
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy(abs(col("corr")).desc, col("lag").asc)))
+      .select(col("ta"), col("tb"), col("lag"), col("nd"), col("corr"),
+        (col("rn") === 1).as("is_best_lag"))
+      .orderBy("ta", "tb", "lag")
+  }
+
+  private val q245Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lags AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS lag),
+      |m AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+      |    CAST(count(*) AS BIGINT) AS nd,
+      |    sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n * b.n) AS sxy,
+      |    sum(a.n * a.n) AS sx2, sum(b.n * b.n) AS sy2
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.event_type != a.event_type
+      |    AND b.d = a.d + CAST(l.lag AS INT)
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT ta, tb, lag, nd,
+      |    CAST(nd * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(nd * sx2 - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(nd * sy2 - sy * sy AS DOUBLE))) AS corr
+      |  FROM m WHERE nd * sx2 - sx * sx > 0 AND nd * sy2 - sy * sy > 0)
+      |SELECT ta, tb, lag, nd, corr,
+      |  row_number() OVER (PARTITION BY ta, tb ORDER BY abs(corr) DESC, lag) = 1
+      |    AS is_best_lag
+      |FROM c ORDER BY ta, tb, lag""".stripMargin
+
+  // ---------------------------------------------------------------- q246
+
+  /** BENFORD FIRST-DIGIT AUDIT over order totals — the classic
+    * forensic-accounting / synthetic-data smell test: naturally-grown
+    * multiplicative amounts follow P(d) = log10(1+1/d); fabricated or
+    * truncated columns don't. Reports, per leading digit, the observed
+    * count, the Benford-expected count, and the χ² contribution — all in
+    * int64 fixed point: the nine Benford proportions are pinned
+    * basis-point literals (3010, 1761, …), the leading digit comes from
+    * the DECIMAL STRING of the floored amount (never floor(x/10^log10 x)
+    * — libm), and the χ² contribution is (10000·obs − n·p)² div
+    * (n·p·10000). A data-quality gate this cheap runs on every ingest.
+    *
+    * Scale: one map-side-combinable 9-group count; everything after is
+    * 9 rows.
+    */
+  private val BenfordBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = broadcast(
+      BenfordBp.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+        .toDF("digit", "p_bp"))
+    val obs = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val n = obs.agg(sum(col("obs")).as("n_total"))
+    obs.join(expected, Seq("digit"), "right") // all 9 digits, even if absent
+      .crossJoin(broadcast(n))
+      .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
+        col("p_bp"), col("n_total"),
+        expr("n_total * p_bp div 10000").as("expected"),
+        expr("(10000 * coalesce(obs, 0) - n_total * p_bp) * " +
+          "(10000 * coalesce(obs, 0) - n_total * p_bp) div (n_total * p_bp * 10000)")
+          .as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
+  private val q246Sql = {
+    val values = BenfordBp.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH exp AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(p_bp AS BIGINT) AS p_bp
+       |             FROM (VALUES $values) v(digit, p_bp)),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS obs
+       |  FROM orders GROUP BY 1),
+       |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM obs)
+       |SELECT e.digit, coalesce(o.obs, 0) AS obs, e.p_bp, n.n_total,
+       |  n.n_total * e.p_bp // 10000 AS expected,
+       |  (10000 * coalesce(o.obs, 0) - n.n_total * e.p_bp)
+       |    * (10000 * coalesce(o.obs, 0) - n.n_total * e.p_bp)
+       |    // (n.n_total * e.p_bp * 10000) AS chi2_contrib
+       |FROM exp e LEFT JOIN obs o ON o.digit = e.digit, n
+       |ORDER BY e.digit""".stripMargin
+  }
+
   /** Fixed-width histogram (10 buckets of 20 over `value`, clamped): the
     * profiling primitive; pure integer/floor arithmetic so both engines
     * bucket identically.
@@ -1608,6 +1750,10 @@ object Eda {
       |ORDER BY p.lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q245_leadlag_corr", q245, Some(q245Sql),
+      "lead-lag cross-correlation of event-type daily series (lags -3..3): exact int64 moments, best-lag flag"),
+    QueryDef("q246_benford_audit", q246, Some(q246Sql),
+      "Benford first-digit audit of order totals: pinned basis-point expectations, int64 chi-square contributions"),
     QueryDef("q242_weighted_percentiles", q242, Some(q242Sql),
       "exact quantity-weighted p50/p90 unit price per priority: cumulative-weight nearest-rank in one window pass, no per-unit explode"),
     QueryDef("q241_rolling_percentiles", q241, Some(q241Sql),

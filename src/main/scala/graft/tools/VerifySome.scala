@@ -12,9 +12,10 @@ object VerifySome {
   def main(args: Array[String]): Unit = {
     val Array(names, sfDir, outDir) = args
     val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

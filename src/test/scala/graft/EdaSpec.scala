@@ -174,4 +174,58 @@ class EdaSpec extends AnyFunSuite {
     assert(got.exists(g => unweighted(g._1) != g._2),
       "weighted == unweighted everywhere — weighting inert on fixture")
   }
+
+  test("q245 lead-lag correlations equal a driver-side moments replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => r._2 -> r._3).toMap
+    }
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      ta <- types; tb <- types if ta < tb
+      lag <- -3L to 3L
+    } yield {
+      val pairs = byType(ta).toSeq.flatMap { case (day, x) =>
+        byType(tb).get(day.plusDays(lag)).map(y => (x, y))
+      }
+      val nd = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val (sx2, sy2) = (pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+      val (vx, vy) = (nd * sx2 - sx * sx, nd * sy2 - sy * sy)
+      if (nd == 0 || vx <= 0 || vy <= 0) None
+      else Some((ta, tb, lag, nd,
+        (nd * sxy - sx * sy).toDouble / (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
+    }).flatten
+    val withBest = expected.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, rows) =>
+      val best = rows.minBy(r => (-math.abs(r._5), r._3))
+      rows.map(r => (r._1, r._2, r._3, r._4, r._5, r == best))
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = Registry.queries("q245_leadlag_corr")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == withBest, s"lead-lag mismatch (first got=${got.headOption})")
+    got.groupBy(g => (g._1, g._2)).foreach { case (k, rows) =>
+      assert(rows.count(_._6) == 1, s"pair $k must flag exactly one best lag")
+    }
+  }
+
+  test("q246 Benford audit: digits complete, counts reconcile, chi2 replays") {
+    val rows = Registry.queries("q246_benford_audit")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1L to 9L), "all nine digits present in order")
+    val n = rows.head._4
+    assert(rows.map(_._2).sum == n, "observed counts must sum to n_total")
+    assert(rows.map(_._3).sum == 10000L, "pinned proportions sum to one")
+    rows.foreach { case (_, obs, p, nt, exp, chi2) =>
+      assert(exp == nt * p / 10000, "expected count formula")
+      val dev = 10000 * obs - nt * p
+      assert(chi2 == dev * dev / (nt * p * 10000), "chi2 contribution formula")
+    }
+  }
 }
