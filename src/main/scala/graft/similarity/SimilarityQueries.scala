@@ -1831,6 +1831,18 @@ object SimilarityQueries {
         floor(cosinePre(Det.seqDot(col("va"), col("vb")),
           col("na"), col("nb")) * 1000000).cast("long").as("sim_fp"))
       .localCheckpoint(true)
+    mmrSelect(cn, sims)
+  }
+
+  /** The reusable greedy-MMR core of q236 over arbitrary candidate and
+    * similarity frames — `cn(qid, doc_id, rel_n)`, `sims(qid, da, db,
+    * sim_fp)` with both pair orientations present. Exposed private[graft]
+    * so PropertySpec can fuzz it against a sequential greedy on random
+    * instances (tie cases included).
+    */
+  private[graft] def mmrSelect(cn: DataFrame, sims: DataFrame): DataFrame = {
+    val lamRel = MmrLambda10 * 1000L
+    val lamSim = 10L - MmrLambda10
     val w1 = Window.partitionBy("qid").orderBy(desc("rel_n"), asc("doc_id"))
     var sel = cn.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("qid"), col("doc_id"), col("rel_n"),

@@ -640,4 +640,50 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q236 greedy MMR equals a sequential greedy on random instances (ties included)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777L)
+    (0 until 8).foreach { trial =>
+      val nq = 1 + rng.nextInt(3)
+      val cands = (0 until nq).flatMap { q =>
+        val k = 2 + rng.nextInt(9)
+        // coarse rel grid (0, 250, 500, 750, 1000) to force ties
+        (0 until k).map(i => (q.toLong, i.toLong, 250L * rng.nextInt(5)))
+      }
+      val sims = cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        val ids = cs.map(_._2)
+        for (a <- ids; b <- ids if a != b) yield {
+          // symmetric coarse sims, also tie-prone
+          val s = 250000L * (1 + math.abs(((a * 31 + b * 31 + q * 7) % 4)).toInt)
+          (q, a, b, s)
+        }
+      }
+      def simOf(q: Long, a: Long, b: Long): Long =
+        250000L * (1 + math.abs(((a * 31 + b * 31 + q * 7) % 4)).toInt)
+      val expected = cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        val rel = cs.map(c => c._2 -> c._3).toMap
+        var selected = Vector.empty[Long]
+        (1 to 5).flatMap { rank =>
+          val rem = rel.keys.filterNot(selected.contains).toSeq
+          if (rem.isEmpty) None
+          else {
+            val scored = rem.map { d =>
+              val ms = if (selected.isEmpty) 0L else selected.map(simOf(q, d, _)).max
+              (d, ms, 7000L * rel(d) - 3L * ms)
+            }
+            val (d, ms, mmr) = scored.minBy { case (dd, _, m) => (-m, dd) }
+            selected :+= d
+            Some((q, d, rel(d), ms, mmr, rank.toLong))
+          }
+        }
+      }.sortBy(t => (t._1, t._6))
+      val got = graft.similarity.SimilarityQueries.mmrSelect(
+        cands.toDF("qid", "doc_id", "rel_n"),
+        sims.toDF("qid", "da", "db", "sim_fp")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == expected, s"trial $trial: MMR fuzz mismatch")
+    }
+  }
 }
