@@ -1242,6 +1242,154 @@ object Eda {
       |  count(*) AS n, TRUE AS within_bound
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+
+  /** RELATIONAL HLL — a HyperLogLog distinct sketch built entirely from
+    * relational primitives, with its MERGE LAW proven on data. q27 uses
+    * Spark's built-in `approx_count_distinct`, whose sketch bytes are
+    * engine-opaque, so only a tolerance verdict is hash-comparable; here
+    * the registers ARE a (group, bucket, max-rho) frame, so the ESTIMATE
+    * ITSELF is an exact int64 both engines reproduce bit-for-bit — and
+    * register-wise max over shard sketches must equal the direct sketch
+    * (max over all = max of maxes), which is precisely the partial/final
+    * aggregation contract that lets 1000 executors sketch a 100 TB
+    * column and combine 64-register summaries instead of rows (q240 is
+    * the KMV twin of this proof).
+    *
+    * Construction (m = 256, p = 8): h = avalanche-scrambled polyHash
+    * (q173's mix — raw polynomial hashes of short digit strings cluster
+    * mod 2^k), bucket = h mod 256, rho = leading-zero rank of the
+    * remaining 22-bit word (23 − bitlength, bitlength via the binary
+    * string — no libm); Σ 2^(−rho) is DYADIC, kept exact as Σ 2^(23−rho)
+    * in int64; the raw estimate is α₂₅₆·m²·2²³ div S with α₂₅₆ = 0.718
+    * in milli fixed point, and the canonical small-range branch (V empty
+    * registers > 0 and raw ≤ 2.5m) switches to linear counting m·ln(m/V)
+    * via the repo's
+    * fplog2 (piecewise-linear log2 — documented divergence from libm;
+    * EdaSpec pins empirical accuracy vs the exact counts, and the
+    * fixture crosses BOTH branches across scale factors).
+    */
+  /** round(256·ln(256/V)) for V = 1..255 — the exact linear-counting
+    * values, pinned as shared literals (both engines read THIS list).
+    */
+  private val HllLcTable: Seq[Long] =
+    (1 to 255).map(v => math.round(256.0 * math.log(256.0 / v)))
+
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    // Cubic avalanche: raw polyHash of short digit strings is
+    // polynomial-structured, and LINEAR scrambles of it stay
+    // low-discrepancy (too-even bucket occupancy breaks the
+    // linear-counting branch upward — measured 136 occupied where
+    // Poisson expects 113). The cubic (h³ + 40503h + 12345) mod p mix
+    // restores Poisson-like occupancy (116 observed vs 113.5 expected).
+    val pts = Tables.events(s, d)
+      .select(col("event_type"), (col("event_id") % 2).as("shard"),
+        polyHash(col("user_id").cast("string"), 13L).as("h0"))
+      .select(col("event_type"), col("shard"),
+        pmod(pmod(col("h0") * col("h0"), lit(1000000007L)) * col("h0")
+          + lit(40503L) * col("h0") + lit(12345L), lit(1000000007L)).as("h"))
+      .select(col("event_type"), col("shard"),
+        (col("h") % 256).as("bucket"),
+        expr("h div 256").as("w"))
+      .select(col("event_type"), col("shard"), col("bucket"),
+        when(col("w") === 0, lit(23L))
+          .otherwise(lit(23L) - expr("length(bin(w))")).as("rho"))
+    val direct = pts.groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+    val merged = pts.groupBy("event_type", "shard", "bucket")
+      .agg(max(col("rho")).as("rs"))
+      .groupBy("event_type", "bucket").agg(max(col("rs")).as("rm"))
+    val law = direct.join(merged, Seq("event_type", "bucket"), "full_outer")
+      .groupBy("event_type")
+      .agg(sum(when(col("r") <=> col("rm"), 0L).otherwise(1L)).as("n_mismatch"))
+    def estimate(reg: DataFrame, rCol: String): DataFrame =
+      reg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), 23 - $rCol)")).as("sp"))
+        .select(col("event_type"), col("n_present"),
+          (col("sp") + (lit(256L) - col("n_present")) * (1L << 23)).as("s_scaled"),
+          (lit(256L) - col("n_present")).as("v_empty"))
+        .select(col("event_type"), col("n_present"), col("v_empty"),
+          expr(s"${718L * 65536L * (1L << 23)} div (1000 * s_scaled)").as("raw"))
+        .select(col("event_type"), col("n_present"), col("v_empty"),
+          when(col("v_empty") > 0 && col("raw") <= 640,
+            element_at(array(HllLcTable.map(lit): _*), col("v_empty").cast("int")))
+            .otherwise(col("raw")).as("est"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users_exact"))
+    estimate(direct, "r")
+      .select(col("event_type"), col("n_present"), col("v_empty"),
+        col("est").as("est_hll"))
+      .join(estimate(merged, "rm").select(col("event_type"), col("est").as("est_merged")),
+        "event_type")
+      .join(law, "event_type")
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_users_exact"), col("n_present"),
+        col("v_empty"), col("est_hll"), col("est_merged"),
+        (col("n_mismatch") === 0 && col("est_hll") === col("est_merged"))
+          .as("merge_law_holds"))
+      .orderBy("event_type")
+  }
+
+  private val q248Sql = {
+    val lc = HllLcTable.mkString("[", ", ", "]") + "[v_empty]"
+    s"""WITH pts AS (
+       |  SELECT event_type, event_id % 2 AS shard,
+       |    (((h0 * h0) % 1000000007) * h0 + 40503 * h0 + 12345) % 1000000007 AS h
+       |  FROM (SELECT event_type, event_id,
+       |          ${polyHashSql("CAST(user_id AS VARCHAR)", 13L)} AS h0
+       |        FROM events)),
+       |rhos AS (
+       |  SELECT event_type, shard, h % 256 AS bucket,
+       |    CASE WHEN h // 256 = 0 THEN 23
+       |         ELSE 23 - length(printf('%b', h // 256)) END AS rho
+       |  FROM pts),
+       |direct AS MATERIALIZED (
+       |  SELECT event_type, bucket, max(rho) AS r
+       |  FROM rhos GROUP BY 1, 2),
+       |mrg AS MATERIALIZED (
+       |  SELECT event_type, bucket, max(rs) AS rm FROM (
+       |    SELECT event_type, shard, bucket, max(rho) AS rs
+       |    FROM rhos GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |law AS (
+       |  SELECT coalesce(d.event_type, m.event_type) AS event_type,
+       |    CAST(sum(CASE WHEN d.r IS NOT DISTINCT FROM m.rm THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_mismatch
+       |  FROM direct d FULL OUTER JOIN mrg m
+       |    ON d.event_type = m.event_type AND d.bucket = m.bucket
+       |  GROUP BY 1),
+       |estd AS (
+       |  SELECT event_type, n_present, v_empty,
+       |    CASE WHEN v_empty > 0 AND raw <= 640 THEN $lc ELSE raw END AS est
+       |  FROM (
+       |    SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+       |      256 - count(*) AS v_empty,
+       |      ${718L * 65536L * (1L << 23)}
+       |        // (1000 * (sum(CAST(1 AS BIGINT) << (23 - r))
+       |            + (256 - count(*)) * ${1L << 23})) AS raw
+       |    FROM direct GROUP BY 1)),
+       |estm AS (
+       |  SELECT event_type,
+       |    CASE WHEN v_empty > 0 AND raw <= 640 THEN $lc ELSE raw END AS est
+       |  FROM (
+       |    SELECT event_type, 256 - count(*) AS v_empty,
+       |      ${718L * 65536L * (1L << 23)}
+       |        // (1000 * (sum(CAST(1 AS BIGINT) << (23 - rm))
+       |            + (256 - count(*)) * ${1L << 23})) AS raw
+       |    FROM mrg GROUP BY 1)),
+       |ex AS (
+       |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, x.n_users_exact, e.n_present, e.v_empty,
+       |  CAST(e.est AS BIGINT) AS est_hll, CAST(m.est AS BIGINT) AS est_merged,
+       |  (l.n_mismatch = 0 AND e.est = m.est) AS merge_law_holds
+       |FROM estd e
+       |JOIN estm m ON m.event_type = e.event_type
+       |JOIN law l ON l.event_type = e.event_type
+       |JOIN ex x ON x.event_type = e.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   /** Set operations beyond UNION (SURVEY §2.7 notes the reference has
     * none — owed for engine completeness): INTERSECT and EXCEPT with
     * distinct-set semantics.
@@ -1750,6 +1898,8 @@ object Eda {
       |ORDER BY p.lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q248_hll_registers", q248, Some(q248Sql),
+      "relational HLL (m=64): dyadic-exact estimate hash-oracled directly + register-wise merge-law proof (shard max == direct)"),
     QueryDef("q245_leadlag_corr", q245, Some(q245Sql),
       "lead-lag cross-correlation of event-type daily series (lags -3..3): exact int64 moments, best-lag flag"),
     QueryDef("q246_benford_audit", q246, Some(q246Sql),

@@ -1914,7 +1914,86 @@ object SimilarityQueries {
        |FROM sel$MmrK ORDER BY qid, mmr_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q247
+
+  /** RECIPROCAL-RANK FUSION (Cormack et al. '09) — the standard robust
+    * way to combine rankings whose SCORES aren't commensurable (q144
+    * fuses by score, which needs calibrated scales; RRF needs only the
+    * ranks): fuse q209's lexical ranking with a dense
+    * "more-like-the-best-hit" leg (candidates re-ranked by cosine to
+    * the top-1 BM25 doc's embedding — single-vector pseudo-relevance
+    * feedback, no centroid averaging so no FP-accumulation-order
+    * hazard), rrf = Σ 1e6 div (60 + rank) in exact int64, keep the
+    * top-5 per query.
+    *
+    * Scale: candidates are the bounded BM25 top-10 (corpus touched once
+    * by q209's query-term scan); the dense leg probes exactly k
+    * embeddings per query against ONE broadcast vector; fusion and the
+    * final top-k run on |queries|·k rows.
+    */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    val cand = q209(s, d)
+      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("r_lex",
+        row_number().over(Window.partitionBy("qid").orderBy(asc("rank"))).cast("long"))
+    val top1 = cand.filter(col("r_lex") === 1)
+      .join(e, cand("doc_id") === e("vec_id"))
+      .select(col("qid"), col("embedding").as("qv"), col("norm").as("qn"))
+    val dense = cand.select(col("qid"), col("doc_id"), col("r_lex"))
+      .join(e, col("doc_id") === e("vec_id"))
+      .join(broadcast(top1), "qid")
+      .select(col("qid"), col("doc_id"), col("r_lex"),
+        cosinePre(Det.seqDot(col("qv"), col("embedding")),
+          col("qn"), col("norm")).as("cos"))
+      .withColumn("r_dense",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(desc("cos"), asc("doc_id"))).cast("long"))
+    dense
+      .withColumn("rrf_fp",
+        expr("1000000 div (60 + r_lex) + 1000000 div (60 + r_dense)"))
+      .withColumn("fused_rank",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(desc("rrf_fp"), asc("doc_id"))).cast("long"))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("fused_rank"), col("doc_id"),
+        col("r_lex"), col("r_dense"), col("rrf_fp"))
+      .orderBy("qid", "fused_rank")
+  }
+
+  private val q247Sql =
+    s"""WITH bm AS (${q209Sql.replace("\n", "\n     ")}),
+       |cand AS (
+       |  SELECT qid, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rank) AS BIGINT) AS r_lex
+       |  FROM bm WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+       |top1 AS (
+       |  SELECT c.qid, e.embedding AS qv
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+       |  WHERE c.r_lex = 1),
+       |dense AS (
+       |  SELECT c.qid, c.doc_id, c.r_lex,
+       |    CAST(row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY ${sqlCos("t.qv", "e.embedding")} DESC, c.doc_id) AS BIGINT)
+       |      AS r_dense
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.doc_id
+       |  JOIN top1 t ON t.qid = c.qid)
+       |SELECT qid, fused_rank, doc_id, r_lex, r_dense, rrf_fp FROM (
+       |  SELECT qid, doc_id, r_lex, r_dense,
+       |    1000000 // (60 + r_lex) + 1000000 // (60 + r_dense) AS rrf_fp,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY
+       |      (1000000 // (60 + r_lex) + 1000000 // (60 + r_dense)) DESC, doc_id)
+       |      AS BIGINT) AS fused_rank
+       |  FROM dense)
+       |WHERE fused_rank <= 5
+       |ORDER BY qid, fused_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q247_rrf_fusion", q247, Some(q247Sql),
+      "reciprocal-rank fusion of BM25 + dense more-like-best-hit ranks (int64 RRF, top-5 per query)"),
     QueryDef("q236_mmr_rerank", q236, Some(q236Sql),
       "MMR diversification of the BM25 top-10: greedy λ=0.7 relevance-vs-max-cosine selection, integer-exact objective"),
     QueryDef("q219_kwic_snippets", q219, Some(q219Sql),

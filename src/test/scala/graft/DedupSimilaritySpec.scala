@@ -995,4 +995,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.exists(g => !pureRel.contains((g._1, g._2))),
       "MMR never deviated from pure relevance — diversification inert on fixture")
   }
+
+  test("q247 RRF fusion equals an independent two-leg rank replay") {
+    import org.apache.spark.sql.functions.col
+    val bm = Registry.queries("q209_bm25")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // qid, doc, rank
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a), emb(b))
+      dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+    }
+    val expected = bm.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val cands = rows.filter(r => emb.contains(r._2)).sortBy(_._3)
+      val rLex = cands.zipWithIndex.map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val q = cands.head._2
+      val rDense = cands.map(_._2).sortBy(d => (-cos(q, d), d))
+        .zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+      val fused = rLex.keys.toSeq.map { d =>
+        (d, rLex(d), rDense(d), 1000000L / (60 + rLex(d)) + 1000000L / (60 + rDense(d)))
+      }.sortBy(t => (-t._4, t._1)).take(5)
+      fused.zipWithIndex.map { case ((d, rl, rd, rrf), i) =>
+        (qid, i + 1L, d, rl, rd, rrf)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Registry.queries("q247_rrf_fusion")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"RRF replay mismatch (first got=${got.headOption})")
+    // fusion bites: some fused top-5 ordering differs from pure lexical order
+    assert(got.exists(g => g._2 != g._4), "RRF never reordered — dense leg inert")
+  }
 }

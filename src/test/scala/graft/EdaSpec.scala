@@ -215,6 +215,27 @@ class EdaSpec extends AnyFunSuite {
     }
   }
 
+  test("q248 relational HLL: merge law holds, estimate within sketch tolerance") {
+    val rows = Registry.queries("q248_hll_registers")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, nPres, vEmpty, est, estM, law) =>
+      assert(law, s"merge law failed for $et")
+      assert(est == estM, s"direct vs merged estimate differ for $et")
+      assert(nPres + vEmpty == 256, "register accounting broken")
+      // m=256 → rsd ≈ 6.5%; allow 3σ (20%) for n ≥ 100, looser floor on
+      // tiny cardinalities where ±1 register dominates
+      val tol = if (exact >= 100) 0.20 else 0.40
+      assert(math.abs(est - exact) <= math.max(2, exact * tol),
+        s"$et: est $est vs exact $exact outside ${tol * 100}%")
+    }
+    // the pinned LC table IS round(m·ln(m/V)) — regenerate and compare
+    val table = (1 to 255).map(v => math.round(256.0 * math.log(256.0 / v)))
+    assert(table.head == 1420 && table(254) == 1,
+      "LC table endpoints drifted from the generating formula")
+  }
+
   test("q246 Benford audit: digits complete, counts reconcile, chi2 replays") {
     val rows = Registry.queries("q246_benford_audit")(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
