@@ -740,15 +740,19 @@ object Eda {
 
   private def q246(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val expected = broadcast(
+    val expected =
       BenfordBp.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
-        .toDF("digit", "p_bp"))
+        .toDF("digit", "p_bp")
     val obs = Tables.orders(s, d)
       .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("obs"))
     val n = obs.agg(sum(col("obs")).as("n_total"))
-    obs.join(expected, Seq("digit"), "right") // all 9 digits, even if absent
+    // All 9 digits even if absent: left-outer with the 9-row VALUES frame
+    // preserved and the aggregated side hinted — a broadcast hint on the
+    // PRESERVED side of an outer join is silently dropped (ADVICE r9;
+    // HintErrorLogger), so the hint must sit on obs, the build side.
+    expected.join(broadcast(obs), Seq("digit"), "left")
       .crossJoin(broadcast(n))
       .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
         col("p_bp"), col("n_total"),
@@ -1899,7 +1903,7 @@ object Eda {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q248_hll_registers", q248, Some(q248Sql),
-      "relational HLL (m=64): dyadic-exact estimate hash-oracled directly + register-wise merge-law proof (shard max == direct)"),
+      "relational HLL (m=256, p=8): dyadic-exact estimate hash-oracled directly + register-wise merge-law proof (shard max == direct)"),
     QueryDef("q245_leadlag_corr", q245, Some(q245Sql),
       "lead-lag cross-correlation of event-type daily series (lags -3..3): exact int64 moments, best-lag flag"),
     QueryDef("q246_benford_audit", q246, Some(q246Sql),

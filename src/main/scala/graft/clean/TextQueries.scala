@@ -1104,10 +1104,21 @@ object TextQueries {
        |lbl0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
        |$rounds,
        |comp AS MATERIALIZED (SELECT v AS doc_id, lbl AS component FROM lbl$R),
+       |-- Convergence sentinel (ADVICE r9): the $R-round unroll is exact only
+       |-- while $R >= the link graph's diameter. Assert the fixpoint was
+       |-- actually reached (last round changed nothing) and error() loudly on
+       |-- a diameter overrun instead of emitting a silently-wrong oracle.
+       |conv AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM (
+       |      SELECT v, lbl FROM lbl$R EXCEPT SELECT v, lbl FROM lbl${R - 1})) = 0
+       |    THEN 1
+       |    ELSE CAST(error('q234 mirror: min-label propagation not converged in $R rounds — raise R') AS INT)
+       |  END AS ok),
        |sizes AS MATERIALIZED (
        |  SELECT component, count(*) AS comp_size FROM comp GROUP BY component)
        |SELECT c.doc_id, c.component, s.comp_size
-       |FROM comp c JOIN sizes s USING (component)
+       |FROM comp c JOIN sizes s USING (component), conv
+       |WHERE conv.ok = 1
        |ORDER BY c.doc_id""".stripMargin
   }
 

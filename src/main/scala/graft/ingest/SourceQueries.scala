@@ -305,6 +305,81 @@ object SourceQueries {
       |  CAST(sum(val) AS BIGINT) AS v_sum
       |FROM g GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** DataSource V2 FILTER PUSHDOWN (VERDICT r9 task 4 — the reference's
+    * S11 scan shape, `S/process_dynamo.py:23`: a comparison filter
+    * immediately after the load belongs IN the source): the seq source
+    * accepts the `id` range and the `val` comparison via
+    * `SupportsPushDownFilters`. The `id` bounds narrow split planning
+    * itself — [2500, 17500) generates 15k candidate rows, the other 5k
+    * never exist — and the `val` predicate is enforced row-wise inside
+    * the reader, so the scan's numOutputRows is the filtered count
+    * (both pinned in SourcesSpec/PlanSpec; the pushed set is visible in
+    * the executed plan via `Scan.description`). The oracle recomputes
+    * the generator contract WITH the predicates over `range()`.
+    */
+  private def q249(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("slices", "8").load()
+      .filter(col("id") >= 2500L && col("id") < 17500L &&
+        col("val") > 500000000L)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("id").as("id_min"),
+        max("id").as("id_max"), sum("val").as("v_sum"))
+      .orderBy("label")
+
+  private val q249Sql =
+    """WITH g AS (
+      |  SELECT CAST(t.i AS BIGINT) AS id,
+      |    (t.i * 2654435761) % 1000000007 AS val,
+      |    'r' || CAST(t.i % 7 AS VARCHAR) AS label
+      |  FROM range(0, 20000) AS t(i))
+      |SELECT label, count(*) AS n, min(id) AS id_min, max(id) AS id_max,
+      |  CAST(sum(val) AS BIGINT) AS v_sum
+      |FROM g
+      |WHERE id >= 2500 AND id < 17500 AND val > 500000000
+      |GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** Identity-PARTITIONED graft-store table + directory pruning (VERDICT
+    * r9 task 5 — the table-format feature every 100 TB serving layout
+    * depends on): enriched events are written through the V2 commit
+    * protocol into a two-level Hive-style layout
+    * `time_of_day=<v>/event_type=<v>/part-*.csv` (partition values live
+    * ONLY in directory names; data files carry the remaining columns),
+    * then read back with a `time_of_day = 'day'` probe. The scan accepts
+    * the partition predicate via `SupportsPushDownFilters` and prunes at
+    * the FIRST directory level — the night subtree is never listed, let
+    * alone parsed (SourcesSpec proves the file set; PlanSpec pins the
+    * pushed filter + pruned ReadSchema). The oracle recomputes the same
+    * day-side aggregate from the source table.
+    */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_part_store_") + "/events_store"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"),
+        graft.enrich.Features.timeOfDay(col("ts")).as("time_of_day"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir)
+      .option("partitionBy", "time_of_day,event_type")
+      .mode("overwrite").save()
+    s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+      .filter(col("time_of_day") === "day")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+        min("event_id").as("first_event"))
+      .orderBy("event_type")
+  }
+
+  private val q250Sql =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  min(event_id) AS first_event
+      |FROM events
+      |WHERE (CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END) = 'day'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -472,6 +547,10 @@ object SourceQueries {
     QueryDef("q126_dsv2_source", q126, Some(q126Sql), "custom DataSource V2 scan (splits + pruning)"),
     QueryDef("q226_dsv2_write_roundtrip", q226, Some(q226Sql),
       "DataSource V2 BatchWrite round trip: two-phase commit (task temp -> rename + _SUCCESS last) then _SUCCESS-gated V2 scan"),
+    QueryDef("q249_dsv2_filter_pushdown", q249, Some(q249Sql),
+      "DataSource V2 filter pushdown: id bounds narrow split planning, val predicate enforced in-reader (S11 scan shape)"),
+    QueryDef("q250_store_partitioned", q250, Some(q250Sql),
+      "graft-store identity partitioning: Hive-style two-level layout via the V2 commit protocol, directory-pruned partition-filter read"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

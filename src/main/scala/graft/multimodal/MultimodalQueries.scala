@@ -388,12 +388,63 @@ object MultimodalQueries {
     * verdict design — MAD itself is codec-noise-dependent and stays out
     * of the hashed frame; MultimodalSpec pins the quantitative margins).
     *
-    * Scale: unlike q193's every-k-th sampling, cut detection must decode
-    * every frame — but still inside the task that read the payload, one
-    * kernel per partition, binary never shuffled; production detects on
-    * downsampled thumbnails to cut the decode constant, same plan shape.
+    * Scale — TWO-PASS detection (VERDICT r9 task 6, the production
+    * shape): a stride-k COARSE pass decodes only anchor frames
+    * (0, k, 2k, …, last) and compares consecutive anchors; a window
+    * whose anchor-to-anchor MAD stays under [[CutCoarseMad]] provably
+    * contains no cut (within-shot drift is ≤1 gray level per step plus
+    * bounded codec noise, a cut is ≈128 at every pixel — so a cut
+    * anywhere inside a k-window forces anchor MAD ≥ 128−(k−1)−2·noise,
+    * far above the coarse bar; MultimodalSpec pins both margins), and
+    * its interior pairs emit `is_cut = false` WITHOUT decoding. Only
+    * candidate windows get the exact per-pair pass, through a per-doc
+    * decode cache so no frame decodes twice. Output is bit-identical to
+    * the exhaustive pass (fuzzed in MultimodalSpec). Decodes per clip:
+    * n/k + (k−1)·cuts + O(1) vs n — on the fixture's 3-6-frame,
+    * 1-cut clips the saving is capped (~15%, every window is near a
+    * cut), on production-length clips it approaches the stride factor
+    * 1−1/k (the spec's 25-frame clip measures ~2× at k=2). Everything
+    * still runs inside the task that read the payload, one kernel per
+    * partition, binary never shuffled.
     */
   private val CutMadThreshold = 64L
+  private[graft] val CutCoarseStride = 2
+  private[graft] val CutCoarseMad = 32L
+
+  /** Two-pass (or exhaustive, for the equivalence fuzz) scene-cut
+    * verdicts over one decoded-container frame sequence. Returns the
+    * per-pair verdicts (index f-1 ↔ pair (f-1, f)) and the number of
+    * frames actually decoded.
+    */
+  private[graft] def detectCuts(k: MediaKernel, frames: IndexedSeq[Array[Byte]],
+      exhaustive: Boolean): (IndexedSeq[Boolean], Int) = {
+    val n = frames.length
+    val cache = scala.collection.mutable.HashMap.empty[Int, MediaKernel.Gray]
+    def gray(i: Int): MediaKernel.Gray =
+      cache.getOrElseUpdate(i, k.decodeImage(frames(i))._2)
+    def madGE(a: Int, b: Int, thr: Long): Boolean = {
+      val (pa, pb) = (gray(a).pix, gray(b).pix)
+      var s = 0L
+      var i = 0
+      while (i < pa.length) { s += (pa(i) - pb(i)).abs.toLong; i += 1 }
+      s >= thr * pa.length
+    }
+    val verdicts =
+      if (exhaustive) (1 until n).map(f => madGE(f - 1, f, CutMadThreshold))
+      else {
+        val anchors = ((0 until n by CutCoarseStride) ++ Seq(n - 1)).distinct
+        val out = new Array[Boolean](math.max(n - 1, 0))
+        anchors.sliding(2).foreach {
+          case Seq(a, b) if madGE(a, b, CutCoarseMad) =>
+            // candidate window: exact per-pair verdicts (cache reuses
+            // the two anchor decodes; only interiors are new)
+            (a + 1 to b).foreach(f => out(f - 1) = madGE(f - 1, f, CutMadThreshold))
+          case _ => () // refuted window: interiors stay false, undecoded
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    (verdicts, cache.size)
+  }
 
   private def q238(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -410,14 +461,10 @@ object MultimodalQueries {
             if (f < cut) t else 128 + t
           }
           val mjpg = k.encodeMjpeg(w, h, nf, 0.90f, pix)
-          val grays = k.decodeMjpegFrames(mjpg).map(fb => k.decodeImage(fb)._2)
-          (1 until grays.length).map { f =>
-            val (a, b) = (grays(f - 1).pix, grays(f).pix)
-            var sumAbs = 0L
-            var i = 0
-            while (i < a.length) { sumAbs += (a(i) - b(i)).abs.toLong; i += 1 }
-            (id, grays.length.toLong, f.toLong,
-              sumAbs >= CutMadThreshold * a.length)
+          val frames = k.decodeMjpegFrames(mjpg)
+          val (cuts, _) = detectCuts(k, frames, exhaustive = false)
+          cuts.zipWithIndex.map { case (isCut, i) =>
+            (id, frames.length.toLong, (i + 1).toLong, isCut)
           }
         }
       }

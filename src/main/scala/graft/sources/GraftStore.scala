@@ -1,50 +1,93 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedReader, File, Reader}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft-store`: a native DataSource V2 TABLE FORMAT with a real commit
   * protocol — the WRITE path VERDICT r8 task 6 asked for (SeqSource
-  * demonstrates the V2 read contract; this completes the pair).
+  * demonstrates the V2 read contract; this completes the pair), extended
+  * per VERDICT r9 tasks 3/5/7 with column pruning, identity partitioning
+  * with directory-level pruning, and an epoch-idempotent STREAMING_WRITE.
   *
   * Layout of a committed table directory:
-  *   part-<jobId>-<n>.csv   data files (one per write task)
-  *   _SCHEMA                the schema as DDL (written at job commit)
-  *   _SUCCESS               commit marker, written LAST
+  *   part-<jobId>-<n>.csv          data files (unpartitioned table)
+  *   <col>=<value>/part-...csv     data files (identity-partitioned table;
+  *                                 nested one dir level per partition col)
+  *   _SCHEMA                       the FULL schema as DDL (job commit)
+  *   _PARTITIONING                 comma-joined partition column names
+  *                                 (only for partitioned tables)
+  *   _SUCCESS                      commit marker, written LAST
   *
   * Commit protocol (the Hadoop FileOutputCommitter v1 shape, the same
   * `_SUCCESS` semantics streaming/Pipeline relies on):
-  *  - each task writes to `_temporary/<jobId>/task-<partition>-<taskId>`
+  *  - each task writes to `_temporary/<jobId>/task-<partition>-<taskId>/`
   *    (taskId is attempt-unique, so retried/speculative attempts never
-  *    collide) and hands the path back in its commit message;
-  *  - task abort deletes the task file; job abort deletes the whole
+  *    collide) and hands its file list back in its commit message;
+  *  - task abort deletes the task files; job abort deletes the whole
   *    `_temporary/<jobId>` dir — a failed job leaves NOTHING visible
   *    (SourcesSpec proves it);
-  *  - job commit renames the task files to `part-<jobId>-<n>.csv`
-  *    (numbered in partition order — deterministic layout), truncates
-  *    prior parts if the write was an overwrite, writes `_SCHEMA`, and
-  *    writes `_SUCCESS` last, so a reader either sees the marker and a
-  *    complete table or no marker at all;
+  *  - job commit renames the task files to `part-<jobId>-<n>.csv` inside
+  *    their partition dirs (numbered in partition order — deterministic
+  *    layout), truncates prior parts if the write was an overwrite,
+  *    writes `_SCHEMA`/`_PARTITIONING`, and writes `_SUCCESS` last, so a
+  *    reader either sees the marker and a complete table or no marker;
   *  - the READER plans zero partitions unless `_SUCCESS` exists — the
   *    gate that makes half-written directories invisible.
+  *
+  * Identity partitioning (VERDICT r9 task 5): declared per-write with
+  * `.option("partitionBy", "col[,col2]")` (DataFrameWriter.partitionBy
+  * does not reach path-based V2 providers) or recovered from the
+  * `_PARTITIONING` metadata on read via `inferPartitioning`, so
+  * `getTable`'s `Transform`s are honored in both directions. Partition
+  * values live ONLY in the Hive-style `<col>=<value>` directory names
+  * (null → `__GRAFT_NULL__`, unsafe chars %XX-escaped); data files hold
+  * the remaining columns in schema order. The scan prunes directories
+  * LEVEL BY LEVEL against pushed partition filters — a pruned subtree is
+  * never even listed, which is the property a 100 TB serving layout
+  * needs (a day-partitioned store answers a one-day probe by opening one
+  * directory, not by listing the year).
+  *
+  * Column pruning (VERDICT r9 task 3): the scan implements
+  * `SupportsPushDownRequiredColumns`; the reader type-converts ONLY the
+  * required fields (partition columns come from the directory name
+  * without touching file bytes at all). The record parser streams
+  * characters through a BufferedReader — quote-aware ACROSS line
+  * boundaries, so string fields may contain embedded newlines (ADVICE r9
+  * medium: the old Files.readAllLines reader split such rows) and a
+  * multi-GB part file is never materialized whole.
+  *
+  * Streaming write (VERDICT r9 task 7): `TableCapability.STREAMING_WRITE`
+  * with the SAME task-temp → job-publish protocol per epoch. Epoch files
+  * are named `part-e<epochId>-<n>.csv`; a checkpoint-recovery replay of
+  * an epoch first deletes that epoch's previously-published files, then
+  * republishes — commits are idempotent per epoch, so kill/restart never
+  * duplicates rows (StreamingSpec proves stream ≡ batch across a kill).
+  * One logical stream owns a table directory (epoch ids are
+  * checkpoint-scoped), the standard file-sink contract.
   *
   * Scale notes: file renames are atomic on a real filesystem (HDFS);
   * object stores need a manifest committer instead — the protocol shape
   * (task temp → single job-level publish point) is the part that
   * carries. Reads parallelize one InputPartition per part file. Values
-  * are CSV with quote-doubling escapes; supported column types are the
-  * scalar core (long/int/double/boolean/string) — enough for every
-  * serving-sink shape in SURVEY §2 (S6/S14).
+  * are CSV (UTF-8 pinned both ways — ADVICE r9) with quote-doubling
+  * escapes; supported column types are the scalar core
+  * (long/int/double/boolean/string) — enough for every serving-sink
+  * shape in SURVEY §2 (S6/S14). Partition columns are restricted to the
+  * exactly-comparable types (long/int/boolean/string); doubles in
+  * directory names are a float-equality footgun and are rejected loudly.
   */
 class GraftStoreProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -56,19 +99,49 @@ class GraftStoreProvider extends TableProvider {
       s"graft-store: no committed table at $path (missing ${GraftStore.SchemaFile}); " +
         "pass an explicit schema to read an uncommitted location")
     StructType.fromDDL(new String(
-      Files.readAllBytes(f.toPath), java.nio.charset.StandardCharsets.UTF_8))
+      Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+  }
+
+  /** Read path: recover the identity transforms from `_PARTITIONING`, so
+    * a partitioned table round-trips its layout without the caller
+    * restating it. (Write path: the `partitionBy` option, see getTable.)
+    */
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val fromOpt = Option(options.get(GraftStore.PartitionByOption))
+    val cols = fromOpt.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(GraftStore.readPartitionCols(GraftStore.pathOf(options)))
+    cols.map(c => Expressions.identity(c)).toArray
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftStoreTable(properties.get("path"), schema)
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    // Honor the Transforms when Spark hands them over (VERDICT r9 task 5);
+    // otherwise derive from the write option / committed metadata — the
+    // V2 path-based write entry point doesn't always thread them through.
+    val fromTransforms = partitioning.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft-store: only identity partitioning is supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val opt = Option(properties.get(GraftStore.PartitionByOption))
+      .orElse(Option(properties.get(GraftStore.PartitionByOption.toLowerCase)))
+    val partCols =
+      if (fromTransforms.nonEmpty) fromTransforms
+      else opt.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(GraftStore.readPartitionCols(path))
+    new GraftStoreTable(path, schema, partCols)
+  }
 }
 
 object GraftStore {
   val SchemaFile = "_SCHEMA"
   val SuccessFile = "_SUCCESS"
+  val PartitionFile = "_PARTITIONING"
+  val PartitionByOption = "partitionBy"
+  val NullPartitionValue = "__GRAFT_NULL__"
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -76,43 +149,92 @@ object GraftStore {
     p
   }
 
+  def readPartitionCols(path: String): Seq[String] = {
+    val f = new File(path, PartitionFile)
+    if (!f.isFile) Seq.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Types that may appear in a `<col>=<value>` directory name: exactly
+    * comparable, unambiguous text form. Doubles are rejected (float
+    * round-trip equality in a path is a correctness trap).
+    */
+  def checkPartitionType(f: StructField): Unit = f.dataType match {
+    case LongType | IntegerType | BooleanType | StringType => ()
+    case dt => throw new IllegalArgumentException(
+      s"graft-store: partition column '${f.name}' has unsupported type $dt " +
+        "(partitionable: long/int/boolean/string)")
+  }
+
+  // ---- partition value <-> directory-name codec (Hive-style col=value)
+
+  private def safeChar(c: Char): Boolean =
+    c.isLetterOrDigit && c < 128 || c == '.' || c == '-' || c == '_'
+
+  def encodePartValue(s: String): String =
+    if (s == null) NullPartitionValue
+    else {
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      val sb = new StringBuilder
+      bytes.foreach { b =>
+        val c = (b & 0xff).toChar
+        if (safeChar(c)) sb += c else sb.append("%%%02X".format(b & 0xff))
+      }
+      // empty string still needs a visible token after '='
+      if (sb.isEmpty) "%00%00" else sb.toString
+    }
+
+  def decodePartValue(s: String): String =
+    if (s == NullPartitionValue) null
+    else if (s == "%00%00") ""
+    else {
+      val out = new java.io.ByteArrayOutputStream
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+        } else { out.write(c.toByte); i += 1 }
+      }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    }
+
+  /** Directory-name text of one partition value from a row slot. */
+  def partValueText(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case LongType    => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case StringType  => row.getString(i)
+      case other => throw new IllegalArgumentException(
+        s"graft-store: unsupported partition type $other")
+    }
+
+  /** Decoded directory text -> typed value (null stays null). */
+  def partValueTyped(text: String, dt: DataType): Any =
+    if (text == null) null
+    else dt match {
+      case LongType    => text.toLong
+      case IntegerType => text.toInt
+      case BooleanType => text.toBoolean
+      case StringType  => text
+      case other => throw new IllegalArgumentException(
+        s"graft-store: unsupported partition type $other")
+    }
+
+  // ---- CSV record codec ------------------------------------------------
+
   /** CSV field escape: quote + double inner quotes when needed; null →
     * bare empty, empty string → quoted empty (so the parser can tell
-    * them apart).
+    * them apart). Embedded \n/\r are legal — the streaming record parser
+    * is quote-aware across line boundaries (ADVICE r9).
     */
   def escape(s: String): String =
     if (s.isEmpty || s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
-
-  /** Minimal quote-aware CSV line parser; bare empty field → null. */
-  def parseLine(line: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var i = 0
-    var quoted = false
-    var wasQuoted = false
-    def flush(): Unit = {
-      out += (if (!wasQuoted && sb.isEmpty) null else sb.toString)
-      sb.clear(); wasQuoted = false
-    }
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (quoted) {
-        if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb += '"'; i += 1 }
-          else quoted = false
-        } else sb += c
-      } else c match {
-        case '"' => quoted = true; wasQuoted = true
-        case ',' => flush()
-        case _   => sb += c
-      }
-      i += 1
-    }
-    flush()
-    out.toArray
-  }
 
   def serialize(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -128,133 +250,395 @@ object GraftStore {
       }
     }.mkString(",")
 
-  def deserialize(line: String, schema: StructType): InternalRow = {
-    val parts = parseLine(line)
-    InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-      val v = if (i < parts.length) parts(i) else null
-      if (v == null) null
-      else f.dataType match {
-        case LongType    => v.toLong
-        case IntegerType => v.toInt
-        case DoubleType  => v.toDouble
-        case BooleanType => v.toBoolean
-        case StringType  => UTF8String.fromString(v)
-        case dt => throw new IllegalArgumentException(
-          s"graft-store: unsupported column type $dt")
-      }
-    }.toSeq)
+  /** One raw string field -> typed Catalyst value. */
+  def convert(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case LongType    => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType  => v.toDouble
+      case BooleanType => v.toBoolean
+      case StringType  => UTF8String.fromString(v)
+      case other => throw new IllegalArgumentException(
+        s"graft-store: unsupported column type $other")
+    }
+
+  /** Compat shim (tests): parse one in-memory record. */
+  def parseLine(line: String): Array[String] = {
+    val p = new GraftRecordParser(new java.io.StringReader(line))
+    try p.next() finally p.close()
+  }
+
+  // ---- partition-filter evaluation ------------------------------------
+
+  /** Can `f` be answered from partition values alone (and by this
+    * evaluator)? Conjuncts/disjuncts must be partition-only throughout.
+    */
+  def isPartitionFilter(f: Filter, partCols: Set[String]): Boolean = {
+    def ok(g: Filter): Boolean = g match {
+      case EqualTo(a, _)            => partCols(a)
+      case EqualNullSafe(a, _)      => partCols(a)
+      case GreaterThan(a, _)        => partCols(a)
+      case GreaterThanOrEqual(a, _) => partCols(a)
+      case LessThan(a, _)           => partCols(a)
+      case LessThanOrEqual(a, _)    => partCols(a)
+      case In(a, _)                 => partCols(a)
+      case IsNull(a)                => partCols(a)
+      case IsNotNull(a)             => partCols(a)
+      case StringStartsWith(a, _)   => partCols(a)
+      case And(l, r)                => ok(l) && ok(r)
+      case Or(l, r)                 => ok(l) && ok(r)
+      case Not(c)                   => ok(c)
+      case _                        => false
+    }
+    ok(f)
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Number)    => java.lang.Long.compare(x, y.longValue)
+    case (x: Int, y: Number)     => java.lang.Long.compare(x.toLong, y.longValue)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: String, y: Any)     => x.compareTo(y.toString)
+    case _ => throw new IllegalArgumentException(
+      s"graft-store: cannot compare partition value $a with literal $b")
+  }
+
+  /** Evaluate a pushed filter against bound partition values. `values`
+    * may bind only a PREFIX of the partition columns (level-by-level
+    * pruning): a filter referencing an unbound column returns `true`
+    * ("cannot refute yet") so subtree pruning stays sound.
+    */
+  def evalFilter(f: Filter, values: Map[String, Any]): Boolean = {
+    def bound(a: String): Boolean = values.contains(a)
+    def nn(a: String)(body: Any => Boolean): Boolean =
+      !bound(a) || { val v = values(a); v != null && body(v) }
+    f match {
+      case EqualTo(a, x)            => nn(a)(v => cmp(v, x) == 0)
+      case EqualNullSafe(a, x)      =>
+        !bound(a) || { val v = values(a)
+          if (v == null || x == null) v == null && x == null else cmp(v, x) == 0 }
+      case GreaterThan(a, x)        => nn(a)(v => cmp(v, x) > 0)
+      case GreaterThanOrEqual(a, x) => nn(a)(v => cmp(v, x) >= 0)
+      case LessThan(a, x)           => nn(a)(v => cmp(v, x) < 0)
+      case LessThanOrEqual(a, x)    => nn(a)(v => cmp(v, x) <= 0)
+      case In(a, xs)                => nn(a)(v => xs.exists(x => x != null && cmp(v, x) == 0))
+      case IsNull(a)                => !bound(a) || values(a) == null
+      case IsNotNull(a)             => !bound(a) || values(a) != null
+      case StringStartsWith(a, p)   => nn(a)(v => v.toString.startsWith(p))
+      case And(l, r)                => evalFilter(l, values) && evalFilter(r, values)
+      case Or(l, r)                 => evalFilter(l, values) || evalFilter(r, values)
+      case Not(c)                   =>
+        // sound only when every referenced column is bound — else "maybe"
+        if (c.references.forall(bound)) !evalFilter(c, values) else true
+      case _                        => true
+    }
   }
 }
 
-private[sources] class GraftStoreTable(path: String, tschema: StructType)
+/** Streaming quote-aware CSV record parser: fields split on ',' outside
+  * quotes, records end at \n / \r\n / \r OUTSIDE quotes — so quoted
+  * fields may span lines (ADVICE r9: Files.readAllLines broke embedded
+  * newlines). Reads through a BufferedReader; never materializes the
+  * file. `next()` returns the record's raw fields (bare empty → null,
+  * quoted empty → ""), or null at EOF.
+  */
+final class GraftRecordParser(in: Reader) extends AutoCloseable {
+  private val br: BufferedReader = in match {
+    case b: BufferedReader => b
+    case other             => new BufferedReader(other, 1 << 16)
+  }
+  private var pushback: Int = -2
+
+  private def read(): Int =
+    if (pushback != -2) { val c = pushback; pushback = -2; c } else br.read()
+
+  def next(): Array[String] = {
+    var c = read()
+    if (c == -1) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quoted = false
+    var wasQuoted = false
+    def flush(): Unit = {
+      out += (if (!wasQuoted && sb.isEmpty) null else sb.toString)
+      sb.clear(); wasQuoted = false
+    }
+    var done = false
+    while (!done) {
+      if (c == -1) done = true
+      else if (quoted) {
+        if (c == '"') {
+          val n = read()
+          if (n == '"') { sb += '"'; }
+          else { quoted = false; pushback = n }
+        } else sb += c.toChar
+      } else c.toChar match {
+        case '"'  => quoted = true; wasQuoted = true
+        case ','  => flush()
+        case '\n' => done = true
+        case '\r' =>
+          val n = read(); if (n != '\n') pushback = n
+          done = true
+        case ch   => sb += ch
+      }
+      if (!done) c = read()
+    }
+    flush()
+    out.toArray
+  }
+
+  override def close(): Unit = br.close()
+}
+
+private[sources] class GraftStoreTable(
+    path: String, tschema: StructType, partCols: Seq[String])
     extends Table with SupportsRead with SupportsWrite {
+  partCols.foreach { c =>
+    val f = tschema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-store: partition column '$c' not in schema ${tschema.toDDL}"))
+    GraftStore.checkPartitionType(f)
+  }
+  require(partCols.size < tschema.size || tschema.isEmpty,
+    s"graft-store: at least one non-partition data column is required")
+
   override def name(): String = s"graft-store($path)"
   override def schema(): StructType = tschema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftStoreScan(path, tschema)
-    }
+    new GraftScanBuilder(path, tschema, partCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftStoreWriteBuilder(path, info.schema())
+    new GraftStoreWriteBuilder(path, info.schema(), partCols)
 }
 
 // ------------------------------------------------------------------ read
 
-private[sources] case class GraftFilePartition(file: String)
-    extends InputPartition
+private[sources] class GraftScanBuilder(
+    path: String, fullSchema: StructType, partCols: Seq[String])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = fullSchema
+  private var partFilters: Array[Filter] = Array.empty
 
-private[sources] class GraftStoreScan(path: String, schema: StructType)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept filters answerable from partition directory names alone —
+    * those are evaluated EXACTLY during directory walking, so they are
+    * not returned for re-evaluation. Everything else is residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val pc = partCols.toSet
+    val (acc, residual) = filters.partition(GraftStore.isPartitionFilter(_, pc))
+    partFilters = acc
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = partFilters
+
+  override def build(): Scan =
+    new GraftStoreScan(path, fullSchema, required, partCols, partFilters)
+}
+
+/** One part file + the partition values bound by its directory path
+  * (encoded text, schema-typed at read time; parallel to `partCols`).
+  */
+private[sources] case class GraftFilePartition(
+    file: String, partValues: Seq[String]) extends InputPartition
+
+private[sources] class GraftStoreScan(
+    path: String, fullSchema: StructType, required: StructType,
+    partCols: Seq[String], partFilters: Array[Filter])
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** The `_SUCCESS` gate: an uncommitted directory reads as empty. */
+  /** Shown in `.explain`, so partition pruning + column pruning are
+    * pinnable from the plan text (PlanSpec).
+    */
+  override def description(): String =
+    s"graft-store($path) PushedFilters: [${partFilters.mkString(", ")}], " +
+      s"PartitionColumns: [${partCols.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def partField(c: String): StructField =
+    fullSchema.fields.find(_.name == c).get
+
+  /** The `_SUCCESS` gate + level-by-level partition pruning: a subtree
+    * whose bound prefix already refutes a pushed filter is never listed.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new File(path)
-    if (!new File(dir, GraftStore.SuccessFile).isFile) Array.empty
-    else dir.listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.getName)
-      .map(f => GraftFilePartition(f.getAbsolutePath): InputPartition)
+    val root = new File(path)
+    if (!new File(root, GraftStore.SuccessFile).isFile) return Array.empty
+
+    def partFiles(dir: File): Array[File] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+
+    if (partCols.isEmpty)
+      partFiles(root).map(f =>
+        GraftFilePartition(f.getAbsolutePath, Seq.empty): InputPartition)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      def walk(dir: File, level: Int, bound: Map[String, Any],
+               texts: List[String]): Unit =
+        if (level == partCols.length) {
+          partFiles(dir).foreach(f =>
+            out += GraftFilePartition(f.getAbsolutePath, texts.reverse))
+        } else {
+          val col = partCols(level)
+          val dt = partField(col).dataType
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith(col + "="))
+            .sortBy(_.getName)
+            .foreach { d =>
+              val text = GraftStore.decodePartValue(
+                d.getName.substring(col.length + 1))
+              val b2 = bound + (col -> GraftStore.partValueTyped(text, dt))
+              if (partFilters.forall(GraftStore.evalFilter(_, b2)))
+                walk(d, level + 1, b2, text :: texts)
+            }
+        }
+      walk(root, 0, Map.empty, Nil)
+      out.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema)
+    new GraftReaderFactory(fullSchema, required, partCols)
 }
 
-private[sources] class GraftReaderFactory(schema: StructType)
+private[sources] class GraftReaderFactory(
+    fullSchema: StructType, required: StructType, partCols: Seq[String])
     extends PartitionReaderFactory {
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val lines = Files.readAllLines(
-      Paths.get(p.asInstanceOf[GraftFilePartition].file)).iterator()
+    val gp = p.asInstanceOf[GraftFilePartition]
+    // on-disk layout: full schema minus partition cols, in schema order
+    val fileFields = fullSchema.fields.filterNot(f => partCols.contains(f.name))
+    val fileIndex = fileFields.map(_.name).zipWithIndex.toMap
+    val partIndex = partCols.zipWithIndex.toMap
+
+    // Bind each REQUIRED output slot once: partition columns come from
+    // the directory name (typed once per partition, zero file bytes);
+    // file columns carry (raw index, converter). Unrequired file fields
+    // are tokenized but never type-converted — the column-pruning
+    // contract SourcesSpec proves with a poisoned unselected column.
+    sealed trait Slot
+    case class Const(v: Any) extends Slot
+    case class FromFile(idx: Int, dt: DataType) extends Slot
+    val slots: Array[Slot] = required.fields.map { f =>
+      partIndex.get(f.name) match {
+        case Some(pi) =>
+          Const(GraftStore.partValueTyped(gp.partValues(pi), f.dataType) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          })
+        case None =>
+          FromFile(fileIndex(f.name), f.dataType)
+      }
+    }
+
+    val parser = new GraftRecordParser(Files.newBufferedReader(
+      Paths.get(gp.file), StandardCharsets.UTF_8))
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
-      override def next(): Boolean =
-        if (lines.hasNext) { row = GraftStore.deserialize(lines.next(), schema); true }
-        else false
+      override def next(): Boolean = {
+        val rec = parser.next()
+        if (rec == null) false
+        else {
+          row = InternalRow.fromSeq(slots.toSeq.map {
+            case Const(v)          => v
+            case FromFile(idx, dt) =>
+              GraftStore.convert(if (idx < rec.length) rec(idx) else null, dt)
+          })
+          true
+        }
+      }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = parser.close()
     }
   }
 }
 
 // ----------------------------------------------------------------- write
 
-private[sources] class GraftStoreWriteBuilder(path: String, schema: StructType)
+private[sources] class GraftStoreWriteBuilder(
+    path: String, schema: StructType, partCols: Seq[String])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(path, schema, doTruncate,
+      new GraftBatchWrite(path, schema, partCols, doTruncate,
         java.util.UUID.randomUUID().toString.take(8))
+    override def toStreaming: StreamingWrite = {
+      require(!doTruncate,
+        "graft-store: streaming writes are append-only (epoch-idempotent); " +
+          "complete/truncate output modes are not supported")
+      new GraftStreamingWrite(path, schema, partCols)
+    }
   }
 }
 
-private[sources] case class GraftCommitMessage(tempPath: String, partitionId: Int)
-    extends WriterCommitMessage
+/** Task commit message: the task's temp files, each tagged with its
+  * RELATIVE partition directory ("" for unpartitioned).
+  */
+private[sources] case class GraftCommitMessage(
+    partitionId: Int, files: Seq[(String, String)]) extends WriterCommitMessage
 
-private[sources] class GraftBatchWrite(
-    path: String, schema: StructType, truncate: Boolean, jobId: String)
-    extends BatchWrite {
-
-  private def tempDir = new File(new File(path, "_temporary"), jobId)
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(tempDir.getAbsolutePath, schema)
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new File(path)
-    dir.mkdirs()
-    if (truncate)
-      dir.listFiles().filter(f => f.getName.startsWith("part-") ||
-        f.getName == GraftStore.SuccessFile || f.getName == GraftStore.SchemaFile)
-        .foreach(f => Files.delete(f.toPath))
+private[sources] object GraftCommit {
+  /** Publish task temp files into the table dir: rename each into its
+    * partition dir under `nameOf(n)`, in (task partition, file) order —
+    * a deterministic layout. Shared by batch job commit and streaming
+    * epoch commit.
+    */
+  def publish(root: File, messages: Array[WriterCommitMessage],
+              nameOf: Int => String): Unit = {
+    var n = 0
     messages.map(_.asInstanceOf[GraftCommitMessage]).sortBy(_.partitionId)
-      .zipWithIndex.foreach { case (m, i) =>
-        Files.move(Paths.get(m.tempPath),
-          new File(dir, f"part-$jobId-$i%05d.csv").toPath,
+      .foreach(_.files.foreach { case (relDir, tempPath) =>
+        val dir = if (relDir.isEmpty) root else new File(root, relDir)
+        dir.mkdirs()
+        Files.move(Paths.get(tempPath), new File(dir, nameOf(n)).toPath,
           StandardCopyOption.ATOMIC_MOVE)
-      }
-    Files.write(new File(dir, GraftStore.SchemaFile).toPath,
-      schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    deleteTemp()
-    // the publish point: written last, so the marker implies completeness
-    Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
+        n += 1
+      })
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteTemp()
+  def writeMeta(root: File, schema: StructType, partCols: Seq[String]): Unit = {
+    Files.write(new File(root, GraftStore.SchemaFile).toPath,
+      schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    if (partCols.nonEmpty)
+      Files.write(new File(root, GraftStore.PartitionFile).toPath,
+        partCols.mkString(",").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
 
-  private def deleteTemp(): Unit = {
+  /** All part files, at the root and inside partition dirs (any depth). */
+  def allPartFiles(root: File): Seq[File] = {
+    def go(d: File): Seq[File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isFile && f.getName.startsWith("part-") => Seq(f)
+        case d2 if d2.isDirectory && d2.getName.contains("=") => go(d2)
+        case _ => Seq.empty
+      }
+    go(root)
+  }
+
+  def deleteTemp(path: String, jobId: String): Unit = {
     def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       Files.deleteIfExists(f.toPath); ()
     }
+    val tempDir = new File(new File(path, "_temporary"), jobId)
     if (tempDir.exists()) rm(tempDir)
     val tparent = new File(path, "_temporary")
     if (tparent.isDirectory && tparent.list().isEmpty)
@@ -263,37 +647,185 @@ private[sources] class GraftBatchWrite(
   }
 }
 
-private[sources] class GraftWriterFactory(tempDir: String, schema: StructType)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(tempDir, schema, partitionId, taskId)
+private[sources] class GraftBatchWrite(
+    path: String, schema: StructType, partCols: Seq[String],
+    truncate: Boolean, jobId: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(
+      new File(new File(path, "_temporary"), jobId).getAbsolutePath,
+      schema, partCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    if (truncate) {
+      GraftCommit.allPartFiles(dir).foreach(f => Files.delete(f.toPath))
+      // drop stale partition dirs so an overwrite can change the layout
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .foreach { d =>
+          def rm(f: File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            Files.deleteIfExists(f.toPath); ()
+          }
+          rm(d)
+        }
+      Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile)
+        .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
+    }
+    GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
+    GraftCommit.writeMeta(dir, schema, partCols)
+    GraftCommit.deleteTemp(path, jobId)
+    // the publish point: written last, so the marker implies completeness
+    Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit.deleteTemp(path, jobId)
 }
 
-private[sources] class GraftDataWriter(
-    tempDir: String, schema: StructType, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  private val file = {
-    val d = new File(tempDir)
-    d.mkdirs()
-    new File(d, s"task-$partitionId-$taskId")
+/** Epoch-idempotent streaming write: each epoch is one mini job commit
+  * through the same temp → rename protocol; epoch files carry the epoch
+  * id in their name, and a replayed commit (checkpoint recovery) first
+  * removes the epoch's previously-published files — re-running an epoch
+  * REPLACES it, it never duplicates it. `_SUCCESS` appears with the
+  * first committed epoch and persists (append-only sink); a reader
+  * concurrent with an in-flight epoch may see a prefix of its files —
+  * the standard micro-batch file-sink visibility, healed by the replay
+  * on any failure. One logical stream per table directory (epoch ids
+  * are checkpoint-scoped).
+  */
+private[sources] class GraftStreamingWrite(
+    path: String, schema: StructType, partCols: Seq[String])
+    extends StreamingWrite {
+
+  private def epochJob(epochId: Long) = s"epoch-$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(path, schema, partCols)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    val prefix = f"part-e$epochId%010d-"
+    // idempotence: a recovery replay of this epoch supersedes its files
+    GraftCommit.allPartFiles(dir)
+      .filter(_.getName.startsWith(prefix))
+      .foreach(f => Files.delete(f.toPath))
+    GraftCommit.publish(dir, messages, n => f"$prefix$n%05d.csv")
+    GraftCommit.writeMeta(dir, schema, partCols)
+    GraftCommit.deleteTemp(path, epochJob(epochId))
+    Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
+    ()
   }
-  private var out: BufferedWriter = new BufferedWriter(new FileWriter(file))
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit.deleteTemp(path, epochJob(epochId))
+}
+
+private[sources] class GraftStreamingWriterFactory(
+    path: String, schema: StructType, partCols: Seq[String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      new File(new File(path, "_temporary"), s"epoch-$epochId").getAbsolutePath,
+      schema, partCols, partitionId, taskId)
+}
+
+private[sources] class GraftWriterFactory(
+    tempDir: String, schema: StructType, partCols: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tempDir, schema, partCols, partitionId, taskId)
+}
+
+/** Routes each row to its partition's temp file (one writer per distinct
+  * partition value seen by this task; unpartitioned tables use a single
+  * file). Data files hold only NON-partition columns — partition values
+  * live in the directory name, Hive-style. Encoding pinned to UTF-8 both
+  * ways (ADVICE r9: FileWriter used the platform charset).
+  */
+private[sources] class GraftDataWriter(
+    tempDir: String, schema: StructType, partCols: Seq[String],
+    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val taskDir = {
+    val d = new File(tempDir, s"task-$partitionId-$taskId")
+    d.mkdirs()
+    d
+  }
+  // (schema index, field) of the partition cols in declaration order,
+  // and of the data cols in schema order — the on-disk layout contract
+  private val partSlots: Seq[(Int, StructField)] =
+    partCols.map(c => schema.fieldIndex(c)).map(i => (i, schema.fields(i)))
+  private val dataSlots: Array[Int] =
+    schema.fields.zipWithIndex
+      .filterNot { case (f, _) => partCols.contains(f.name) }.map(_._2)
+  private val dataSchema = StructType(dataSlots.map(schema.fields(_)))
+  private val dataProj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+    new Array[Any](dataSlots.length))
+
+  private val open = scala.collection.mutable.LinkedHashMap.empty[String, java.io.BufferedWriter]
+  private var closed = false
+
+  private def writerFor(relDir: String): java.io.BufferedWriter =
+    open.getOrElseUpdate(relDir, {
+      val dir = if (relDir.isEmpty) taskDir else new File(taskDir, relDir)
+      dir.mkdirs()
+      Files.newBufferedWriter(
+        new File(dir, "data.csv").toPath, StandardCharsets.UTF_8)
+    })
+
+  private def relDirOf(row: InternalRow): String =
+    partSlots.map { case (i, f) =>
+      f.name + "=" + GraftStore.encodePartValue(
+        GraftStore.partValueText(row, i, f.dataType))
+    }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
-    out.write(GraftStore.serialize(row, schema))
+    var j = 0
+    while (j < dataSlots.length) {
+      val i = dataSlots(j)
+      dataProj.update(j, if (row.isNullAt(i)) null else schema.fields(i).dataType match {
+        case LongType    => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case DoubleType  => row.getDouble(i)
+        case BooleanType => row.getBoolean(i)
+        case StringType  => row.getUTF8String(i)
+        case dt => throw new IllegalArgumentException(
+          s"graft-store: unsupported column type $dt")
+      })
+      j += 1
+    }
+    val out = writerFor(if (partCols.isEmpty) "" else relDirOf(row))
+    out.write(GraftStore.serialize(dataProj, dataSchema))
     out.write("\n")
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close(); out = null
-    GraftCommitMessage(file.getAbsolutePath, partitionId)
+    open.values.foreach(_.close()); closed = true
+    val files = open.keys.toSeq.map { relDir =>
+      val dir = if (relDir.isEmpty) taskDir else new File(taskDir, relDir)
+      (relDir, new File(dir, "data.csv").getAbsolutePath)
+    }
+    GraftCommitMessage(partitionId, files)
   }
 
   override def abort(): Unit = {
-    if (out != null) out.close()
-    Files.deleteIfExists(file.toPath)
-    ()
+    if (!closed) open.values.foreach(_.close())
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      Files.deleteIfExists(f.toPath); ()
+    }
+    rm(taskDir)
   }
 
-  override def close(): Unit = if (out != null) { out.close(); out = null }
+  override def close(): Unit =
+    if (!closed) { open.values.foreach(_.close()); closed = true }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    out without any driver-side row materialization;
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): the reader
   *    materializes ONLY the pruned schema — a `select(label)` never
-  *    computes `val` (asserted in SourcesSpec against the executed plan).
+  *    computes `val` (asserted in SourcesSpec against the executed plan);
+  *  - **filter pushdown** (`SupportsPushDownFilters`, VERDICT r9 task 4
+  *    — the reference's S11 shape, a comparison filter immediately after
+  *    the scan): supported predicates are ACCEPTED (not re-evaluated by
+  *    Spark) and enforced inside the source at two levels: conjunctive
+  *    `id` bounds narrow the generated [start, end) ranges at SPLIT
+  *    PLANNING (entire slices vanish before any row exists — the
+  *    DSv2 analogue of partition pruning), and every accepted predicate
+  *    is evaluated per candidate row in the reader, so the scan's
+  *    `numOutputRows` is the filtered count, not the table count.
+  *    `Scan.description()` advertises the pushed set, which is what
+  *    PlanSpec pins in the executed plan.
   *
   * Row contract (all pure integer/string arithmetic, mirrored by the
   * DuckDB oracle via `generate_series`):
@@ -51,6 +63,73 @@ object SeqSource {
 
   def valOf(id: Long): Long = (id * 2654435761L) % 1000000007L
   def labelOf(id: Long): String = "r" + (id % 7)
+
+  /** Predicates this source can enforce exactly (columns are all
+    * non-null, so IsNull/IsNotNull fold to constants).
+    */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => schema.fieldNames.contains(a)
+    case GreaterThan(a, _)        => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _)           => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _)    => schema.fieldNames.contains(a)
+    case In(a, _)                 => schema.fieldNames.contains(a)
+    case IsNotNull(a)             => schema.fieldNames.contains(a)
+    case IsNull(a)                => schema.fieldNames.contains(a)
+    case StringStartsWith(a, _)   => a == "label"
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case Not(c)                   => supported(c)
+    case _                        => false
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue)
+    case (x: String, y)       => x.compareTo(String.valueOf(y))
+    case _ => throw new IllegalArgumentException(s"seq-source: cannot compare $a to $b")
+  }
+
+  /** Exact per-row evaluation of an accepted predicate. */
+  def eval(f: Filter, id: Long): Boolean = {
+    def v(a: String): Any = a match {
+      case "id" => id
+      case "val" => valOf(id)
+      case "label" => labelOf(id)
+    }
+    f match {
+      case EqualTo(a, x)            => cmp(v(a), x) == 0
+      case GreaterThan(a, x)        => cmp(v(a), x) > 0
+      case GreaterThanOrEqual(a, x) => cmp(v(a), x) >= 0
+      case LessThan(a, x)           => cmp(v(a), x) < 0
+      case LessThanOrEqual(a, x)    => cmp(v(a), x) <= 0
+      case In(a, xs)                => xs.exists(x => x != null && cmp(v(a), x) == 0)
+      case IsNotNull(_)             => true
+      case IsNull(_)                => false
+      case StringStartsWith(a, p)   => v(a).toString.startsWith(p)
+      case And(l, r)                => eval(l, id) && eval(r, id)
+      case Or(l, r)                 => eval(l, id) || eval(r, id)
+      case Not(c)                   => !eval(c, id)
+      case _                        => true
+    }
+  }
+
+  /** Narrow [lo, hi) by the conjunctive top-level `id` bounds among the
+    * pushed filters — split-planning-time pruning; everything else is
+    * enforced row-wise.
+    */
+  def idBounds(filters: Array[Filter], lo0: Long, hi0: Long): (Long, Long) = {
+    var lo = lo0; var hi = hi0
+    filters.foreach {
+      case GreaterThan("id", x: Number)        => lo = math.max(lo, x.longValue + 1)
+      case GreaterThanOrEqual("id", x: Number) => lo = math.max(lo, x.longValue)
+      case LessThan("id", x: Number)           => hi = math.min(hi, x.longValue)
+      case LessThanOrEqual("id", x: Number)    => hi = math.min(hi, x.longValue + 1)
+      case EqualTo("id", x: Number)            =>
+        lo = math.max(lo, x.longValue); hi = math.min(hi, x.longValue + 1)
+      case _                                   => ()
+    }
+    (lo, hi)
+  }
 }
 
 private[sources] class SeqTable(rows: Long, slices: Int)
@@ -64,36 +143,56 @@ private[sources] class SeqTable(rows: Long, slices: Int)
 }
 
 private[sources] class SeqScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = SeqSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(rows, slices, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = filters.partition(SeqSource.supported)
+    pushed = acc
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SeqScan(rows, slices, required, pushed)
 }
 
-private[sources] class SeqScan(rows: Long, slices: Int, required: StructType)
+private[sources] class SeqScan(
+    rows: Long, slices: Int, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Shown in `.explain`, so pushdown is pinnable from the plan text. */
+  override def description(): String =
+    s"graft-seq(rows=$rows, slices=$slices) " +
+      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + slices - 1) / slices
+    // id-bound narrowing first: pruned slices never become tasks
+    val (lo, hi) = SeqSource.idBounds(pushed, 0L, rows)
+    if (lo >= hi) return Array.empty
+    val span = hi - lo
+    val per = (span + slices - 1) / slices
     (0 until slices).iterator
-      .map(i => SeqInputPartition(i * per, math.min((i + 1) * per, rows)))
+      .map(i => SeqInputPartition(lo + i * per, math.min(lo + (i + 1) * per, hi)))
       .filter(p => p.start < p.end)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required)
+    new SeqReaderFactory(required, pushed)
 }
 
 private[sources] case class SeqInputPartition(start: Long, end: Long)
     extends InputPartition
 
-private[sources] class SeqReaderFactory(required: StructType)
+private[sources] class SeqReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeqInputPartition]
@@ -106,7 +205,12 @@ private[sources] class SeqReaderFactory(required: StructType)
         case "label" => (i: Long) => UTF8String.fromString(SeqSource.labelOf(i))
       })
 
-      override def next(): Boolean = { id += 1; id < sp.end }
+      // accepted filters are ENFORCED here (Spark does not re-check them)
+      override def next(): Boolean = {
+        id += 1
+        while (id < sp.end && !pushed.forall(SeqSource.eval(_, id))) id += 1
+        id < sp.end
+      }
       override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)).toSeq)
       override def close(): Unit = ()
     }

@@ -121,15 +121,20 @@ object StreamingQueries {
       StructField("event_id", LongType), StructField("ts_sec", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Count TRIGGERS as distinct batchIds, not raw foreachBatch invocations:
+    // a retried / checkpoint-recovered micro-batch re-runs foreachBatch with
+    // the SAME batchId, and a raw increment would double-count it and break
+    // the pinned n_batches oracle even though the upsert is idempotent
+    // (ADVICE r9).
+    val seenBatchIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     Pipeline.withShufflePartitions(s, 8) {
       val ckpt = Pipeline.checkpointDir("ckpt_q227")
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = Pipeline.enrich(stream).writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          nBatches.incrementAndGet()
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          seenBatchIds.add(batchId)
           Pipeline.upsertBatch(s, batch.toDF(), store)
         }.start()
       q.processAllAvailable(); q.stop(); q.awaitTermination()
@@ -138,7 +143,7 @@ object StreamingQueries {
     s.read.parquet(store)
       .select("user_id", "event_id", "value", "pop", "time_of_day")
       .crossJoin(broadcast(
-        s.range(1).select(lit(nBatches.get().toLong).as("n_batches"))))
+        s.range(1).select(lit(seenBatchIds.size().toLong).as("n_batches"))))
       .orderBy("user_id")
   }
 
@@ -153,6 +158,64 @@ object StreamingQueries {
       |  FROM head)
       |SELECT user_id, event_id, value, pop, time_of_day,
       |  CAST(4 AS BIGINT) AS n_batches
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** STREAMING WRITE through the graft-store DSv2 table (VERDICT r9 task
+    * 7 — the exactly-once story and the table format are ONE mechanism):
+    * a q61-shape enriched event stream sinks via
+    * `writeStream.format(graft-store)`, which commits each micro-batch
+    * through the same task-temp → rename protocol as batch writes, with
+    * epoch-tagged part names so a replayed epoch REPLACES its files
+    * (idempotent commit; StreamingSpec kills and restarts a query
+    * against the same checkpoint and store to prove no duplication).
+    * The result pins BOTH semantics: `n_rows` is the exactly-once
+    * cardinality of the appended table (any duplicate or lost epoch
+    * breaks the hash), and the per-user last event is the q61 upsert
+    * answer derived relationally from the append log — the
+    * Kappa-architecture reading of an upsert store.
+    */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eventsSeq = Pipeline.collectEvents(s, d, 1000)
+    val store = graft.util.TempDirs.create("graft_ssink_") + "/store"
+    Pipeline.withShufflePartitions(s, 8) {
+      val ckpt = Pipeline.checkpointDir("ckpt_q251")
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Pipeline.StreamEvent](s)
+      val q = Pipeline.enrich(stream.toDS().toDF()).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("graft.sources.GraftStoreProvider")
+        .option("path", store)
+        .start()
+      eventsSeq.grouped(250).foreach { sl =>
+        stream.addData(sl); q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      Pipeline.dropCheckpoint(ckpt)
+    }
+    val t = s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", store).load()
+    val nRows = t.agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("user_id").orderBy(desc("event_id"))
+    t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .crossJoin(broadcast(nRows))
+      .select(col("user_id"), col("event_id"), col("value"), col("pop"),
+        col("time_of_day"), col("n_rows"))
+      .orderBy("user_id")
+  }
+
+  private val q251Sql =
+    """WITH head AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
+      |ranked AS (
+      |  SELECT user_id, event_id, value,
+      |    value * coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0, 0.0)
+      |      + 0.5 * CAST(event_id % 97 AS DOUBLE) AS pop,
+      |    CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END AS time_of_day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM head)
+      |SELECT user_id, event_id, value, pop, time_of_day,
+      |  CAST(1000 AS BIGINT) AS n_rows
       |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** Cross-batch stateful author counts (ST5/A7): flatMapGroupsWithState
@@ -872,6 +935,8 @@ object StreamingQueries {
     QueryDef("q101_stream_dedup_wm", q101, Some(q101Sql), "bounded-state dedup within watermark"),
     QueryDef("q60_stream_window_agg", q60, Some(q60Sql), "ST6 event-time windows + watermark"),
     QueryDef("q61_stream_upsert", q61, Some(q61Sql), "S10/ST3 keyed streaming upsert"),
+    QueryDef("q251_store_stream_sink", q251, Some(q251Sql),
+      "streaming write through the graft-store DSv2 table: epoch-idempotent commits, exactly-once cardinality pin + q61-shape last-per-user"),
     QueryDef("q227_rate_limited_upsert", q227, Some(q227Sql),
       "ST1 rate-limited ingestion: maxFilesPerTrigger=1 over a 4-file layout, oracle pins the trigger count"),
     QueryDef("q62_stream_author_state", q62, Some(q62Sql), "ST5 flatMapGroupsWithState as-of counts"),

@@ -361,4 +361,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxWithin <= 16, s"within-shot MAD too high: $maxWithin")
     assert(minCut >= 96, s"cut MAD too low: $minCut")
   }
+
+  test("q238 two-pass scene cuts ≡ exhaustive pass, with fewer decodes (r9 task 6)") {
+    import graft.multimodal.MultimodalQueries
+    val k = new MediaKernel
+    var exhaustiveDecodes = 0L
+    var twoPassDecodes = 0L
+    (0L until 200L).foreach { id =>
+      val (w, h) = ((16 + id % 37).toInt, (16 + id % 23).toInt)
+      val nf = (3 + id % 4).toInt
+      val cut = (1 + id % (nf - 1)).toInt
+      def pix(f: Int, x: Int, y: Int): Int = {
+        val t = (((id * 7 + f + x + 2 * y) % 510) - 255).toInt.abs / 2
+        if (f < cut) t else 128 + t
+      }
+      val frames = k.decodeMjpegFrames(k.encodeMjpeg(w, h, nf, 0.90f, pix))
+      val (full, dFull) = MultimodalQueries.detectCuts(k, frames, exhaustive = true)
+      val (two, dTwo) = MultimodalQueries.detectCuts(k, frames, exhaustive = false)
+      assert(two == full, s"id=$id: two-pass $two != exhaustive $full")
+      exhaustiveDecodes += dFull; twoPassDecodes += dTwo
+    }
+    assert(twoPassDecodes < exhaustiveDecodes,
+      s"two-pass must decode fewer frames: $twoPassDecodes vs $exhaustiveDecodes")
+  }
+
+  test("q238 two-pass on a production-length clip: decode count approaches n/stride + window") {
+    // The fixture's 3-6-frame clips are cut-dense (savings capped); the
+    // production regime is a long clip with ONE cut — the two-pass decode
+    // count must approach n/k + (k-1), not n.
+    import graft.multimodal.MultimodalQueries
+    val k = new MediaKernel
+    val (w, h, n, cut) = (24, 18, 25, 17)
+    def pix(f: Int, x: Int, y: Int): Int = {
+      val t = (((7 + f + x + 2 * y) % 510) - 255).abs / 2
+      if (f < cut) t else 128 + t
+    }
+    val frames = k.decodeMjpegFrames(k.encodeMjpeg(w, h, n, 0.90f, pix))
+    val (full, dFull) = MultimodalQueries.detectCuts(k, frames, exhaustive = true)
+    val (two, dTwo) = MultimodalQueries.detectCuts(k, frames, exhaustive = false)
+    assert(two == full)
+    assert(full.count(identity) == 1 && full(cut - 1), s"planted cut missed: $full")
+    assert(dFull == n)
+    // stride 2 over 25 frames: 13 anchors + the cut window's interior
+    assert(dTwo <= n / MultimodalQueries.CutCoarseStride + MultimodalQueries.CutCoarseStride + 1,
+      s"two-pass decoded $dTwo of $n frames")
+  }
 }

@@ -358,4 +358,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"cumulative-weight window missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
   }
+
+  test("q246 Benford join hints the BUILD side (no dropped broadcast hint, r9 task 2)") {
+    // broadcast() on the PRESERVED side of an outer join is silently
+    // dropped (HintErrorLogger); the fix hints obs, the build side of the
+    // left-outer. A BroadcastHashJoin with BuildRight proves the hint
+    // landed — if it regresses to the preserved side, Catalyst falls back
+    // and this pin fails before any warning-log scrape would.
+    val plan = physicalPlan("q246_benford_audit")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(plan.contains("LeftOuter, BuildRight"),
+      s"expected the aggregated side as broadcast BUILD side:\n$plan")
+  }
+
+  test("q249 seq-source pushdown: no residual Filter, pushed set visible on the scan") {
+    val df = Registry.planForms("q249_dsv2_filter_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"pushdown not advertised:\n$plan")
+    assert(plan.contains("GreaterThan(val"), s"val predicate not pushed:\n$plan")
+    assert(!plan.contains("Filter ("), s"residual filter above the scan:\n$plan")
+  }
+
+  test("q250 graft-store read: partition filter pushed, pruned ReadSchema on the DSv2 scan") {
+    val df = Registry.planForms("q250_store_partitioned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-store"), s"DSv2 scan missing:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(time_of_day,day)"),
+      s"partition predicate not pushed to the store scan:\n$plan")
+    assert(plan.contains("PartitionColumns: [time_of_day, event_type]"), plan)
+    // pruned read schema: the probe needs event_type/user_id/value/event_id
+    // but NOT time_of_day as a file column (it binds from the dir name)
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,value:double,event_type:string>"),
+      s"read schema not pruned:\n$plan")
+  }
 }
