@@ -18,6 +18,7 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = None
 mem = thr = None
 budget = None  # --budget SECONDS: per-query oracle cap (interrupt + record)
+json_out = None  # --json PATH: emit driver-shaped per-query records
 argv = sys.argv[3:]
 while argv:
     a = argv.pop(0)
@@ -25,6 +26,15 @@ while argv:
     elif a == "--mem": mem = argv.pop(0)
     elif a == "--threads": thr = argv.pop(0)
     elif a == "--budget": budget = float(argv.pop(0))
+    elif a == "--json": json_out = argv.pop(0)
+
+# Driver-shaped records (same keys as CORRECTNESS_r{N}.json) so the sf1
+# gate is a diffable artifact round over round (judge r9 task 8).
+records = {}
+def record(name, rows=False, schema=False, hsh=False, sr=None, orr=None, err=None):
+    records[name] = {"rows_match": rows, "schema_match": schema,
+                     "hash_match": hsh, "spark_rows": sr, "oracle_rows": orr,
+                     "err": err}
 con = duckdb.connect()
 # Unique spill dir per process: concurrent chunked runs sharing the cwd
 # default (.tmp/) race on temp-file cleanup and crash with an IOException.
@@ -51,14 +61,17 @@ for name, sql in sorted(oracle.items()):
         want = con.sql(sql).df()
     except KeyboardInterrupt:
         print(f"TIMEOUT {name}: oracle exceeded {budget}s budget")
+        record(name, err=f"oracle timeout {budget}s")
         n_fail += 1
         continue
     except Exception as e:
         msg = str(e)
         if "INTERRUPT" in msg.upper():
             print(f"TIMEOUT {name}: oracle exceeded {budget}s budget")
+            record(name, err=f"oracle timeout {budget}s")
         else:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, err=f"oracle SQL error: {e}")
         n_fail += 1
         continue
     finally:
@@ -67,16 +80,20 @@ for name, sql in sorted(oracle.items()):
         got = pd.read_parquet(f"{out_dir}/{name}")
     except Exception as e:
         print(f"FAIL {name}: spark result missing: {e}")
+        record(name, err=f"spark result missing: {e}")
         n_fail += 1
         continue
     want = want.reindex(sorted(want.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(want.columns) != list(got.columns):
         print(f"FAIL {name}: columns differ: oracle={list(want.columns)} spark={list(got.columns)}")
+        record(name, rows=len(want) == len(got), sr=len(got), orr=len(want),
+               err="columns differ")
         n_fail += 1
         continue
     if len(want) != len(got):
         print(f"FAIL {name}: row count differs: oracle={len(want)} spark={len(got)}")
+        record(name, schema=True, sr=len(got), orr=len(want))
         n_fail += 1
         continue
     ws = want.sort_values(list(want.columns), na_position="first").reset_index(drop=True)
@@ -95,10 +112,16 @@ for name, sql in sorted(oracle.items()):
     dt = [f"{c}: oracle={ws[c].dtype} spark={gs[c].dtype}" for c in ws.columns if str(ws[c].dtype) != str(gs[c].dtype)]
     if diffs:
         print(f"FAIL {name}: " + "; ".join(diffs[:3]))
+        record(name, rows=True, schema=True, sr=len(got), orr=len(want),
+               err="; ".join(diffs[:3]))
         n_fail += 1
     else:
         note = f"  [dtype diff: {'; '.join(dt)}]" if dt else ""
         print(f"PASS {name} ({len(want)} rows){note}")
+        record(name, rows=True, schema=True, hsh=True, sr=len(got), orr=len(want))
         n_pass += 1
 print(f"\n{n_pass} pass, {n_fail} fail")
+if json_out:
+    json.dump(records, open(json_out, "w"), indent=2)
+    print(f"wrote {json_out} ({len(records)} records)")
 sys.exit(1 if n_fail else 0)
