@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -380,6 +381,57 @@ object SourceQueries {
       |WHERE (CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END) = 'day'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DYNAMIC partition pruning through the graft-store table
+    * (`SupportsRuntimeFiltering` — deepening VERDICT r9 task 5's
+    * partition layout): the fact side is events written
+    * partitioned-by-event_type through the V2 commit protocol; the dim
+    * side is the top-2 event types by total volume — knowable ONLY at
+    * runtime (the winners differ across scale factors), so static
+    * pushdown cannot help. The scan advertises `event_type` via
+    * `filterAttributes()`, Spark plants a DynamicPruningSubquery that
+    * reuses the dim broadcast, and at execution `filter()` receives the
+    * surviving key set so `planInputPartitions` walks only the 2 winning
+    * directories of 5 — the 100 TB serving probe: "read the partitions
+    * some other query selects" without ever listing the rest
+    * (SourcesSpec proves the losers are never opened via poisoned
+    * files; PlanSpec pins the `dynamicpruning` runtime filter in the
+    * executed plan). The oracle recomputes the same top-2 join from the
+    * source table.
+    */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_dpp_store_") + "/events_store"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("partitionBy", "event_type")
+      .mode("overwrite").save()
+    val fact = s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val w = Window.orderBy(desc("n_type"), col("event_type"))
+    val dim = Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n_type"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("event_type", "n_type")
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+      .orderBy("event_type")
+  }
+
+  private val q252Sql =
+    """WITH dim AS (
+      |  SELECT event_type
+      |  FROM (SELECT event_type, count(*) AS n_type,
+      |          row_number() OVER (ORDER BY count(*) DESC, event_type) AS rk
+      |        FROM events GROUP BY 1)
+      |  WHERE rk <= 2)
+      |SELECT e.event_type, count(*) AS n, count(DISTINCT e.user_id) AS n_users,
+      |  min(e.event_id) AS first_event, max(e.event_id) AS last_event
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -551,6 +603,8 @@ object SourceQueries {
       "DataSource V2 filter pushdown: id bounds narrow split planning, val predicate enforced in-reader (S11 scan shape)"),
     QueryDef("q250_store_partitioned", q250, Some(q250Sql),
       "graft-store identity partitioning: Hive-style two-level layout via the V2 commit protocol, directory-pruned partition-filter read"),
+    QueryDef("q252_store_dpp", q252, Some(q252Sql),
+      "graft-store dynamic partition pruning: runtime dim probe (top-2 event types) prunes fact directories via SupportsRuntimeFiltering"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

@@ -7,8 +7,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -455,9 +455,58 @@ private[sources] case class GraftFilePartition(
 private[sources] class GraftStoreScan(
     path: String, fullSchema: StructType, required: StructType,
     partCols: Seq[String], partFilters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** DYNAMIC partition pruning (`SupportsRuntimeFiltering`): the scan
+    * advertises its partition columns as runtime-filterable, so a join
+    * whose other side lands on a partition column gets a
+    * DynamicPruningSubquery — at execution Spark evaluates the build
+    * side first and calls `filter()` with the surviving key set (e.g.
+    * `In(day, [...])`), and `planInputPartitions` then walks ONLY the
+    * matching directories. This is the serving-layout probe shape at
+    * 100 TB: "the partitions some other table selects" is unknowable at
+    * compile time, and without runtime filtering the scan would read
+    * every partition and discard rows post-join.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    partCols.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    // Defensive re-check: only directory-answerable predicates may prune
+    // (anything else must stay a post-scan filter, which Spark keeps).
+    runtimeFilters = filters.filter(
+      GraftStore.isPartitionFilter(_, partCols.toSet))
+
+  private def effectiveFilters: Array[Filter] = partFilters ++ runtimeFilters
+
+  /** Post-pruning size estimate (`SupportsReportStatistics`): the byte
+    * sum of the part files that survive compile-time partition pruning,
+    * scaled by the required/stored column-width ratio. Without it a
+    * DSv2 relation reports `spark.sql.defaultSizeInBytes` (effectively
+    * infinite) and a small serving table would never auto-broadcast —
+    * every probe join against a fact table would shuffle the fact side.
+    * Runtime filters are deliberately excluded (they arrive after
+    * planning); the estimate is an upper bound, so the only possible
+    * error direction is a missed broadcast, never an OOM.
+    */
+  override def estimateStatistics(): Statistics = {
+    val files = plannedWith(partFilters)
+    val raw = files.map(f => new File(f.file).length()).sum
+    val storedW = fullSchema.fields
+      .filterNot(f => partCols.contains(f.name))
+      .map(_.dataType.defaultSize).sum.max(1)
+    val reqW = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    val est = raw * reqW / storedW
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(est)
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
+  }
 
   /** Shown in `.explain`, so partition pruning + column pruning are
     * pinnable from the plan text (PlanSpec).
@@ -471,11 +520,13 @@ private[sources] class GraftStoreScan(
     fullSchema.fields.find(_.name == c).get
 
   /** The `_SUCCESS` gate + level-by-level partition pruning: a subtree
-    * whose bound prefix already refutes a pushed filter is never listed.
+    * whose bound prefix already refutes a pushed (or runtime) filter is
+    * never listed.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def plannedWith(filters: Array[Filter]): Array[GraftFilePartition] = {
     val root = new File(path)
-    if (!new File(root, GraftStore.SuccessFile).isFile) return Array.empty
+    if (!new File(root, GraftStore.SuccessFile).isFile)
+      return Array.empty
 
     def partFiles(dir: File): Array[File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
@@ -483,10 +534,9 @@ private[sources] class GraftStoreScan(
         .sortBy(_.getName)
 
     if (partCols.isEmpty)
-      partFiles(root).map(f =>
-        GraftFilePartition(f.getAbsolutePath, Seq.empty): InputPartition)
+      partFiles(root).map(f => GraftFilePartition(f.getAbsolutePath, Seq.empty))
     else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      val out = scala.collection.mutable.ArrayBuffer.empty[GraftFilePartition]
       def walk(dir: File, level: Int, bound: Map[String, Any],
                texts: List[String]): Unit =
         if (level == partCols.length) {
@@ -502,7 +552,7 @@ private[sources] class GraftStoreScan(
               val text = GraftStore.decodePartValue(
                 d.getName.substring(col.length + 1))
               val b2 = bound + (col -> GraftStore.partValueTyped(text, dt))
-              if (partFilters.forall(GraftStore.evalFilter(_, b2)))
+              if (filters.forall(GraftStore.evalFilter(_, b2)))
                 walk(d, level + 1, b2, text :: texts)
             }
         }
@@ -510,6 +560,9 @@ private[sources] class GraftStoreScan(
       out.toArray
     }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedWith(effectiveFilters).map(p => p: InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, required, partCols)

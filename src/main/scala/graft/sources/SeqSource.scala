@@ -164,9 +164,28 @@ private[sources] class SeqScanBuilder(rows: Long, slices: Int)
 
 private[sources] class SeqScan(
     rows: Long, slices: Int, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pushdown size/row estimate (`SupportsReportStatistics`).
+    * Without it a DSv2 relation falls back to
+    * `spark.sql.defaultSizeInBytes` (effectively infinite), so a
+    * filtered seq scan could NEVER be auto-broadcast and every join
+    * against it would shuffle — the single biggest planner lever at
+    * 100 TB. The id bounds are exact (pruned slices never exist);
+    * row-wise predicates are not discounted (a conservative
+    * over-estimate only costs a missed broadcast, never an OOM).
+    */
+  override def estimateStatistics(): Statistics = {
+    val (lo, hi) = SeqSource.idBounds(pushed, 0L, rows)
+    val n = math.max(hi - lo, 0L)
+    val width = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * width)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
 
   /** Shown in `.explain`, so pushdown is pinnable from the plan text. */
   override def description(): String =

@@ -391,4 +391,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,value:double,event_type:string>"),
       s"read schema not pruned:\n$plan")
   }
+
+  test("q252 graft-store scan carries a dynamicpruning runtime filter and the dim broadcasts") {
+    val df = Registry.planForms("q252_store_dpp")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-store"), s"DSv2 scan missing:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime partition filter planted on the store scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$plan")
+  }
 }

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * historical partitions.
   */
 class SourcesSpec extends AnyFunSuite {
-  import TestSpark.spark
+  import TestSpark.{spark, sf}
 
   test("PERMISSIVE csv read quarantines malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_badcsv_").toString
@@ -273,6 +273,75 @@ class SourcesSpec extends AnyFunSuite {
       .option("rows", "10000000000").option("slices", "8").load()
       .filter(col("id") >= 9999998000L && col("id") < 9999999000L)
     assert(huge.count() == 1000)
+  }
+
+  test("DSv2 statistics: post-pushdown estimates reach the optimizer and drive auto-broadcast") {
+    // seq source: the size estimate tracks the pushed id bounds, so a
+    // narrow probe over an astronomically large table is broadcast-sized
+    val wide = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "50000000").option("slices", "8").load()
+    val narrow = wide.filter(col("id") >= 100L && col("id") < 300L)
+    val wideB = wide.queryExecution.optimizedPlan.stats.sizeInBytes
+    val narrowB = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(narrowB * 10000 < wideB, s"narrow=$narrowB wide=$wideB")
+    // without SupportsReportStatistics this is defaultSizeInBytes (~2^63)
+    assert(wideB < BigInt(Long.MaxValue) / 4, s"stats not reported: $wideB")
+
+    // and the planner USES it: the filtered seq side auto-broadcasts
+    // against a large frame with NO broadcast hint anywhere
+    val fact = spark.range(0, 4000000).toDF("id") // 32 MB estimate > 10 MB bar
+    val joined = fact.join(narrow, "id")
+    assert(joined.count() == 200)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected auto-broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+
+    // graft-store: the estimate is the byte sum of the SURVIVING
+    // partition directories, scaled by the pruned column width
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_store_stats_") + "/t"
+    (0L until 1000L).map(i => (i, if (i % 100 == 0) "rare" else "bulk", "x" * 50))
+      .toDF("id", "tag", "pad")
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("partitionBy", "tag")
+      .mode("overwrite").save()
+    val all = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val allB = all.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rareB = all.filter(col("tag") === "rare")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(rareB * 10 < allB, s"partition-pruned stats not reflected: rare=$rareB all=$allB")
+  }
+
+  test("graft-store dynamic partition pruning: a dim-driven probe never opens unselected partitions") {
+    // Partitioned fact store; the selected partitions are only knowable
+    // at RUNTIME (they come out of a join against a filtered dim), so
+    // static pushdown cannot help — this is SupportsRuntimeFiltering.
+    val dir = graft.util.TempDirs.create("graft_store_dpp_") + "/fact"
+    val fact0 = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    fact0.write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("partitionBy", "event_type")
+      .mode("overwrite").save()
+    val fact = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val dim = Tables.events(spark, sf)
+      .select("event_type").distinct()
+      .filter(col("event_type").isin("view", "purchase"))
+    val expected = fact0.filter(col("event_type").isin("view", "purchase")).count()
+
+    // poison every NON-selected partition's data files: if runtime
+    // pruning fails to fire, the scan parses a poisoned file and throws
+    new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_type=") &&
+        !Set("event_type=view", "event_type=purchase").contains(d.getName))
+      .flatMap(d => d.listFiles().filter(_.getName.startsWith("part-")))
+      .foreach(f => Files.writeString(f.toPath, "zz\n"))
+
+    val joined = fact.join(dim, "event_type")
+    assert(joined.count() == expected) // succeeds ONLY if pruned at runtime
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no runtime filter on the scan:\n$plan")
   }
 
   test("graft-store failed job publishes nothing: no _SUCCESS, no parts, reader sees empty") {
