@@ -519,19 +519,44 @@ object DedupQueries {
   }
 
   private def q44(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // TWO-TIER (lesson 19 — round 9 collapsed the MIRROR to rep space;
+    // the round-10 sf1 bench caught the engine still flat at 50.9 s):
+    // identical (lang, toks) docs share signatures, band keys, and every
+    // pairwise Jaccard, so band + verify over one REP per group and
+    // expand member pairs afterwards. Banding/verify cost drops from
+    // Θ((reps·dup)²-ish candidates) to Θ(rep candidates); the expansion
+    // join only copies verified values onto member id pairs. Output is
+    // bit-identical to the flat plan: cross pairs inherit the rep pair's
+    // jaccard (same arrays, same fold — and inter/union are symmetric,
+    // so least/greatest ordering is safe); within-group pairs have
+    // inter == union, whose double division is exactly 1.0.
+    val groups = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
-      .cache() // see q43 — once per doc, not per candidate pair
-    val candidateIds = minhashCandidateIds(docs)
-    val docsA = broadcast(docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a")))
-    val docsB = broadcast(docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b")))
-    val candidates = candidateIds.join(docsA, "id_a").join(docsB, "id_b")
+      .groupBy("lang", "toks")
+      .agg(min("doc_id").as("doc_id"), collect_list(col("doc_id")).as("members"))
+      .cache() // hash once per distinct content, not per candidate pair
+    val reps = groups.select("doc_id", "lang", "toks")
+    val candidateIds = minhashCandidateIds(reps)
+    val repsA = broadcast(reps.select(col("doc_id").as("id_a"), col("toks").as("toks_a")))
+    val repsB = broadcast(reps.select(col("doc_id").as("id_b"), col("toks").as("toks_b")))
     val inter = sortedIntersectCount(col("toks_a"), col("toks_b"))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    candidates
+    val repPairs = candidateIds.join(repsA, "id_a").join(repsB, "id_b")
       .filter(inter * 10 >= union * 9)
-      .select(col("id_a"), col("id_b"), (inter.cast("double") / union).as("jaccard"))
-      .orderBy("id_a", "id_b")
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+        (inter.cast("double") / union).as("jaccard"))
+    val mem = groups.select(col("doc_id").as("rep"), explode(col("members")).as("vid"))
+    val cross = repPairs
+      .join(broadcast(mem.select(col("rep").as("rep_a"), col("vid").as("xa"))), "rep_a")
+      .join(broadcast(mem.select(col("rep").as("rep_b"), col("vid").as("xb"))), "rep_b")
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+    val within = groups
+      .select(explode(col("members")).as("xa"), col("members"))
+      .select(col("xa"), explode(col("members")).as("xb"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy("id_a", "id_b")
   }
 
   /** q44's mirror is TWO-TIER like the engine (lesson 19): identical
@@ -1143,8 +1168,18 @@ object DedupQueries {
     * segmenting of the PassJoin paper.
     */
   private def q59(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // TWO-TIER like the mirror (lesson 19; the round-10 sf1 bench caught
+    // the engine still flat at 28.8 s): the pair verdict depends only on
+    // (lang, pfx), so segment-join + DP-verify one REP per identical
+    // prefix group and expand members afterwards — within-group pairs
+    // have ed = 0 bit-identically (levenshtein(x, x)), cross pairs
+    // inherit the rep distance (levenshtein is symmetric).
+    val groups = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), substring(col("text"), 1, 16).as("pfx"))
+      .groupBy("lang", "pfx")
+      .agg(min("doc_id").as("doc_id"), collect_list(col("doc_id")).as("members"))
+      .cache()
+    val docs = groups.select("doc_id", "lang", "pfx")
     // a-side: the 4 fixed segments, each 4 chars at position 4s
     val segs = docs.select(col("doc_id").as("id_a"), col("lang"),
       posexplode(array((0 until 4).map(g => substring(col("pfx"), 4 * g + 1, 4)): _*))
@@ -1166,11 +1201,22 @@ object DedupQueries {
       .dropDuplicates("id_a", "id_b")
     val pa = broadcast(docs.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")))
     val pb = broadcast(docs.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")))
-    candidates.join(pa, "id_a").join(pb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    val repPairs = candidates.join(pa, "id_a").join(pb, "id_b")
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
         levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
       .filter(col("dist") <= 3)
-      .orderBy("id_a", "id_b")
+    val mem = groups.select(col("doc_id").as("rep"), explode(col("members")).as("vid"))
+    val cross = repPairs
+      .join(broadcast(mem.select(col("rep").as("rep_a"), col("vid").as("xa"))), "rep_a")
+      .join(broadcast(mem.select(col("rep").as("rep_b"), col("vid").as("xb"))), "rep_b")
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
+    val within = groups
+      .select(explode(col("members")).as("xa"), col("members"))
+      .select(col("xa"), explode(col("members")).as("xb"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), lit(0L).as("dist"))
+    cross.unionByName(within).orderBy("id_a", "id_b")
   }
 
   private val q59Sql =
@@ -1384,10 +1430,18 @@ object DedupQueries {
             val bktDirs = batchBkts
               .map(b => new java.io.File(s"$store/kind=b/bkt=$b"))
               .filter(_.isDirectory).map(_.toString).toSeq
+            // DISTINCT before the probe join: the store is a key SET, but
+            // appended batches can repeat a key (and round-10's sf1 bench
+            // caught the cost of not collapsing: duplicate-heavy corpora
+            // put the same band_key in the store once per copy, so the
+            // membership left-join multiplied batch rows by store
+            // multiplicity — 42 s vs 12 s for the 3-batch run at sf1).
+            // A max over duplicated rows was CORRECT, just quadratic.
             val storeKeys =
               if (bktDirs.nonEmpty)
                 sp.read.schema("k LONG").parquet(bktDirs: _*)
-                  .select(col("k").as("band_key"), lit(true).as("in_store"))
+                  .select(col("k").as("band_key")).distinct()
+                  .select(col("band_key"), lit(true).as("in_store"))
               else sp.range(0).select(col("id").as("band_key"),
                 lit(true).as("in_store"))
             // one pass over the cached bands: a band dooms its doc if the
@@ -1410,7 +1464,10 @@ object DedupQueries {
             // (probe joins + accept anti-join all single-threaded); the
             // repartition exchange keeps upstream parallel and still
             // lands one file per (kind, bkt) directory.
+            // the 'b' rows are a probe key SET — write each key once per
+            // batch (same sf1 lesson as the probe-side distinct above)
             bands.select(lit("b").as("kind"), col("bkt"), col("band_key").as("k"))
+              .distinct()
               .unionAll(accepted.select(lit("a").as("kind"),
                 lit(-1).cast("int").as("bkt"), col("doc_id").as("k")))
               .repartition(col("kind"), col("bkt")).write.mode("append")
@@ -2257,28 +2314,55 @@ object DedupQueries {
     q184Body(s, d, eager = false)
 
   private def q184Body(s: SparkSession, d: String, eager: Boolean): DataFrame = {
-    val docs0 = Tables.documents(s, d)
+    // TWO-TIER COUNTING (round-10 sf1 bench caught this at 135.9 s: the
+    // flat plan banded all docs and MATERIALIZED both member-expanded
+    // pair lists only to count them — on the duplicate-heavy dir that is
+    // ~100× the rep-space candidate volume plus a 23 M × 23 M semi-join).
+    // The doc-level counts decompose exactly over identical-content
+    // groups keyed on (lang, toks): every within-group pair is BOTH a
+    // candidate (identical signatures collide in every band) and an
+    // exact pair (J = 1.0 ≥ 0.9), contributing C(m,2) to all three
+    // counts; a cross-group doc pair is a candidate/exact/hit iff its
+    // REP pair is, contributing m_a·m_b. Sums are exact int64, so
+    // n_cand/n_exact/n_hit — and the two double divisions — are
+    // bit-identical to the flat plan's.
+    val groups0 = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("toks"))
-    val docs = if (eager) docs0.cache() else docs0
-    val cand0 = minhashCandidateIds(docs) // counted twice (n_cand, n_hit)
-    val cand = if (eager) cand0.cache() else cand0
-    val exact0 = jaccardPairs(
-      docs.select(col("doc_id"), col("lang"), col("toks").as("arr")),
+      .groupBy("lang", "toks")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("m"))
+    val groups = if (eager) groups0.cache() else groups0
+    val reps = groups.select("doc_id", "lang", "toks")
+    val multsA = groups.select(col("doc_id").as("id_a"), col("m").as("m_a"))
+    val multsB = groups.select(col("doc_id").as("id_b"), col("m").as("m_b"))
+    def weighted(repPairs: DataFrame, as: String) = repPairs
+      .join(multsA, "id_a").join(multsB, "id_b")
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as(as))
+    val wPairs = groups
+      .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("w"))
+    val candRep0 = minhashCandidateIds(reps) // weighed twice (cand, hit)
+    val candRep = if (eager) candRep0.cache() else candRep0
+    // routing by the base table's lang counts as before (over-estimates
+    // rep block sizes → at worst a borderline block takes the capped
+    // path; results are routing-independent)
+    val exactRep = jaccardPairs(
+      reps.select(col("doc_id"), col("lang"), col("toks").as("arr")),
       9, 10, BlockCap, langStatsFrame(s, d))
       .select("id_a", "id_b")
-    val exact = if (eager) exact0.cache() else exact0
-    val nCand = cand.agg(count(lit(1)).as("n_cand"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val res = nExact.crossJoin(nCand).crossJoin(nHit) // three 1-row attaches
+    val hitRep = candRep.join(exactRep, Seq("id_a", "id_b"), "left_semi")
+    val res = wPairs
+      .crossJoin(weighted(exactRep, "xc"))
+      .crossJoin(weighted(candRep, "cc"))
+      .crossJoin(weighted(hitRep, "hc"))
+      .select((col("w") + col("xc")).as("n_exact"),
+        (col("w") + col("cc")).as("n_cand"),
+        (col("w") + col("hc")).as("n_hit"))
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_cand")).as("precision"),
         (col("n_hit").cast("double") / col("n_exact")).as("recall"))
     if (!eager) res
     else {
-      val out = res.localCheckpoint(true) // 1 row; releases the three caches
-      docs.unpersist(); cand.unpersist(); exact.unpersist()
+      val out = res.localCheckpoint(true) // 1 row; releases the caches
+      groups.unpersist(); candRep.unpersist()
       out
     }
   }

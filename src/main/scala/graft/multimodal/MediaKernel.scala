@@ -58,6 +58,27 @@ object MediaKernel {
 
   /** Decoded PCM audio: sample rate and 16-bit mono samples. */
   final case class Pcm(rate: Int, samples: Array[Short])
+
+  // javax.sound's AudioSystem entry points funnel EVERY call through a
+  // synchronized provider-registry lookup (JDK13Services.getProviders),
+  // which serializes all 32 decode threads — the round-10 sf1 triage
+  // caught q189/q212 running ~2× superlinear on exactly this. The SPI
+  // providers themselves are stateless, so resolve them once per JVM and
+  // dispatch directly (public javax.sound.sampled.spi API, same
+  // recognition semantics: first reader that accepts the payload wins,
+  // as in AudioSystem).
+  private[multimodal] val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+  private[multimodal] val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toList
+  }
 }
 
 /** One instance per partition (see [[MediaKernel]] scaladoc). */
@@ -278,18 +299,43 @@ final class MediaKernel {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
     val out = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    MediaKernel.audioWriters.find(_.isFileTypeSupported(wave))
+      .getOrElse(throw new IllegalStateException("no WAVE writer SPI"))
+      .write(ais, wave, out)
     out.toByteArray
   }
+
+  /** Sniff the audio container type from the payload bytes (the honest
+    * detection path — never trusts the column's provenance), lowercased
+    * ("wave" for WAV) — identical result to
+    * `AudioSystem.getAudioFileFormat(...).getType` without its
+    * synchronized registry walk.
+    */
+  def audioFileType(bytes: Array[Byte]): String =
+    MediaKernel.audioReaders.iterator
+      .flatMap { r =>
+        try Some(r.getAudioFileFormat(new ByteArrayInputStream(bytes)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }
+      .nextOption()
+      .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "unrecognized audio payload"))
+      .getType.toString.toLowerCase
 
   /** Decode a WAV payload back to 16-bit mono PCM via the real
     * `javax.sound.sampled` reader (format parsing, chunk walking — the
     * actual codec, not a byte slice).
     */
   def decodeWav(bytes: Array[Byte]): Pcm = {
-    val ais = javax.sound.sampled.AudioSystem
-      .getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = MediaKernel.audioReaders.iterator
+      .flatMap { r =>
+        try Some(r.getAudioInputStream(new ByteArrayInputStream(bytes)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }
+      .nextOption()
+      .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "unrecognized audio payload"))
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&

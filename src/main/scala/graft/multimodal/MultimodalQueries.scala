@@ -253,16 +253,19 @@ object MultimodalQueries {
   private def q189(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // full-width codec stage: the map input is BARE ids (payloads are
+      // generated in-task), so rebalancing costs one shuffle of longs and
+      // buys 32-way decode — at sf0.1 the single 584 KB parquet file
+      // otherwise pins the whole codec loop to ONE task (sf1 triage)
+      .repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val k = new MediaKernel
         ids.map { id =>
           val n = (256 + id % 241).toInt
           val src = Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
           val wav = k.encodeWav(8000, src)
-          val fmt = javax.sound.sampled.AudioSystem
-            .getAudioFileFormat(new java.io.ByteArrayInputStream(wav))
-            .getType.toString.toLowerCase
+          val fmt = k.audioFileType(wav)
           val pcm = k.decodeWav(wav)
           var sumAbs = 0L; var energy = 0L; var zc = 0L; var peak = 0L
           var i = 0
@@ -727,7 +730,8 @@ object MultimodalQueries {
   private def q212(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long] // bare-id rebalance, see q189
       .mapPartitions { ids =>
         val k = new MediaKernel
         ids.flatMap { id =>

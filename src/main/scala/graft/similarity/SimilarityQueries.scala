@@ -264,33 +264,71 @@ object SimilarityQueries {
     }
 
   private def q80(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
+    // TWO-TIER (the duplicate-heavy regime, PERF lesson 19 — round 9
+    // collapsed the ORACLE mirror to rep space; round 10's sf1 bench
+    // caught that the ENGINE was still flat, 82.6 s vs the mirror's
+    // 2.8 s at sf1): identical embeddings share every signature and
+    // every cosine, so band/verify over one REPRESENTATIVE per distinct
+    // vector and expand member pairs at the end. Raw candidates are
+    // Θ(rep-bucket²) instead of Θ((rep·dup)²) — at 10 copies each
+    // that is a 100× candidate reduction; the expansion emits exactly
+    // the pairs the flat plan verified, bit-identically (same seqDot
+    // fold on the same arrays), so the hash oracle is unchanged.
+    val groups = Tables.embeddings(s, d)
+      .groupBy("embedding")
+      .agg(min("vec_id").as("rep_id"),
+        collect_list(col("vec_id")).as("members"))
+    val reps = groups.select(col("rep_id"), col("embedding"),
+      sqrt(Det.seqNormSq(col("embedding"))).as("norm"))
     val buckets = (0 until 4).map { t =>
       val b0 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t))) >= 0).cast("int")
       val b1 = (Det.seqDot(col("embedding"), typedlit(hyperplanes(2 * t + 1))) >= 0).cast("int")
       struct(lit(t).as("tbl"), (b0 * 2 + b1).as("sig"))
     }
-    val banded = e.select(col("vec_id"), col("embedding"), col("norm"),
+    val banded = reps.select(col("rep_id"),
       explode(array(buckets: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        (col("bk.tbl") * 4 + col("bk.sig")).as("bucket"))
-    val a = banded.select(col("bucket"), col("vec_id").as("id_a"))
-    val b = banded.select(col("bucket"), col("vec_id").as("id_b"))
+      .select(col("rep_id"), (col("bk.tbl") * 4 + col("bk.sig")).as("bucket"))
+    val a = banded.select(col("bucket"), col("rep_id").as("rep_a"))
+    val b = banded.select(col("bucket"), col("rep_id").as("rep_b"))
     val candidates = a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val ea = broadcast(e.select(col("vec_id").as("id_a"),
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b")
+      .dropDuplicates("rep_a", "rep_b")
+    val ra = broadcast(reps.select(col("rep_id").as("rep_a"),
       col("embedding").as("va"), col("norm").as("norm_a")))
-    val eb = broadcast(e.select(col("vec_id").as("id_b"),
+    val rb = broadcast(reps.select(col("rep_id").as("rep_b"),
       col("embedding").as("vb"), col("norm").as("norm_b")))
-    candidates.join(ea, "id_a").join(eb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    val verified = candidates.join(ra, "rep_a").join(rb, "rep_b")
+      .select(col("rep_a"), col("rep_b"),
         cosinePre(Det.seqDot(col("va"), col("vb")),
           col("norm_a"), col("norm_b")).as("cos"))
       .filter(col("cos") >= 0.4)
+    // member expansion — cross-group: every member combo of a verified
+    // rep pair (cos is symmetric bit-exactly: the fold is by index and
+    // the per-slot multiply commutes, so least/greatest ordering is safe)
+    val mem = groups.select(col("rep_id"),
+      explode(col("members")).as("vid"))
+    val memA = broadcast(mem.select(col("rep_id").as("rep_a"), col("vid").as("xa")))
+    val memB = broadcast(mem.select(col("rep_id").as("rep_b"), col("vid").as("xb")))
+    val cross = verified.join(memA, "rep_a").join(memB, "rep_b")
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("cos"))
+    // within-group: identical copies share every bucket, so every pair
+    // inside a group was a flat-plan candidate; its cosine is the
+    // group's SELF-cosine (computed, not assumed 1.0 — sqrt(n)² ≠ n),
+    // filtered by the same bar
+    val self = groups
+      .join(reps.select(col("rep_id"), col("norm")), "rep_id")
+      .select(col("members"),
+        cosinePre(Det.seqDot(col("embedding"), col("embedding")),
+          col("norm"), col("norm")).as("cos"))
+      .filter(col("cos") >= 0.4)
+    val within = self
+      .select(explode(col("members")).as("xa"), col("members"), col("cos"))
+      .select(col("xa"), explode(col("members")).as("xb"), col("cos"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), col("cos"))
+    cross.unionByName(within)
       .orderBy("id_a", "id_b")
   }
 
