@@ -144,9 +144,11 @@ private[sources] class SeqTable(rows: Long, slices: Int)
 
 private[sources] class SeqScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: StructType = SeqSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Long = -1L
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -159,12 +161,43 @@ private[sources] class SeqScanBuilder(rows: Long, slices: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SeqScan(rows, slices, required, pushed)
+  /** LIMIT pushdown — sound ONLY when every accepted filter prunes
+    * exactly at split planning (conjunctive id bounds / IsNotNull over
+    * non-null columns), because then every generated candidate row IS an
+    * output row and capping the id range under-produces nothing. Any
+    * row-wise predicate (val/label comparisons, Or, Not, …) makes the
+    * limit post-filter, so we decline and Spark keeps its Limit operator
+    * over the full scan. A `limit 1000` over a 10^10-row source plans
+    * one 1000-row slice instead of 10^10 generated rows.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    def exactPruning(f: Filter): Boolean = f match {
+      case GreaterThan("id", _) | GreaterThanOrEqual("id", _) |
+           LessThan("id", _) | LessThanOrEqual("id", _) | EqualTo("id", _) => true
+      case IsNotNull(_) => true // all columns non-null
+      case And(a, b)    => exactPruning(a) && exactPruning(b)
+      case _            => false
+    }
+    if (pushed.forall(exactPruning)) { limit = l.toLong; true }
+    else false
+  }
+
+  override def build(): Scan = new SeqScan(rows, slices, required, pushed, limit)
 }
 
 private[sources] class SeqScan(
-    rows: Long, slices: Int, required: StructType, pushed: Array[Filter])
+    rows: Long, slices: Int, required: StructType, pushed: Array[Filter],
+    limit: Long = -1L)
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** [lo, hi) after id-bound narrowing AND the pushed limit (the builder
+    * only accepts a limit when every pushed filter prunes exactly, so
+    * capping the range is output-equivalent).
+    */
+  private def bounds: (Long, Long) = {
+    val (lo, hi) = SeqSource.idBounds(pushed, 0L, rows)
+    if (limit >= 0) (lo, math.min(hi, lo + limit)) else (lo, hi)
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -178,7 +211,7 @@ private[sources] class SeqScan(
     * over-estimate only costs a missed broadcast, never an OOM).
     */
   override def estimateStatistics(): Statistics = {
-    val (lo, hi) = SeqSource.idBounds(pushed, 0L, rows)
+    val (lo, hi) = bounds
     val n = math.max(hi - lo, 0L)
     val width = required.fields.map(_.dataType.defaultSize).sum.max(1)
     new Statistics {
@@ -190,11 +223,14 @@ private[sources] class SeqScan(
   /** Shown in `.explain`, so pushdown is pinnable from the plan text. */
   override def description(): String =
     s"graft-seq(rows=$rows, slices=$slices) " +
-      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
+      s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // id-bound narrowing first: pruned slices never become tasks
-    val (lo, hi) = SeqSource.idBounds(pushed, 0L, rows)
+    // id-bound (and pushed-limit) narrowing first: pruned slices never
+    // become tasks
+    val (lo, hi) = bounds
     if (lo >= hi) return Array.empty
     val span = hi - lo
     val per = (span + slices - 1) / slices

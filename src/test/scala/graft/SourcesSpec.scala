@@ -275,6 +275,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(huge.count() == 1000)
   }
 
+  test("graft-seq limit pushdown: caps generation at split planning, declines when a row-wise filter is pushed") {
+    // a limit over a 10^10-row source plans ~1000 candidate rows — if the
+    // limit were not pushed this count() would generate 10^10 rows
+    val huge = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "10000000000").option("slices", "8").load()
+    val limited = huge.limit(1000)
+    assert(limited.count() == 1000)
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 1000"),
+      limited.queryExecution.executedPlan.toString)
+    // id bounds compose with the limit (both exact-pruning)
+    val bounded = huge.filter(col("id") >= 5000000000L).limit(500)
+    assert(bounded.count() == 500)
+    assert(bounded.queryExecution.executedPlan.toString.contains("PushedLimit: 500"))
+    // a row-wise predicate makes the limit post-filter: the source must
+    // DECLINE the pushdown (capping candidates would under-produce), and
+    // the result must still be exactly `limit` surviving rows
+    val small = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("slices", "8").load()
+    val filteredLimit = small.filter(col("val") > 500000000L).limit(100)
+    assert(filteredLimit.count() == 100)
+    assert(!filteredLimit.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      "limit must not be pushed past a row-wise filter")
+  }
+
   test("DSv2 statistics: post-pushdown estimates reach the optimizer and drive auto-broadcast") {
     // seq source: the size estimate tracks the pushed id bounds, so a
     // narrow probe over an astronomically large table is broadcast-sized
