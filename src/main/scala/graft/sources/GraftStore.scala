@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -419,12 +419,24 @@ private[sources] class GraftStoreTable(
 
 // ------------------------------------------------------------------ read
 
+/** An aggregate the store can answer without type-converting data
+  * columns: COUNT(*) is a record count per part file (the parser walks
+  * record boundaries, converts nothing); MIN/MAX of a PARTITION column
+  * is the directory's own bound value — zero file bytes.
+  */
+private[sources] sealed trait GraftAggSpec
+private[sources] case object GraftCountStar extends GraftAggSpec
+private[sources] final case class GraftPartMin(col: String) extends GraftAggSpec
+private[sources] final case class GraftPartMax(col: String) extends GraftAggSpec
+
 private[sources] class GraftScanBuilder(
     path: String, fullSchema: StructType, partCols: Seq[String])
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var partFilters: Array[Filter] = Array.empty
+  private var aggPush: Option[(Seq[String], Seq[GraftAggSpec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -442,8 +454,50 @@ private[sources] class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = partFilters
 
-  override def build(): Scan =
-    new GraftStoreScan(path, fullSchema, required, partCols, partFilters)
+  /** AGGREGATE pushdown (PARTIAL — `supportCompletePushDown` stays
+    * false, so Spark merges the per-file partials): accepted only for
+    * the shapes the layout answers without converting a single data
+    * cell — COUNT(*) (record-boundary walk), MIN/MAX over partition
+    * columns (directory names), optionally grouped by partition columns
+    * (each file belongs to exactly one group). The table-stat queries a
+    * serving layer runs constantly ("how many rows per day partition")
+    * stop parsing any column at all. Declined otherwise — and declined
+    * for an empty store, where zero partial rows would turn the global
+    * COUNT(*)'s final merge (a sum over partials) into null instead of
+    * Spark's 0.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr}
+    val pc = partCols.toSet
+    def partRef(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 && pc(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val gb = agg.groupByExpressions.toSeq.map(partRef)
+    if (gb.exists(_.isEmpty)) return false
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftCountStar)
+      case m: Min       => partRef(m.column).map(GraftPartMin)
+      case m: Max       => partRef(m.column).map(GraftPartMax)
+      case _            => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    // empty-store guard: the global-count final merge needs >= 1 partial
+    if (new GraftStoreScan(path, fullSchema, required, partCols, partFilters)
+          .planInputPartitions().isEmpty) return false
+    aggPush = Some((gb.flatten, specs.flatten))
+    true
+  }
+
+  override def build(): Scan = aggPush match {
+    case Some((gb, specs)) =>
+      new GraftStoreAggScan(path, fullSchema, partCols, partFilters, gb, specs)
+    case None =>
+      new GraftStoreScan(path, fullSchema, required, partCols, partFilters)
+  }
 }
 
 /** One part file + the partition values bound by its directory path
@@ -566,6 +620,77 @@ private[sources] class GraftStoreScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, required, partCols)
+}
+
+/** The pushed-aggregate scan: same directory planning (partition
+  * pruning AND runtime filtering compose — inherited), but each part
+  * file yields ONE partial row: group-by partition values, record
+  * counts from the boundary walk, min/max partition values from the
+  * directory. Spark's final aggregate merges the partials.
+  */
+private[sources] class GraftStoreAggScan(
+    path: String, fullSchema: StructType, partCols: Seq[String],
+    partFilters: Array[Filter], groupBy: Seq[String], specs: Seq[GraftAggSpec])
+    extends GraftStoreScan(path, fullSchema, fullSchema, partCols, partFilters) {
+
+  override def readSchema(): StructType = StructType(
+    groupBy.map(c => fullSchema(c)) ++ specs.map {
+      case GraftCountStar  => StructField("count(*)", LongType, nullable = false)
+      case GraftPartMin(c) => StructField(s"min($c)", fullSchema(c).dataType)
+      case GraftPartMax(c) => StructField(s"max($c)", fullSchema(c).dataType)
+    })
+
+  override def description(): String = {
+    val aggs = specs.map {
+      case GraftCountStar  => "COUNT(*)"
+      case GraftPartMin(c) => s"MIN($c)"
+      case GraftPartMax(c) => s"MAX($c)"
+    }
+    super.description() +
+      s", PushedAggregates: [${aggs.mkString(", ")}]" +
+      (if (groupBy.nonEmpty) s", PushedGroupBy: [${groupBy.mkString(", ")}]" else "")
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory(fullSchema, partCols, groupBy, specs)
+}
+
+private[sources] class GraftAggReaderFactory(
+    fullSchema: StructType, partCols: Seq[String],
+    groupBy: Seq[String], specs: Seq[GraftAggSpec])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftFilePartition]
+    val partIndex = partCols.zipWithIndex.toMap
+    def partVal(c: String): Any =
+      GraftStore.partValueTyped(gp.partValues(partIndex(c)),
+        fullSchema(c).dataType) match {
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      }
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        // record-boundary walk only: no field is ever type-converted
+        val parser = new GraftRecordParser(Files.newBufferedReader(
+          Paths.get(gp.file), StandardCharsets.UTF_8))
+        var n = 0L
+        try { while (parser.next() != null) n += 1 } finally parser.close()
+        row = InternalRow.fromSeq(groupBy.map(partVal) ++ specs.map {
+          case GraftCountStar  => n
+          case GraftPartMin(c) => partVal(c)
+          case GraftPartMax(c) => partVal(c)
+        })
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class GraftReaderFactory(

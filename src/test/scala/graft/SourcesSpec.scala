@@ -368,6 +368,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"), s"no runtime filter on the scan:\n$plan")
   }
 
+  test("graft-store aggregate pushdown: COUNT/MIN/MAX answered without converting a data cell") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_store_agg_") + "/t"
+    val rows = (0L until 900L).map(i => (i, s"d${i % 3}", i * 7 % 101, s"pad$i"))
+    rows.toDF("id", "day", "v", "pad")
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("partitionBy", "day")
+      .mode("overwrite").save()
+    val t = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+
+    // global COUNT(*): pushed — and correct
+    val cnt = t.agg(count(lit(1)).as("n"))
+    assert(cnt.head().getLong(0) == 900L)
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("PushedAggregates: [COUNT(*)]"), cntPlan)
+
+    // group-by partition column + min/max of it: every value from
+    // directory names + record-boundary counts; zero cells converted
+    val byDay = t.groupBy("day")
+      .agg(count(lit(1)).as("n"), min("day").as("lo"), max("day").as("hi"))
+      .orderBy("day")
+    val got = byDay.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("d0", 300L), ("d1", 300L), ("d2", 300L)), got.toString)
+    val gPlan = byDay.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedAggregates: [COUNT(*), MIN(day), MAX(day)]") &&
+      gPlan.contains("PushedGroupBy: [day]"), gPlan)
+
+    // ZERO-CONVERSION proof: poison every data file's field contents
+    // (keep record boundaries); the pushed count must still answer
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().filter(_.getName.startsWith("part-")))
+      .foreach { f =>
+        val lines = Files.readAllLines(f.toPath).size()
+        Files.writeString(f.toPath, "zz,zz,zz\n" * lines)
+      }
+    assert(t.agg(count(lit(1)).as("n")).head().getLong(0) == 900L)
+
+    // composition with partition-filter pushdown: pruned dirs don't count
+    assert(t.filter(col("day") === "d1").agg(count(lit(1))).head().getLong(0) == 300L)
+
+    // an aggregate over a DATA column is declined (the store can't
+    // answer it without conversion — Spark must read real rows, which
+    // are poisoned, so the fallback path visibly executes and fails)
+    val dataAgg = t.agg(max("v"))
+    assert(!dataAgg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    intercept[Throwable] { dataAgg.collect() }
+
+    // empty store: pushdown declines, Spark's global count stays 0
+    val empty = graft.util.TempDirs.create("graft_store_agg_empty_") + "/e"
+    val e = spark.read.format("graft.sources.GraftStoreProvider")
+      .schema("id bigint, day string").option("path", empty).load()
+    assert(e.agg(count(lit(1))).head().getLong(0) == 0L)
+  }
+
   test("graft-store failed job publishes nothing: no _SUCCESS, no parts, reader sees empty") {
     import org.apache.spark.sql.functions._
     val dir = graft.util.TempDirs.create("graft_store_spec_") + "/t2"
