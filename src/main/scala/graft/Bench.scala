@@ -76,7 +76,16 @@ object Bench {
     val sjson = sentinels.map { case (after, t) =>
       s"""{"after":"$after","t":$t,"contended":${t > 3 * sFloor}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sentinel_floor":$sFloor,"sentinel":$sjson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sentinel_floor":$sFloor,"sentinel":$sjson,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(json)
+    // VERDICT r10 task 4: the driver's captured stdout tail truncates, so
+    // round-over-round per-query comparison kept losing the record. Every
+    // run ALSO writes the full JSON to a stable file (committed per round)
+    // so the complete per-query table survives independent of tail luck.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

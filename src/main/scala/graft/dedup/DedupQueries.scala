@@ -551,7 +551,14 @@ object DedupQueries {
       .join(broadcast(mem.select(col("rep").as("rep_b"), col("vid").as("xb"))), "rep_b")
       .select(least(col("xa"), col("xb")).as("id_a"),
         greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+    // Degenerate-group guard (ADVICE r10): a null-text group has null
+    // toks — the flat plan explodes no signature for it, so it yields NO
+    // candidate pairs; the within-group expansion must skip it too or
+    // the two-tier form would invent jaccard=1.0 pairs the flat plan
+    // (and the mirror) never emits. Size-0 can't arise from split(), but
+    // the guard states the actual precondition: a signature-producing key.
     val within = groups
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
       .select(explode(col("members")).as("xa"), col("members"))
       .select(col("xa"), explode(col("members")).as("xb"))
       .filter(col("xa") < col("xb"))
@@ -599,7 +606,7 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT x.m AS id_a, y.m AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
        |  FROM g, unnest(members) AS x(m), unnest(members) AS y(m)
-       |  WHERE x.m < y.m)
+       |  WHERE toks IS NOT NULL AND len(toks) > 0 AND x.m < y.m)
        |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash (32-bit) per document from distinct-token hashes — hamming-
@@ -1211,7 +1218,12 @@ object DedupQueries {
       .join(broadcast(mem.select(col("rep").as("rep_b"), col("vid").as("xb"))), "rep_b")
       .select(least(col("xa"), col("xb")).as("id_a"),
         greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
+    // Degenerate-group guard (ADVICE r10): a null-text group has a null
+    // pfx — the flat plan's grams are null (join keys that never match)
+    // and levenshtein(null, null) is NULL, not 0, so it emits NO pair;
+    // the within-group expansion must skip the null-pfx group too.
     val within = groups
+      .filter(col("pfx").isNotNull)
       .select(explode(col("members")).as("xa"), col("members"))
       .select(col("xa"), explode(col("members")).as("xb"))
       .filter(col("xa") < col("xb"))
@@ -1235,7 +1247,7 @@ object DedupQueries {
       |UNION ALL
       |SELECT x.m AS id_a, y.m AS id_b, CAST(0 AS BIGINT) AS dist
       |FROM eg, unnest(members) AS x(m), unnest(members) AS y(m)
-      |WHERE x.m < y.m
+      |WHERE pfx IS NOT NULL AND x.m < y.m
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup PAIRS via pigeonhole half-blocks: hamming ≤ 1 on the
@@ -2337,7 +2349,11 @@ object DedupQueries {
     def weighted(repPairs: DataFrame, as: String) = repPairs
       .join(multsA, "id_a").join(multsB, "id_b")
       .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as(as))
+    // Degenerate-group guard (ADVICE r10): the flat (mirror) plan yields
+    // no candidate/exact pairs for a null-toks group, so its C(m,2)
+    // within-pairs must not enter any of the three counts.
     val wPairs = groups
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
       .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("w"))
     val candRep0 = minhashCandidateIds(reps) // weighed twice (cand, hit)
     val candRep = if (eager) candRep0.cache() else candRep0

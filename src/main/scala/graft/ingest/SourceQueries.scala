@@ -432,6 +432,133 @@ object SourceQueries {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ZONE-MAP file skipping (VERDICT r10 task 1 — the scan-path gap
+    * that makes a selective data-column probe read every file): events
+    * are range-clustered on `event_id` into 8 part files
+    * (`repartitionByRange` → each file covers a disjoint id range,
+    * exactly how a 100 TB serving table is laid out on its probe key);
+    * the commit protocol records each file's per-column min/max/null
+    * counts in a `_STATS` sidecar. The read probes a narrow id window:
+    * the predicate stays RESIDUAL (Spark re-checks rows — zone maps are
+    * file-level), but `planInputPartitions` refutes it against each
+    * file's exact bounds and the 7 non-overlapping files are never
+    * opened (SourcesSpec proves that with a poisoned skipped file;
+    * PlanSpec pins the SkipFilters on the scan). The oracle recomputes
+    * the probe from the source table.
+    */
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_zonemap_") + "/events_store"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartitionByRange(8, col("event_id"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+      .filter(col("event_id") >= 100L && col("event_id") < 400L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("event_id").as("id_min"),
+        max("event_id").as("id_max"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
+  private val q253Sql =
+    """SELECT event_type, count(*) AS n, min(event_id) AS id_min,
+      |  max(event_id) AS id_max,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE event_id >= 100 AND event_id < 400
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** NAMED-TABLE SQL through the graft `TableCatalog` (VERDICT r10 task
+    * 3 — the reference's S12/S13 story is *named-table* access,
+    * `NB cell 16 (ln 1238)` / `S/reddit_lambda.py:46`; the path-option
+    * provider alone can't serve `CREATE TABLE ... / INSERT / SELECT`).
+    * The engine side is PURE SQL: create the namespace and a
+    * partitioned table in the `graft` catalog
+    * ([[graft.sources.GraftCatalog]], registered lazily on the
+    * session), INSERT the enriched events through the V2 commit
+    * protocol, and aggregate with a partition predicate — which arrives
+    * at the same graft-store scan with directory pruning intact (the
+    * catalog reconstitutes the identical Table, so pushdown/zone
+    * maps/DPP all apply to named tables for free). The oracle
+    * recomputes the aggregate from the source parquet.
+    */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_warehouse_"))
+    }
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        graft.enrich.Features.timeOfDay(col("ts")).as("time_of_day"))
+      .createOrReplaceTempView("q254_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_t")
+    s.sql("""CREATE TABLE graft.db.events_t
+            |  (event_id BIGINT, user_id BIGINT, value DOUBLE, time_of_day STRING)
+            |  PARTITIONED BY (time_of_day)""".stripMargin)
+    s.sql("""INSERT INTO graft.db.events_t
+            |SELECT event_id, user_id, value, time_of_day FROM q254_src""".stripMargin)
+    s.sql("""SELECT time_of_day, count(*) AS n,
+            |  count(DISTINCT user_id) AS n_users,
+            |  min(event_id) AS first_event, max(event_id) AS last_event,
+            |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            |FROM graft.db.events_t
+            |WHERE time_of_day = 'day'
+            |GROUP BY time_of_day ORDER BY time_of_day""".stripMargin)
+  }
+
+  private val q254Sql =
+    """SELECT (CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END)
+      |    AS time_of_day,
+      |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS first_event, max(event_id) AS last_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE (CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END) = 'day'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** VECTORIZED graft-store read (VERDICT r10 task 5, opt-in
+    * `.option("columnar", "true")`): the same committed store read
+    * through the `ColumnarBatch` path — the reader fills 4096-row
+    * `OnHeapColumnVector`s and Spark consumes the scan through
+    * `ColumnarToRow` whole-stage codegen instead of a row-at-a-time
+    * iterator. Semantics are pinned identical to the row reader
+    * (SourcesSpec compares both paths on one store; PlanSpec pins the
+    * executed plan's ColumnarToRow over the graft-store scan). The
+    * aggregate exercises every supported column type end to end
+    * (long/double/string and a null-bearing column via the day/night
+    * flag) so the vector fill paths are all on the oracled path.
+    */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_columnar_") + "/events_store"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"),
+        when(col("value") > 100.0, col("event_type")).as("big_type"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("columnar", "true").load()
+      .filter(col("event_id") % 3 =!= 0L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("big_type")).as("n_big"),
+        min("event_id").as("id_min"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
+  private val q255Sql =
+    """SELECT event_type, count(*) AS n,
+      |  count(CASE WHEN value > 100.0 THEN event_type END) AS n_big,
+      |  min(event_id) AS id_min,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE event_id % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -605,6 +732,12 @@ object SourceQueries {
       "graft-store identity partitioning: Hive-style two-level layout via the V2 commit protocol, directory-pruned partition-filter read"),
     QueryDef("q252_store_dpp", q252, Some(q252Sql),
       "graft-store dynamic partition pruning: runtime dim probe (top-2 event types) prunes fact directories via SupportsRuntimeFiltering"),
+    QueryDef("q253_store_zonemap", q253, Some(q253Sql),
+      "graft-store zone maps: _STATS min/max sidecar skips range-clustered files a data-column probe cannot match"),
+    QueryDef("q254_store_catalog", q254, Some(q254Sql),
+      "graft TableCatalog: CREATE NAMESPACE/TABLE + INSERT + partition-pruned SELECT as pure named-table SQL"),
+    QueryDef("q255_store_columnar", q255, Some(q255Sql),
+      "graft-store vectorized read: OnHeapColumnVector batches through ColumnarToRow, hash-equal to the row path"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

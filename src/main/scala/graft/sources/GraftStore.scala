@@ -140,8 +140,12 @@ object GraftStore {
   val SchemaFile = "_SCHEMA"
   val SuccessFile = "_SUCCESS"
   val PartitionFile = "_PARTITIONING"
+  val StatsFile = "_STATS"
+  val ManifestFile = "_MANIFEST"
   val PartitionByOption = "partitionBy"
+  val ColumnarOption = "columnar"
   val NullPartitionValue = "__GRAFT_NULL__"
+  val EmptyPartitionValue = "__GRAFT_EMPTY__"
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -172,8 +176,16 @@ object GraftStore {
   private def safeChar(c: Char): Boolean =
     c.isLetterOrDigit && c < 128 || c == '.' || c == '-' || c == '_'
 
+  /** Bijective (ADVICE r10 low: the old "%00%00" empty-string sentinel
+    * collided with a real two-NUL value, which %XX-escapes to the same
+    * token). Sentinels are now words escaping can never emit — '%' in a
+    * raw value is always escaped to %25, and a raw value that IS a
+    * sentinel word gets its first byte force-escaped ("__GRAFT_NULL__"
+    * → "%5F_GRAFT_NULL__"), so decode(encode(v)) == v for every v.
+    */
   def encodePartValue(s: String): String =
     if (s == null) NullPartitionValue
+    else if (s.isEmpty) EmptyPartitionValue // visible token after '='
     else {
       val bytes = s.getBytes(StandardCharsets.UTF_8)
       val sb = new StringBuilder
@@ -181,13 +193,15 @@ object GraftStore {
         val c = (b & 0xff).toChar
         if (safeChar(c)) sb += c else sb.append("%%%02X".format(b & 0xff))
       }
-      // empty string still needs a visible token after '='
-      if (sb.isEmpty) "%00%00" else sb.toString
+      val enc = sb.toString
+      if (enc == NullPartitionValue || enc == EmptyPartitionValue)
+        "%%%02X".format(bytes(0) & 0xff) + enc.substring(1)
+      else enc
     }
 
   def decodePartValue(s: String): String =
     if (s == NullPartitionValue) null
-    else if (s == "%00%00") ""
+    else if (s == EmptyPartitionValue) ""
     else {
       val out = new java.io.ByteArrayOutputStream
       var i = 0
@@ -298,42 +312,243 @@ object GraftStore {
     case (x: Long, y: Number)    => java.lang.Long.compare(x, y.longValue)
     case (x: Int, y: Number)     => java.lang.Long.compare(x.toLong, y.longValue)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-    case (x: String, y: Any)     => x.compareTo(y.toString)
+    // UTF-8 binary order — the order Spark's own string comparisons use
+    // (java String.compareTo diverges on supplementary code points)
+    case (x: String, y: Any)     =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y.toString))
     case _ => throw new IllegalArgumentException(
       s"graft-store: cannot compare partition value $a with literal $b")
   }
 
-  /** Evaluate a pushed filter against bound partition values. `values`
-    * may bind only a PREFIX of the partition columns (level-by-level
-    * pruning): a filter referencing an unbound column returns `true`
-    * ("cannot refute yet") so subtree pruning stays sound.
+  /** Evaluate a pushed filter against bound partition values with
+    * Kleene THREE-valued logic (ADVICE r10 medium: the old two-valued
+    * evaluator made `Not(EqualTo(tag,'a'))` TRUE on a null partition,
+    * and since accepted partition filters are CONSUMED — Spark never
+    * re-checks them row-wise — the null partition's rows were silently
+    * emitted where SQL excludes them).
+    *
+    * `Some(true)`/`Some(false)` are definite; `None` is UNKNOWN, from
+    * either (a) an unbound column — `values` binds only a PREFIX of the
+    * partition columns during the level-by-level walk — or (b) SQL null
+    * semantics (a comparison over a null partition value). The walk
+    * prunes a subtree on `Some(false)` at any level, and at the leaf —
+    * where every partition column is bound, so the only remaining
+    * UNKNOWN is the null-semantics kind — keeps a directory only on
+    * `Some(true)`, exactly the rows a SQL WHERE keeps.
     */
-  def evalFilter(f: Filter, values: Map[String, Any]): Boolean = {
+  def evalFilter3(f: Filter, values: Map[String, Any]): Option[Boolean] = {
     def bound(a: String): Boolean = values.contains(a)
-    def nn(a: String)(body: Any => Boolean): Boolean =
-      !bound(a) || { val v = values(a); v != null && body(v) }
+    // three-valued comparison leaf: unbound -> unknown, null -> unknown
+    def tri(a: String)(body: Any => Boolean): Option[Boolean] =
+      if (!bound(a)) None
+      else { val v = values(a); if (v == null) None else Some(body(v)) }
     f match {
-      case EqualTo(a, x)            => nn(a)(v => cmp(v, x) == 0)
+      case EqualTo(a, x)            =>
+        if (x == null) None else tri(a)(v => cmp(v, x) == 0)
       case EqualNullSafe(a, x)      =>
-        !bound(a) || { val v = values(a)
-          if (v == null || x == null) v == null && x == null else cmp(v, x) == 0 }
-      case GreaterThan(a, x)        => nn(a)(v => cmp(v, x) > 0)
-      case GreaterThanOrEqual(a, x) => nn(a)(v => cmp(v, x) >= 0)
-      case LessThan(a, x)           => nn(a)(v => cmp(v, x) < 0)
-      case LessThanOrEqual(a, x)    => nn(a)(v => cmp(v, x) <= 0)
-      case In(a, xs)                => nn(a)(v => xs.exists(x => x != null && cmp(v, x) == 0))
-      case IsNull(a)                => !bound(a) || values(a) == null
-      case IsNotNull(a)             => !bound(a) || values(a) != null
-      case StringStartsWith(a, p)   => nn(a)(v => v.toString.startsWith(p))
-      case And(l, r)                => evalFilter(l, values) && evalFilter(r, values)
-      case Or(l, r)                 => evalFilter(l, values) || evalFilter(r, values)
-      case Not(c)                   =>
-        // sound only when every referenced column is bound — else "maybe"
-        if (c.references.forall(bound)) !evalFilter(c, values) else true
-      case _                        => true
+        if (!bound(a)) None
+        else { val v = values(a)
+          Some(if (v == null || x == null) v == null && x == null
+               else cmp(v, x) == 0) }
+      case GreaterThan(a, x)        => tri(a)(v => cmp(v, x) > 0)
+      case GreaterThanOrEqual(a, x) => tri(a)(v => cmp(v, x) >= 0)
+      case LessThan(a, x)           => tri(a)(v => cmp(v, x) < 0)
+      case LessThanOrEqual(a, x)    => tri(a)(v => cmp(v, x) <= 0)
+      case In(a, xs)                =>
+        if (!bound(a)) None
+        else { val v = values(a)
+          if (v == null) { if (xs.isEmpty) Some(false) else None }
+          else if (xs.exists(x => x != null && cmp(v, x) == 0)) Some(true)
+          else if (xs.contains(null)) None // v IN (..., NULL) with no hit
+          else Some(false) }
+      case IsNull(a)                =>
+        if (!bound(a)) None else Some(values(a) == null)
+      case IsNotNull(a)             =>
+        if (!bound(a)) None else Some(values(a) != null)
+      case StringStartsWith(a, p)   => tri(a)(v => v.toString.startsWith(p))
+      case And(l, r)                =>
+        (evalFilter3(l, values), evalFilter3(r, values)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case Or(l, r)                 =>
+        (evalFilter3(l, values), evalFilter3(r, values)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case Not(c)                   => evalFilter3(c, values).map(!_)
+      case _                        => None // not refutable here
     }
   }
+
+  // ---- zone maps: per-file min/max/null-count stats (VERDICT r10 task 1)
+
+  /** Typed value text of one stat bound (same text forms as the data
+    * codec; Double.toString round-trips exactly).
+    */
+  private def statTyped(text: String, dt: DataType): Any = dt match {
+    case LongType    => text.toLong
+    case IntegerType => text.toInt
+    case DoubleType  => text.toDouble
+    case BooleanType => text.toBoolean
+    case StringType  => text
+    case other => throw new IllegalArgumentException(
+      s"graft-store: no stats for column type $other")
+  }
+
+  /** Total-order comparison of a stat bound (text form) with a pushed v1
+    * Filter literal, under SPARK's comparison semantics: NaN greatest,
+    * -0.0 == 0.0 (bounds are normalized at write time), strings in UTF-8
+    * binary order.
+    */
+  private[sources] def cmpStat(dt: DataType, statText: String, x: Any): Int = dt match {
+    case LongType | IntegerType =>
+      java.lang.Long.compare(statText.toLong, x.asInstanceOf[Number].longValue)
+    case DoubleType =>
+      java.lang.Double.compare(statText.toDouble, x.asInstanceOf[Number].doubleValue)
+    case BooleanType =>
+      java.lang.Boolean.compare(statText.toBoolean, x.asInstanceOf[Boolean])
+    case StringType =>
+      UTF8String.fromString(statText).compareTo(UTF8String.fromString(x.toString))
+    case other => throw new IllegalArgumentException(
+      s"graft-store: no stats for column type $other")
+  }
+
+  /** Unsigned lexicographic byte compare (UTF-8 binary string order). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** FILE-level refutation against zone-map stats: `false` only when NO
+    * row of the file can satisfy `f` (so skipping the file is exact);
+    * `true` means "cannot refute — open it". Partition-column leaves are
+    * decided exactly from the file's (fully bound) partition values;
+    * data-column leaves use the file's min/max/null-count when present
+    * and stay conservative when absent. Skipped filters remain RESIDUAL
+    * (Spark re-checks rows), so the only possible error direction here
+    * would be a wrong skip — every leaf below refutes only on a bound
+    * that provably excludes all rows.
+    */
+  def maybeSatisfies(f: Filter, part: Map[String, Any],
+      stats: GraftFileStats, schema: StructType): Boolean = {
+    def dtOf(a: String): Option[DataType] =
+      schema.fields.find(_.name == a).map(_.dataType)
+    def col(a: String): Option[GraftColStatsTxt] =
+      if (part.contains(a)) None else stats.cols.get(a)
+    // a leaf over a partition column: all partition values are bound at
+    // file level, so evalFilter3 is definite (None = null semantics =
+    // the whole file's rows fail the leaf)
+    def partLeaf(g: Filter): Boolean = evalFilter3(g, part).contains(true)
+    def go(g: Filter): Boolean = g match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r)  => go(l) || go(r)
+      case EqualTo(a, x) if part.contains(a) => partLeaf(g)
+      case EqualTo(a, x) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) =>
+          x != null && s.min.exists(m => cmpStat(dt, m, x) <= 0) &&
+            s.max.exists(m => cmpStat(dt, m, x) >= 0)
+        case _ => true
+      }
+      case EqualNullSafe(a, x) if part.contains(a) => partLeaf(g)
+      case EqualNullSafe(a, x) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) =>
+          if (x == null) s.nulls > 0
+          else s.min.exists(m => cmpStat(dt, m, x) <= 0) &&
+            s.max.exists(m => cmpStat(dt, m, x) >= 0)
+        case _ => true
+      }
+      case GreaterThan(a, x) if part.contains(a) => partLeaf(g)
+      case GreaterThan(a, x) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) => s.max.exists(m => cmpStat(dt, m, x) > 0)
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, x) if part.contains(a) => partLeaf(g)
+      case GreaterThanOrEqual(a, x) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) => s.max.exists(m => cmpStat(dt, m, x) >= 0)
+        case _ => true
+      }
+      case LessThan(a, x) if part.contains(a) => partLeaf(g)
+      case LessThan(a, x) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) => s.min.exists(m => cmpStat(dt, m, x) < 0)
+        case _ => true
+      }
+      case LessThanOrEqual(a, x) if part.contains(a) => partLeaf(g)
+      case LessThanOrEqual(a, x) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) => s.min.exists(m => cmpStat(dt, m, x) <= 0)
+        case _ => true
+      }
+      case In(a, xs) if part.contains(a) => partLeaf(g)
+      case In(a, xs) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) => xs.exists(x =>
+          x != null && s.min.exists(m => cmpStat(dt, m, x) <= 0) &&
+            s.max.exists(m => cmpStat(dt, m, x) >= 0))
+        case _ => true
+      }
+      case IsNull(a) if part.contains(a) => partLeaf(g)
+      case IsNull(a) => col(a) match {
+        case Some(s) => s.nulls > 0
+        case None    => true
+      }
+      case IsNotNull(a) if part.contains(a) => partLeaf(g)
+      case IsNotNull(a) => col(a) match {
+        case Some(s) => s.min.isDefined
+        case None    => true
+      }
+      case StringStartsWith(a, p) if part.contains(a) => partLeaf(g)
+      case StringStartsWith(a, p) => (col(a), dtOf(a)) match {
+        case (Some(s), Some(StringType)) =>
+          // s startsWith p  =>  bytes(s) >= bytes(p)  AND  the first
+          // |p| bytes of s equal p — so refute when max < p, or when
+          // min's |p|-byte prefix already exceeds p
+          val pb = p.getBytes(StandardCharsets.UTF_8)
+          s.max.exists(m => cmpStat(StringType, m, p) >= 0) &&
+            s.min.exists { m =>
+              val mb = m.getBytes(StandardCharsets.UTF_8)
+              cmpBytes(mb.take(pb.length), pb) <= 0
+            }
+        case _ => true
+      }
+      case Not(inner) if inner.references.forall(part.contains) =>
+        // all-partition Not: exact three-valued verdict
+        partLeaf(g)
+      case Not(EqualTo(a, x)) => (col(a), dtOf(a)) match {
+        // impossible only when EVERY row equals x (min==max==x, no nulls)
+        case (Some(s), Some(dt)) =>
+          !(x != null && s.nulls == 0 &&
+            s.min.exists(m => cmpStat(dt, m, x) == 0) &&
+            s.max.exists(m => cmpStat(dt, m, x) == 0))
+        case _ => true
+      }
+      case Not(IsNull(a)) => go(IsNotNull(a))
+      case Not(IsNotNull(a)) => go(IsNull(a))
+      case _ => true // anything else: cannot refute from file bounds
+    }
+    go(f)
+  }
 }
+
+/** Per-file zone-map column stats, TEXT-encoded (the `_STATS` sidecar
+  * form): null count plus min/max bounds (None = no non-null value in
+  * the file). Bounds are exact — computed from the rows as written, so
+  * MIN/MAX aggregate pushdown may answer from them directly.
+  */
+final case class GraftColStatsTxt(nulls: Long, min: Option[String], max: Option[String])
+
+/** Zone map of one committed part file: row count + per-data-column
+  * stats. Carried inside [[GraftFilePartition]] so both file skipping
+  * (driver) and stats-backed aggregate partials (executor) read the
+  * same record.
+  */
+final case class GraftFileStats(rows: Long, cols: Map[String, GraftColStatsTxt])
 
 /** Streaming quote-aware CSV record parser: fields split on ',' outside
   * quotes, records end at \n / \r\n / \r OUTSIDE quotes — so quoted
@@ -411,7 +626,8 @@ private[sources] class GraftStoreTable(
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tschema, partCols)
+    new GraftScanBuilder(path, tschema, partCols,
+      options.getBoolean(GraftStore.ColumnarOption, false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), partCols)
@@ -420,22 +636,31 @@ private[sources] class GraftStoreTable(
 // ------------------------------------------------------------------ read
 
 /** An aggregate the store can answer without type-converting data
-  * columns: COUNT(*) is a record count per part file (the parser walks
-  * record boundaries, converts nothing); MIN/MAX of a PARTITION column
-  * is the directory's own bound value — zero file bytes.
+  * columns: COUNT(*) is a record count per part file (from the `_STATS`
+  * zone map when present, else the parser walks record boundaries and
+  * converts nothing); MIN/MAX of a PARTITION column is the directory's
+  * own bound value — zero file bytes; MIN/MAX/COUNT of a DATA column
+  * come from the zone map's exact per-file bounds and null counts
+  * (VERDICT r10 task 1), accepted only when every candidate file has
+  * the column's stats.
   */
 private[sources] sealed trait GraftAggSpec
 private[sources] case object GraftCountStar extends GraftAggSpec
 private[sources] final case class GraftPartMin(col: String) extends GraftAggSpec
 private[sources] final case class GraftPartMax(col: String) extends GraftAggSpec
+private[sources] final case class GraftStatsMin(col: String) extends GraftAggSpec
+private[sources] final case class GraftStatsMax(col: String) extends GraftAggSpec
+private[sources] final case class GraftStatsCount(col: String) extends GraftAggSpec
 
 private[sources] class GraftScanBuilder(
-    path: String, fullSchema: StructType, partCols: Seq[String])
+    path: String, fullSchema: StructType, partCols: Seq[String],
+    columnar: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var partFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
   private var aggPush: Option[(Seq[String], Seq[GraftAggSpec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -443,72 +668,120 @@ private[sources] class GraftScanBuilder(
 
   /** Accept filters answerable from partition directory names alone —
     * those are evaluated EXACTLY during directory walking, so they are
-    * not returned for re-evaluation. Everything else is residual.
+    * not returned for re-evaluation. Everything else is RESIDUAL (Spark
+    * keeps the row-wise Filter), but still recorded: the scan evaluates
+    * residual predicates against each file's `_STATS` zone map and skips
+    * files no matching row can live in (VERDICT r10 task 1) — the
+    * parquet PushedFilters discipline, where a pushed filter may be
+    * both advisory in the scan and re-checked on rows.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val pc = partCols.toSet
     val (acc, residual) = filters.partition(GraftStore.isPartitionFilter(_, pc))
     partFilters = acc
+    dataFilters = residual
     residual
   }
 
-  override def pushedFilters(): Array[Filter] = partFilters
+  override def pushedFilters(): Array[Filter] = partFilters ++ dataFilters
 
   /** AGGREGATE pushdown (PARTIAL — `supportCompletePushDown` stays
     * false, so Spark merges the per-file partials): accepted only for
     * the shapes the layout answers without converting a single data
-    * cell — COUNT(*) (record-boundary walk), MIN/MAX over partition
-    * columns (directory names), optionally grouped by partition columns
-    * (each file belongs to exactly one group). The table-stat queries a
-    * serving layer runs constantly ("how many rows per day partition")
-    * stop parsing any column at all. Declined otherwise — and declined
-    * for an empty store, where zero partial rows would turn the global
-    * COUNT(*)'s final merge (a sum over partials) into null instead of
-    * Spark's 0.
+    * cell — COUNT(*) (zone-map row count, else record-boundary walk),
+    * MIN/MAX over partition columns (directory names), MIN/MAX/COUNT
+    * over data columns covered by every candidate file's `_STATS` entry
+    * (the bounds are exact, so the partial IS the file's answer),
+    * optionally grouped by partition columns (each file belongs to
+    * exactly one group). The table-stat queries a serving layer runs
+    * constantly ("how many rows / latest id per day partition") stop
+    * parsing any column at all. Declined otherwise — declined when a
+    * row-wise residual filter survives (the partial would ignore it),
+    * and declined for an empty store, where zero partial rows would
+    * turn the global COUNT(*)'s final merge (a sum over partials) into
+    * null instead of Spark's 0.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr}
     val pc = partCols.toSet
-    def partRef(e: VExpr): Option[String] = e match {
-      case f: NamedReference if f.fieldNames.length == 1 && pc(f.fieldNames()(0)) =>
-        Some(f.fieldNames()(0))
+    // a residual row-wise filter must gate every partial — can't answer
+    if (dataFilters.nonEmpty) return false
+    def ref(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
       case _ => None
     }
+    def partRef(e: VExpr): Option[String] = ref(e).filter(pc)
+    def dataRef(e: VExpr): Option[String] =
+      ref(e).filter(c => !pc(c) && fullSchema.fieldNames.contains(c))
     val gb = agg.groupByExpressions.toSeq.map(partRef)
     if (gb.exists(_.isEmpty)) return false
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftCountStar)
-      case m: Min       => partRef(m.column).map(GraftPartMin)
-      case m: Max       => partRef(m.column).map(GraftPartMax)
+      case m: Min       =>
+        partRef(m.column).map(GraftPartMin)
+          .orElse(dataRef(m.column).map(GraftStatsMin))
+      case m: Max       =>
+        partRef(m.column).map(GraftPartMax)
+          .orElse(dataRef(m.column).map(GraftStatsMax))
+      case c: Count if !c.isDistinct =>
+        dataRef(c.column).map(GraftStatsCount)
+          // COUNT(partCol): the dir value is never null unless the dir
+          // says so — rows when bound non-null, 0 when the null dir
+          .orElse(partRef(c.column).map(GraftStatsCount))
       case _            => None
     }
     if (specs.exists(_.isEmpty)) return false
+    val flat = specs.flatten
+    val parts = new GraftStoreScan(path, fullSchema, required, partCols,
+      partFilters, dataFilters).planInputPartitions()
     // empty-store guard: the global-count final merge needs >= 1 partial
-    if (new GraftStoreScan(path, fullSchema, required, partCols, partFilters)
-          .planInputPartitions().isEmpty) return false
-    aggPush = Some((gb.flatten, specs.flatten))
+    if (parts.isEmpty) return false
+    // stats-backed specs need full coverage: every candidate file must
+    // carry the column's zone-map entry (and a row count for COUNT(*))
+    val needStats = flat.exists {
+      case GraftStatsMin(_) | GraftStatsMax(_) | GraftStatsCount(_) => true
+      case _ => false
+    }
+    if (needStats) {
+      val ok = parts.forall { p =>
+        val st = p.asInstanceOf[GraftFilePartition].stats
+        st.isDefined && flat.forall {
+          case GraftStatsMin(c)   => st.get.cols.contains(c)
+          case GraftStatsMax(c)   => st.get.cols.contains(c)
+          case GraftStatsCount(c) => pc(c) || st.get.cols.contains(c)
+          case _                  => true
+        }
+      }
+      if (!ok) return false
+    }
+    aggPush = Some((gb.flatten, flat))
     true
   }
 
   override def build(): Scan = aggPush match {
     case Some((gb, specs)) =>
-      new GraftStoreAggScan(path, fullSchema, partCols, partFilters, gb, specs)
+      new GraftStoreAggScan(path, fullSchema, partCols, partFilters,
+        dataFilters, gb, specs)
     case None =>
-      new GraftStoreScan(path, fullSchema, required, partCols, partFilters)
+      new GraftStoreScan(path, fullSchema, required, partCols, partFilters,
+        dataFilters, columnar)
   }
 }
 
 /** One part file + the partition values bound by its directory path
-  * (encoded text, schema-typed at read time; parallel to `partCols`).
+  * (encoded text, schema-typed at read time; parallel to `partCols`),
+  * plus the file's zone-map stats when the `_STATS` sidecar has them.
   */
 private[sources] case class GraftFilePartition(
-    file: String, partValues: Seq[String]) extends InputPartition
+    file: String, partValues: Seq[String],
+    stats: Option[GraftFileStats] = None) extends InputPartition
 
 private[sources] class GraftStoreScan(
     path: String, fullSchema: StructType, required: StructType,
-    partCols: Seq[String], partFilters: Array[Filter])
+    partCols: Seq[String], partFilters: Array[Filter],
+    dataFilters: Array[Filter] = Array.empty, columnar: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -567,7 +840,9 @@ private[sources] class GraftStoreScan(
     */
   override def description(): String =
     s"graft-store($path) PushedFilters: [${partFilters.mkString(", ")}], " +
+      s"SkipFilters: [${dataFilters.mkString(", ")}], " +
       s"PartitionColumns: [${partCols.mkString(", ")}], " +
+      s"Columnar: $columnar, " +
       s"ReadSchema: ${required.catalogString}"
 
   private def partField(c: String): StructField =
@@ -575,27 +850,79 @@ private[sources] class GraftStoreScan(
 
   /** The `_SUCCESS` gate + level-by-level partition pruning: a subtree
     * whose bound prefix already refutes a pushed (or runtime) filter is
-    * never listed.
+    * never listed. Surviving files then pass the ZONE-MAP gate: a
+    * residual data-column predicate that no row of the file can satisfy
+    * (per its `_STATS` min/max/null-count entry) skips the file without
+    * opening it (VERDICT r10 task 1) — at 100 TB this is the difference
+    * between "read the partition" and "read the 3 files whose id range
+    * overlaps the probe".
     */
   private def plannedWith(filters: Array[Filter]): Array[GraftFilePartition] = {
     val root = new File(path)
     if (!new File(root, GraftStore.SuccessFile).isFile)
       return Array.empty
+    val statsBook = GraftCommit.readStats(root)
+    val rootLen = root.getAbsolutePath.length + 1
+
+    def withStats(f: File, texts: Seq[String]): GraftFilePartition = {
+      val rel = f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
+      GraftFilePartition(f.getAbsolutePath, texts, statsBook.get(rel))
+    }
+    def keepByZoneMap(p: GraftFilePartition): Boolean = p.stats match {
+      case None => true // no entry — never skip
+      case Some(st) =>
+        val part = partCols.zipWithIndex.map { case (c, i) =>
+          c -> GraftStore.partValueTyped(p.partValues(i), partField(c).dataType)
+        }.toMap
+        dataFilters.forall(GraftStore.maybeSatisfies(_, part, st, fullSchema))
+    }
 
     def partFiles(dir: File): Array[File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("part-"))
         .sortBy(_.getName)
 
+    // A compacted table reads EXACTLY its manifest (merged files carry
+    // names the default glob ignores, so visibility flipped atomically
+    // with the manifest write); a listed-but-missing file is a torn
+    // store and fails loudly rather than returning a silent subset.
+    GraftCommit.readManifest(root) match {
+      case Some(rels) =>
+        return rels.sorted.flatMap { rel =>
+          val f = new File(root, rel)
+          if (!f.isFile) throw new IllegalStateException(
+            s"graft-store: _MANIFEST lists a missing file '$rel' under $path — " +
+              "torn maintenance state; restore the file or rebuild the manifest")
+          val comps = rel.split('/')
+          require(comps.length == partCols.length + 1,
+            s"graft-store: manifest path '$rel' does not match the " +
+              s"${partCols.length}-level partitioning ${partCols.mkString(",")}")
+          val texts = partCols.zipWithIndex.map { case (c, i) =>
+            require(comps(i).startsWith(c + "="),
+              s"graft-store: manifest path '$rel' level $i is not '$c='")
+            GraftStore.decodePartValue(comps(i).substring(c.length + 1))
+          }
+          val bound = partCols.zip(texts).map { case (c, t) =>
+            c -> GraftStore.partValueTyped(t, partField(c).dataType)
+          }.toMap
+          // full binding: accepted filters are consumed, so definite-true
+          // only (same leaf rule as the directory walk)
+          if (filters.forall(GraftStore.evalFilter3(_, bound).contains(true)))
+            Some(withStats(f, texts)).filter(keepByZoneMap)
+          else None
+        }.toArray
+      case None => ()
+    }
+
     if (partCols.isEmpty)
-      partFiles(root).map(f => GraftFilePartition(f.getAbsolutePath, Seq.empty))
+      partFiles(root).map(f => withStats(f, Seq.empty)).filter(keepByZoneMap)
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[GraftFilePartition]
       def walk(dir: File, level: Int, bound: Map[String, Any],
                texts: List[String]): Unit =
         if (level == partCols.length) {
-          partFiles(dir).foreach(f =>
-            out += GraftFilePartition(f.getAbsolutePath, texts.reverse))
+          partFiles(dir).map(f => withStats(f, texts.reverse))
+            .filter(keepByZoneMap).foreach(out += _)
         } else {
           val col = partCols(level)
           val dt = partField(col).dataType
@@ -606,8 +933,16 @@ private[sources] class GraftStoreScan(
               val text = GraftStore.decodePartValue(
                 d.getName.substring(col.length + 1))
               val b2 = bound + (col -> GraftStore.partValueTyped(text, dt))
-              if (filters.forall(GraftStore.evalFilter(_, b2)))
-                walk(d, level + 1, b2, text :: texts)
+              // Tri-valued gate (ADVICE r10 medium): mid-walk, descend
+              // unless some filter is definitely false; once every
+              // partition column is bound (level+1 == depth), accepted
+              // filters are CONSUMED, so only definite-true keeps the
+              // leaf — an UNKNOWN there is SQL null semantics, excluded.
+              val verdicts = filters.map(GraftStore.evalFilter3(_, b2))
+              val keep =
+                if (level + 1 == partCols.length) verdicts.forall(_.contains(true))
+                else !verdicts.exists(_.contains(false))
+              if (keep) walk(d, level + 1, b2, text :: texts)
             }
         }
       walk(root, 0, Map.empty, Nil)
@@ -619,32 +954,42 @@ private[sources] class GraftStoreScan(
     plannedWith(effectiveFilters).map(p => p: InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(fullSchema, required, partCols)
+    new GraftReaderFactory(fullSchema, required, partCols, columnar)
 }
 
 /** The pushed-aggregate scan: same directory planning (partition
-  * pruning AND runtime filtering compose — inherited), but each part
-  * file yields ONE partial row: group-by partition values, record
-  * counts from the boundary walk, min/max partition values from the
-  * directory. Spark's final aggregate merges the partials.
+  * pruning, zone-map skipping AND runtime filtering compose —
+  * inherited), but each part file yields ONE partial row: group-by
+  * partition values; counts and data-column min/max from the `_STATS`
+  * zone map (record-boundary walk as the COUNT(*) fallback when a file
+  * predates stats); partition min/max from the directory. Spark's
+  * final aggregate merges the partials.
   */
 private[sources] class GraftStoreAggScan(
     path: String, fullSchema: StructType, partCols: Seq[String],
-    partFilters: Array[Filter], groupBy: Seq[String], specs: Seq[GraftAggSpec])
-    extends GraftStoreScan(path, fullSchema, fullSchema, partCols, partFilters) {
+    partFilters: Array[Filter], dataFilters: Array[Filter],
+    groupBy: Seq[String], specs: Seq[GraftAggSpec])
+    extends GraftStoreScan(path, fullSchema, fullSchema, partCols, partFilters,
+      dataFilters) {
 
   override def readSchema(): StructType = StructType(
     groupBy.map(c => fullSchema(c)) ++ specs.map {
-      case GraftCountStar  => StructField("count(*)", LongType, nullable = false)
-      case GraftPartMin(c) => StructField(s"min($c)", fullSchema(c).dataType)
-      case GraftPartMax(c) => StructField(s"max($c)", fullSchema(c).dataType)
+      case GraftCountStar     => StructField("count(*)", LongType, nullable = false)
+      case GraftPartMin(c)    => StructField(s"min($c)", fullSchema(c).dataType)
+      case GraftPartMax(c)    => StructField(s"max($c)", fullSchema(c).dataType)
+      case GraftStatsMin(c)   => StructField(s"min($c)", fullSchema(c).dataType)
+      case GraftStatsMax(c)   => StructField(s"max($c)", fullSchema(c).dataType)
+      case GraftStatsCount(c) => StructField(s"count($c)", LongType, nullable = false)
     })
 
   override def description(): String = {
     val aggs = specs.map {
-      case GraftCountStar  => "COUNT(*)"
-      case GraftPartMin(c) => s"MIN($c)"
-      case GraftPartMax(c) => s"MAX($c)"
+      case GraftCountStar     => "COUNT(*)"
+      case GraftPartMin(c)    => s"MIN($c)"
+      case GraftPartMax(c)    => s"MAX($c)"
+      case GraftStatsMin(c)   => s"MIN($c)"
+      case GraftStatsMax(c)   => s"MAX($c)"
+      case GraftStatsCount(c) => s"COUNT($c)"
     }
     super.description() +
       s", PushedAggregates: [${aggs.mkString(", ")}]" +
@@ -669,20 +1014,34 @@ private[sources] class GraftAggReaderFactory(
         case s: String => UTF8String.fromString(s)
         case other     => other
       }
+    // typed Catalyst value of a zone-map bound (None/all-null -> null)
+    def statVal(c: String, bound: GraftColStatsTxt => Option[String]): Any =
+      gp.stats.flatMap(st => st.cols.get(c)).flatMap(bound)
+        .map(t => GraftStore.convert(t, fullSchema(c).dataType)).orNull
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
+      private lazy val rowCount: Long = gp.stats match {
+        case Some(st) => st.rows // zone map: zero bytes touched
+        case None =>
+          // record-boundary walk only: no field is ever type-converted
+          val parser = new GraftRecordParser(Files.newBufferedReader(
+            Paths.get(gp.file), StandardCharsets.UTF_8))
+          var n = 0L
+          try { while (parser.next() != null) n += 1 } finally parser.close()
+          n
+      }
       override def next(): Boolean = {
         if (done) return false
-        // record-boundary walk only: no field is ever type-converted
-        val parser = new GraftRecordParser(Files.newBufferedReader(
-          Paths.get(gp.file), StandardCharsets.UTF_8))
-        var n = 0L
-        try { while (parser.next() != null) n += 1 } finally parser.close()
         row = InternalRow.fromSeq(groupBy.map(partVal) ++ specs.map {
-          case GraftCountStar  => n
-          case GraftPartMin(c) => partVal(c)
-          case GraftPartMax(c) => partVal(c)
+          case GraftCountStar     => rowCount
+          case GraftPartMin(c)    => partVal(c)
+          case GraftPartMax(c)    => partVal(c)
+          case GraftStatsMin(c)   => statVal(c, _.min)
+          case GraftStatsMax(c)   => statVal(c, _.max)
+          case GraftStatsCount(c) =>
+            if (partIndex.contains(c)) { if (partVal(c) == null) 0L else rowCount }
+            else rowCount - gp.stats.get.cols(c).nulls
         })
         done = true
         true
@@ -694,8 +1053,102 @@ private[sources] class GraftAggReaderFactory(
 }
 
 private[sources] class GraftReaderFactory(
-    fullSchema: StructType, required: StructType, partCols: Seq[String])
+    fullSchema: StructType, required: StructType, partCols: Seq[String],
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** VECTORIZED read path (VERDICT r10 task 5, opt-in via
+    * `.option("columnar", "true")`): instead of one `InternalRow` per
+    * record, the reader fills 4096-row `OnHeapColumnVector` batches, so
+    * downstream whole-stage codegen consumes the scan through the
+    * columnar fast path (`ColumnarToRow` appears in the executed plan
+    * and per-row iterator overhead amortizes across the batch).
+    * Partition-column vectors are filled once per batch from the
+    * directory value; tokenizing/conversion semantics are IDENTICAL to
+    * the row reader (SourcesSpec proves equality on the same store).
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val gp = p.asInstanceOf[GraftFilePartition]
+    val fileFields = fullSchema.fields.filterNot(f => partCols.contains(f.name))
+    val fileIndex = fileFields.map(_.name).zipWithIndex.toMap
+    val partIndex = partCols.zipWithIndex.toMap
+    val capacity = 4096
+
+    val vectors = required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
+    val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+
+    // slot binding, same contract as the row reader
+    sealed trait Slot
+    case class Const(v: Any) extends Slot
+    case class FromFile(idx: Int, dt: DataType) extends Slot
+    val slots: Array[Slot] = required.fields.map { f =>
+      partIndex.get(f.name) match {
+        case Some(pi) =>
+          Const(GraftStore.partValueTyped(gp.partValues(pi), f.dataType))
+        case None => FromFile(fileIndex(f.name), f.dataType)
+      }
+    }
+
+    def put(vec: OnHeapColumnVector, dt: DataType, i: Int, v: Any): Unit =
+      if (v == null) vec.putNull(i)
+      else dt match {
+        case LongType    => vec.putLong(i, v.asInstanceOf[Long])
+        case IntegerType => vec.putInt(i, v.asInstanceOf[Int])
+        case DoubleType  => vec.putDouble(i, v.asInstanceOf[Double])
+        case BooleanType => vec.putBoolean(i, v.asInstanceOf[Boolean])
+        case StringType  =>
+          val b = v.toString.getBytes(StandardCharsets.UTF_8)
+          vec.putByteArray(i, b, 0, b.length)
+          ()
+        case other => throw new IllegalArgumentException(
+          s"graft-store: unsupported column type $other")
+      }
+
+    val parser = new GraftRecordParser(Files.newBufferedReader(
+      Paths.get(gp.file), StandardCharsets.UTF_8))
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = {
+        vectors.foreach(_.reset())
+        var n = 0
+        var rec = parser.next()
+        while (rec != null && n < capacity) {
+          var s = 0
+          while (s < slots.length) {
+            slots(s) match {
+              case Const(v) => put(vectors(s), required.fields(s).dataType, n, v)
+              case FromFile(idx, dt) =>
+                val raw = if (idx < rec.length) rec(idx) else null
+                if (raw == null) vectors(s).putNull(n)
+                else dt match {
+                  case LongType    => vectors(s).putLong(n, raw.toLong)
+                  case IntegerType => vectors(s).putInt(n, raw.toInt)
+                  case DoubleType  => vectors(s).putDouble(n, raw.toDouble)
+                  case BooleanType => vectors(s).putBoolean(n, raw.toBoolean)
+                  case StringType  =>
+                    val b = raw.getBytes(StandardCharsets.UTF_8)
+                    vectors(s).putByteArray(n, b, 0, b.length)
+                    ()
+                  case other => throw new IllegalArgumentException(
+                    s"graft-store: unsupported column type $other")
+                }
+            }
+            s += 1
+          }
+          n += 1
+          if (n < capacity) rec = parser.next() else rec = null
+        }
+        batch.setNumRows(n)
+        n > 0
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = { parser.close(); batch.close() }
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftFilePartition]
@@ -767,28 +1220,103 @@ private[sources] class GraftStoreWriteBuilder(
 }
 
 /** Task commit message: the task's temp files, each tagged with its
-  * RELATIVE partition directory ("" for unpartitioned).
+  * RELATIVE partition directory ("" for unpartitioned) and carrying the
+  * zone-map stats accumulated while writing it.
   */
 private[sources] case class GraftCommitMessage(
-    partitionId: Int, files: Seq[(String, String)]) extends WriterCommitMessage
+    partitionId: Int, files: Seq[(String, String)],
+    stats: Seq[GraftFileStats]) extends WriterCommitMessage
 
 private[sources] object GraftCommit {
   /** Publish task temp files into the table dir: rename each into its
     * partition dir under `nameOf(n)`, in (task partition, file) order —
     * a deterministic layout. Shared by batch job commit and streaming
-    * epoch commit.
+    * epoch commit. Returns the published files' table-relative paths
+    * paired with their zone-map stats, for the `_STATS` sidecar.
     */
   def publish(root: File, messages: Array[WriterCommitMessage],
-              nameOf: Int => String): Unit = {
+              nameOf: Int => String): Seq[(String, GraftFileStats)] = {
     var n = 0
+    val out = Seq.newBuilder[(String, GraftFileStats)]
     messages.map(_.asInstanceOf[GraftCommitMessage]).sortBy(_.partitionId)
-      .foreach(_.files.foreach { case (relDir, tempPath) =>
-        val dir = if (relDir.isEmpty) root else new File(root, relDir)
-        dir.mkdirs()
-        Files.move(Paths.get(tempPath), new File(dir, nameOf(n)).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-        n += 1
-      })
+      .foreach { m =>
+        m.files.zip(m.stats).foreach { case ((relDir, tempPath), st) =>
+          val dir = if (relDir.isEmpty) root else new File(root, relDir)
+          dir.mkdirs()
+          val name = nameOf(n)
+          Files.move(Paths.get(tempPath), new File(dir, name).toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          out += ((if (relDir.isEmpty) name else s"$relDir/$name") -> st)
+          n += 1
+        }
+      }
+    out.result()
+  }
+
+  // ---- `_STATS` sidecar codec (VERDICT r10 task 1): one line per part
+  // file — encoded rel path, row count, then (col, nulls, min, max)
+  // quads. All text fields go through the %XX partition-value codec, so
+  // tabs/newlines inside string bounds can't break the framing; absent
+  // bounds (all-null column) reuse the null sentinel.
+
+  def writeStats(root: File, entries: Seq[(String, GraftFileStats)]): Unit = {
+    val sb = new StringBuilder
+    entries.foreach { case (rel, st) =>
+      sb.append(GraftStore.encodePartValue(rel)).append('\t').append(st.rows)
+      st.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        sb.append('\t').append(GraftStore.encodePartValue(c))
+          .append('\t').append(cs.nulls)
+          .append('\t').append(GraftStore.encodePartValue(cs.min.orNull))
+          .append('\t').append(GraftStore.encodePartValue(cs.max.orNull))
+      }
+      sb.append('\n')
+    }
+    val tmp = new File(root, GraftStore.StatsFile + ".tmp")
+    Files.write(tmp.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(root, GraftStore.StatsFile).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  // ---- `_MANIFEST` (VERDICT r10 task 2): when present, the EXACT set
+  // of visible data files (table-relative paths, one per line, %XX
+  // encoded). The glob-the-directory default cannot express "these
+  // merged files replace those small ones" atomically; the manifest
+  // can — compaction publishes merged files under names the default
+  // glob ignores, then swaps visibility with ONE atomic manifest
+  // write. Commits keep it current once it exists.
+
+  def readManifest(root: File): Option[Seq[String]] = {
+    val f = new File(root, GraftStore.ManifestFile)
+    if (!f.isFile) None
+    else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty)
+      .map(GraftStore.decodePartValue).toSeq)
+  }
+
+  def writeManifest(root: File, files: Seq[String]): Unit = {
+    val body = files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n")
+    val tmp = new File(root, GraftStore.ManifestFile + ".tmp")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(root, GraftStore.ManifestFile).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def readStats(root: File): Map[String, GraftFileStats] = {
+    val f = new File(root, GraftStore.StatsFile)
+    if (!f.isFile) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val t = line.split("\t", -1)
+        val cols = t.drop(2).grouped(4).collect {
+          case Array(c, nulls, mn, mx) =>
+            GraftStore.decodePartValue(c) -> GraftColStatsTxt(nulls.toLong,
+              Option(GraftStore.decodePartValue(mn)),
+              Option(GraftStore.decodePartValue(mx)))
+        }.toMap
+        GraftStore.decodePartValue(t(0)) -> GraftFileStats(t(1).toLong, cols)
+      }.toMap
   }
 
   def writeMeta(root: File, schema: StructType, partCols: Seq[String]): Unit = {
@@ -800,11 +1328,14 @@ private[sources] object GraftCommit {
     ()
   }
 
-  /** All part files, at the root and inside partition dirs (any depth). */
+  /** All data files (glob-visible `part-*` and compaction-produced
+    * `merged-*`), at the root and inside partition dirs (any depth).
+    */
   def allPartFiles(root: File): Seq[File] = {
     def go(d: File): Seq[File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
-        case f if f.isFile && f.getName.startsWith("part-") => Seq(f)
+        case f if f.isFile &&
+          (f.getName.startsWith("part-") || f.getName.startsWith("merged-")) => Seq(f)
         case d2 if d2.isDirectory && d2.getName.contains("=") => go(d2)
         case _ => Seq.empty
       }
@@ -850,11 +1381,21 @@ private[sources] class GraftBatchWrite(
           }
           rm(d)
         }
-      Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile)
+      Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile,
+        GraftStore.StatsFile, GraftStore.ManifestFile)
         .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
     }
-    GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
+    val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
     GraftCommit.writeMeta(dir, schema, partCols)
+    // zone maps: append-mode keeps prior files' entries; a file with no
+    // entry is simply never skipped, so stats stay advisory-but-exact
+    val prior = if (truncate) Map.empty[String, GraftFileStats]
+                else GraftCommit.readStats(dir)
+    GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
+    // a compacted (manifest-bearing) table keeps its manifest current:
+    // an append's files must become visible through it
+    if (!truncate) GraftCommit.readManifest(dir).foreach(m =>
+      GraftCommit.writeManifest(dir, m ++ published.map(_._1)))
     GraftCommit.deleteTemp(path, jobId)
     // the publish point: written last, so the marker implies completeness
     Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
@@ -894,8 +1435,21 @@ private[sources] class GraftStreamingWrite(
     GraftCommit.allPartFiles(dir)
       .filter(_.getName.startsWith(prefix))
       .foreach(f => Files.delete(f.toPath))
-    GraftCommit.publish(dir, messages, n => f"$prefix$n%05d.csv")
+    val published = GraftCommit.publish(dir, messages, n => f"$prefix$n%05d.csv")
     GraftCommit.writeMeta(dir, schema, partCols)
+    // zone maps: drop the replayed epoch's superseded entries, add new
+    val prior = GraftCommit.readStats(dir).filterNot { case (rel, _) =>
+      rel.split('/').last.startsWith(prefix)
+    }
+    GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
+    // compacted sink: replace the replayed epoch's manifest entries too.
+    // (Compaction of a LIVE stream requires quiescence — a replay of an
+    // epoch whose rows were already merged away cannot be deduplicated;
+    // see GraftMaintenance.compact.)
+    GraftCommit.readManifest(dir).foreach { m =>
+      GraftCommit.writeManifest(dir,
+        m.filterNot(_.split('/').last.startsWith(prefix)) ++ published.map(_._1))
+    }
     GraftCommit.deleteTemp(path, epochJob(epochId))
     Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
     ()
@@ -946,18 +1500,68 @@ private[sources] class GraftDataWriter(
     schema.fields.zipWithIndex
       .filterNot { case (f, _) => partCols.contains(f.name) }.map(_._2)
   private val dataSchema = StructType(dataSlots.map(schema.fields(_)))
-  private val dataProj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-    new Array[Any](dataSlots.length))
+  private val dataVals = new Array[Any](dataSlots.length)
+  private val dataProj =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(dataVals)
 
-  private val open = scala.collection.mutable.LinkedHashMap.empty[String, java.io.BufferedWriter]
+  /** Running zone map of one open temp file (VERDICT r10 task 1): row
+    * count, per-data-column null counts and min/max under Spark's
+    * comparison order (NaN greatest, -0.0 normalized to 0.0, strings in
+    * UTF-8 binary order). Bounds are EXACT — they are what lets the scan
+    * skip whole files and lets MIN/MAX aggregate pushdown answer from
+    * the sidecar alone.
+    */
+  private final class StatsAcc {
+    var rows = 0L
+    val nulls = new Array[Long](dataSlots.length)
+    val mins = new Array[Any](dataSlots.length) // null = unseen
+    val maxs = new Array[Any](dataSlots.length)
+
+    def update(vals: Array[Any]): Unit = {
+      rows += 1
+      var j = 0
+      while (j < dataSlots.length) {
+        val v0: Any = vals(j)
+        if (v0 == null) nulls(j) += 1
+        else {
+          val v: Any = v0 match {
+            case d: Double if d == 0.0 => 0.0 // -0.0 == 0.0 in SQL
+            case u: UTF8String => u.clone() // detach from any reused buffer
+            case other => other
+          }
+          if (mins(j) == null || cmpVal(v, mins(j)) < 0) mins(j) = v
+          if (maxs(j) == null || cmpVal(v, maxs(j)) > 0) maxs(j) = v
+        }
+        j += 1
+      }
+    }
+
+    private def cmpVal(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long)             => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)               => Integer.compare(x, y)
+      case (x: Double, y: Double)         => java.lang.Double.compare(x, y)
+      case (x: Boolean, y: Boolean)       => java.lang.Boolean.compare(x, y)
+      case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+      case _ => throw new IllegalStateException(s"stats type clash: $a vs $b")
+    }
+
+    def result(): GraftFileStats = GraftFileStats(rows,
+      dataSchema.fields.zipWithIndex.map { case (f, j) =>
+        f.name -> GraftColStatsTxt(nulls(j),
+          Option(mins(j)).map(_.toString), Option(maxs(j)).map(_.toString))
+      }.toMap)
+  }
+
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (java.io.BufferedWriter, StatsAcc)]
   private var closed = false
 
-  private def writerFor(relDir: String): java.io.BufferedWriter =
+  private def writerFor(relDir: String): (java.io.BufferedWriter, StatsAcc) =
     open.getOrElseUpdate(relDir, {
       val dir = if (relDir.isEmpty) taskDir else new File(taskDir, relDir)
       dir.mkdirs()
-      Files.newBufferedWriter(
-        new File(dir, "data.csv").toPath, StandardCharsets.UTF_8)
+      (Files.newBufferedWriter(
+        new File(dir, "data.csv").toPath, StandardCharsets.UTF_8), new StatsAcc)
     })
 
   private def relDirOf(row: InternalRow): String =
@@ -981,22 +1585,23 @@ private[sources] class GraftDataWriter(
       })
       j += 1
     }
-    val out = writerFor(if (partCols.isEmpty) "" else relDirOf(row))
+    val (out, acc) = writerFor(if (partCols.isEmpty) "" else relDirOf(row))
+    acc.update(dataVals)
     out.write(GraftStore.serialize(dataProj, dataSchema))
     out.write("\n")
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_.close()); closed = true
+    open.values.foreach(_._1.close()); closed = true
     val files = open.keys.toSeq.map { relDir =>
       val dir = if (relDir.isEmpty) taskDir else new File(taskDir, relDir)
       (relDir, new File(dir, "data.csv").getAbsolutePath)
     }
-    GraftCommitMessage(partitionId, files)
+    GraftCommitMessage(partitionId, files, open.values.map(_._2.result()).toSeq)
   }
 
   override def abort(): Unit = {
-    if (!closed) open.values.foreach(_.close())
+    if (!closed) open.values.foreach(_._1.close())
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       Files.deleteIfExists(f.toPath); ()
@@ -1005,5 +1610,5 @@ private[sources] class GraftDataWriter(
   }
 
   override def close(): Unit =
-    if (!closed) { open.values.foreach(_.close()); closed = true }
+    if (!closed) { open.values.foreach(_._1.close()); closed = true }
 }

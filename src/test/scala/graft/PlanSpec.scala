@@ -400,4 +400,34 @@ class PlanSpec extends AnyFunSuite {
       s"no runtime partition filter planted on the store scan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$plan")
   }
+
+  test("q253 graft-store scan advertises the data-column skip filters (zone maps) and fewer scan rows") {
+    val df = Registry.planForms("q253_store_zonemap")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-store"), s"DSv2 scan missing:\n$plan")
+    // the probe predicates reach the scan as SkipFilters (residual
+    // row-check retained — zone maps are file-level, filters stay exact)
+    assert(plan.contains("SkipFilters: [") &&
+      plan.contains("GreaterThanOrEqual(event_id,100)") &&
+      plan.contains("LessThan(event_id,400)"),
+      s"zone-map skip filters not on the scan:\n$plan")
+    // file skipping measured: the scan must emit fewer rows than the
+    // store holds (only the overlapping range-clustered files are read)
+    df.collect()
+    val scanRows = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    val total = graft.Tables.events(spark, sf).count()
+    assert(scanRows < total,
+      s"zone maps skipped nothing: scan emitted $scanRows of $total")
+  }
+
+  test("q255 graft-store columnar read: ColumnarToRow over the batch scan") {
+    val df = Registry.planForms("q255_store_columnar")(spark, sf)
+    df.collect() // ColumnarToRow is inserted when AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-store"), s"DSv2 scan missing:\n$plan")
+    assert(plan.contains("Columnar: true"), s"columnar option lost:\n$plan")
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorized path not engaged (no ColumnarToRow):\n$plan")
+  }
 }

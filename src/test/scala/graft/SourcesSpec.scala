@@ -371,7 +371,8 @@ class SourcesSpec extends AnyFunSuite {
   test("graft-store aggregate pushdown: COUNT/MIN/MAX answered without converting a data cell") {
     import spark.implicits._
     val dir = graft.util.TempDirs.create("graft_store_agg_") + "/t"
-    val rows = (0L until 900L).map(i => (i, s"d${i % 3}", i * 7 % 101, s"pad$i"))
+    val rows = (0L until 900L).map(i =>
+      (i, s"d${i % 3}", i * 7 % 101, if (i % 10 == 0) null else s"pad$i"))
     rows.toDF("id", "day", "v", "pad")
       .write.format("graft.sources.GraftStoreProvider")
       .option("path", dir).option("partitionBy", "day")
@@ -409,12 +410,24 @@ class SourcesSpec extends AnyFunSuite {
     // composition with partition-filter pushdown: pruned dirs don't count
     assert(t.filter(col("day") === "d1").agg(count(lit(1))).head().getLong(0) == 300L)
 
-    // an aggregate over a DATA column is declined (the store can't
-    // answer it without conversion — Spark must read real rows, which
-    // are poisoned, so the fallback path visibly executes and fails)
-    val dataAgg = t.agg(max("v"))
-    assert(!dataAgg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
-    intercept[Throwable] { dataAgg.collect() }
+    // DATA-column MIN/MAX/COUNT (VERDICT r10 task 1): answered from the
+    // _STATS zone map — the files are all poisoned, so a correct answer
+    // here PROVES no cell was parsed
+    val dataAgg = t.agg(max("v").as("hi"), min("v").as("lo"),
+      count(col("pad")).as("np"))
+    assert(dataAgg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [MAX(v), MIN(v), COUNT(pad)]"))
+    val r = dataAgg.head()
+    // v = i*7 % 101 over 0..899 spans [0, 100]; pad null at i % 10 == 0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 0L, 810L)),
+      r.toString)
+
+    // an aggregate the zone map cannot answer (SUM needs every cell) is
+    // declined — Spark must read real rows, which are poisoned, so the
+    // fallback path visibly executes and fails
+    val sumAgg = t.agg(sum("v"))
+    assert(!sumAgg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    intercept[Throwable] { sumAgg.collect() }
 
     // empty store: pushdown declines, Spark's global count stays 0
     val empty = graft.util.TempDirs.create("graft_store_agg_empty_") + "/e"
@@ -446,5 +459,328 @@ class SourcesSpec extends AnyFunSuite {
       .schema("id bigint, v bigint")
       .option("path", dir).load()
     assert(back.count() == 0)
+  }
+
+  test("graft-store zone maps: _STATS skips files a data predicate cannot match, stays residual-correct") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_store_zm_") + "/t"
+    // 4 range-clustered files over id [0,400): [0,100) [100,200) ...
+    (0L until 400L).map(i => (i, s"s${i % 5}", if (i % 7 == 0) null else s"w$i"))
+      .toDF("id", "tag", "w")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    assert(new java.io.File(dir, "_STATS").isFile, "stats sidecar missing")
+    val t = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+
+    // SKIP proof (the q252 poisoned-file trick): corrupt every file whose
+    // id range lies outside [150, 180); the probe must never open them
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4, parts.map(_.getName).mkString(","))
+    // range-partition boundaries are sampled, not exact — poison by each
+    // file's ACTUAL id range (what the zone map records)
+    var poisonedCount = 0
+    parts.foreach { f =>
+      val ids = Files.readString(f.toPath).linesIterator
+        .map(_.split(",")(0).toLong).toSeq
+      if (ids.max < 150 || ids.min >= 180) {
+        Files.writeString(f.toPath, "zz,zz,zz\n"); poisonedCount += 1
+      }
+    }
+    assert(poisonedCount >= 2, s"probe window spans too many files: $poisonedCount")
+    val probe = t.filter(col("id") >= 150L && col("id") < 180L)
+    assert(probe.count() == 30L)
+    assert(probe.agg(sum("id")).head().getLong(0) == (150L until 180L).sum)
+    // the residual predicate is still row-checked: ids below 150 in the
+    // surviving file must NOT leak through
+    assert(probe.select(min("id")).head().getLong(0) == 150L)
+    // the skip filters are visible on the scan for plan pinning
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("SkipFilters: [") &&
+      probePlan.contains("LessThan(id,180)"), probePlan)
+    // an unskippable read does hit the poison
+    intercept[Throwable] { t.collect() }
+
+    // null-count stats: IsNull/IsNotNull refutation. File [100,200) has
+    // w nulls only at multiples of 7; a file-wide IsNull probe keeps it.
+    assert(t.filter(col("id") >= 150L && col("id") < 180L && col("w").isNull)
+      .count() == (150L until 180L).count(_ % 7 == 0))
+    // string bounds: a StartsWith that no file's [min,max] admits skips
+    // everything (all poisoned files included) — zero rows, no error
+    assert(t.filter(col("tag").startsWith("zzz")).count() == 0L)
+  }
+
+  test("graft-store columnar read: batch path equals row path, ColumnarToRow in the plan") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_store_col_") + "/t"
+    val rows = Seq(
+      (1L, 10, 1.5, true, "plain"),
+      (2L, -20, -0.0, false, "embedded\nnewline"),
+      (3L, 30, Double.NaN, true, "quote\"and,comma"),
+      (4L, 40, 4.25, false, ""),
+      (5L, 0, 5.0, true, null),
+      (6L, 66, -7.75, false, "café 中文 😀"))
+    rows.toDF("id", "i", "d", "b", "s").coalesce(2)
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    val rowPath = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val colPath = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("columnar", "true").load()
+    val a = rowPath.orderBy("id").collect().map(_.toString).toSeq
+    val b = colPath.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b, s"columnar read diverged:\n$a\n$b")
+    val plan = colPath.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"columnar path not engaged:\n$plan")
+    assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // columnar + pruning + partition constants compose
+    val dir2 = graft.util.TempDirs.create("graft_store_col2_") + "/t"
+    rows.toDF("id", "i", "d", "b", "s")
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).option("partitionBy", "b")
+      .mode("overwrite").save()
+    val back2 = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).option("columnar", "true").load()
+    assert(back2.filter(col("b")).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 5L))
+    // a >4096-row store crosses batch boundaries losslessly
+    val dir3 = graft.util.TempDirs.create("graft_store_col3_") + "/t"
+    spark.range(0, 10000, 1, 2).select(col("id"), (col("id") * 3).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir3).mode("overwrite").save()
+    val big = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir3).option("columnar", "true").load()
+    assert(big.count() == 10000L)
+    assert(big.agg(sum("v")).head().getLong(0) == (0L until 10000L).map(_ * 3).sum)
+  }
+
+  test("graft-store compaction: small parts merge behind one atomic manifest swap, reads identical") {
+    import graft.sources.GraftMaintenance
+    val dir = graft.util.TempDirs.create("graft_compact_") + "/t"
+    def w(lo: Long, hi: Long, mode: String) =
+      spark.range(lo, hi, 1, 3)
+        .select(col("id"), (col("id") % 4).cast("string").as("day"),
+          (col("id") * 7).as("v"))
+        .write.format("graft.sources.GraftStoreProvider")
+        .option("path", dir).option("partitionBy", "day").mode(mode).save()
+    w(0, 400, "overwrite"); w(400, 800, "append"); w(800, 1200, "append")
+    def read() = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    def dataFiles: Seq[java.io.File] = {
+      def go(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          case f if f.isFile && (f.getName.startsWith("part-") ||
+            f.getName.startsWith("merged-")) => Seq(f)
+          case d2 if d2.isDirectory && d2.getName.contains("=") => go(d2)
+          case _ => Seq.empty
+        }
+      go(new java.io.File(dir))
+    }
+    val before = read().collect().map(_.toString).sorted.toSeq
+    val nBefore = dataFiles.size
+    assert(nBefore >= 12, s"fixture too small: $nBefore files") // 3 jobs x >=1 file x 4 days
+
+    val res = GraftMaintenance.compact(dir)
+    assert(res.filesBefore == nBefore && res.filesAfter < nBefore, res.toString)
+    assert(dataFiles.size == res.filesAfter)
+    assert(new java.io.File(dir, "_MANIFEST").isFile, "no manifest after compaction")
+    val after = read().collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed the data")
+
+    // merged zone maps stay exact: a data-column MAX answers from _STATS
+    val agg = read().agg(max("v"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: [MAX(v)]"))
+    assert(agg.head().getLong(0) == 1199L * 7)
+
+    // idempotent: nothing left to merge
+    val res2 = GraftMaintenance.compact(dir)
+    assert(res2.merged == 0 && res2.filesAfter == res2.filesBefore, res2.toString)
+
+    // appends after compaction surface through the manifest
+    w(1200, 1210, "append")
+    assert(read().count() == 1210)
+
+    // partition pruning still composes: poison the day=0 merged file, a
+    // day=1 probe never opens it
+    val day0 = new java.io.File(dir, "day=0").listFiles()
+      .filter(f => f.getName.startsWith("merged-"))
+    assert(day0.nonEmpty)
+    val saved = Files.readAllBytes(day0.head.toPath)
+    Files.writeString(day0.head.toPath, "zz,zz\n")
+    assert(read().filter(col("day") === "1").count() == 303)
+    Files.write(day0.head.toPath, saved)
+
+    // kill-before-commit: a stray merged file (no manifest entry) is
+    // invisible to readers and swept by the next compact
+    val stray = new java.io.File(dir, "day=2/merged-deadbeef-99999.csv")
+    Files.writeString(stray.toPath, "999999,0\n")
+    assert(read().count() == 1210, "stray merged file leaked into a read")
+    GraftMaintenance.compact(dir)
+    assert(!stray.isFile, "stray merged file not swept")
+
+    // torn state fails LOUDLY: a manifest-listed file that disappeared
+    val victim = dataFiles.head
+    val savedV = Files.readAllBytes(victim.toPath)
+    Files.delete(victim.toPath)
+    intercept[Throwable] { read().count() }
+    Files.write(victim.toPath, savedV)
+    assert(read().count() == 1210)
+  }
+
+  test("graft-store read contracts: empty store counts 0 on every path, corrupt sidecars fail loudly") {
+    // empty committed table: _SUCCESS + _SCHEMA, zero part files
+    val dir = graft.util.TempDirs.create("graft_empty_") + "/t"
+    spark.range(0).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    assert(new java.io.File(dir, "_SUCCESS").isFile)
+    val t = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    assert(t.count() == 0L) // COUNT(*): pushdown declines on empty, Spark plans the 0
+    assert(t.agg(count(lit(1))).head().getLong(0) == 0L)
+    assert(t.agg(sum("v")).head().isNullAt(0)) // SQL: SUM over empty is NULL
+    assert(t.collect().isEmpty)
+
+    // corrupt _STATS: fails loudly (never a silent partial answer);
+    // removing the advisory sidecar restores reads
+    val dir2 = graft.util.TempDirs.create("graft_corrupt_") + "/t"
+    spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).mode("overwrite").save()
+    Files.writeString(Paths.get(dir2, "_STATS"), "garbage\twithout\tstructure\n")
+    intercept[Throwable] {
+      spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", dir2).load().count()
+    }
+    Files.delete(Paths.get(dir2, "_STATS"))
+    assert(spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).load().count() == 10L)
+
+    // corrupt _MANIFEST: loud, not a silent subset
+    Files.writeString(Paths.get(dir2, "_MANIFEST"), "no-such-file.csv\n")
+    intercept[Throwable] {
+      spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", dir2).load().count()
+    }
+    Files.delete(Paths.get(dir2, "_MANIFEST"))
+  }
+
+  test("graft catalog: DDL/DML round-trips partitioning, empty table reads 0, drop/rename work") {
+    import spark.implicits._
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.specdb")
+    spark.sql("DROP TABLE IF EXISTS graft.specdb.t1")
+    spark.sql("""CREATE TABLE graft.specdb.t1 (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    // a freshly created table is a COMMITTED empty store
+    assert(spark.sql("SELECT count(*) FROM graft.specdb.t1").head().getLong(0) == 0L)
+    // partitioning survives the catalog round trip
+    val desc = spark.sql("DESCRIBE TABLE graft.specdb.t1").collect()
+      .map(_.getString(0))
+    assert(desc.contains("# Partition Information") || desc.contains("day"),
+      desc.mkString("|"))
+    spark.sql(
+      "INSERT INTO graft.specdb.t1 SELECT id, CAST(id % 3 AS STRING), id * 2 FROM range(90)")
+    assert(spark.sql("SELECT count(*) FROM graft.specdb.t1").head().getLong(0) == 90L)
+    // the named table IS a graft-store table: Hive-layout dirs + metadata
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = new java.io.File(s"$wh/specdb/t1")
+    val dirs = tdir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("day=0", "day=1", "day=2"), dirs.toString)
+    // partition-pruned named-table SQL: poison day=2, a day<=1 probe works
+    new java.io.File(tdir, "day=2").listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .foreach(f => Files.writeString(f.toPath, "zz,zz\n"))
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.specdb.t1 WHERE day IN ('0','1')")
+      .head().getLong(0) ==
+      (0L until 90L).filter(i => i % 3 != 2).map(_ * 2).sum)
+    intercept[Throwable] {
+      spark.sql("SELECT sum(v) FROM graft.specdb.t1").collect()
+    }
+    // second INSERT appends through the same commit protocol
+    spark.sql("DROP TABLE graft.specdb.t1")
+    assert(spark.sql("SHOW TABLES IN graft.specdb").collect()
+      .forall(r => r.getString(1) != "t1"))
+    // create/insert/rename/read
+    spark.sql("CREATE TABLE graft.specdb.t2 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.specdb.t2 SELECT id, id + 1 FROM range(5)")
+    // RENAME TO is catalog-relative: the target names namespace.table
+    spark.sql("ALTER TABLE graft.specdb.t2 RENAME TO specdb.t3")
+    assert(spark.sql("SELECT sum(v) FROM graft.specdb.t3").head().getLong(0) == 15L)
+    assert(!spark.catalog.tableExists("graft.specdb.t2"))
+    // duplicate create fails loudly; IF NOT EXISTS is quiet
+    intercept[Throwable] {
+      spark.sql("CREATE TABLE graft.specdb.t3 (x BIGINT, y BIGINT)")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.specdb.t3 (x BIGINT, y BIGINT)")
+    spark.sql("DROP TABLE graft.specdb.t3")
+  }
+
+  test("partition-value codec is bijective: sentinels, NULs, sentinel-shaped raw values (ADVICE r10)") {
+    import graft.sources.GraftStore._
+    val values: Seq[String] = Seq(
+      null, "", "a b", "day", "a/b=c", "héllo", "%00%00", "%", "%25",
+      "  ", // the old "%00%00" empty sentinel collided with this
+      "__GRAFT_NULL__", "__GRAFT_EMPTY__", // sentinel-shaped raw values
+      "_GRAFT_NULL__", "x__GRAFT_EMPTY__", "\n", "\"q\",v")
+    values.foreach { v =>
+      assert(decodePartValue(encodePartValue(v)) == v,
+        s"round-trip broke for ${Option(v).map(_.map(_.toInt.toHexString))}")
+    }
+    // injective over the set: distinct raw values -> distinct encodings
+    val encs = values.map(encodePartValue)
+    assert(encs.distinct.size == values.size, s"codec collision: $encs")
+    // encodings are filesystem-safe single path segments
+    encs.filter(_ != null).foreach(e =>
+      assert(!e.exists(c => c == '/' || c == '\\' || c == ' ' || c.isWhitespace)))
+  }
+
+  test("partition pruning uses SQL three-valued logic: Not/Or over a null partition excludes it (ADVICE r10)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_store_3vl_") + "/t"
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, null, 30L))
+      .toDF("id", "tag", "v")
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("partitionBy", "tag")
+      .mode("overwrite").save()
+    val back = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    // tag != 'a' is NULL (not TRUE) for the null partition; the filter is
+    // CONSUMED by the scan, so the scan itself must exclude it
+    assert(back.filter(col("tag") =!= "a").select("id").as[Long].collect().toSet
+      == Set(2L))
+    // Or(EqualTo, Not(EqualTo)): the ADVICE counterexample — null row out
+    assert(back.filter(col("tag") === "a" || col("tag") =!= "b")
+      .select("id").as[Long].collect().toSet == Set(1L))
+    assert(back.filter(!col("tag").isin("a", "zzz")).select("id").as[Long]
+      .collect().toSet == Set(2L))
+    // the null partition is still reachable where SQL says TRUE
+    assert(back.filter(col("tag").isNull || col("tag") === "b")
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(back.filter(!col("tag").isNotNull).select("id").as[Long]
+      .collect().toSet == Set(3L))
+    // parity oracle: the same predicates over an in-memory copy of the rows
+    val mirror = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, null, 30L))
+      .toDF("id", "tag", "v")
+    Seq[org.apache.spark.sql.Column](
+      col("tag") =!= "a",
+      col("tag") === "a" || col("tag") =!= "b",
+      !col("tag").isin("a", "zzz"),
+      col("tag").isNull || col("tag") === "b",
+      !col("tag").isNotNull,
+      col("tag") <= "a" || col("tag").isNull,
+      !(col("tag") > "a")
+    ).foreach { p =>
+      assert(back.filter(p).select("id").as[Long].collect().toSet
+        == mirror.filter(p).select("id").as[Long].collect().toSet,
+        s"three-valued divergence on $p")
+    }
   }
 }
