@@ -829,9 +829,16 @@ private[sources] class GraftStoreScan(
       .map(_.dataType.defaultSize).sum.max(1)
     val reqW = required.fields.map(_.dataType.defaultSize).sum.max(1)
     val est = raw * reqW / storedW
+    // exact row count when every surviving file has a zone-map entry —
+    // CBO-grade cardinality for free (the partition-pruned, file-skipped
+    // set's rows are already recorded; no file is opened)
+    val nRows =
+      if (files.nonEmpty && files.forall(_.stats.isDefined))
+        util.OptionalLong.of(files.map(_.stats.get.rows).sum)
+      else util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(est)
-      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+      override def numRows(): util.OptionalLong = nRows
     }
   }
 
