@@ -521,17 +521,19 @@ object SourceQueries {
       |WHERE (CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'day' ELSE 'night' END) = 'day'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** VECTORIZED graft-store read (VERDICT r10 task 5, opt-in
-    * `.option("columnar", "true")`): the same committed store read
-    * through the `ColumnarBatch` path — the reader fills 4096-row
-    * `OnHeapColumnVector`s and Spark consumes the scan through
-    * `ColumnarToRow` whole-stage codegen instead of a row-at-a-time
-    * iterator. Semantics are pinned identical to the row reader
-    * (SourcesSpec compares both paths on one store; PlanSpec pins the
-    * executed plan's ColumnarToRow over the graft-store scan). The
-    * aggregate exercises every supported column type end to end
-    * (long/double/string and a null-bearing column via the day/night
-    * flag) so the vector fill paths are all on the oracled path.
+  /** VECTORIZED graft-store read (VERDICT r10 task 5; the DEFAULT read
+    * path — measured 1.4x on scan-bound aggregates in
+    * `tools/ColumnarAb`, `columnar=false` selects the row reader): the
+    * committed store read through the `ColumnarBatch` path — the
+    * reader fills 4096-row `OnHeapColumnVector`s and Spark consumes
+    * the scan through `ColumnarToRow` whole-stage codegen instead of a
+    * row-at-a-time iterator. Semantics are pinned identical to the row
+    * reader (SourcesSpec compares both paths on one store; PlanSpec
+    * pins the executed plan's ColumnarToRow over the graft-store
+    * scan). The aggregate exercises every supported column type end to
+    * end (long/double/string and a null-bearing column via the
+    * day/night flag) so the vector fill paths are all on the oracled
+    * path.
     */
   private def q255(s: SparkSession, d: String): DataFrame = {
     val dir = graft.util.TempDirs.create("graft_columnar_") + "/events_store"

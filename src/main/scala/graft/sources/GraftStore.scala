@@ -626,8 +626,11 @@ private[sources] class GraftStoreTable(
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // vectorized by default (measured 1.4x on scan-bound aggregates,
+    // tools/ColumnarAb); `columnar=false` selects the row reader — both
+    // paths stay oracled/spec-pinned byte-equal
     new GraftScanBuilder(path, tschema, partCols,
-      options.getBoolean(GraftStore.ColumnarOption, false))
+      options.getBoolean(GraftStore.ColumnarOption, true))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), partCols)

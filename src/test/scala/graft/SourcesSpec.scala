@@ -525,10 +525,11 @@ class SourcesSpec extends AnyFunSuite {
     rows.toDF("id", "i", "d", "b", "s").coalesce(2)
       .write.format("graft.sources.GraftStoreProvider")
       .option("path", dir).mode("overwrite").save()
+    // columnar is the DEFAULT; `columnar=false` selects the row reader
     val rowPath = spark.read.format("graft.sources.GraftStoreProvider")
-      .option("path", dir).load()
+      .option("path", dir).option("columnar", "false").load()
     val colPath = spark.read.format("graft.sources.GraftStoreProvider")
-      .option("path", dir).option("columnar", "true").load()
+      .option("path", dir).load()
     val a = rowPath.orderBy("id").collect().map(_.toString).toSeq
     val b = colPath.orderBy("id").collect().map(_.toString).toSeq
     assert(a == b, s"columnar read diverged:\n$a\n$b")
@@ -627,6 +628,39 @@ class SourcesSpec extends AnyFunSuite {
     intercept[Throwable] { read().count() }
     Files.write(victim.toPath, savedV)
     assert(read().count() == 1210)
+
+    // targetBytes bin-packing: an unpartitioned store of 6 equal files
+    // compacted with a 2-file-sized target yields ceil(6/2)=3 merged
+    // files, and the merged zone maps still skip by range
+    val dir2 = graft.util.TempDirs.create("graft_compact_bins_") + "/t"
+    (0 until 3).foreach { g =>
+      spark.range(g * 2000L, (g + 1) * 2000L, 1, 2)
+        .select(col("id"), (col("id") * 3).as("v"))
+        .sortWithinPartitions("id")
+        .write.format("graft.sources.GraftStoreProvider")
+        .option("path", dir2).mode(if (g == 0) "overwrite" else "append").save()
+    }
+    def files2 = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.startsWith("part-") || f.getName.startsWith("merged-"))
+    assert(files2.length == 6)
+    val oneFile = files2.map(_.length()).max
+    val res3 = graft.sources.GraftMaintenance.compact(dir2, targetBytes = oneFile * 2)
+    assert(res3.filesAfter == 3 && res3.merged == 3, res3.toString)
+    assert(spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).load().count() == 6000)
+    // each merged file spans 2 input files; a probe inside one bin's id
+    // range opens only that bin (poison the rest)
+    val statsLines = Files.readString(Paths.get(dir2, "_STATS"))
+    assert(statsLines.linesIterator.size == 3, statsLines)
+    val t2 = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).load()
+    files2.foreach { f =>
+      val ids = Files.readString(f.toPath).linesIterator
+        .map(_.split(",")(0).toLong).toSeq
+      if (ids.max < 100 || ids.min > 150) Files.writeString(f.toPath, "zz,zz\n")
+    }
+    assert(t2.filter(col("id") >= 100L && col("id") <= 150L)
+      .agg(sum("v")).head().getLong(0) == (100L to 150L).map(_ * 3).sum)
   }
 
   test("graft-store read contracts: empty store counts 0 on every path, corrupt sidecars fail loudly") {
