@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -660,14 +660,35 @@ private[sources] class GraftScanBuilder(
     columnar: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
   private var aggPush: Option[(Seq[String], Seq[GraftAggSpec])] = None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown (the seq-source rule applied to the table format):
+    * accepted only when every pushed filter prunes EXACTLY (partition
+    * filters do; a residual row-wise predicate would make the limit
+    * post-filter, so decline — same adjudication as SeqSource).
+    * PARTIALLY pushed: Spark keeps its own Limit for the final
+    * truncation; the scan's job is to stop PLANNING files once the
+    * zone-map row counts already guarantee `n` rows — `LIMIT 10` over a
+    * million-file store opens one file, which is the 100 TB difference
+    * between a peek and a scan. Files without a stats entry contribute
+    * an unknown count (kept, counted as zero), so partial coverage only
+    * costs extra planned files, never rows.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (dataFilters.nonEmpty) return false
+    limit = Some(n)
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
 
   /** Accept filters answerable from partition directory names alone —
     * those are evaluated EXACTLY during directory walking, so they are
@@ -769,7 +790,7 @@ private[sources] class GraftScanBuilder(
         dataFilters, gb, specs)
     case None =>
       new GraftStoreScan(path, fullSchema, required, partCols, partFilters,
-        dataFilters, columnar)
+        dataFilters, columnar, limit)
   }
 }
 
@@ -784,7 +805,8 @@ private[sources] case class GraftFilePartition(
 private[sources] class GraftStoreScan(
     path: String, fullSchema: StructType, required: StructType,
     partCols: Seq[String], partFilters: Array[Filter],
-    dataFilters: Array[Filter] = Array.empty, columnar: Boolean = false)
+    dataFilters: Array[Filter] = Array.empty, columnar: Boolean = false,
+    limit: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -853,6 +875,7 @@ private[sources] class GraftStoreScan(
       s"SkipFilters: [${dataFilters.mkString(", ")}], " +
       s"PartitionColumns: [${partCols.mkString(", ")}], " +
       s"Columnar: $columnar, " +
+      limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   private def partField(c: String): StructField =
@@ -960,8 +983,25 @@ private[sources] class GraftStoreScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedWith(effectiveFilters).map(p => p: InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = plannedWith(effectiveFilters)
+    // pushed LIMIT: stop planning once the zone maps GUARANTEE n rows —
+    // a file without stats contributes an unknown (0) count, so it is
+    // kept and the cut simply happens later; Spark's retained Limit
+    // does the final truncation
+    val cut = limit match {
+      case Some(n) =>
+        var confirmed = 0L
+        var k = 0
+        while (k < planned.length && confirmed < n) {
+          confirmed += planned(k).stats.map(_.rows).getOrElse(0L)
+          k += 1
+        }
+        if (confirmed >= n) planned.take(k) else planned
+      case None => planned
+    }
+    cut.map(p => p: InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, required, partCols, columnar)

@@ -757,6 +757,65 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.specdb.t3")
   }
 
+  test("graft-store limit pushdown: zone-map row counts cap file planning, declines on row-wise filters") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_store_lim_") + "/t"
+    spark.range(0, 5000, 1, 5).select(col("id"), (col("id") * 3).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 5)
+    // poison everything but the FIRST planned file: a pushed LIMIT that
+    // the first file's 1000-row zone map already covers must not open them
+    parts.drop(1).foreach(f => Files.writeString(f.toPath, "zz,zz\n"))
+    val t = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val lim = t.limit(800)
+    assert(lim.count() == 800)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 800"))
+    // a limit larger than the confirmed first file keeps planning (and
+    // dies on the poison — proving the cut really was stats-driven)
+    intercept[Throwable] { t.limit(1500).collect() }
+    // a row-wise (pushed-but-residual) filter makes the limit
+    // post-filter: pushLimit DECLINES, so no PushedLimit on the scan
+    // and file planning is NOT capped (Spark's own CollectLimit still
+    // reads lazily, so assert on the plan, not on the poison)
+    val filtered = t.filter(col("v") > 100L).limit(3)
+    assert(filtered.collect().length == 3)
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("GreaterThan(v,100)") && !fPlan.contains("PushedLimit"),
+      fPlan)
+    // partition filters prune exactly, so LIMIT composes with them
+    val dir2 = graft.util.TempDirs.create("graft_store_lim2_") + "/t"
+    spark.range(0, 900, 1, 3)
+      .select(col("id"), (col("id") % 3).cast("string").as("day"), (col("id") * 2).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).option("partitionBy", "day")
+      .mode("overwrite").save()
+    val t2 = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).load()
+    val probe = t2.filter(col("day") === "1").limit(5)
+    assert(probe.collect().length == 5)
+    assert(probe.collect().forall(_.getAs[String]("day") == "1"))
+    assert(probe.queryExecution.executedPlan.toString.contains("PushedLimit: 5"))
+  }
+
+  test("graft catalog CTAS: CREATE TABLE AS SELECT creates and loads through the same store") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctasdb")
+    spark.sql("DROP TABLE IF EXISTS graft.ctasdb.squares")
+    spark.sql("""CREATE TABLE graft.ctasdb.squares AS
+                |SELECT id, id * id AS sq FROM range(100)""".stripMargin)
+    assert(spark.sql("SELECT sum(sq) FROM graft.ctasdb.squares").head().getLong(0)
+      == (0L until 100L).map(i => i * i).sum)
+    spark.sql("DROP TABLE graft.ctasdb.squares")
+  }
+
   test("partition-value codec is bijective: sentinels, NULs, sentinel-shaped raw values (ADVICE r10)") {
     import graft.sources.GraftStore._
     val values: Seq[String] = Seq(
