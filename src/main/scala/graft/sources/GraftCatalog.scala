@@ -128,14 +128,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
     if (!isTable(d)) false
-    else {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        Files.deleteIfExists(f.toPath); ()
-      }
-      rm(d)
-      true
-    }
+    else { GraftCommit.deleteRecursively(d); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -189,11 +182,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val nonEmpty = Option(d.listFiles()).exists(_.nonEmpty)
       require(cascade || !nonEmpty,
         s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
-      def rm(f: File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        Files.deleteIfExists(f.toPath); ()
-      }
-      rm(d)
+      GraftCommit.deleteRecursively(d)
       true
     }
   }

@@ -83,10 +83,16 @@ object GraftMaintenance {
         .map(relOf).sorted)
     val visibleSet = visible.toSet
 
-    // sweep strays from a previous kill-before-commit: merged files the
-    // manifest never adopted are invisible garbage
+    // sweep strays: merged files a previous kill-before-commit never
+    // adopted, and — on a manifest-bearing table — part files published
+    // by an append that died before its manifest update (both are
+    // invisible garbage; without the sweep they leak forever and would
+    // reappear as phantom rows if the manifest were ever removed).
+    // Safe under compact's no-concurrent-writer contract.
+    val manifested = GraftCommit.readManifest(root).isDefined
     GraftCommit.allPartFiles(root)
-      .filter(f => f.getName.startsWith("merged-") && !visibleSet(relOf(f)))
+      .filter(f => !visibleSet(relOf(f)) &&
+        (f.getName.startsWith("merged-") || manifested))
       .foreach(f => Files.delete(f.toPath))
 
     val statsBook = GraftCommit.readStats(root)
@@ -147,9 +153,13 @@ object GraftMaintenance {
       GraftCommit.deleteTemp(path, s"compact-$compactId")
       return CompactResult(visible.size, visible.size, 0)
     }
-    // advisory sidecar first, then the atomic visibility swap
-    GraftCommit.writeStats(root, newStats.toSeq.sortBy(_._1))
-    GraftCommit.writeManifest(root, newManifest.result())
+    // advisory sidecar first, then the atomic visibility swap — under
+    // the metadata lock so a concurrent epoch/append commit's own
+    // read-modify-write can't interleave with the swap
+    GraftCommit.withMetaLock(root) {
+      GraftCommit.writeStats(root, newStats.toSeq.sortBy(_._1))
+      GraftCommit.writeManifest(root, newManifest.result())
+    }
     // GC: only after the manifest no longer references the inputs
     replacedList.foreach(rel =>
       Files.deleteIfExists(new File(root, rel).toPath))

@@ -385,19 +385,6 @@ object GraftStore {
 
   // ---- zone maps: per-file min/max/null-count stats (VERDICT r10 task 1)
 
-  /** Typed value text of one stat bound (same text forms as the data
-    * codec; Double.toString round-trips exactly).
-    */
-  private def statTyped(text: String, dt: DataType): Any = dt match {
-    case LongType    => text.toLong
-    case IntegerType => text.toInt
-    case DoubleType  => text.toDouble
-    case BooleanType => text.toBoolean
-    case StringType  => text
-    case other => throw new IllegalArgumentException(
-      s"graft-store: no stats for column type $other")
-  }
-
   /** Total-order comparison of a stat bound (text form) with a pushed v1
     * Filter literal, under SPARK's comparison semantics: NaN greatest,
     * -0.0 == 0.0 (bounds are normalized at write time), strings in UTF-8
@@ -890,11 +877,20 @@ private[sources] class GraftStoreScan(
     * between "read the partition" and "read the 3 files whose id range
     * overlaps the probe".
     */
+  // one sidecar read per Scan instance: plannedWith runs for
+  // estimateStatistics, the aggregate-pushdown probe, and (re-)planning
+  // after runtime filters — at a million-file scale re-parsing _STATS/
+  // _MANIFEST each time is driver-side O(files) per call for nothing
+  // (a Scan is a committed snapshot; the sidecars are immutable for it)
+  private lazy val statsBook: Map[String, GraftFileStats] =
+    GraftCommit.readStats(new File(path))
+  private lazy val manifestBook: Option[Seq[String]] =
+    GraftCommit.readManifest(new File(path))
+
   private def plannedWith(filters: Array[Filter]): Array[GraftFilePartition] = {
     val root = new File(path)
     if (!new File(root, GraftStore.SuccessFile).isFile)
       return Array.empty
-    val statsBook = GraftCommit.readStats(root)
     val rootLen = root.getAbsolutePath.length + 1
 
     def withStats(f: File, texts: Seq[String]): GraftFilePartition = {
@@ -919,7 +915,7 @@ private[sources] class GraftStoreScan(
     // names the default glob ignores, so visibility flipped atomically
     // with the manifest write); a listed-but-missing file is a torn
     // store and fails loudly rather than returning a silent subset.
-    GraftCommit.readManifest(root) match {
+    manifestBook match {
       case Some(rels) =>
         return rels.sorted.flatMap { rel =>
           val f = new File(root, rel)
@@ -1107,9 +1103,10 @@ private[sources] class GraftReaderFactory(
     columnar: Boolean = false)
     extends PartitionReaderFactory {
 
-  /** VECTORIZED read path (VERDICT r10 task 5, opt-in via
-    * `.option("columnar", "true")`): instead of one `InternalRow` per
-    * record, the reader fills 4096-row `OnHeapColumnVector` batches, so
+  /** VECTORIZED read path (VERDICT r10 task 5; the DEFAULT —
+    * `.option("columnar", "false")` selects the row reader): instead of
+    * one `InternalRow` per record, the reader fills 4096-row
+    * `OnHeapColumnVector` batches, so
     * downstream whole-stage codegen consumes the scan through the
     * columnar fast path (`ColumnarToRow` appears in the executed plan
     * and per-row iterator overhead amortizes across the batch).
@@ -1278,6 +1275,47 @@ private[sources] case class GraftCommitMessage(
     stats: Seq[GraftFileStats]) extends WriterCommitMessage
 
 private[sources] object GraftCommit {
+  /** One recursive delete for every abort/drop/truncate path. */
+  def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    Files.deleteIfExists(f.toPath)
+    ()
+  }
+
+  /** Serialize metadata read-modify-write (`_STATS`/`_MANIFEST` updates
+    * by commits and compaction): without it two concurrent appends to a
+    * MANIFEST-bearing table could both read manifest `m` and the second
+    * write would drop the first's files — silent data loss, because a
+    * manifest table reads exactly its manifest. The lock is an atomic
+    * create of `_META_LOCK` (O_EXCL — atomic on a real filesystem; an
+    * object store needs a conditional put, the same caveat class as the
+    * commit rename). A holder that died is detected by age: a lock
+    * older than [[LockStaleMs]] is broken. Glob-mode tables never
+    * needed this (job-unique file names compose under concurrency);
+    * the lock exists exactly for the manifest's read-modify-write.
+    */
+  private val LockFile = "_META_LOCK"
+  private val LockStaleMs = 60000L
+
+  def withMetaLock[T](root: File)(body: => T): T = {
+    val lock = new File(root, LockFile)
+    val deadline = System.currentTimeMillis() + LockStaleMs
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock.toPath); held = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        val age = System.currentTimeMillis() - lock.lastModified()
+        if (lock.isFile && age > LockStaleMs) Files.deleteIfExists(lock.toPath)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"graft-store: could not acquire $LockFile under $root within " +
+              s"${LockStaleMs} ms — a concurrent metadata writer is stuck")
+        else Thread.sleep(20)
+      }
+    }
+    try body finally { Files.deleteIfExists(lock.toPath); () }
+  }
   /** Publish task temp files into the table dir: rename each into its
     * partition dir under `nameOf(n)`, in (task partition, file) order —
     * a deterministic layout. Shared by batch job commit and streaming
@@ -1359,11 +1397,16 @@ private[sources] object GraftCommit {
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").iterator.filter(_.nonEmpty).map { line =>
         val t = line.split("\t", -1)
-        val cols = t.drop(2).grouped(4).collect {
-          case Array(c, nulls, mn, mx) =>
-            GraftStore.decodePartValue(c) -> GraftColStatsTxt(nulls.toLong,
-              Option(GraftStore.decodePartValue(mn)),
-              Option(GraftStore.decodePartValue(mx)))
+        // loud on a malformed line (torn edit / version skew): a silently
+        // dropped column group would degrade skipping invisibly,
+        // violating the corrupt-sidecars-fail-loudly contract
+        require(t.length >= 2 && (t.length - 2) % 4 == 0,
+          s"graft-store: malformed ${GraftStore.StatsFile} line " +
+            s"(${t.length} fields): ${line.take(120)}")
+        val cols = t.drop(2).grouped(4).map { case Array(c, nulls, mn, mx) =>
+          GraftStore.decodePartValue(c) -> GraftColStatsTxt(nulls.toLong,
+            Option(GraftStore.decodePartValue(mn)),
+            Option(GraftStore.decodePartValue(mx)))
         }.toMap
         GraftStore.decodePartValue(t(0)) -> GraftFileStats(t(1).toLong, cols)
       }.toMap
@@ -1393,12 +1436,8 @@ private[sources] object GraftCommit {
   }
 
   def deleteTemp(path: String, jobId: String): Unit = {
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      Files.deleteIfExists(f.toPath); ()
-    }
     val tempDir = new File(new File(path, "_temporary"), jobId)
-    if (tempDir.exists()) rm(tempDir)
+    if (tempDir.exists()) deleteRecursively(tempDir)
     val tparent = new File(path, "_temporary")
     if (tparent.isDirectory && tparent.list().isEmpty)
       Files.deleteIfExists(tparent.toPath)
@@ -1424,28 +1463,26 @@ private[sources] class GraftBatchWrite(
       // drop stale partition dirs so an overwrite can change the layout
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.contains("="))
-        .foreach { d =>
-          def rm(f: File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            Files.deleteIfExists(f.toPath); ()
-          }
-          rm(d)
-        }
+        .foreach(GraftCommit.deleteRecursively)
       Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile,
         GraftStore.StatsFile, GraftStore.ManifestFile)
         .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
     }
     val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
     GraftCommit.writeMeta(dir, schema, partCols)
-    // zone maps: append-mode keeps prior files' entries; a file with no
-    // entry is simply never skipped, so stats stay advisory-but-exact
-    val prior = if (truncate) Map.empty[String, GraftFileStats]
-                else GraftCommit.readStats(dir)
-    GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
-    // a compacted (manifest-bearing) table keeps its manifest current:
-    // an append's files must become visible through it
-    if (!truncate) GraftCommit.readManifest(dir).foreach(m =>
-      GraftCommit.writeManifest(dir, m ++ published.map(_._1)))
+    // metadata read-modify-write under the lock: concurrent appends to a
+    // manifest-bearing table must not drop each other's files
+    GraftCommit.withMetaLock(dir) {
+      // zone maps: append-mode keeps prior files' entries; a file with no
+      // entry is simply never skipped, so stats stay advisory-but-exact
+      val prior = if (truncate) Map.empty[String, GraftFileStats]
+                  else GraftCommit.readStats(dir)
+      GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
+      // a compacted (manifest-bearing) table keeps its manifest current:
+      // an append's files must become visible through it
+      if (!truncate) GraftCommit.readManifest(dir).foreach(m =>
+        GraftCommit.writeManifest(dir, m ++ published.map(_._1)))
+    }
     GraftCommit.deleteTemp(path, jobId)
     // the publish point: written last, so the marker implies completeness
     Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
@@ -1487,18 +1524,20 @@ private[sources] class GraftStreamingWrite(
       .foreach(f => Files.delete(f.toPath))
     val published = GraftCommit.publish(dir, messages, n => f"$prefix$n%05d.csv")
     GraftCommit.writeMeta(dir, schema, partCols)
-    // zone maps: drop the replayed epoch's superseded entries, add new
-    val prior = GraftCommit.readStats(dir).filterNot { case (rel, _) =>
-      rel.split('/').last.startsWith(prefix)
-    }
-    GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
-    // compacted sink: replace the replayed epoch's manifest entries too.
-    // (Compaction of a LIVE stream requires quiescence — a replay of an
-    // epoch whose rows were already merged away cannot be deduplicated;
-    // see GraftMaintenance.compact.)
-    GraftCommit.readManifest(dir).foreach { m =>
-      GraftCommit.writeManifest(dir,
-        m.filterNot(_.split('/').last.startsWith(prefix)) ++ published.map(_._1))
+    GraftCommit.withMetaLock(dir) {
+      // zone maps: drop the replayed epoch's superseded entries, add new
+      val prior = GraftCommit.readStats(dir).filterNot { case (rel, _) =>
+        rel.split('/').last.startsWith(prefix)
+      }
+      GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
+      // compacted sink: replace the replayed epoch's manifest entries too.
+      // (Compaction of a LIVE stream requires quiescence — a replay of an
+      // epoch whose rows were already merged away cannot be deduplicated;
+      // see GraftMaintenance.compact.)
+      GraftCommit.readManifest(dir).foreach { m =>
+        GraftCommit.writeManifest(dir,
+          m.filterNot(_.split('/').last.startsWith(prefix)) ++ published.map(_._1))
+      }
     }
     GraftCommit.deleteTemp(path, epochJob(epochId))
     Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
@@ -1652,11 +1691,7 @@ private[sources] class GraftDataWriter(
 
   override def abort(): Unit = {
     if (!closed) open.values.foreach(_._1.close())
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      Files.deleteIfExists(f.toPath); ()
-    }
-    rm(taskDir)
+    GraftCommit.deleteRecursively(taskDir)
   }
 
   override def close(): Unit =

@@ -613,13 +613,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(read().filter(col("day") === "1").count() == 303)
     Files.write(day0.head.toPath, saved)
 
-    // kill-before-commit: a stray merged file (no manifest entry) is
-    // invisible to readers and swept by the next compact
+    // kill-before-commit: stray data files with no manifest entry (a
+    // merged file whose compact died pre-swap, or an append's part file
+    // published before its manifest update) are invisible to readers
+    // and swept by the next compact
     val stray = new java.io.File(dir, "day=2/merged-deadbeef-99999.csv")
     Files.writeString(stray.toPath, "999999,0\n")
-    assert(read().count() == 1210, "stray merged file leaked into a read")
+    val strayPart = new java.io.File(dir, "day=1/part-deadbeef-99999.csv")
+    Files.writeString(strayPart.toPath, "888888,0\n")
+    assert(read().count() == 1210, "stray data file leaked into a read")
     GraftMaintenance.compact(dir)
     assert(!stray.isFile, "stray merged file not swept")
+    assert(!strayPart.isFile, "orphaned part file not swept")
+    assert(read().count() == 1210)
 
     // torn state fails LOUDLY: a manifest-listed file that disappeared
     val victim = dataFiles.head
@@ -684,6 +690,13 @@ class SourcesSpec extends AnyFunSuite {
       .write.format("graft.sources.GraftStoreProvider")
       .option("path", dir2).mode("overwrite").save()
     Files.writeString(Paths.get(dir2, "_STATS"), "garbage\twithout\tstructure\n")
+    intercept[Throwable] {
+      spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", dir2).load().count()
+    }
+    // a torn trailing column group (field count not 2 + 4k) is equally
+    // loud — never a silently degraded entry
+    Files.writeString(Paths.get(dir2, "_STATS"), "f.csv\t10\tv\t0\tonly-min\n")
     intercept[Throwable] {
       spark.read.format("graft.sources.GraftStoreProvider")
         .option("path", dir2).load().count()
