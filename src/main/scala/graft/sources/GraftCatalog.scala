@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A real `TableCatalog` over graft-store tables (VERDICT r10 task 3 —
@@ -121,9 +121,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftStoreTable(d.getAbsolutePath, schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (schema is pinned by the commit protocol)")
+  /** Schema evolution: ADD COLUMN only, appended at the END of the
+    * schema — the one evolution the data layout already supports with
+    * ZERO file rewrites, because both readers bind file fields by
+    * position prefix and return null for a slot past a record's field
+    * count: every pre-evolution file simply reads the new column as
+    * null, which is exactly SQL's ADD COLUMN semantics for existing
+    * rows. Anything else (drops, renames, type changes, positioned
+    * adds, non-null defaults) would require rewriting committed files
+    * and is rejected loudly. The `_SCHEMA` rewrite happens under the
+    * metadata lock.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val schema0 = StructType.fromDDL(new String(Files.readAllBytes(
+      new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
+    val partCols = GraftStore.readPartitionCols(d.getAbsolutePath)
+    val schema = changes.foldLeft(schema0) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!s.fieldNames.contains(name),
+          s"graft catalog: column '$name' already exists")
+        require(add.isNullable,
+          "graft catalog: ADD COLUMN must be nullable (existing rows read it as null)")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN supports only appending at the end")
+        require(add.defaultValue() == null,
+          "graft catalog: ADD COLUMN with a DEFAULT is not supported")
+        add.dataType() match {
+          case LongType | IntegerType | DoubleType | BooleanType | StringType => ()
+          case dt => throw new IllegalArgumentException(
+            s"graft-store: unsupported column type $dt")
+        }
+        s.add(StructField(name, add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other (only ADD COLUMN at the end)")
+    }
+    GraftCommit.withMetaLock(d) {
+      val tmp = new File(d, GraftStore.SchemaFile + ".tmp")
+      Files.write(tmp.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, new File(d, GraftStore.SchemaFile).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    new GraftStoreTable(d.getAbsolutePath, schema, partCols)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

@@ -592,9 +592,24 @@ final class GraftRecordParser(in: Reader) extends AutoCloseable {
   override def close(): Unit = br.close()
 }
 
+/** The graft-store Table. Beyond read/write it supports:
+  *
+  *  - PARTITION-LEVEL DELETE (`SupportsDelete`): accepted only for
+  *    predicates answerable from partition values — a file either
+  *    entirely matches (every row shares its directory's values) or
+  *    entirely doesn't, so `DELETE FROM t WHERE day = 'x'` is a pure
+  *    metadata-plus-unlink operation (manifest/stats entries removed
+  *    under the metadata lock, files unlinked, no rewrite). A
+  *    predicate touching a data column is declined and Spark reports
+  *    it unsupported — the honest contract for a format without
+  *    row-level deletes. This is curation q230's erasure shape at the
+  *    FORMAT level: the right-to-be-forgotten partition drop costs
+  *    O(files in partition), not O(table).
+  */
 private[sources] class GraftStoreTable(
     path: String, tschema: StructType, partCols: Seq[String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   partCols.foreach { c =>
     val f = tschema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
@@ -621,6 +636,59 @@ private[sources] class GraftStoreTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), partCols)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case AlwaysTrue() => true
+      case f => GraftStore.isPartitionFilter(f, partCols.toSet)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-store: DELETE supports partition predicates only, got " +
+        filters.mkString(", "))
+    val root = new File(path)
+    if (!new File(root, GraftStore.SuccessFile).isFile) return
+    val rootLen = root.getAbsolutePath.length + 1
+    def relOf(f: File): String =
+      f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
+    def partValuesOf(rel: String): Map[String, Any] = {
+      val comps = rel.split('/')
+      partCols.zipWithIndex.map { case (c, i) =>
+        val dt = tschema(c).dataType
+        c -> GraftStore.partValueTyped(
+          GraftStore.decodePartValue(comps(i).substring(c.length + 1)), dt)
+      }.toMap
+    }
+    GraftCommit.withMetaLock(root) {
+      val visible: Seq[String] = GraftCommit.readManifest(root).getOrElse(
+        GraftCommit.allPartFiles(root).map(relOf).sorted)
+      // a file dies only when EVERY filter is definitely TRUE for its
+      // (fully bound) partition values — exact SQL delete semantics,
+      // because all of a file's rows share those values
+      val (dead, kept) = visible.partition { rel =>
+        val bound = partValuesOf(rel)
+        filters.forall {
+          case AlwaysTrue() => true
+          case f => GraftStore.evalFilter3(f, bound).contains(true)
+        }
+      }
+      if (dead.nonEmpty) {
+        val stats = GraftCommit.readStats(root)
+        GraftCommit.writeStats(root, stats.filterNot(e => dead.contains(e._1))
+          .toSeq.sortBy(_._1))
+        if (GraftCommit.readManifest(root).isDefined)
+          GraftCommit.writeManifest(root, kept)
+        dead.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+        // drop now-empty partition dirs so the layout stays clean
+        dead.map(rel => new File(root, rel).getParentFile).distinct
+          .filter(d => d != root && d.isDirectory &&
+            Option(d.listFiles()).forall(_.isEmpty))
+          .foreach(d => Files.deleteIfExists(d.toPath))
+      }
+    }
+    ()
+  }
 }
 
 // ------------------------------------------------------------------ read
@@ -1412,9 +1480,24 @@ private[sources] object GraftCommit {
       }.toMap
   }
 
-  def writeMeta(root: File, schema: StructType, partCols: Seq[String]): Unit = {
-    Files.write(new File(root, GraftStore.SchemaFile).toPath,
-      schema.toDDL.getBytes(StandardCharsets.UTF_8))
+  /** Persist table metadata. The DECLARED schema belongs to the table,
+    * not to any one write: an append must NOT clobber `_SCHEMA` (before
+    * this rule, an INSERT whose input happened to be non-nullable
+    * narrowed the declared nullability — Catalyst then rewrote
+    * `count(c)` to `count(*)` and codegen skipped null checks over
+    * files that legitimately hold nulls, e.g. pre-ADD-COLUMN rows). A
+    * FIRST/overwrite write defines the schema from the data but relaxed
+    * to all-nullable, because nothing stops a later append (or schema
+    * evolution) from introducing nulls the first batch lacked.
+    */
+  def writeMeta(root: File, schema: StructType, partCols: Seq[String],
+      keepExisting: Boolean = false): Unit = {
+    val schemaFile = new File(root, GraftStore.SchemaFile)
+    if (!(keepExisting && schemaFile.isFile)) {
+      val relaxed = StructType(schema.fields.map(_.copy(nullable = true)))
+      Files.write(schemaFile.toPath,
+        relaxed.toDDL.getBytes(StandardCharsets.UTF_8))
+    }
     if (partCols.nonEmpty)
       Files.write(new File(root, GraftStore.PartitionFile).toPath,
         partCols.mkString(",").getBytes(StandardCharsets.UTF_8))
@@ -1469,7 +1552,8 @@ private[sources] class GraftBatchWrite(
         .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
     }
     val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
-    GraftCommit.writeMeta(dir, schema, partCols)
+    // append: the table's DECLARED schema stands (see writeMeta)
+    GraftCommit.writeMeta(dir, schema, partCols, keepExisting = !truncate)
     // metadata read-modify-write under the lock: concurrent appends to a
     // manifest-bearing table must not drop each other's files
     GraftCommit.withMetaLock(dir) {
@@ -1523,7 +1607,8 @@ private[sources] class GraftStreamingWrite(
       .filter(_.getName.startsWith(prefix))
       .foreach(f => Files.delete(f.toPath))
     val published = GraftCommit.publish(dir, messages, n => f"$prefix$n%05d.csv")
-    GraftCommit.writeMeta(dir, schema, partCols)
+    // the streaming sink is append-only: the declared schema stands
+    GraftCommit.writeMeta(dir, schema, partCols, keepExisting = true)
     GraftCommit.withMetaLock(dir) {
       // zone maps: drop the replayed epoch's superseded entries, add new
       val prior = GraftCommit.readStats(dir).filterNot { case (rel, _) =>

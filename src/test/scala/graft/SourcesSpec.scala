@@ -814,6 +814,80 @@ class SourcesSpec extends AnyFunSuite {
     assert(probe.queryExecution.executedPlan.toString.contains("PushedLimit: 5"))
   }
 
+  test("graft-store DELETE: partition predicates drop whole files/dirs, data predicates are rejected") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.deldb")
+    spark.sql("DROP TABLE IF EXISTS graft.deldb.t")
+    spark.sql("""CREATE TABLE graft.deldb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.deldb.t SELECT id, CAST(id % 4 AS STRING), id * 2 FROM range(400)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = new java.io.File(s"$wh/deldb/t")
+    assert(new java.io.File(tdir, "day=2").isDirectory)
+    // poison day=2's files FIRST: the delete must never read them
+    new java.io.File(tdir, "day=2").listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .foreach(f => Files.writeString(f.toPath, "zz,zz\n"))
+    spark.sql("DELETE FROM graft.deldb.t WHERE day = '2'")
+    assert(!new java.io.File(tdir, "day=2").exists(), "partition dir not dropped")
+    assert(spark.sql("SELECT count(*) FROM graft.deldb.t").head().getLong(0) == 300L)
+    assert(spark.sql("SELECT count(*) FROM graft.deldb.t WHERE day = '2'")
+      .head().getLong(0) == 0L)
+    // IN and three-valued forms compose
+    spark.sql("DELETE FROM graft.deldb.t WHERE day IN ('0')")
+    assert(spark.sql("SELECT count(*) FROM graft.deldb.t").head().getLong(0) == 200L)
+    // a data-column predicate cannot be a metadata delete: rejected loudly
+    intercept[Throwable] {
+      spark.sql("DELETE FROM graft.deldb.t WHERE v > 100")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.deldb.t").head().getLong(0) == 200L)
+    spark.sql("DROP TABLE graft.deldb.t")
+  }
+
+  test("graft catalog ADD COLUMN: zero-rewrite evolution, old files read null, rewrites rejected") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evodb")
+    spark.sql("DROP TABLE IF EXISTS graft.evodb.t")
+    spark.sql("CREATE TABLE graft.evodb.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.evodb.t SELECT id, id * 2 FROM range(10)")
+    spark.sql("ALTER TABLE graft.evodb.t ADD COLUMN note STRING")
+    // pre-evolution rows read the new column as null — no file rewritten
+    val r1 = spark.sql("SELECT count(*) n, count(note) nn FROM graft.evodb.t").head()
+    assert((r1.getLong(0), r1.getLong(1)) == ((10L, 0L)), r1.toString)
+    // post-evolution inserts carry it
+    spark.sql(
+      "INSERT INTO graft.evodb.t SELECT id, id, CONCAT('n', CAST(id AS STRING)) FROM range(5)")
+    val r2 = spark.sql("SELECT count(*) n, count(note) nn FROM graft.evodb.t").head()
+    assert((r2.getLong(0), r2.getLong(1)) == ((15L, 5L)), r2.toString)
+    assert(spark.sql("SELECT max(note) FROM graft.evodb.t").head().getString(0) == "n4")
+    // both reader paths agree across generations
+    val tdir = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/evodb/t"
+    val a = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", tdir).load().orderBy("id", "v").collect().map(_.toString).toSeq
+    val b = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", tdir).option("columnar", "false").load()
+      .orderBy("id", "v").collect().map(_.toString).toSeq
+    assert(a == b)
+    // evolutions that would rewrite committed files are rejected
+    intercept[Throwable] { spark.sql("ALTER TABLE graft.evodb.t DROP COLUMN v") }
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.evodb.t ADD COLUMN x BIGINT NOT NULL")
+    }
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.evodb.t ADD COLUMN y BIGINT FIRST")
+    }
+    spark.sql("DROP TABLE graft.evodb.t")
+  }
+
   test("graft catalog CTAS: CREATE TABLE AS SELECT creates and loads through the same store") {
     if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
       spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
