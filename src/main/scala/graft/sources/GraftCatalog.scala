@@ -115,7 +115,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       GraftStore.checkPartitionType(f)
     }
     d.mkdirs()
-    GraftCommit.writeMeta(d, schema, partCols)
+    // the user's DDL persists VERBATIM (incl. NOT NULL): inserts never
+    // clobber it (writeMeta keepExisting) and Spark enforces required
+    // columns against the declared schema
+    GraftCommit.writeSchema(d, schema)
+    if (partCols.nonEmpty)
+      GraftCommit.writeAtomic(d, GraftStore.PartitionFile, partCols.mkString(","))
     // commit the EMPTY table: DDL-then-read is well-defined (0 rows)
     Files.write(new File(d, GraftStore.SuccessFile).toPath, Array.empty[Byte])
     new GraftStoreTable(d.getAbsolutePath, schema, partCols)
@@ -135,9 +140,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
-    val schema0 = StructType.fromDDL(new String(Files.readAllBytes(
-      new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
     val partCols = GraftStore.readPartitionCols(d.getAbsolutePath)
+    // the WHOLE read-modify-write holds the metadata lock: two
+    // concurrent ADD COLUMNs must compose, not silently drop one
+    val schema = GraftCommit.withMetaLock(d) {
+      val schema0 = StructType.fromDDL(new String(Files.readAllBytes(
+        new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
+      val evolved = applyChanges(schema0, changes)
+      GraftCommit.writeSchema(d, evolved)
+      evolved
+    }
+    new GraftStoreTable(d.getAbsolutePath, schema, partCols)
+  }
+
+  private def applyChanges(schema0: StructType, changes: Seq[TableChange]): StructType = {
     val schema = changes.foldLeft(schema0) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -160,13 +176,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other (only ADD COLUMN at the end)")
     }
-    GraftCommit.withMetaLock(d) {
-      val tmp = new File(d, GraftStore.SchemaFile + ".tmp")
-      Files.write(tmp.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp.toPath, new File(d, GraftStore.SchemaFile).toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
-    new GraftStoreTable(d.getAbsolutePath, schema, partCols)
+    schema
   }
 
   override def dropTable(ident: Identifier): Boolean = {

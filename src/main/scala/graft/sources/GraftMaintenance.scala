@@ -104,13 +104,12 @@ object GraftMaintenance {
     val compactId = java.util.UUID.randomUUID().toString.take(8)
     val stage = new File(new File(root, "_temporary"), s"compact-$compactId")
     var groupNo = 0
-    val newManifest = Seq.newBuilder[String]
-    val newStats = scala.collection.mutable.Map.empty[String, GraftFileStats]
+    val mergedRels = Seq.newBuilder[String]
+    val mergedStats = scala.collection.mutable.Map.empty[String, GraftFileStats]
     val replaced = Seq.newBuilder[String]
-    statsBook.foreach { case (rel, st) => if (visibleSet(rel)) newStats(rel) = st }
 
     byDir.toSeq.sortBy(_._1).foreach { case (relDir, files) =>
-      if (files.size <= 1) newManifest ++= files
+      if (files.size <= 1) ()
       else {
         // bin-pack in name order (epoch/job order) up to targetBytes
         val sized = files.sorted.map(rel => rel -> new File(root, rel).length())
@@ -124,7 +123,7 @@ object GraftMaintenance {
         }
         if (curN > 0) groups += cur.result()
         groups.result().foreach { group =>
-          if (group.size <= 1) newManifest ++= group
+          if (group.size <= 1) ()
           else {
             val name = f"merged-$compactId-$groupNo%05d.csv"
             groupNo += 1
@@ -139,26 +138,44 @@ object GraftMaintenance {
             val destDir = if (relDir.isEmpty) root else new File(root, relDir)
             Files.move(tmp.toPath, new File(destDir, name).toPath,
               StandardCopyOption.ATOMIC_MOVE)
-            newManifest += rel
+            mergedRels += rel
             mergeStats(group.map(statsBook.get), dataFields,
-              new File(destDir, name)).foreach(newStats(rel) = _)
-            group.foreach { in => newStats.remove(in); replaced += in }
+              new File(destDir, name)).foreach(mergedStats(rel) = _)
+            replaced ++= group
           }
         }
       }
     }
 
     val replacedList = replaced.result()
+    val merged = mergedRels.result()
     if (replacedList.isEmpty) {
       GraftCommit.deleteTemp(path, s"compact-$compactId")
       return CompactResult(visible.size, visible.size, 0)
     }
-    // advisory sidecar first, then the atomic visibility swap — under
-    // the metadata lock so a concurrent epoch/append commit's own
-    // read-modify-write can't interleave with the swap
+    val replacedSet = replacedList.toSet
+    // COMMIT under the metadata lock, rebuilt from the CURRENT state —
+    // not the pre-merge snapshot: a concurrent append's files must
+    // survive the swap, and a concurrent DELETE that removed any of our
+    // INPUTS aborts the whole compaction (publishing the merged file
+    // would resurrect the deleted rows).
     GraftCommit.withMetaLock(root) {
-      GraftCommit.writeStats(root, newStats.toSeq.sortBy(_._1))
-      GraftCommit.writeManifest(root, newManifest.result())
+      val current: Seq[String] = GraftCommit.readManifest(root).getOrElse(
+        GraftCommit.allPartFiles(root)
+          .filter(_.getName.startsWith("part-")).map(relOf).sorted)
+      if (!replacedList.forall(current.toSet)) {
+        merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+        GraftCommit.deleteTemp(path, s"compact-$compactId")
+        throw new IllegalStateException(
+          "graft-store: a concurrent writer removed compaction inputs " +
+            s"under $path — nothing was swapped; rerun compact")
+      }
+      val statsNow = GraftCommit.readStats(root)
+      GraftCommit.writeStats(root,
+        (statsNow.filterNot(e => replacedSet(e._1)) ++ mergedStats)
+          .toSeq.sortBy(_._1))
+      GraftCommit.writeManifest(root,
+        current.filterNot(replacedSet) ++ merged)
     }
     // GC: only after the manifest no longer references the inputs
     replacedList.foreach(rel =>

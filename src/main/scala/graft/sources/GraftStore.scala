@@ -290,6 +290,7 @@ object GraftStore {
     */
   def isPartitionFilter(f: Filter, partCols: Set[String]): Boolean = {
     def ok(g: Filter): Boolean = g match {
+      case AlwaysTrue() | AlwaysFalse() => true // value-free, trivially exact
       case EqualTo(a, _)            => partCols(a)
       case EqualNullSafe(a, _)      => partCols(a)
       case GreaterThan(a, _)        => partCols(a)
@@ -343,6 +344,8 @@ object GraftStore {
       if (!bound(a)) None
       else { val v = values(a); if (v == null) None else Some(body(v)) }
     f match {
+      case AlwaysTrue()             => Some(true)
+      case AlwaysFalse()            => Some(false)
       case EqualTo(a, x)            =>
         if (x == null) None else tri(a)(v => cmp(v, x) == 0)
       case EqualNullSafe(a, x)      =>
@@ -638,11 +641,16 @@ private[sources] class GraftStoreTable(
     new GraftStoreWriteBuilder(path, info.schema(), partCols)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall {
-      case AlwaysTrue() => true
-      case f => GraftStore.isPartitionFilter(f, partCols.toSet)
-    }
+    filters.forall(GraftStore.isPartitionFilter(_, partCols.toSet))
 
+  /** QUIESCENCE contract (shared with [[GraftMaintenance.compact]]): a
+    * streaming checkpoint that may still REPLAY an epoch must be
+    * stopped first — a replayed epoch re-publishes its full data,
+    * including rows a DELETE removed in between (the replay deletes
+    * its old files by NAME, which no longer exist, then writes fresh
+    * ones). Run deletes against a quiesced sink or only on partitions
+    * older than the checkpoint's committed watermark.
+    */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),
       s"graft-store: DELETE supports partition predicates only, got " +
@@ -652,39 +660,42 @@ private[sources] class GraftStoreTable(
     val rootLen = root.getAbsolutePath.length + 1
     def relOf(f: File): String =
       f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
-    def partValuesOf(rel: String): Map[String, Any] = {
+    def matches(rel: String): Boolean = {
       val comps = rel.split('/')
-      partCols.zipWithIndex.map { case (c, i) =>
-        val dt = tschema(c).dataType
+      val bound = partCols.zipWithIndex.map { case (c, i) =>
         c -> GraftStore.partValueTyped(
-          GraftStore.decodePartValue(comps(i).substring(c.length + 1)), dt)
+          GraftStore.decodePartValue(comps(i).substring(c.length + 1)),
+          tschema(c).dataType)
       }.toMap
-    }
-    GraftCommit.withMetaLock(root) {
-      val visible: Seq[String] = GraftCommit.readManifest(root).getOrElse(
-        GraftCommit.allPartFiles(root).map(relOf).sorted)
       // a file dies only when EVERY filter is definitely TRUE for its
       // (fully bound) partition values — exact SQL delete semantics,
       // because all of a file's rows share those values
-      val (dead, kept) = visible.partition { rel =>
-        val bound = partValuesOf(rel)
-        filters.forall {
-          case AlwaysTrue() => true
-          case f => GraftStore.evalFilter3(f, bound).contains(true)
+      filters.forall(GraftStore.evalFilter3(_, bound).contains(true))
+    }
+    GraftCommit.withMetaLock(root) {
+      // erase from the FULL on-disk set, not just the visible one: a
+      // matching partition may also hold invisible strays (an append or
+      // compact killed pre-manifest-update) — right-to-be-forgotten
+      // means the bytes go, not merely the references
+      val onDisk = GraftCommit.allPartFiles(root).map(relOf)
+      val deadSet = onDisk.filter(matches).toSet
+      if (deadSet.nonEmpty) {
+        val manifest = GraftCommit.readManifest(root)
+        GraftCommit.writeStats(root, GraftCommit.readStats(root)
+          .filterNot(e => deadSet(e._1)).toSeq.sortBy(_._1))
+        manifest.foreach(m =>
+          GraftCommit.writeManifest(root, m.filterNot(deadSet)))
+        deadSet.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+        // drop now-empty partition dirs (all levels) so the layout stays clean
+        deadSet.map(rel => new File(root, rel).getParentFile).foreach { d0 =>
+          var d = d0
+          while (d != null && d != root && d.isDirectory &&
+              d.getName.contains("=") &&
+              Option(d.listFiles()).forall(_.isEmpty)) {
+            Files.deleteIfExists(d.toPath)
+            d = d.getParentFile
+          }
         }
-      }
-      if (dead.nonEmpty) {
-        val stats = GraftCommit.readStats(root)
-        GraftCommit.writeStats(root, stats.filterNot(e => dead.contains(e._1))
-          .toSeq.sortBy(_._1))
-        if (GraftCommit.readManifest(root).isDefined)
-          GraftCommit.writeManifest(root, kept)
-        dead.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
-        // drop now-empty partition dirs so the layout stays clean
-        dead.map(rel => new File(root, rel).getParentFile).distinct
-          .filter(d => d != root && d.isDirectory &&
-            Option(d.listFiles()).forall(_.isEmpty))
-          .foreach(d => Files.deleteIfExists(d.toPath))
       }
     }
     ()
@@ -1427,11 +1438,7 @@ private[sources] object GraftCommit {
       }
       sb.append('\n')
     }
-    val tmp = new File(root, GraftStore.StatsFile + ".tmp")
-    Files.write(tmp.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(root, GraftStore.StatsFile).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    writeAtomic(root, GraftStore.StatsFile, sb.toString)
   }
 
   // ---- `_MANIFEST` (VERDICT r10 task 2): when present, the EXACT set
@@ -1450,14 +1457,9 @@ private[sources] object GraftCommit {
       .map(GraftStore.decodePartValue).toSeq)
   }
 
-  def writeManifest(root: File, files: Seq[String]): Unit = {
-    val body = files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n")
-    val tmp = new File(root, GraftStore.ManifestFile + ".tmp")
-    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(root, GraftStore.ManifestFile).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  def writeManifest(root: File, files: Seq[String]): Unit =
+    writeAtomic(root, GraftStore.ManifestFile,
+      files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n"))
 
   def readStats(root: File): Map[String, GraftFileStats] = {
     val f = new File(root, GraftStore.StatsFile)
@@ -1480,27 +1482,40 @@ private[sources] object GraftCommit {
       }.toMap
   }
 
-  /** Persist table metadata. The DECLARED schema belongs to the table,
-    * not to any one write: an append must NOT clobber `_SCHEMA` (before
-    * this rule, an INSERT whose input happened to be non-nullable
-    * narrowed the declared nullability — Catalyst then rewrote
-    * `count(c)` to `count(*)` and codegen skipped null checks over
-    * files that legitimately hold nulls, e.g. pre-ADD-COLUMN rows). A
-    * FIRST/overwrite write defines the schema from the data but relaxed
-    * to all-nullable, because nothing stops a later append (or schema
-    * evolution) from introducing nulls the first batch lacked.
+  /** One atomic small-file write (tmp + ATOMIC_MOVE) for every metadata
+    * artifact — `_SCHEMA` is rewritten during a table's lifetime now
+    * (ADD COLUMN), so a concurrent loadTable must never see a torn DDL.
+    */
+  def writeAtomic(root: File, name: String, body: String): Unit = {
+    val tmp = new File(root, name + ".tmp")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(root, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Persist the DECLARED schema verbatim (catalog DDL / evolution). */
+  def writeSchema(root: File, schema: StructType): Unit =
+    writeAtomic(root, GraftStore.SchemaFile, schema.toDDL)
+
+  /** Persist table metadata from a WRITE. The declared schema belongs
+    * to the table, not to any one write: an append must NOT clobber
+    * `_SCHEMA` (before this rule, an INSERT whose input happened to be
+    * non-nullable narrowed the declared nullability — Catalyst then
+    * rewrote `count(c)` to `count(*)` and codegen skipped null checks
+    * over files that legitimately hold nulls, e.g. pre-ADD-COLUMN
+    * rows). A FIRST/overwrite PATH write defines the schema from its
+    * data but relaxed to all-nullable (nothing stops a later append or
+    * evolution from introducing nulls the first batch lacked); catalog
+    * `CREATE TABLE` persists the user's DDL verbatim via
+    * [[writeSchema]], and keepExisting protects it from every insert.
     */
   def writeMeta(root: File, schema: StructType, partCols: Seq[String],
       keepExisting: Boolean = false): Unit = {
-    val schemaFile = new File(root, GraftStore.SchemaFile)
-    if (!(keepExisting && schemaFile.isFile)) {
-      val relaxed = StructType(schema.fields.map(_.copy(nullable = true)))
-      Files.write(schemaFile.toPath,
-        relaxed.toDDL.getBytes(StandardCharsets.UTF_8))
-    }
+    if (!(keepExisting && new File(root, GraftStore.SchemaFile).isFile))
+      writeSchema(root, StructType(schema.fields.map(_.copy(nullable = true))))
     if (partCols.nonEmpty)
-      Files.write(new File(root, GraftStore.PartitionFile).toPath,
-        partCols.mkString(",").getBytes(StandardCharsets.UTF_8))
+      writeAtomic(root, GraftStore.PartitionFile, partCols.mkString(","))
     ()
   }
 
