@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B of the graft-store ZONE-MAP effects (paired with
+  * ColumnarAb's reader A/B): one N-row store range-clustered on `id`
+  * into 32 files, then the same probes timed WITH the `_STATS` sidecar
+  * and with it renamed away (skipping/stats-aggregates silently
+  * degrade to full scans — the designed fallback), warm-up + min-of-3:
+  *   1. a 1%-selective id-window aggregate (file skipping),
+  *   2. MIN/MAX/COUNT over a data column (sidecar-answered aggregate),
+  *   3. LIMIT 1000 (stats-capped file planning).
+  * Usage: runMain graft.tools.StoreAb [rows]
+  */
+object StoreAb {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 4000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 256 files over 32 cores: an unskipped scan needs 8 task waves, a
+    // skipped one a fraction of a wave — with files == cores the skip
+    // saves CPU but not wall, which is not what the A/B should show
+    val dir = graft.util.TempDirs.create("graft_storeab_") + "/t"
+    spark.range(0, n, 1, 256)
+      .select(col("id"), (col("id") * 7 % 1001).as("v"),
+        concat(lit("w"), (col("id") % 1000).cast("string")).as("s"))
+      .repartitionByRange(256, col("id"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+
+    def t(label: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.collect()
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); mk.collect(); (System.nanoTime() - t0) / 1e9
+      }.min
+      best
+    }
+    def read() = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val lo = n / 2
+    val hi = lo + n / 100
+    def probe() = read().filter(col("id") >= lo && col("id") < hi)
+      .agg(sum("v"), count(lit(1)))
+    def statsAgg() = read().agg(min("v"), max("v"), count(col("s")))
+    def lim() = read().limit(1000).agg(count(lit(1)))
+
+    def run(tag: String): (Double, Double, Double) =
+      (t(s"$tag probe")(probe()), t(s"$tag agg")(statsAgg()), t(s"$tag limit")(lim()))
+
+    val (p1, a1, l1) = run("with-stats")
+    Files.move(Paths.get(dir, "_STATS"), Paths.get(dir, "_STATS_OFF"))
+    val (p0, a0, l0) = run("no-stats")
+    Files.move(Paths.get(dir, "_STATS_OFF"), Paths.get(dir, "_STATS"))
+    println(f"[storeab] rows=$n%d files=256 " +
+      f"probe(1%%): ${p0}%.3f -> ${p1}%.3f s (${p0 / p1}%.1fx) " +
+      f"minmaxcount: ${a0}%.3f -> ${a1}%.3f s (${a0 / a1}%.1fx) " +
+      f"limit1000: ${l0}%.3f -> ${l1}%.3f s (${l0 / l1}%.1fx)")
+    spark.stop()
+  }
+}
