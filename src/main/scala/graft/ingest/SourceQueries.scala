@@ -485,12 +485,29 @@ object SourceQueries {
     * maps/DPP all apply to named tables for free). The oracle
     * recomputes the aggregate from the source parquet.
     */
-  private def q254(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_warehouse_"))
+  /** Lazy once-per-session `graft` catalog registration (VERDICT r11
+    * task 6): idempotent — a repeat call with the catalog already bound
+    * keeps the EXISTING warehouse (Spark caches the initialized catalog
+    * instance, so silently "re-pointing" the conf would lie about where
+    * tables live; the one-warehouse-per-session contract is now explicit
+    * instead of a silent ignore).
+    */
+  private def ensureGraftCatalog(s: SparkSession): Unit = {
+    s.conf.getOption("spark.sql.catalog.graft") match {
+      case None =>
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse",
+          graft.util.TempDirs.create("graft_warehouse_"))
+      case Some(impl) =>
+        require(impl == "graft.sources.GraftCatalog" &&
+          s.conf.getOption("spark.sql.catalog.graft.warehouse").exists(_.nonEmpty),
+          s"graft: session catalog 'graft' is already bound to '$impl' — " +
+            "one graft warehouse per session; unset spark.sql.catalog.graft first")
     }
+  }
+
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    ensureGraftCatalog(s)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"),
         graft.enrich.Features.timeOfDay(col("ts")).as("time_of_day"))
@@ -560,6 +577,140 @@ object SourceQueries {
       |FROM events
       |WHERE event_id % 3 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** STORE-LEVEL TIME TRAVEL (VERDICT r11 task 1 — the q175 SCD2 shape
+    * at the TABLE FORMAT level, matching `NB cell 16 (ln 1238)`'s
+    * overwrite-then-reread lifecycle): every graft-store manifest commit
+    * is an immutable VERSION (`_MANIFEST.v<N>` history + a `#version`
+    * header on the atomically-swapped current manifest), and
+    * `VERSION AS OF` SQL resolves a pinned snapshot through
+    * [[graft.sources.GraftCatalog]]. The engine side drives a full
+    * table lifecycle — CREATE (v1, empty), INSERT evens (v2), INSERT
+    * odds (v3), partition DELETE of the evens (v4, files RETIRED not
+    * unlinked) — then reads all four snapshots in one query. The oracle
+    * recomputes each snapshot's aggregate from the source parquet with
+    * the equivalent predicate. Retention GC ([[graft.sources
+    * .GraftMaintenance.expireSnapshots]]) is what eventually reclaims
+    * v1–v3; SourcesSpec pins the pinned-scan-survives-GC guarantee and
+    * the loud expiry contract.
+    */
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    ensureGraftCatalog(s)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_id") % 2 === 0, "even").otherwise("odd").as("half"))
+      .createOrReplaceTempView("q256_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_tt")
+    s.sql("""CREATE TABLE graft.db.events_tt
+            |  (event_id BIGINT, user_id BIGINT, value DOUBLE, half STRING)
+            |  PARTITIONED BY (half)""".stripMargin) // version 1: empty
+    s.sql("""INSERT INTO graft.db.events_tt
+            |SELECT event_id, user_id, value, half FROM q256_src
+            |WHERE half = 'even'""".stripMargin) // version 2
+    s.sql("""INSERT INTO graft.db.events_tt
+            |SELECT event_id, user_id, value, half FROM q256_src
+            |WHERE half = 'odd'""".stripMargin) // version 3
+    s.sql("DELETE FROM graft.db.events_tt WHERE half = 'even'") // version 4
+    def snap(v: Int) =
+      s"""SELECT CAST($v AS BIGINT) AS snap, count(*) AS n,
+         |  min(event_id) AS first_event, max(event_id) AS last_event,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM graft.db.events_tt VERSION AS OF $v""".stripMargin
+    s.sql((1 to 4).map(snap).mkString("", "\nUNION ALL\n", "\nORDER BY snap"))
+  }
+
+  private val q256Sql = {
+    def snap(v: Int, where: String) =
+      s"""SELECT CAST($v AS BIGINT) AS snap, count(*) AS n,
+         |  min(event_id) AS first_event, max(event_id) AS last_event,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM events WHERE $where""".stripMargin
+    Seq(snap(1, "FALSE"), snap(2, "event_id % 2 = 0"),
+      snap(3, "TRUE"), snap(4, "event_id % 2 = 1"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY snap")
+  }
+
+  /** ROW-LEVEL DELETE BY ID (VERDICT r11 task 2 — q230's erasure
+    * cascade at the TABLE FORMAT level: right-to-be-forgotten deletes
+    * by USER, not by partition): a data-column `DELETE` on a graft
+    * catalog table plans as a group-based copy-on-write rewrite — the
+    * delete condition is pushed into the rewrite scan (partition
+    * pruning + zone-map refutation bound the rewrite set), runtime
+    * group filtering narrows it to files actually containing matches,
+    * the kept rows republish as `rewrite-*` files, and one manifest
+    * commit swaps them in with the originals RETIRED (SourcesSpec
+    * proves non-intersecting files are neither opened nor rewritten,
+    * via poison + file-set checks). The oracle recomputes the surviving
+    * aggregate from the source parquet with the negated predicate.
+    */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    ensureGraftCatalog(s)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .createOrReplaceTempView("q257_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_rtbf")
+    s.sql("""CREATE TABLE graft.db.events_rtbf
+            |  (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+            |  PARTITIONED BY (event_type)""".stripMargin)
+    s.sql("""INSERT INTO graft.db.events_rtbf
+            |SELECT event_id, user_id, value, event_type FROM q257_src""".stripMargin)
+    // the erasure: every event of users whose id % 97 == 0, across all
+    // partitions — a pure data-column predicate the metadata path refuses
+    s.sql("DELETE FROM graft.db.events_rtbf WHERE user_id % 97 = 0")
+    s.sql("""SELECT event_type, count(*) AS n,
+            |  count(DISTINCT user_id) AS n_users,
+            |  min(event_id) AS first_event, max(event_id) AS last_event,
+            |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            |FROM graft.db.events_rtbf
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val q257Sql =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS first_event, max(event_id) AS last_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE NOT (user_id % 97 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SUM/AVG AGGREGATE PUSHDOWN (VERDICT r11 task 4 — the one
+    * stats-answerable aggregate family the store still declined): the
+    * `_STATS` sidecar now records each file's EXACT per-column sum
+    * (integral sums via addExact — an int64 overflow drops the sum and
+    * pushdown declines rather than wrap; double sums under the
+    * documented write-order contract), so a grouped SUM/AVG/COUNT over
+    * a partitioned store is answered from zone maps alone — zero data
+    * cells parsed (SourcesSpec proves it on fully-poisoned files; here
+    * the oracle proves the VALUES against the source parquet). AVG
+    * needs no extra machinery: Spark decomposes it to SUM+COUNT for
+    * partial pushdown. The 100 TB shape: "rows and totals per day
+    * partition" — a constant serving-layer query — stops being a scan.
+    */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TempDirs.create("graft_sumpush_") + "/events_store"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("partitionBy", "event_type")
+      .mode("overwrite").save()
+    s.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_users"),
+        sum("event_id").as("sum_events"), avg("user_id").as("avg_user"))
+      .orderBy("event_type")
+  }
+
+  private val q258Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_events,
+      |  CAST(sum(user_id) AS DOUBLE) / count(*) AS avg_user
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
@@ -740,6 +891,12 @@ object SourceQueries {
       "graft TableCatalog: CREATE NAMESPACE/TABLE + INSERT + partition-pruned SELECT as pure named-table SQL"),
     QueryDef("q255_store_columnar", q255, Some(q255Sql),
       "graft-store vectorized read: OnHeapColumnVector batches through ColumnarToRow, hash-equal to the row path"),
+    QueryDef("q256_store_time_travel", q256, Some(q256Sql),
+      "graft-store versioned manifests: CREATE/INSERT/INSERT/DELETE lifecycle read back as four VERSION AS OF snapshots"),
+    QueryDef("q257_store_cow_delete", q257, Some(q257Sql),
+      "graft-store row-level DELETE: copy-on-write rewrite of matching files via SupportsRowLevelOperations"),
+    QueryDef("q258_store_sum_pushdown", q258, Some(q258Sql),
+      "graft-store SUM/AVG aggregate pushdown: grouped totals answered from _STATS per-file exact sums"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

@@ -142,8 +142,11 @@ object GraftStore {
   val PartitionFile = "_PARTITIONING"
   val StatsFile = "_STATS"
   val ManifestFile = "_MANIFEST"
+  val RetiredFile = "_RETIRED"
   val PartitionByOption = "partitionBy"
   val ColumnarOption = "columnar"
+  val VersionAsOfOption = "versionAsOf"
+  val FileMetaColumn = "_file"
   val NullPartitionValue = "__GRAFT_NULL__"
   val EmptyPartitionValue = "__GRAFT_EMPTY__"
 
@@ -397,7 +400,14 @@ object GraftStore {
     case LongType | IntegerType =>
       java.lang.Long.compare(statText.toLong, x.asInstanceOf[Number].longValue)
     case DoubleType =>
-      java.lang.Double.compare(statText.toDouble, x.asInstanceOf[Number].doubleValue)
+      // Normalize a -0.0 FILTER literal the same way StatsAcc normalizes
+      // written bounds (ADVICE r11 low): Spark treats -0.0 = 0.0 as TRUE,
+      // but Double.compare(0.0, -0.0) = 1 — without this, EqualTo/In with
+      // literal -0.0 would refute a file whose min is 0.0 and silently
+      // skip matching rows.
+      val xd = x.asInstanceOf[Number].doubleValue
+      val xn = if (xd == 0.0) 0.0 else xd
+      java.lang.Double.compare(statText.toDouble, xn)
     case BooleanType =>
       java.lang.Boolean.compare(statText.toBoolean, x.asInstanceOf[Boolean])
     case StringType =>
@@ -529,9 +539,16 @@ object GraftStore {
 /** Per-file zone-map column stats, TEXT-encoded (the `_STATS` sidecar
   * form): null count plus min/max bounds (None = no non-null value in
   * the file). Bounds are exact — computed from the rows as written, so
-  * MIN/MAX aggregate pushdown may answer from them directly.
+  * MIN/MAX aggregate pushdown may answer from them directly. `sum` is
+  * the file's exact non-null SUM (VERDICT r11 task 4) for long/int
+  * columns (absent on int64 overflow — honesty over wraparound) and
+  * for double columns (accumulated in row-write order; the documented
+  * summation-order contract: a stats-answered SUM(double) is the
+  * per-file sequential sum merged by Spark's partial-aggregate merge,
+  * the same nondeterminism class as Spark's own shuffle-order sums).
   */
-final case class GraftColStatsTxt(nulls: Long, min: Option[String], max: Option[String])
+final case class GraftColStatsTxt(nulls: Long, min: Option[String],
+    max: Option[String], sum: Option[String] = None)
 
 /** Zone map of one committed part file: row count + per-data-column
   * stats. Carried inside [[GraftFilePartition]] so both file skipping
@@ -610,9 +627,12 @@ final class GraftRecordParser(in: Reader) extends AutoCloseable {
   *    O(files in partition), not O(table).
   */
 private[sources] class GraftStoreTable(
-    path: String, tschema: StructType, partCols: Seq[String])
+    path: String, tschema: StructType, partCols: Seq[String],
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   partCols.foreach { c =>
     val f = tschema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
@@ -633,15 +653,58 @@ private[sources] class GraftStoreTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // vectorized by default (measured 1.4x on scan-bound aggregates,
     // tools/ColumnarAb); `columnar=false` selects the row reader — both
-    // paths stay oracled/spec-pinned byte-equal
+    // paths stay oracled/spec-pinned byte-equal. `versionAsOf` pins a
+    // committed manifest version (store-level time travel, r11 task 1).
     new GraftScanBuilder(path, tschema, partCols,
-      options.getBoolean(GraftStore.ColumnarOption, true))
+      options.getBoolean(GraftStore.ColumnarOption, true),
+      Option(options.get(GraftStore.VersionAsOfOption)).map(_.toLong)
+        .orElse(pinnedVersion))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), partCols)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftStore.isPartitionFilter(_, partCols.toSet))
+
+  /** The `_file` METADATA COLUMN: each row's table-relative file path —
+    * the copy-on-write GROUP identity. Spark's runtime group filtering
+    * projects it from the matching-rows subquery and prunes the rewrite
+    * scan to exactly the files containing matches.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileMetaColumn)
+
+  /** ROW-LEVEL DELETE via copy-on-write rewrite (VERDICT r11 task 2 —
+    * the right-to-be-forgotten path deletes by id, not by partition):
+    * a data-column DELETE predicate that [[canDeleteWhere]] refuses is
+    * planned by Spark as a group-based `ReplaceData`:
+    *
+    *  1. Spark pushes the DELETE CONDITION into the rewrite scan — the
+    *     same partition pruning + zone-map refutation as any read, in
+    *     the CORRECT orientation: a file no matching row can live in is
+    *     neither opened nor rewritten;
+    *  2. runtime group filtering (`_file` ∈ matching-rows subquery)
+    *     narrows the rewrite to files that ACTUALLY contain matches;
+    *  3. the kept rows (NOT cond) of the scanned files are written as
+    *     `rewrite-*` files through the normal task-temp protocol;
+    *  4. ONE manifest commit (version N+1) replaces the scanned files
+    *     with the rewritten ones and RETIRES the originals — snapshot
+    *     isolation and versionAsOf apply to DELETEs like everything
+    *     else; expireSnapshots makes the erasure physical.
+    *
+    * UPDATE/MERGE are rejected loudly (delete-only rewrite semantics).
+    * The same QUIESCENCE contract as [[deleteWhere]] applies to
+    * streaming sinks.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    require(info.command == Command.DELETE,
+      s"graft-store: row-level ${info.command} is not supported (DELETE only)")
+    () => new GraftRowLevelOperation(path, tschema, partCols)
+  }
 
   /** QUIESCENCE contract (shared with [[GraftMaintenance.compact]]): a
     * streaming checkpoint that may still REPLAY an epoch must be
@@ -662,40 +725,61 @@ private[sources] class GraftStoreTable(
       f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
     def matches(rel: String): Boolean = {
       val comps = rel.split('/')
-      val bound = partCols.zipWithIndex.map { case (c, i) =>
-        c -> GraftStore.partValueTyped(
-          GraftStore.decodePartValue(comps(i).substring(c.length + 1)),
-          tschema(c).dataType)
-      }.toMap
-      // a file dies only when EVERY filter is definitely TRUE for its
-      // (fully bound) partition values — exact SQL delete semantics,
-      // because all of a file's rows share those values
-      filters.forall(GraftStore.evalFilter3(_, bound).contains(true))
+      // depth/shape guard (ADVICE r11 low): a stray file not at exactly
+      // <partCols> directory levels of `col=value` form cannot bind the
+      // partition values, so it can never be PROVED to match — treat it
+      // as non-matching instead of indexing out of bounds. Strays are
+      // expireSnapshots' concern, not DELETE's.
+      if (comps.length != partCols.length + 1 ||
+          partCols.zipWithIndex.exists { case (c, i) => !comps(i).startsWith(c + "=") })
+        false
+      else {
+        val bound = partCols.zipWithIndex.map { case (c, i) =>
+          c -> GraftStore.partValueTyped(
+            GraftStore.decodePartValue(comps(i).substring(c.length + 1)),
+            tschema(c).dataType)
+        }.toMap
+        // a file dies only when EVERY filter is definitely TRUE for its
+        // (fully bound) partition values — exact SQL delete semantics,
+        // because all of a file's rows share those values
+        filters.forall(GraftStore.evalFilter3(_, bound).contains(true))
+      }
     }
     GraftCommit.withMetaLock(root) {
-      // erase from the FULL on-disk set, not just the visible one: a
-      // matching partition may also hold invisible strays (an append or
-      // compact killed pre-manifest-update) — right-to-be-forgotten
-      // means the bytes go, not merely the references
-      val onDisk = GraftCommit.allPartFiles(root).map(relOf)
-      val deadSet = onDisk.filter(matches).toSet
-      if (deadSet.nonEmpty) {
-        val manifest = GraftCommit.readManifest(root)
-        GraftCommit.writeStats(root, GraftCommit.readStats(root)
-          .filterNot(e => deadSet(e._1)).toSeq.sortBy(_._1))
-        manifest.foreach(m =>
-          GraftCommit.writeManifest(root, m.filterNot(deadSet)))
-        deadSet.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
-        // drop now-empty partition dirs (all levels) so the layout stays clean
-        deadSet.map(rel => new File(root, rel).getParentFile).foreach { d0 =>
-          var d = d0
-          while (d != null && d != root && d.isDirectory &&
-              d.getName.contains("=") &&
-              Option(d.listFiles()).forall(_.isEmpty)) {
-            Files.deleteIfExists(d.toPath)
-            d = d.getParentFile
+      GraftCommit.readManifest(root) match {
+        case Some(m) =>
+          // VERSIONED table (VERDICT r11 task 1): DELETE is a logical
+          // snapshot operation — commit version N+1 without the matching
+          // files and RETIRE them, so pinned readers and versionAsOf
+          // keep working through the retention window. Physical erasure
+          // (the right-to-be-forgotten end state, including any invisible
+          // strays in the partition) is DELETE + expireSnapshots.
+          val dead = m.filter(matches)
+          if (dead.nonEmpty) {
+            val v = GraftCommit.commitManifest(root, m.filterNot(dead.toSet))
+            GraftCommit.retire(root, dead, v)
           }
-        }
+        case None =>
+          // glob table: no snapshot to preserve — erase from the FULL
+          // on-disk set (a matching partition may also hold invisible
+          // strays from a killed maintenance run); the bytes go now
+          val onDisk = GraftCommit.allPartFiles(root).map(relOf)
+          val deadSet = onDisk.filter(matches).toSet
+          if (deadSet.nonEmpty) {
+            GraftCommit.writeStats(root, GraftCommit.readStats(root)
+              .filterNot(e => deadSet(e._1)).toSeq.sortBy(_._1))
+            deadSet.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+            // drop now-empty partition dirs (all levels) so the layout stays clean
+            deadSet.map(rel => new File(root, rel).getParentFile).foreach { d0 =>
+              var d = d0
+              while (d != null && d != root && d.isDirectory &&
+                  d.getName.contains("=") &&
+                  Option(d.listFiles()).forall(_.isEmpty)) {
+                Files.deleteIfExists(d.toPath)
+                d = d.getParentFile
+              }
+            }
+          }
       }
     }
     ()
@@ -720,16 +804,17 @@ private[sources] final case class GraftPartMax(col: String) extends GraftAggSpec
 private[sources] final case class GraftStatsMin(col: String) extends GraftAggSpec
 private[sources] final case class GraftStatsMax(col: String) extends GraftAggSpec
 private[sources] final case class GraftStatsCount(col: String) extends GraftAggSpec
+private[sources] final case class GraftStatsSum(col: String) extends GraftAggSpec
 
 private[sources] class GraftScanBuilder(
     path: String, fullSchema: StructType, partCols: Seq[String],
-    columnar: Boolean)
+    columnar: Boolean, versionAsOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
-  private var required: StructType = fullSchema
-  private var partFilters: Array[Filter] = Array.empty
-  private var dataFilters: Array[Filter] = Array.empty
+  protected var required: StructType = fullSchema
+  protected var partFilters: Array[Filter] = Array.empty
+  protected var dataFilters: Array[Filter] = Array.empty
   private var aggPush: Option[(Seq[String], Seq[GraftAggSpec])] = None
   private var limit: Option[Int] = None
 
@@ -793,7 +878,7 @@ private[sources] class GraftScanBuilder(
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr}
     val pc = partCols.toSet
     // a residual row-wise filter must gate every partial — can't answer
@@ -820,18 +905,29 @@ private[sources] class GraftScanBuilder(
           // COUNT(partCol): the dir value is never null unless the dir
           // says so — rows when bound non-null, 0 when the null dir
           .orElse(partRef(c.column).map(GraftStatsCount))
+      case su: Sum if !su.isDistinct =>
+        // SUM from the per-file exact sums (VERDICT r11 task 4); AVG
+        // arrives here too — Spark decomposes it into Sum + Count for
+        // partial pushdown. Numeric data columns only.
+        dataRef(su.column).filter { c =>
+          fullSchema(c).dataType match {
+            case LongType | IntegerType | DoubleType => true
+            case _ => false
+          }
+        }.map(GraftStatsSum)
       case _            => None
     }
     if (specs.exists(_.isEmpty)) return false
     val flat = specs.flatten
     val parts = new GraftStoreScan(path, fullSchema, required, partCols,
-      partFilters, dataFilters).planInputPartitions()
+      partFilters, dataFilters, versionAsOf = versionAsOf).planInputPartitions()
     // empty-store guard: the global-count final merge needs >= 1 partial
     if (parts.isEmpty) return false
     // stats-backed specs need full coverage: every candidate file must
     // carry the column's zone-map entry (and a row count for COUNT(*))
     val needStats = flat.exists {
-      case GraftStatsMin(_) | GraftStatsMax(_) | GraftStatsCount(_) => true
+      case GraftStatsMin(_) | GraftStatsMax(_) | GraftStatsCount(_) |
+           GraftStatsSum(_) => true
       case _ => false
     }
     if (needStats) {
@@ -841,6 +937,11 @@ private[sources] class GraftScanBuilder(
           case GraftStatsMin(c)   => st.get.cols.contains(c)
           case GraftStatsMax(c)   => st.get.cols.contains(c)
           case GraftStatsCount(c) => pc(c) || st.get.cols.contains(c)
+          case GraftStatsSum(c)   => st.get.cols.get(c).exists(cs =>
+            // covered when the exact sum exists, or the file's column is
+            // ALL NULL (partial SUM = SQL NULL, derivable without a sum);
+            // an overflow-dropped sum leaves the file uncovered → decline
+            cs.sum.isDefined || cs.nulls == st.get.rows)
           case _                  => true
         }
       }
@@ -853,26 +954,28 @@ private[sources] class GraftScanBuilder(
   override def build(): Scan = aggPush match {
     case Some((gb, specs)) =>
       new GraftStoreAggScan(path, fullSchema, partCols, partFilters,
-        dataFilters, gb, specs)
+        dataFilters, gb, specs, versionAsOf)
     case None =>
       new GraftStoreScan(path, fullSchema, required, partCols, partFilters,
-        dataFilters, columnar, limit)
+        dataFilters, columnar, limit, versionAsOf)
   }
 }
 
 /** One part file + the partition values bound by its directory path
   * (encoded text, schema-typed at read time; parallel to `partCols`),
   * plus the file's zone-map stats when the `_STATS` sidecar has them.
+  * `rel` is the table-relative path — the `_file` metadata column's
+  * value and the unit of copy-on-write group replacement.
   */
 private[sources] case class GraftFilePartition(
     file: String, partValues: Seq[String],
-    stats: Option[GraftFileStats] = None) extends InputPartition
+    stats: Option[GraftFileStats] = None, rel: String = "") extends InputPartition
 
 private[sources] class GraftStoreScan(
     path: String, fullSchema: StructType, required: StructType,
     partCols: Seq[String], partFilters: Array[Filter],
     dataFilters: Array[Filter] = Array.empty, columnar: Boolean = false,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, versionAsOf: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -942,6 +1045,7 @@ private[sources] class GraftStoreScan(
       s"PartitionColumns: [${partCols.mkString(", ")}], " +
       s"Columnar: $columnar, " +
       limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
+      versionAsOf.map(v => s"VersionAsOf: $v, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   private def partField(c: String): StructField =
@@ -963,8 +1067,16 @@ private[sources] class GraftStoreScan(
   // (a Scan is a committed snapshot; the sidecars are immutable for it)
   private lazy val statsBook: Map[String, GraftFileStats] =
     GraftCommit.readStats(new File(path))
-  private lazy val manifestBook: Option[Seq[String]] =
-    GraftCommit.readManifest(new File(path))
+  // SNAPSHOT ISOLATION (VERDICT r11 task 1): the manifest is resolved
+  // ONCE per Scan and pinned — a concurrent compact/DELETE commits a new
+  // version but this scan keeps planning (and, thanks to retirement GC,
+  // successfully READING) the version it saw. `versionAsOf` pins an
+  // explicit history version instead (time travel); it fails loudly on
+  // an expired or never-committed version.
+  private lazy val manifestBook: Option[Seq[String]] = versionAsOf match {
+    case Some(v) => Some(GraftCommit.readManifestAt(new File(path), v))
+    case None    => GraftCommit.readManifest(new File(path))
+  }
 
   private def plannedWith(filters: Array[Filter]): Array[GraftFilePartition] = {
     val root = new File(path)
@@ -974,7 +1086,7 @@ private[sources] class GraftStoreScan(
 
     def withStats(f: File, texts: Seq[String]): GraftFilePartition = {
       val rel = f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
-      GraftFilePartition(f.getAbsolutePath, texts, statsBook.get(rel))
+      GraftFilePartition(f.getAbsolutePath, texts, statsBook.get(rel), rel)
     }
     def keepByZoneMap(p: GraftFilePartition): Boolean = p.stats match {
       case None => true // no entry — never skip
@@ -1093,9 +1205,10 @@ private[sources] class GraftStoreScan(
 private[sources] class GraftStoreAggScan(
     path: String, fullSchema: StructType, partCols: Seq[String],
     partFilters: Array[Filter], dataFilters: Array[Filter],
-    groupBy: Seq[String], specs: Seq[GraftAggSpec])
+    groupBy: Seq[String], specs: Seq[GraftAggSpec],
+    versionAsOf: Option[Long] = None)
     extends GraftStoreScan(path, fullSchema, fullSchema, partCols, partFilters,
-      dataFilters) {
+      dataFilters, versionAsOf = versionAsOf) {
 
   override def readSchema(): StructType = StructType(
     groupBy.map(c => fullSchema(c)) ++ specs.map {
@@ -1105,6 +1218,11 @@ private[sources] class GraftStoreAggScan(
       case GraftStatsMin(c)   => StructField(s"min($c)", fullSchema(c).dataType)
       case GraftStatsMax(c)   => StructField(s"max($c)", fullSchema(c).dataType)
       case GraftStatsCount(c) => StructField(s"count($c)", LongType, nullable = false)
+      case GraftStatsSum(c)   => StructField(s"sum($c)", fullSchema(c).dataType match {
+        // Spark's Sum result type: integral widens to LongType
+        case LongType | IntegerType => LongType
+        case dt => dt
+      })
     })
 
   override def description(): String = {
@@ -1115,6 +1233,7 @@ private[sources] class GraftStoreAggScan(
       case GraftStatsMin(c)   => s"MIN($c)"
       case GraftStatsMax(c)   => s"MAX($c)"
       case GraftStatsCount(c) => s"COUNT($c)"
+      case GraftStatsSum(c)   => s"SUM($c)"
     }
     super.description() +
       s", PushedAggregates: [${aggs.mkString(", ")}]" +
@@ -1167,6 +1286,17 @@ private[sources] class GraftAggReaderFactory(
           case GraftStatsCount(c) =>
             if (partIndex.contains(c)) { if (partVal(c) == null) 0L else rowCount }
             else rowCount - gp.stats.get.cols(c).nulls
+          case GraftStatsSum(c) =>
+            // absent sum with all-null column = SQL NULL partial (the
+            // coverage gate admitted the file exactly because of that)
+            gp.stats.get.cols(c).sum.map { t =>
+              fullSchema(c).dataType match {
+                case LongType | IntegerType => java.lang.Long.valueOf(t.toLong)
+                case DoubleType => java.lang.Double.valueOf(t.toDouble)
+                case dt => throw new IllegalStateException(
+                  s"graft-store: no stats sum for type $dt")
+              }
+            }.orNull
         })
         done = true
         true
@@ -1208,7 +1338,8 @@ private[sources] class GraftReaderFactory(
     val vectors = required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
     val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
 
-    // slot binding, same contract as the row reader
+    // slot binding, same contract as the row reader (`_file` metadata
+    // column = the partition's table-relative path, a per-file constant)
     sealed trait Slot
     case class Const(v: Any) extends Slot
     case class FromFile(idx: Int, dt: DataType) extends Slot
@@ -1216,6 +1347,7 @@ private[sources] class GraftReaderFactory(
       partIndex.get(f.name) match {
         case Some(pi) =>
           Const(GraftStore.partValueTyped(gp.partValues(pi), f.dataType))
+        case None if f.name == GraftStore.FileMetaColumn => Const(gp.rel)
         case None => FromFile(fileIndex(f.name), f.dataType)
       }
     }
@@ -1298,6 +1430,8 @@ private[sources] class GraftReaderFactory(
             case s: String => UTF8String.fromString(s)
             case other     => other
           })
+        case None if f.name == GraftStore.FileMetaColumn =>
+          Const(UTF8String.fromString(gp.rel)) // metadata column
         case None =>
           FromFile(fileIndex(f.name), f.dataType)
       }
@@ -1420,14 +1554,21 @@ private[sources] object GraftCommit {
     out.result()
   }
 
-  // ---- `_STATS` sidecar codec (VERDICT r10 task 1): one line per part
-  // file — encoded rel path, row count, then (col, nulls, min, max)
-  // quads. All text fields go through the %XX partition-value codec, so
+  // ---- `_STATS` sidecar codec (VERDICT r10 task 1; r11 task 4 added
+  // per-file SUM): one line per part file — encoded rel path, row
+  // count, then (col, nulls, min, max, sum) groups. A `#graft-stats-v2`
+  // header line selects the 5-field group form; headerless files are
+  // the legacy 4-field form (no sums — SUM pushdown simply declines).
+  // All text fields go through the %XX partition-value codec, so
   // tabs/newlines inside string bounds can't break the framing; absent
-  // bounds (all-null column) reuse the null sentinel.
+  // bounds/sums (all-null column, int64 overflow) reuse the null
+  // sentinel.
+
+  private val StatsHeaderV2 = "#graft-stats-v2"
 
   def writeStats(root: File, entries: Seq[(String, GraftFileStats)]): Unit = {
     val sb = new StringBuilder
+    sb.append(StatsHeaderV2).append('\n')
     entries.foreach { case (rel, st) =>
       sb.append(GraftStore.encodePartValue(rel)).append('\t').append(st.rows)
       st.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -1435,52 +1576,154 @@ private[sources] object GraftCommit {
           .append('\t').append(cs.nulls)
           .append('\t').append(GraftStore.encodePartValue(cs.min.orNull))
           .append('\t').append(GraftStore.encodePartValue(cs.max.orNull))
+          .append('\t').append(GraftStore.encodePartValue(cs.sum.orNull))
       }
       sb.append('\n')
     }
     writeAtomic(root, GraftStore.StatsFile, sb.toString)
   }
 
-  // ---- `_MANIFEST` (VERDICT r10 task 2): when present, the EXACT set
-  // of visible data files (table-relative paths, one per line, %XX
-  // encoded). The glob-the-directory default cannot express "these
-  // merged files replace those small ones" atomically; the manifest
-  // can — compaction publishes merged files under names the default
-  // glob ignores, then swaps visibility with ONE atomic manifest
-  // write. Commits keep it current once it exists.
+  def readStats(root: File): Map[String, GraftFileStats] = {
+    val f = new File(root, GraftStore.StatsFile)
+    if (!f.isFile) return Map.empty
+    val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).toSeq
+    val v2 = lines.headOption.contains(StatsHeaderV2)
+    val group = if (v2) 5 else 4
+    lines.filterNot(_.startsWith("#")).map { line =>
+      val t = line.split("\t", -1)
+      // loud on a malformed line (torn edit / version skew): a silently
+      // dropped column group would degrade skipping invisibly,
+      // violating the corrupt-sidecars-fail-loudly contract
+      require(t.length >= 2 && (t.length - 2) % group == 0,
+        s"graft-store: malformed ${GraftStore.StatsFile} line " +
+          s"(${t.length} fields, group $group): ${line.take(120)}")
+      val cols = t.drop(2).grouped(group).map { g =>
+        GraftStore.decodePartValue(g(0)) -> GraftColStatsTxt(g(1).toLong,
+          Option(GraftStore.decodePartValue(g(2))),
+          Option(GraftStore.decodePartValue(g(3))),
+          if (v2) Option(GraftStore.decodePartValue(g(4))) else None)
+      }.toMap
+      GraftStore.decodePartValue(t(0)) -> GraftFileStats(t(1).toLong, cols)
+    }.toMap
+  }
 
-  def readManifest(root: File): Option[Seq[String]] = {
-    val f = new File(root, GraftStore.ManifestFile)
+  // ---- `_MANIFEST` (VERDICT r10 task 2; r11 task 1 added VERSIONS):
+  // when present, the EXACT set of visible data files (table-relative
+  // paths, one per line, %XX encoded). The glob-the-directory default
+  // cannot express "these merged files replace those small ones"
+  // atomically; the manifest can — maintenance publishes replacement
+  // files under names the default glob ignores, then swaps visibility
+  // with ONE atomic manifest write. Commits keep it current once it
+  // exists.
+  //
+  // VERSIONING (VERDICT r11 task 1): every manifest commit first writes
+  // an immutable history copy `_MANIFEST.v<N>` (invisible to readers),
+  // then atomically swaps `_MANIFEST` — whose FIRST line `#version=N`
+  // names its own version, so the swap is still the single commit
+  // point. A scan pins the manifest it read (snapshot isolation);
+  // `versionAsOf` reads a history copy directly (store-level time
+  // travel). Files removed from the visible set (compaction inputs,
+  // DELETEd partitions, COW-rewritten files, replayed epochs) are NOT
+  // unlinked — they are RETIRED to the `_RETIRED` ledger and physically
+  // GC'd only by [[GraftMaintenance.expireSnapshots]] after a
+  // configurable window, which is what turns "a reader that planned
+  // before the swap may hit a deleted file" from a caveat into a
+  // guarantee.
+
+  private val VersionHeader = "#version="
+
+  /** Current visible file set (header lines skipped; legacy headerless
+    * manifests read identically as version 0).
+    */
+  def readManifest(root: File): Option[Seq[String]] =
+    readManifestFile(new File(root, GraftStore.ManifestFile))
+
+  private def readManifestFile(f: File): Option[Seq[String]] = {
     if (!f.isFile) None
     else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").iterator.filter(_.nonEmpty)
+      .split("\n").iterator.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(GraftStore.decodePartValue).toSeq)
   }
 
-  def writeManifest(root: File, files: Seq[String]): Unit =
-    writeAtomic(root, GraftStore.ManifestFile,
-      files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n"))
+  /** The current manifest's version: None = no manifest (glob table);
+    * Some(0) = legacy headerless manifest.
+    */
+  def currentManifestVersion(root: File): Option[Long] = {
+    val f = new File(root, GraftStore.ManifestFile)
+    if (!f.isFile) None
+    else {
+      val first = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .linesIterator.nextOption().getOrElse("")
+      Some(if (first.startsWith(VersionHeader))
+        first.substring(VersionHeader.length).toLong else 0L)
+    }
+  }
 
-  def readStats(root: File): Map[String, GraftFileStats] = {
-    val f = new File(root, GraftStore.StatsFile)
-    if (!f.isFile) Map.empty
+  /** The file set of a PINNED version. Reads the immutable history copy;
+    * the current version is also answerable from `_MANIFEST` itself (a
+    * legacy v0 manifest has no history copy). A version that was never
+    * committed, or whose history [[GraftMaintenance.expireSnapshots]]
+    * already expired, fails LOUDLY — never a silent fallback to another
+    * snapshot.
+    */
+  def readManifestAt(root: File, version: Long): Seq[String] = {
+    val hist = new File(root, s"${GraftStore.ManifestFile}.v$version")
+    readManifestFile(hist).orElse {
+      if (currentManifestVersion(root).contains(version)) readManifest(root)
+      else None
+    }.getOrElse(throw new IllegalStateException(
+      s"graft-store: version $version of $root is not available " +
+        s"(current: ${currentManifestVersion(root).getOrElse("none — not a versioned table")}); " +
+        "it was expired by retention GC or never committed"))
+  }
+
+  /** Commit a new visible file set as version N+1. MUST be called under
+    * [[withMetaLock]] — the version read-increment-write is a RMW.
+    * History copy first (readers never look at it), then the atomic
+    * `_MANIFEST` swap as the single commit point. Returns the committed
+    * version.
+    */
+  def commitManifest(root: File, files: Seq[String]): Long = {
+    val v = currentManifestVersion(root).getOrElse(0L) + 1
+    val body = VersionHeader + v + "\n" +
+      files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n")
+    writeAtomic(root, s"${GraftStore.ManifestFile}.v$v", body)
+    writeAtomic(root, GraftStore.ManifestFile, body)
+    v
+  }
+
+  // ---- `_RETIRED` ledger: files superseded by some version but still
+  // on disk for pinned readers / time travel. One line per file:
+  // encoded rel path, the version that dropped it, the wall-clock
+  // retire time (for the retention window). GC'd by expireSnapshots.
+
+  def readRetired(root: File): Seq[(String, Long, Long)] = {
+    val f = new File(root, GraftStore.RetiredFile)
+    if (!f.isFile) Seq.empty
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").iterator.filter(_.nonEmpty).map { line =>
         val t = line.split("\t", -1)
-        // loud on a malformed line (torn edit / version skew): a silently
-        // dropped column group would degrade skipping invisibly,
-        // violating the corrupt-sidecars-fail-loudly contract
-        require(t.length >= 2 && (t.length - 2) % 4 == 0,
-          s"graft-store: malformed ${GraftStore.StatsFile} line " +
-            s"(${t.length} fields): ${line.take(120)}")
-        val cols = t.drop(2).grouped(4).map { case Array(c, nulls, mn, mx) =>
-          GraftStore.decodePartValue(c) -> GraftColStatsTxt(nulls.toLong,
-            Option(GraftStore.decodePartValue(mn)),
-            Option(GraftStore.decodePartValue(mx)))
-        }.toMap
-        GraftStore.decodePartValue(t(0)) -> GraftFileStats(t(1).toLong, cols)
-      }.toMap
+        require(t.length == 3,
+          s"graft-store: malformed ${GraftStore.RetiredFile} line: ${line.take(120)}")
+        (GraftStore.decodePartValue(t(0)), t(1).toLong, t(2).toLong)
+      }.toSeq
   }
+
+  def writeRetired(root: File, entries: Seq[(String, Long, Long)]): Unit =
+    if (entries.isEmpty) { Files.deleteIfExists(new File(root, GraftStore.RetiredFile).toPath); () }
+    else writeAtomic(root, GraftStore.RetiredFile,
+      entries.sortBy(_._1).map { case (rel, v, ms) =>
+        s"${GraftStore.encodePartValue(rel)}\t$v\t$ms"
+      }.mkString("", "\n", "\n"))
+
+  /** Append `rels` to the retirement ledger (under the metadata lock). */
+  def retire(root: File, rels: Seq[String], droppedByVersion: Long): Unit =
+    if (rels.nonEmpty) {
+      val now = System.currentTimeMillis()
+      writeRetired(root,
+        readRetired(root) ++ rels.map(r => (r, droppedByVersion, now)))
+    }
 
   /** One atomic small-file write (tmp + ATOMIC_MOVE) for every metadata
     * artifact — `_SCHEMA` is rewritten during a table's lifetime now
@@ -1519,14 +1762,16 @@ private[sources] object GraftCommit {
     ()
   }
 
-  /** All data files (glob-visible `part-*` and compaction-produced
-    * `merged-*`), at the root and inside partition dirs (any depth).
+  /** All data files (glob-visible `part-*`, compaction-produced
+    * `merged-*`, copy-on-write `rewrite-*`), at the root and inside
+    * partition dirs (any depth).
     */
   def allPartFiles(root: File): Seq[File] = {
     def go(d: File): Seq[File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
         case f if f.isFile &&
-          (f.getName.startsWith("part-") || f.getName.startsWith("merged-")) => Seq(f)
+          (f.getName.startsWith("part-") || f.getName.startsWith("merged-") ||
+            f.getName.startsWith("rewrite-")) => Seq(f)
         case d2 if d2.isDirectory && d2.getName.contains("=") => go(d2)
         case _ => Seq.empty
       }
@@ -1563,8 +1808,14 @@ private[sources] class GraftBatchWrite(
         .filter(d => d.isDirectory && d.getName.contains("="))
         .foreach(GraftCommit.deleteRecursively)
       Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile,
-        GraftStore.StatsFile, GraftStore.ManifestFile)
+        GraftStore.StatsFile, GraftStore.ManifestFile, GraftStore.RetiredFile)
         .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
+      // overwrite RESETS history: version copies of the replaced table
+      // describe files the truncate just unlinked (documented contract —
+      // time travel does not cross an overwrite)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(GraftStore.ManifestFile + ".v"))
+        .foreach(f => Files.deleteIfExists(f.toPath))
     }
     val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
     // append: the table's DECLARED schema stands (see writeMeta)
@@ -1577,14 +1828,179 @@ private[sources] class GraftBatchWrite(
       val prior = if (truncate) Map.empty[String, GraftFileStats]
                   else GraftCommit.readStats(dir)
       GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
-      // a compacted (manifest-bearing) table keeps its manifest current:
-      // an append's files must become visible through it
+      // a versioned (manifest-bearing) table keeps its manifest current:
+      // an append commits version N+1 making its files visible through
+      // ONE atomic swap (glob tables gain visibility via _SUCCESS below)
       if (!truncate) GraftCommit.readManifest(dir).foreach(m =>
-        GraftCommit.writeManifest(dir, m ++ published.map(_._1)))
+        GraftCommit.commitManifest(dir, m ++ published.map(_._1)))
     }
     GraftCommit.deleteTemp(path, jobId)
     // the publish point: written last, so the marker implies completeness
     Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommit.deleteTemp(path, jobId)
+}
+
+/** The `_file` metadata column definition (SupportsMetadataColumns). */
+private[sources] object GraftFileMetaColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = GraftStore.FileMetaColumn
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "table-relative path of the data file the row lives in"
+}
+
+/** One copy-on-write DELETE (see [[GraftStoreTable
+  * .newRowLevelOperationBuilder]]). The operation object is the bridge
+  * between its SCAN (which records the files it actually planned —
+  * after condition pushdown, zone-map skipping and runtime group
+  * filtering) and its WRITE (whose commit replaces exactly those files
+  * with the rewritten output). planInputPartitions may run more than
+  * once (pre/post runtime filter, and for the matching-rows subquery,
+  * which shares this operation); every call overwrites the record and
+  * the EXECUTION-time planning runs last, so the commit sees the true
+  * replaced set — and any stale superset would only enlarge the
+  * rewrite, never change its result.
+  */
+private[sources] class GraftRowLevelOperation(
+    path: String, schema: StructType, partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
+  @volatile private[sources] var scannedRels: Seq[String] = Seq.empty
+
+  override def command(): Command = Command.DELETE
+  override def description(): String = s"graft-store COW DELETE($path)"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftStore.FileMetaColumn))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(this, path, schema, partCols,
+      options.getBoolean(GraftStore.ColumnarOption, true))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftCowBatchWrite(GraftRowLevelOperation.this, path,
+            info.schema(), partCols,
+            java.util.UUID.randomUUID().toString.take(8))
+        override def toStreaming: StreamingWrite =
+          throw new UnsupportedOperationException(
+            "graft-store: streaming row-level operations are not supported")
+      }
+    }
+}
+
+/** The rewrite scan's builder: identical pushdown semantics to the
+  * normal scan (partition filters consumed exactly; data filters kept
+  * residual but used for zone-map file refutation — and Spark pushes
+  * the DELETE CONDITION here, so refuting a file means "no row of it
+  * matches the delete" = safe to leave it out of the rewrite). LIMIT
+  * and aggregate pushdown never apply to a rewrite scan.
+  */
+private[sources] class GraftCowScanBuilder(
+    op: GraftRowLevelOperation, path: String, fullSchema: StructType,
+    partCols: Seq[String], columnar: Boolean)
+    extends GraftScanBuilder(path, fullSchema, partCols, columnar) {
+  override def build(): Scan =
+    new GraftCowScan(op, path, fullSchema, required, partCols,
+      partFilters, dataFilters, columnar)
+}
+
+/** The rewrite scan: plans like a normal scan, then (a) intersects with
+  * the runtime group filter `_file IN (files containing matches)` when
+  * Spark provides one, and (b) records the final planned file set on
+  * the operation for the write's commit.
+  */
+private[sources] class GraftCowScan(
+    op: GraftRowLevelOperation, path: String, fullSchema: StructType,
+    required: StructType, partCols: Seq[String],
+    partFilters: Array[Filter], dataFilters: Array[Filter], columnar: Boolean)
+    extends GraftStoreScan(path, fullSchema, required, partCols, partFilters,
+      dataFilters, columnar) {
+
+  private var fileFilter: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftStore.FileMetaColumn))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    fileFilter = filters.collectFirst {
+      case In(a, vals) if a == GraftStore.FileMetaColumn =>
+        vals.iterator.filter(_ != null).map(String.valueOf).toSet
+    }
+  }
+
+  override def description(): String =
+    super.description() + ", RowLevelOp: COW-DELETE"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = super.planInputPartitions()
+      .map(_.asInstanceOf[GraftFilePartition])
+    val cut = fileFilter match {
+      case Some(keep) => planned.filter(p => keep(p.rel))
+      case None       => planned
+    }
+    op.scannedRels = cut.map(_.rel).toSeq
+    cut.map(p => p: InputPartition)
+  }
+}
+
+/** The rewrite's commit: publish the kept rows as `rewrite-*` files
+  * (invisible to the glob, like `merged-*`), then ONE manifest commit
+  * swaps {scanned files} for {rewritten files} and retires the
+  * originals. Adopting a manifest on a previously glob-only table makes
+  * the swap atomic there too (its pre-rewrite layout becomes version
+  * N's baseline implicitly — the first commit IS the first version).
+  * Aborts loudly if a concurrent writer removed any scanned file (the
+  * rewrite would resurrect rows a DELETE removed, or double rows a
+  * compact moved).
+  */
+private[sources] class GraftCowBatchWrite(
+    op: GraftRowLevelOperation, path: String, schema: StructType,
+    partCols: Seq[String], jobId: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    require(!schema.fieldNames.contains(GraftStore.FileMetaColumn),
+      "graft-store: rewrite rows must not carry the _file metadata column")
+    new GraftWriterFactory(
+      new File(new File(path, "_temporary"), jobId).getAbsolutePath,
+      schema, partCols)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val rootLen = dir.getAbsolutePath.length + 1
+    def relOf(f: File): String =
+      f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
+    val published = GraftCommit.publish(dir, messages,
+      n => f"rewrite-$jobId-$n%05d.csv")
+    val scanned = op.scannedRels
+    GraftCommit.withMetaLock(dir) {
+      val current: Seq[String] = GraftCommit.readManifest(dir).getOrElse(
+        GraftCommit.allPartFiles(dir)
+          .filter(_.getName.startsWith("part-")).map(relOf).sorted)
+      if (!scanned.forall(current.toSet)) {
+        published.foreach(p => Files.deleteIfExists(new File(dir, p._1).toPath))
+        GraftCommit.deleteTemp(path, jobId)
+        throw new IllegalStateException(
+          "graft-store: a concurrent writer removed rewrite inputs under " +
+            s"$path — nothing was swapped; rerun the DELETE")
+      }
+      GraftCommit.writeStats(dir,
+        (GraftCommit.readStats(dir) ++ published).toSeq.sortBy(_._1))
+      val v = GraftCommit.commitManifest(dir,
+        current.filterNot(scanned.toSet) ++ published.map(_._1))
+      GraftCommit.retire(dir, scanned, v)
+    }
+    GraftCommit.deleteTemp(path, jobId)
     ()
   }
 
@@ -1617,26 +2033,49 @@ private[sources] class GraftStreamingWrite(
     val dir = new File(path)
     dir.mkdirs()
     val prefix = f"part-e$epochId%010d-"
-    // idempotence: a recovery replay of this epoch supersedes its files
-    GraftCommit.allPartFiles(dir)
-      .filter(_.getName.startsWith(prefix))
-      .foreach(f => Files.delete(f.toPath))
-    val published = GraftCommit.publish(dir, messages, n => f"$prefix$n%05d.csv")
+    // attempt-unique names: a REPLAYED epoch's files never collide with
+    // the attempt they supersede, so on a versioned sink the old attempt
+    // can be RETIRED (still readable by pinned scans) instead of unlinked
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val manifested = GraftCommit.readManifest(dir).isDefined
+    if (!manifested) {
+      // glob sink: visibility is the directory listing, so the replayed
+      // epoch's old files must go BEFORE the new ones land (the standard
+      // micro-batch file-sink visibility window, healed by the replay)
+      GraftCommit.allPartFiles(dir)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(f => Files.delete(f.toPath))
+    }
+    val published = GraftCommit.publish(dir, messages,
+      n => f"$prefix$attempt-$n%05d.csv")
     // the streaming sink is append-only: the declared schema stands
     GraftCommit.writeMeta(dir, schema, partCols, keepExisting = true)
     GraftCommit.withMetaLock(dir) {
-      // zone maps: drop the replayed epoch's superseded entries, add new
-      val prior = GraftCommit.readStats(dir).filterNot { case (rel, _) =>
-        rel.split('/').last.startsWith(prefix)
-      }
-      GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
-      // compacted sink: replace the replayed epoch's manifest entries too.
-      // (Compaction of a LIVE stream requires quiescence — a replay of an
-      // epoch whose rows were already merged away cannot be deduplicated;
-      // see GraftMaintenance.compact.)
-      GraftCommit.readManifest(dir).foreach { m =>
-        GraftCommit.writeManifest(dir,
-          m.filterNot(_.split('/').last.startsWith(prefix)) ++ published.map(_._1))
+      GraftCommit.readManifest(dir) match {
+        case Some(m) =>
+          // VERSIONED sink: one atomic swap replaces the epoch's entries
+          // (ADVICE r11 low: the old order unlinked superseded files
+          // BEFORE the manifest swap, so a concurrent reader planning
+          // from the manifest hit a missing file; now the swap happens
+          // first and the old attempt is retired, not unlinked — GC is
+          // expireSnapshots' job). Retired-file zone maps stay in _STATS
+          // until GC so pinned scans keep skipping/agg pushdown.
+          // (Compaction of a LIVE stream still requires quiescence — a
+          // replay of an epoch whose rows were merged away cannot be
+          // deduplicated; see GraftMaintenance.compact.)
+          val old = m.filter(_.split('/').last.startsWith(prefix))
+          GraftCommit.writeStats(dir,
+            (GraftCommit.readStats(dir) ++ published).toSeq.sortBy(_._1))
+          val v = GraftCommit.commitManifest(dir,
+            m.filterNot(old.toSet) ++ published.map(_._1))
+          GraftCommit.retire(dir, old, v)
+        case None =>
+          // glob sink: superseded entries were unlinked above — drop them
+          val prior = GraftCommit.readStats(dir).filterNot { case (rel, _) =>
+            rel.split('/').last.startsWith(prefix) &&
+              !published.exists(_._1 == rel)
+          }
+          GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
       }
     }
     GraftCommit.deleteTemp(path, epochJob(epochId))
@@ -1705,6 +2144,14 @@ private[sources] class GraftDataWriter(
     val nulls = new Array[Long](dataSlots.length)
     val mins = new Array[Any](dataSlots.length) // null = unseen
     val maxs = new Array[Any](dataSlots.length)
+    // exact non-null SUM (VERDICT r11 task 4): integral sums via
+    // addExact — an int64 overflow drops the sum (sumOk=false) rather
+    // than wrapping, so pushdown declines instead of answering wrong;
+    // double sums accumulate in row-write order (documented contract)
+    val lsums = new Array[Long](dataSlots.length)
+    val dsums = new Array[Double](dataSlots.length)
+    val sumOk = Array.fill(dataSlots.length)(true)
+    val seen = new Array[Boolean](dataSlots.length) // any non-null value
 
     def update(vals: Array[Any]): Unit = {
       rows += 1
@@ -1713,6 +2160,17 @@ private[sources] class GraftDataWriter(
         val v0: Any = vals(j)
         if (v0 == null) nulls(j) += 1
         else {
+          seen(j) = true
+          v0 match {
+            case l: Long if sumOk(j) =>
+              try lsums(j) = Math.addExact(lsums(j), l)
+              catch { case _: ArithmeticException => sumOk(j) = false }
+            case i: Int if sumOk(j) =>
+              try lsums(j) = Math.addExact(lsums(j), i.toLong)
+              catch { case _: ArithmeticException => sumOk(j) = false }
+            case d: Double => dsums(j) += d
+            case _ => ()
+          }
           val v: Any = v0 match {
             case d: Double if d == 0.0 => 0.0 // -0.0 == 0.0 in SQL
             case u: UTF8String => u.clone() // detach from any reused buffer
@@ -1736,8 +2194,17 @@ private[sources] class GraftDataWriter(
 
     def result(): GraftFileStats = GraftFileStats(rows,
       dataSchema.fields.zipWithIndex.map { case (f, j) =>
+        // sum is recorded only when >=1 non-null value exists — an
+        // all-null file's partial SUM is SQL NULL, which the agg reader
+        // derives from (nulls == rows), never from a misleading 0
+        val sum = f.dataType match {
+          case LongType | IntegerType if seen(j) && sumOk(j) =>
+            Some(lsums(j).toString)
+          case DoubleType if seen(j) => Some(dsums(j).toString)
+          case _ => None
+        }
         f.name -> GraftColStatsTxt(nulls(j),
-          Option(mins(j)).map(_.toString), Option(maxs(j)).map(_.toString))
+          Option(mins(j)).map(_.toString), Option(maxs(j)).map(_.toString), sum)
       }.toMap)
   }
 

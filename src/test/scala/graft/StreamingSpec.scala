@@ -209,6 +209,9 @@ class StreamingSpec extends AnyFunSuite {
     // quiesced compaction
     val res = graft.sources.GraftMaintenance.compact(store)
     assert(res.filesAfter < nBefore, res.toString)
+    // replaced epoch files are RETIRED (still on disk for pinned
+    // readers); retention GC with a zero window removes them
+    graft.sources.GraftMaintenance.expireSnapshots(store, olderThanMs = 0L)
     assert(files().length == res.filesAfter)
     assert(back().collect().map(_.toString).sorted.toSeq == beforeRows,
       "compaction changed streaming rows")
