@@ -53,7 +53,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse")
     warehouse = new File(w)
     warehouse.mkdirs()
+    recoverStaging()
     ()
+  }
+
+  /** Crash recovery for the staging area, run once per catalog
+    * initialization: (a) a `restore-<uuid>` marker from a REPLACE that
+    * died between its two moves — if the table name is EMPTY and the
+    * trashed original still exists, move it back (the replace never
+    * happened); markers whose swap completed just clean up; (b) staged/
+    * trash dirs older than [[StagingSweepMs]] with no live marker are
+    * abandoned CTAS writes — deleted.
+    */
+  private val StagingSweepMs = 24L * 3600 * 1000
+
+  private def recoverStaging(): Unit = {
+    val stagingRoot = new File(warehouse, "_staging")
+    val entries = Option(stagingRoot.listFiles()).getOrElse(Array.empty)
+    val keptTrash = scala.collection.mutable.Set.empty[String]
+    entries.filter(f => f.isFile && f.getName.startsWith("restore-")).foreach { m =>
+      val t = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
+        .split("\t", -1)
+      if (t.length == 2) {
+        val trash = new File(stagingRoot, t(0))
+        val target = t(1).split('/').foldLeft(warehouse)((d, s) => new File(d, s))
+        if (trash.isDirectory && !isTable(target)) {
+          // the REPLACE died mid-swap: put the original back
+          Files.move(trash.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(m.toPath)
+          ()
+        } else if (trash.isDirectory &&
+            System.currentTimeMillis() - m.lastModified() < StagingSweepMs) {
+          // swap completed but cleanup may still be IN FLIGHT in another
+          // process — leave it to age out rather than race the deleter
+          keptTrash += trash.getName
+        } else {
+          GraftCommit.deleteRecursively(trash)
+          Files.deleteIfExists(m.toPath)
+          ()
+        }
+      }
+    }
+    entries.filter(d => d.isDirectory && !keptTrash(d.getName) &&
+        System.currentTimeMillis() - d.lastModified() >= StagingSweepMs)
+      .foreach(GraftCommit.deleteRecursively)
   }
 
   override def name(): String = catalogName
@@ -239,16 +282,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftCommit.deleteRecursively(staged)
         throw new TableAlreadyExistsException(ident)
       }
-      // REPLACE: move the old table aside first (crash leaves it as
-      // recoverable _staging garbage, never a half-table at the name)
-      val trash = new File(new File(warehouse, "_staging"),
-        "trash-" + java.util.UUID.randomUUID().toString)
+      // REPLACE: move the old table aside under a RESTORE MARKER first —
+      // a crash between the two moves leaves no table at the name, but
+      // the marker lets the next catalog initialize() move the old table
+      // back (see recoverStaging); a crash after the swap leaves only
+      // sweepable trash
+      val uuid = java.util.UUID.randomUUID().toString
+      val stagingRoot = new File(warehouse, "_staging")
+      val trash = new File(stagingRoot, s"trash-$uuid")
+      val marker = new File(stagingRoot, s"restore-$uuid")
       if (existed) {
-        trash.getParentFile.mkdirs()
+        stagingRoot.mkdirs()
+        Files.write(marker.toPath,
+          (trash.getName + "\t" +
+            (ident.namespace() :+ ident.name()).mkString("/"))
+            .getBytes(StandardCharsets.UTF_8))
         Files.move(target.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
       }
       Files.move(staged.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-      if (existed) GraftCommit.deleteRecursively(trash)
+      if (existed) {
+        GraftCommit.deleteRecursively(trash)
+        Files.deleteIfExists(marker.toPath)
+      }
       ()
     }
 

@@ -93,15 +93,8 @@ object GraftMaintenance {
     val partCols = GraftStore.readPartitionCols(path)
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
 
-    val rootPath = root.getAbsolutePath
-    def relOf(f: File): String =
-      f.getAbsolutePath.substring(rootPath.length + 1)
-        .replace(File.separatorChar, '/')
-
     // the CURRENT visible set: manifest if present, else the glob
-    val visible: Seq[String] = GraftCommit.readManifest(root).getOrElse(
-      GraftCommit.allPartFiles(root).filter(_.getName.startsWith("part-"))
-        .map(relOf).sorted)
+    val visible: Seq[String] = GraftCommit.visibleFiles(root)
 
     val statsBook = GraftCommit.readStats(root)
     val byDir: Map[String, Seq[String]] = visible.groupBy { rel =>
@@ -196,13 +189,20 @@ object GraftMaintenance {
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"compactSorted: sort column '$c' not in ${schema.toDDL}"))
 
-    val rootPath = root.getAbsolutePath
-    def relOf(f: File): String =
-      f.getAbsolutePath.substring(rootPath.length + 1)
-        .replace(File.separatorChar, '/')
-    val visible: Seq[String] = GraftCommit.readManifest(root).getOrElse(
-      GraftCommit.allPartFiles(root).filter(_.getName.startsWith("part-"))
-        .map(relOf).sorted)
+    // PIN the rewrite's input set: adopt a manifest if the table is
+    // still glob-only (under the lock, so no racing append is dropped),
+    // then read exactly that version through the scan — without the pin
+    // the scan's lazy manifest resolution could pick up a CONCURRENT
+    // append's version and the rewrite would duplicate its rows (the
+    // staged output would hold them AND the commit would keep the
+    // appended files). With the pin, a concurrent append's files simply
+    // survive the swap untouched (commitRewrite keeps non-input files).
+    val version: Long = GraftCommit.currentManifestVersion(root).getOrElse {
+      GraftCommit.withMetaLock(root) {
+        GraftCommit.commitManifest(root, GraftCommit.visibleFiles(root))
+      }
+    }
+    val visible: Seq[String] = GraftCommit.readManifestAt(root, version)
     if (visible.isEmpty) return CompactResult(0, 0, 0)
 
     val totalBytes = visible.map(rel => new File(root, rel).length()).sum
@@ -219,7 +219,8 @@ object GraftMaintenance {
     // order inside every output file
     val keyCols = (partCols ++ sortBy.filterNot(partCols.contains)).map(col)
     spark.read.format("graft.sources.GraftStoreProvider")
-      .option("path", path).load()
+      .option("path", path)
+      .option(GraftStore.VersionAsOfOption, version.toString).load()
       .repartitionByRange(nRanges, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .write.format("graft.sources.GraftStoreProvider")
@@ -264,15 +265,9 @@ object GraftMaintenance {
   private def commitRewrite(root: File, path: String, tempJob: String,
       replacedList: Seq[String], merged: Seq[String],
       mergedStats: Map[String, GraftFileStats]): Unit = {
-    val rootPath = root.getAbsolutePath
-    def relOf(f: File): String =
-      f.getAbsolutePath.substring(rootPath.length + 1)
-        .replace(File.separatorChar, '/')
     val replacedSet = replacedList.toSet
     GraftCommit.withMetaLock(root) {
-      val current: Seq[String] = GraftCommit.readManifest(root).getOrElse(
-        GraftCommit.allPartFiles(root)
-          .filter(_.getName.startsWith("part-")).map(relOf).sorted)
+      val current: Seq[String] = GraftCommit.visibleFiles(root)
       if (!replacedList.forall(current.toSet)) {
         merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
         GraftCommit.deleteTemp(path, tempJob)
@@ -317,10 +312,7 @@ object GraftMaintenance {
     val root = new File(path)
     require(new File(root, GraftStore.SuccessFile).isFile,
       s"graft-store: no committed table at $path")
-    val rootPath = root.getAbsolutePath
-    def relOf(f: File): String =
-      f.getAbsolutePath.substring(rootPath.length + 1)
-        .replace(File.separatorChar, '/')
+    def relOf(f: File): String = GraftCommit.relOf(root, f)
     val now = System.currentTimeMillis()
     GraftCommit.withMetaLock(root) {
       val curVersion = GraftCommit.currentManifestVersion(root)
@@ -356,14 +348,23 @@ object GraftMaintenance {
       // beyond keepVersions — the window is the contract, keepVersions
       // only PROTECTS recent versions' files from it.
       var droppedVersions = 0
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(GraftStore.ManifestFile + ".v"))
-        .foreach { f =>
-          val v = f.getName.substring(GraftStore.ManifestFile.length + 2).toLong
-          val complete = scala.util.Try(GraftCommit.readManifestAt(root, v))
-            .toOption.exists(_.forall(rel => new File(root, rel).isFile))
-          if (!complete) { Files.deleteIfExists(f.toPath); droppedVersions += 1 }
+      val HistName = ("^" + java.util.regex.Pattern.quote(GraftStore.ManifestFile) +
+        "\\.v(\\d+)$").r
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case HistName(vs) =>
+            val complete = scala.util.Try(GraftCommit.readManifestAt(root, vs.toLong))
+              .toOption.exists(_.forall(rel => new File(root, rel).isFile))
+            if (!complete) { Files.deleteIfExists(f.toPath); droppedVersions += 1 }
+          // a torn writeAtomic's orphan temp (kill between tmp write and
+          // the atomic move): harmless to readers, swept once aged
+          case n if n.startsWith("_") && n.endsWith(".tmp") &&
+              now - f.lastModified() >= strayGraceMs =>
+            Files.deleteIfExists(f.toPath)
+            ()
+          case _ => ()
         }
+      }
       // 3) sweep aged strays: on disk, in no kept snapshot, in no ledger
       val keptRels = kept.map(_._1).toSet
       val visibleNow: Set[String] = curVersion match {
@@ -384,16 +385,8 @@ object GraftMaintenance {
           .filterNot(e => strayRels(e._1)).toSeq.sortBy(_._1))
       }
       // drop now-empty partition dirs left behind by expiry
-      (expired.map(e => new File(root, e._1)) ++ strays)
-        .map(_.getParentFile).distinct.foreach { d0 =>
-          var d = d0
-          while (d != null && d != root && d.isDirectory &&
-              d.getName.contains("=") &&
-              Option(d.listFiles()).forall(_.isEmpty)) {
-            Files.deleteIfExists(d.toPath)
-            d = d.getParentFile
-          }
-        }
+      GraftCommit.pruneEmptyDirs(root,
+        (expired.map(e => new File(root, e._1)) ++ strays).map(_.getParentFile))
       ExpireResult(expired.size, strays.size, droppedVersions)
     }
   }

@@ -769,16 +769,8 @@ private[sources] class GraftStoreTable(
             GraftCommit.writeStats(root, GraftCommit.readStats(root)
               .filterNot(e => deadSet(e._1)).toSeq.sortBy(_._1))
             deadSet.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
-            // drop now-empty partition dirs (all levels) so the layout stays clean
-            deadSet.map(rel => new File(root, rel).getParentFile).foreach { d0 =>
-              var d = d0
-              while (d != null && d != root && d.isDirectory &&
-                  d.getName.contains("=") &&
-                  Option(d.listFiles()).forall(_.isEmpty)) {
-                Files.deleteIfExists(d.toPath)
-                d = d.getParentFile
-              }
-            }
+            GraftCommit.pruneEmptyDirs(root,
+              deadSet.toSeq.map(rel => new File(root, rel).getParentFile))
           }
       }
     }
@@ -1347,7 +1339,10 @@ private[sources] class GraftReaderFactory(
       partIndex.get(f.name) match {
         case Some(pi) =>
           Const(GraftStore.partValueTyped(gp.partValues(pi), f.dataType))
-        case None if f.name == GraftStore.FileMetaColumn => Const(gp.rel)
+        // a REAL data column named _file shadows the metadata column
+        // (Spark's SupportsMetadataColumns conflict rule)
+        case None if f.name == GraftStore.FileMetaColumn &&
+          !fileIndex.contains(f.name) => Const(gp.rel)
         case None => FromFile(fileIndex(f.name), f.dataType)
       }
     }
@@ -1430,8 +1425,9 @@ private[sources] class GraftReaderFactory(
             case s: String => UTF8String.fromString(s)
             case other     => other
           })
-        case None if f.name == GraftStore.FileMetaColumn =>
-          Const(UTF8String.fromString(gp.rel)) // metadata column
+        case None if f.name == GraftStore.FileMetaColumn &&
+            !fileIndex.contains(f.name) =>
+          Const(UTF8String.fromString(gp.rel)) // metadata column (see above)
         case None =>
           FromFile(fileIndex(f.name), f.dataType)
       }
@@ -1545,14 +1541,46 @@ private[sources] object GraftCommit {
           val dir = if (relDir.isEmpty) root else new File(root, relDir)
           dir.mkdirs()
           val name = nameOf(n)
-          Files.move(Paths.get(tempPath), new File(dir, name).toPath,
+          val dest = new File(dir, name)
+          Files.move(Paths.get(tempPath), dest.toPath,
             StandardCopyOption.ATOMIC_MOVE)
+          // stamp PUBLISH time: ATOMIC_MOVE preserves the task-write
+          // mtime, but expireSnapshots' stray grace window must key on
+          // when the file became publishable — a straggler task's file
+          // would otherwise look hours old the moment it lands and be
+          // GC'd before its manifest update commits
+          dest.setLastModified(System.currentTimeMillis())
           out += ((if (relDir.isEmpty) name else s"$relDir/$name") -> st)
           n += 1
         }
       }
     out.result()
   }
+
+  /** Table-relative path (the `_file` value / manifest key) of `f`. */
+  def relOf(root: File, f: File): String =
+    f.getAbsolutePath.substring(root.getAbsolutePath.length + 1)
+      .replace(File.separatorChar, '/')
+
+  /** The CURRENT visible file set: the manifest when present, else the
+    * glob (`part-*` only — merged/rewrite files are manifest-addressed).
+    */
+  def visibleFiles(root: File): Seq[String] =
+    readManifest(root).getOrElse(
+      allPartFiles(root).filter(_.getName.startsWith("part-"))
+        .map(relOf(root, _)).sorted)
+
+  /** Remove now-empty `col=value` directories above the given files. */
+  def pruneEmptyDirs(root: File, parents: Seq[File]): Unit =
+    parents.distinct.foreach { d0 =>
+      var d = d0
+      while (d != null && d != root && d.isDirectory &&
+          d.getName.contains("=") &&
+          Option(d.listFiles()).forall(_.isEmpty)) {
+        Files.deleteIfExists(d.toPath)
+        d = d.getParentFile
+      }
+    }
 
   // ---- `_STATS` sidecar codec (VERDICT r10 task 1; r11 task 4 added
   // per-file SUM): one line per part file — encoded rel path, row
@@ -1977,16 +2005,11 @@ private[sources] class GraftCowBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
-    val rootLen = dir.getAbsolutePath.length + 1
-    def relOf(f: File): String =
-      f.getAbsolutePath.substring(rootLen).replace(File.separatorChar, '/')
     val published = GraftCommit.publish(dir, messages,
       n => f"rewrite-$jobId-$n%05d.csv")
     val scanned = op.scannedRels
     GraftCommit.withMetaLock(dir) {
-      val current: Seq[String] = GraftCommit.readManifest(dir).getOrElse(
-        GraftCommit.allPartFiles(dir)
-          .filter(_.getName.startsWith("part-")).map(relOf).sorted)
+      val current: Seq[String] = GraftCommit.visibleFiles(dir)
       if (!scanned.forall(current.toSet)) {
         published.foreach(p => Files.deleteIfExists(new File(dir, p._1).toPath))
         GraftCommit.deleteTemp(path, jobId)

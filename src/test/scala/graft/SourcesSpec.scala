@@ -641,9 +641,15 @@ class SourcesSpec extends AnyFunSuite {
       "a young stray was swept inside the grace window")
     stray.setLastModified(System.currentTimeMillis() - 120000L)
     strayPart.setLastModified(System.currentTimeMillis() - 120000L)
+    // a torn writeAtomic temp (kill between tmp write and atomic move)
+    // must neither crash GC's version parse nor survive it once aged
+    val tornTmp = new java.io.File(dir, "_MANIFEST.v99.tmp")
+    Files.writeString(tornTmp.toPath, "#version=99\n")
+    tornTmp.setLastModified(System.currentTimeMillis() - 120000L)
     GraftMaintenance.expireSnapshots(dir, olderThanMs = 0L)
     assert(!stray.isFile, "stray merged file not swept")
     assert(!strayPart.isFile, "orphaned part file not swept")
+    assert(!tornTmp.isFile, "torn metadata temp not swept")
     assert(read().count() == 1210)
 
     // torn state fails LOUDLY: a manifest-listed file that disappeared
