@@ -67,26 +67,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private val StagingSweepMs = 24L * 3600 * 1000
 
+  /** Newest mtime anywhere under `d` — a LIVE long-running CTAS touches
+    * files deep inside its staged dir while the dir's own mtime stays
+    * at creation time; sweeping on the shallow mtime would delete a
+    * table mid-write.
+    */
+  private def newestMtime(d: File): Long = {
+    val own = d.lastModified()
+    val kids = Option(d.listFiles()).getOrElse(Array.empty)
+    if (kids.isEmpty) own else math.max(own, kids.map(newestMtime).max)
+  }
+
   private def recoverStaging(): Unit = {
+    val now = System.currentTimeMillis()
     val stagingRoot = new File(warehouse, "_staging")
     val entries = Option(stagingRoot.listFiles()).getOrElse(Array.empty)
-    val keptTrash = scala.collection.mutable.Set.empty[String]
+    val keptDirs = scala.collection.mutable.Set.empty[String]
     entries.filter(f => f.isFile && f.getName.startsWith("restore-")).foreach { m =>
+      val aged = now - m.lastModified() >= StagingSweepMs
       val t = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
         .split("\t", -1)
-      if (t.length == 2) {
+      if (t.length != 3) {
+        // torn marker: unreadable — age out rather than guess
+        if (aged) { Files.deleteIfExists(m.toPath); () }
+      } else {
         val trash = new File(stagingRoot, t(0))
-        val target = t(1).split('/').foldLeft(warehouse)((d, s) => new File(d, s))
-        if (trash.isDirectory && !isTable(target)) {
-          // the REPLACE died mid-swap: put the original back
-          Files.move(trash.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+        val stagedStill = new File(stagingRoot, t(1))
+        val target = t(2).split('/').foldLeft(warehouse)((d, s) => new File(d, s))
+        if (trash.isDirectory && stagedStill.isDirectory) {
+          // the REPLACE died BETWEEN its two moves (the staged dir never
+          // reached the target): put the original back, drop the staged
+          // half-product. "staged still exists" — not "target missing" —
+          // is the discriminator, so a COMPLETED replace whose table was
+          // later DROPped is never resurrected.
+          if (!isTable(target))
+            Files.move(trash.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+          else GraftCommit.deleteRecursively(trash)
+          GraftCommit.deleteRecursively(stagedStill)
           Files.deleteIfExists(m.toPath)
           ()
-        } else if (trash.isDirectory &&
-            System.currentTimeMillis() - m.lastModified() < StagingSweepMs) {
-          // swap completed but cleanup may still be IN FLIGHT in another
-          // process — leave it to age out rather than race the deleter
-          keptTrash += trash.getName
+        } else if (!aged) {
+          // young marker: the owning commit may still be mid-flight in
+          // another process (its trash move or cleanup not yet run) —
+          // protect everything it names and let it finish or age out
+          keptDirs += trash.getName
+          keptDirs += stagedStill.getName
         } else {
           GraftCommit.deleteRecursively(trash)
           Files.deleteIfExists(m.toPath)
@@ -94,8 +119,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     }
-    entries.filter(d => d.isDirectory && !keptTrash(d.getName) &&
-        System.currentTimeMillis() - d.lastModified() >= StagingSweepMs)
+    // abandoned staged/trash dirs: swept only when NOTHING under them
+    // moved for the window (a live CTAS keeps writing deep inside)
+    entries.filter(d => d.isDirectory && !keptDirs(d.getName) &&
+        now - newestMtime(d) >= StagingSweepMs)
       .foreach(GraftCommit.deleteRecursively)
   }
 
@@ -139,14 +166,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = {
+  private def loadTableAt(ident: Identifier, pinned: Option[Long]): Table = {
     val d = tableDir(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
     val schema = StructType.fromDDL(new String(Files.readAllBytes(
       new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
     new GraftStoreTable(d.getAbsolutePath, schema,
-      GraftStore.readPartitionCols(d.getAbsolutePath))
+      GraftStore.readPartitionCols(d.getAbsolutePath), pinned)
   }
+
+  override def loadTable(ident: Identifier): Table = loadTableAt(ident, None)
 
   /** SQL time travel (VERDICT r11 task 1): `SELECT ... FROM t VERSION AS
     * OF <n>` loads the table PINNED to manifest version n — scans plan
@@ -158,16 +187,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * manifest swap is the only commit artifact).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val d = tableDir(ident)
-    if (!isTable(d)) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft catalog: VERSION AS OF expects a numeric manifest version, got '$version'")
     }
-    val schema = StructType.fromDDL(new String(Files.readAllBytes(
-      new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
-    new GraftStoreTable(d.getAbsolutePath, schema,
-      GraftStore.readPartitionCols(d.getAbsolutePath), Some(v))
+    loadTableAt(ident, Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -259,14 +283,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val staged = new File(new File(warehouse, "_staging"),
       java.util.UUID.randomUUID().toString)
     initTableDir(staged, schema, partCols)
-    new StagedGraftTable(staged, target, ident, schema, partCols, replace)
+    new StagedGraftTable(staged, target, ident, schema, partCols, replace, orCreate)
   }
 
   /** A staged table IS a graft-store table (same write path/commit
     * protocol) plus the publish/abort pair.
     */
   private class StagedGraftTable(staged: File, target: File, ident: Identifier,
-      schema: StructType, partCols: Seq[String], replace: Boolean)
+      schema: StructType, partCols: Seq[String], replace: Boolean,
+      orCreate: Boolean)
       extends GraftStoreTable(staged.getAbsolutePath, schema, partCols)
       with StagedTable {
 
@@ -282,11 +307,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftCommit.deleteRecursively(staged)
         throw new TableAlreadyExistsException(ident)
       }
+      if (!existed && replace && !orCreate) {
+        // plain REPLACE requires the table to exist AT COMMIT — a
+        // concurrent DROP must not silently turn it into a CREATE
+        GraftCommit.deleteRecursively(staged)
+        throw new NoSuchTableException(ident)
+      }
       // REPLACE: move the old table aside under a RESTORE MARKER first —
       // a crash between the two moves leaves no table at the name, but
       // the marker lets the next catalog initialize() move the old table
-      // back (see recoverStaging); a crash after the swap leaves only
-      // sweepable trash
+      // back (see recoverStaging). The marker carries the STAGED dir
+      // name: "staged still exists" is the discriminator between a crash
+      // BEFORE the swap (restore the original) and one AFTER it (the
+      // swap won; the trash is garbage) — without it, recovery could
+      // resurrect a table the user later DROPped.
       val uuid = java.util.UUID.randomUUID().toString
       val stagingRoot = new File(warehouse, "_staging")
       val trash = new File(stagingRoot, s"trash-$uuid")
@@ -294,7 +328,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (existed) {
         stagingRoot.mkdirs()
         Files.write(marker.toPath,
-          (trash.getName + "\t" +
+          (trash.getName + "\t" + staged.getName + "\t" +
             (ident.namespace() :+ ident.name()).mkString("/"))
             .getBytes(StandardCharsets.UTF_8))
         Files.move(target.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)

@@ -307,7 +307,7 @@ object GraftMaintenance {
     * `DELETE ... ; expireSnapshots(path, olderThanMs = 0)` is the
     * right-to-be-forgotten end state: the bytes go.
     */
-  def expireSnapshots(path: String, olderThanMs: Long = 0L,
+  def expireSnapshots(path: String, olderThanMs: Long = 24L * 3600 * 1000,
       keepVersions: Int = 1, strayGraceMs: Long = 60000L): ExpireResult = {
     val root = new File(path)
     require(new File(root, GraftStore.SuccessFile).isFile,
@@ -353,9 +353,19 @@ object GraftMaintenance {
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
         f.getName match {
           case HistName(vs) =>
-            val complete = scala.util.Try(GraftCommit.readManifestAt(root, vs.toLong))
+            val v = vs.toLong
+            val complete = scala.util.Try(GraftCommit.readManifestAt(root, v))
               .toOption.exists(_.forall(rel => new File(root, rel).isFile))
-            if (!complete) { Files.deleteIfExists(f.toPath); droppedVersions += 1 }
+            // history is BOUNDED: outside the kept window, a version
+            // older than the retention window expires even if all its
+            // files happen to survive — an append-only streaming sink
+            // commits one version per epoch and would otherwise pile up
+            // O(epochs) manifests of O(files) lines each, forever
+            val agedOut = keptFrom.exists(v < _) &&
+              now - f.lastModified() >= olderThanMs
+            if (!complete || agedOut) {
+              Files.deleteIfExists(f.toPath); droppedVersions += 1
+            }
           // a torn writeAtomic's orphan temp (kill between tmp write and
           // the atomic move): harmless to readers, swept once aged
           case n if n.startsWith("_") && n.endsWith(".tmp") &&
@@ -374,8 +384,9 @@ object GraftMaintenance {
       }
       val strays = GraftCommit.allPartFiles(root).filter { f =>
         val rel = relOf(f)
+        // (expired files were unlinked above, so the re-listing cannot
+        // contain them — no membership test needed)
         !visibleNow(rel) && !keptRels(rel) &&
-          !expired.exists(_._1 == rel) && // already unlinked above
           now - f.lastModified() >= strayGraceMs
       }
       strays.foreach(f => Files.delete(f.toPath))

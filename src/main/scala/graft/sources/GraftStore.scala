@@ -1829,6 +1829,7 @@ private[sources] class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     dir.mkdirs()
+    val wasVersioned = GraftCommit.readManifest(dir).isDefined
     if (truncate) {
       GraftCommit.allPartFiles(dir).foreach(f => Files.delete(f.toPath))
       // drop stale partition dirs so an overwrite can change the layout
@@ -1858,9 +1859,15 @@ private[sources] class GraftBatchWrite(
       GraftCommit.writeStats(dir, (prior ++ published).toSeq.sortBy(_._1))
       // a versioned (manifest-bearing) table keeps its manifest current:
       // an append commits version N+1 making its files visible through
-      // ONE atomic swap (glob tables gain visibility via _SUCCESS below)
+      // ONE atomic swap (glob tables gain visibility via _SUCCESS below).
+      // An OVERWRITE of a versioned table resets history (the truncate
+      // unlinked the old files) but STAYS versioned — committing a fresh
+      // v1 here, so a catalog table never silently degrades to glob-mode
+      // DELETE/versioning semantics after INSERT OVERWRITE.
       if (!truncate) GraftCommit.readManifest(dir).foreach(m =>
         GraftCommit.commitManifest(dir, m ++ published.map(_._1)))
+      else if (wasVersioned)
+        GraftCommit.commitManifest(dir, published.map(_._1))
     }
     GraftCommit.deleteTemp(path, jobId)
     // the publish point: written last, so the marker implies completeness
@@ -1900,6 +1907,22 @@ private[sources] class GraftRowLevelOperation(
   import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
   @volatile private[sources] var scannedRels: Seq[String] = Seq.empty
+  @volatile private var recordedFiltered = false
+
+  /** Record a planning outcome. Once a RUNTIME-FILTERED planning (the
+    * executed rewrite scan — only it receives the `_file IN (...)`
+    * group filter) has been recorded, an UNFILTERED one can no longer
+    * overwrite it: a stale superset at commit would drop files whose
+    * surviving rows were never rewritten. Without runtime filtering at
+    * all there is only one scan, so latest-wins is exact there.
+    */
+  private[sources] def recordScan(rels: Seq[String], filtered: Boolean): Unit =
+    synchronized {
+      if (filtered || !recordedFiltered) {
+        scannedRels = rels
+        recordedFiltered = recordedFiltered || filtered
+      }
+    }
 
   override def command(): Command = Command.DELETE
   override def description(): String = s"graft-store COW DELETE($path)"
@@ -1975,7 +1998,7 @@ private[sources] class GraftCowScan(
       case Some(keep) => planned.filter(p => keep(p.rel))
       case None       => planned
     }
-    op.scannedRels = cut.map(_.rel).toSeq
+    op.recordScan(cut.map(_.rel).toSeq, filtered = fileFilter.isDefined)
     cut.map(p => p: InputPartition)
   }
 }
