@@ -78,13 +78,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (kids.isEmpty) own else math.max(own, kids.map(newestMtime).max)
   }
 
+  /** A marker this young may belong to a REPLACE whose two renames are
+    * still in flight — recovery must not touch anything it names. Both
+    * renames are local atomic moves, so a marker past this grace with
+    * both dirs still present is definitely a crash.
+    */
+  private val RestoreGraceMs = 60000L
+
   private def recoverStaging(): Unit = {
     val now = System.currentTimeMillis()
     val stagingRoot = new File(warehouse, "_staging")
+    if (!stagingRoot.isDirectory) return
+    // serialize recovery itself: two catalogs initializing after the
+    // same crash must not both run the restore move (the loser would
+    // throw on a vanished source)
+    GraftCommit.withMetaLock(stagingRoot) {
     val entries = Option(stagingRoot.listFiles()).getOrElse(Array.empty)
     val keptDirs = scala.collection.mutable.Set.empty[String]
     entries.filter(f => f.isFile && f.getName.startsWith("restore-")).foreach { m =>
       val aged = now - m.lastModified() >= StagingSweepMs
+      val settled = now - m.lastModified() >= RestoreGraceMs
       val t = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
         .split("\t", -1)
       if (t.length != 3) {
@@ -94,7 +107,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val trash = new File(stagingRoot, t(0))
         val stagedStill = new File(stagingRoot, t(1))
         val target = t(2).split('/').foldLeft(warehouse)((d, s) => new File(d, s))
-        if (trash.isDirectory && stagedStill.isDirectory) {
+        if (!settled) {
+          // the owning commit may still be mid-flight in another
+          // process — protect everything the marker names until the
+          // grace passes (a crashed REPLACE is recovered on the next
+          // initialize after it; a live one finishes and cleans up)
+          keptDirs += trash.getName
+          keptDirs += stagedStill.getName
+        } else if (trash.isDirectory && stagedStill.isDirectory) {
           // the REPLACE died BETWEEN its two moves (the staged dir never
           // reached the target): put the original back, drop the staged
           // half-product. "staged still exists" — not "target missing" —
@@ -107,9 +127,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Files.deleteIfExists(m.toPath)
           ()
         } else if (!aged) {
-          // young marker: the owning commit may still be mid-flight in
-          // another process (its trash move or cleanup not yet run) —
-          // protect everything it names and let it finish or age out
+          // swap completed; its cleanup may still be in flight — let the
+          // leftovers age out rather than race the deleter
           keptDirs += trash.getName
           keptDirs += stagedStill.getName
         } else {
@@ -124,6 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     entries.filter(d => d.isDirectory && !keptDirs(d.getName) &&
         now - newestMtime(d) >= StagingSweepMs)
       .foreach(GraftCommit.deleteRecursively)
+    }
   }
 
   override def name(): String = catalogName

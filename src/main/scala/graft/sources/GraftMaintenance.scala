@@ -354,16 +354,19 @@ object GraftMaintenance {
         f.getName match {
           case HistName(vs) =>
             val v = vs.toLong
-            val complete = scala.util.Try(GraftCommit.readManifestAt(root, v))
-              .toOption.exists(_.forall(rel => new File(root, rel).isFile))
             // history is BOUNDED: outside the kept window, a version
             // older than the retention window expires even if all its
             // files happen to survive — an append-only streaming sink
             // commits one version per epoch and would otherwise pile up
-            // O(epochs) manifests of O(files) lines each, forever
+            // O(epochs) manifests of O(files) lines each, forever.
+            // (Checked FIRST: it is two comparisons, while completeness
+            // re-reads the manifest and stats O(files) paths — exactly
+            // the pile this clause exists to clear cheaply.)
             val agedOut = keptFrom.exists(v < _) &&
               now - f.lastModified() >= olderThanMs
-            if (!complete || agedOut) {
+            lazy val complete = scala.util.Try(GraftCommit.readManifestAt(root, v))
+              .toOption.exists(_.forall(rel => new File(root, rel).isFile))
+            if (agedOut || !complete) {
               Files.deleteIfExists(f.toPath); droppedVersions += 1
             }
           // a torn writeAtomic's orphan temp (kill between tmp write and

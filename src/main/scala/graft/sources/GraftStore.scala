@@ -1829,22 +1829,28 @@ private[sources] class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     dir.mkdirs()
-    val wasVersioned = GraftCommit.readManifest(dir).isDefined
+    // read once, truncate path only — appends never consult it and
+    // re-read the manifest under the lock anyway
+    val wasVersioned = truncate && GraftCommit.readManifest(dir).isDefined
     if (truncate) {
       GraftCommit.allPartFiles(dir).foreach(f => Files.delete(f.toPath))
       // drop stale partition dirs so an overwrite can change the layout
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.contains("="))
         .foreach(GraftCommit.deleteRecursively)
+      // NOTE: _MANIFEST itself is NOT deleted here — on a versioned
+      // table it stays in place until the locked commit below REPLACES
+      // it, so a concurrent append in the overwrite window still sees a
+      // manifest table and commits through the lock; the overwrite then
+      // wins last-writer atomically (the racing append's files become
+      // sweepable strays) instead of silently stranding them in a
+      // half-degraded glob table. Readers see an EMPTY table during the
+      // window (the _SUCCESS gate below), never a torn one.
       Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile,
-        GraftStore.StatsFile, GraftStore.ManifestFile, GraftStore.RetiredFile)
+        GraftStore.StatsFile, GraftStore.RetiredFile)
         .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
-      // overwrite RESETS history: version copies of the replaced table
-      // describe files the truncate just unlinked (documented contract —
-      // time travel does not cross an overwrite)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(GraftStore.ManifestFile + ".v"))
-        .foreach(f => Files.deleteIfExists(f.toPath))
+      if (!wasVersioned)
+        Files.deleteIfExists(new File(dir, GraftStore.ManifestFile).toPath)
     }
     val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
     // append: the table's DECLARED schema stands (see writeMeta)
@@ -1860,14 +1866,19 @@ private[sources] class GraftBatchWrite(
       // a versioned (manifest-bearing) table keeps its manifest current:
       // an append commits version N+1 making its files visible through
       // ONE atomic swap (glob tables gain visibility via _SUCCESS below).
-      // An OVERWRITE of a versioned table resets history (the truncate
-      // unlinked the old files) but STAYS versioned — committing a fresh
-      // v1 here, so a catalog table never silently degrades to glob-mode
-      // DELETE/versioning semantics after INSERT OVERWRITE.
+      // An OVERWRITE of a versioned table STAYS versioned: it commits
+      // version N+1 holding exactly its own files and EXPIRES all
+      // history here, under the same lock (the truncate unlinked the old
+      // files, so prior versions are unreadable by construction —
+      // documented contract: time travel does not cross an overwrite).
       if (!truncate) GraftCommit.readManifest(dir).foreach(m =>
         GraftCommit.commitManifest(dir, m ++ published.map(_._1)))
-      else if (wasVersioned)
+      else if (wasVersioned) {
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(GraftStore.ManifestFile + ".v"))
+          .foreach(f => Files.deleteIfExists(f.toPath))
         GraftCommit.commitManifest(dir, published.map(_._1))
+      }
     }
     GraftCommit.deleteTemp(path, jobId)
     // the publish point: written last, so the marker implies completeness
@@ -1896,10 +1907,11 @@ private[sources] object GraftFileMetaColumn
   * filtering) and its WRITE (whose commit replaces exactly those files
   * with the rewritten output). planInputPartitions may run more than
   * once (pre/post runtime filter, and for the matching-rows subquery,
-  * which shares this operation); every call overwrites the record and
-  * the EXECUTION-time planning runs last, so the commit sees the true
-  * replaced set — and any stale superset would only enlarge the
-  * rewrite, never change its result.
+  * which shares this operation); [[recordScan]] LATCHES on the first
+  * runtime-FILTERED planning — the executed rewrite scan is the only
+  * one that receives the `_file IN (...)` group filter — so a later
+  * unfiltered (superset) planning can never replace the true rewrite
+  * set at commit time.
   */
 private[sources] class GraftRowLevelOperation(
     path: String, schema: StructType, partCols: Seq[String])

@@ -1373,4 +1373,95 @@ class SourcesSpec extends AnyFunSuite {
     assert(allFiles(new java.io.File(dir2)).forall(
       _.getParentFile.getName.startsWith("day=")))
   }
+
+  test("graft-store version-pointer kill boundaries: history-first commit, stray history is harmless and overwritten") {
+    import graft.sources.GraftMaintenance
+    val dir = graft.util.TempDirs.create("graft_vkill_") + "/t"
+    spark.range(0, 100, 1, 2).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    GraftMaintenance.compact(dir) // manifest v1
+    def read() = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    assert(GraftMaintenance.currentVersion(dir).contains(1L))
+    val v1Body = Files.readString(Paths.get(dir, "_MANIFEST"))
+
+    // KILL between the history write and the _MANIFEST swap: simulate by
+    // planting a v2 history file while _MANIFEST still says v1 — readers
+    // plan v1 (the swap IS the commit point), currentVersion stays 1,
+    // and versionAsOf 2 resolving the ORPHAN is the documented torn-
+    // state behavior only if its files exist; a fresh commit then takes
+    // version 2 and OVERWRITES the orphan (REPLACE_EXISTING), so the
+    // stray can never shadow a real commit
+    Files.writeString(Paths.get(dir, "_MANIFEST.v2"),
+      "#version=2\nno-such-file.csv\n")
+    assert(read().count() == 100L)
+    assert(GraftMaintenance.currentVersion(dir).contains(1L))
+    assert(Files.readString(Paths.get(dir, "_MANIFEST")) == v1Body,
+      "a history write must not move the pointer")
+    // the orphan names a missing file -> resolving it fails LOUDLY
+    intercept[Throwable] {
+      spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", dir).option("versionAsOf", "2").load().count()
+    }
+    // next commit claims version 2 and replaces the orphan atomically
+    spark.range(100, 110, 1, 1).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("append").save()
+    assert(GraftMaintenance.currentVersion(dir).contains(2L))
+    assert(read().count() == 110L)
+    assert(spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).option("versionAsOf", "2").load().count() == 110L)
+    assert(!Files.readString(Paths.get(dir, "_MANIFEST.v2"))
+      .contains("no-such-file"), "orphan history survived a real commit")
+
+    // retention GC drops the aged incomplete orphan class too: plant
+    // another orphan above current, age it, expire — gone without
+    // touching live state
+    Files.writeString(Paths.get(dir, "_MANIFEST.v9"),
+      "#version=9\nno-such-file.csv\n")
+    new java.io.File(dir, "_MANIFEST.v9").setLastModified(
+      System.currentTimeMillis() - 120000L)
+    GraftMaintenance.expireSnapshots(dir, olderThanMs = 0L)
+    assert(!new java.io.File(dir, "_MANIFEST.v9").isFile)
+    assert(read().count() == 110L)
+    assert(GraftMaintenance.currentVersion(dir).contains(2L))
+  }
+
+  test("INSERT OVERWRITE keeps a catalog table versioned: history expires, snapshots resume") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ovrdb")
+    spark.sql("DROP TABLE IF EXISTS graft.ovrdb.t")
+    spark.sql("""CREATE TABLE graft.ovrdb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin) // v1
+    spark.sql(
+      "INSERT INTO graft.ovrdb.t SELECT id, CAST(id % 2 AS STRING), id FROM range(100)") // v2
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/ovrdb/t"
+    assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(2L))
+    spark.sql(
+      "INSERT OVERWRITE graft.ovrdb.t SELECT id, CAST(id % 2 AS STRING), id * 10 FROM range(10)") // v3
+    // STILL versioned: the overwrite committed the next version with
+    // exactly its own files; prior history is expired (old files were
+    // unlinked), never silently glob-degraded
+    assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(3L))
+    assert(spark.sql("SELECT sum(v) FROM graft.ovrdb.t").head().getLong(0)
+      == (0L until 10L).map(_ * 10).sum)
+    intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM graft.ovrdb.t VERSION AS OF 2").collect()
+    }
+    // versioned DELETE semantics survive the overwrite: partition DELETE
+    // retires (logical), files stay until GC
+    spark.sql("DELETE FROM graft.ovrdb.t WHERE day = '1'")
+    assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(4L))
+    assert(new java.io.File(tpath, "day=1").exists(), "retired files GC'd early")
+    assert(spark.sql("SELECT count(*) FROM graft.ovrdb.t").head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.ovrdb.t VERSION AS OF 3")
+      .head().getLong(0) == 10L)
+    spark.sql("DROP TABLE graft.ovrdb.t")
+  }
 }
