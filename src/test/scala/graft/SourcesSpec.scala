@@ -1464,4 +1464,77 @@ class SourcesSpec extends AnyFunSuite {
       .head().getLong(0) == 10L)
     spark.sql("DROP TABLE graft.ovrdb.t")
   }
+
+  test("graft-store row-level UPDATE and MERGE: the same COW rewrite carries full DML") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dmldb")
+    spark.sql("DROP TABLE IF EXISTS graft.dmldb.t")
+    spark.sql("""CREATE TABLE graft.dmldb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("""INSERT INTO graft.dmldb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 3 AS STRING), id * 2
+                |FROM range(0, 150)""".stripMargin)
+    spark.sql("""INSERT INTO graft.dmldb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 3 AS STRING), id * 2
+                |FROM range(150, 300)""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = new java.io.File(s"$wh/dmldb/t")
+    def filesIn(day: String) = Option(new java.io.File(tdir, s"day=$day").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") || f.getName.startsWith("rewrite-"))
+      .sortBy(_.getName)
+
+    // UPDATE by id: zone maps bound the rewrite — poison every file whose
+    // range cannot contain 7; the UPDATE must never open them
+    val poisoned = Seq("0", "1", "2").flatMap(d => filesIn(d)).filter { f =>
+      Files.readString(f.toPath).linesIterator
+        .map(_.split(",")(0).toLong).min > 7
+    }
+    assert(poisoned.length == 3)
+    val saved = poisoned.map(f => f -> Files.readAllBytes(f.toPath)).toMap
+    poisoned.foreach(f => Files.writeString(f.toPath, "zz,zz\n"))
+    val vBefore = graft.sources.GraftMaintenance
+      .currentVersion(tdir.getAbsolutePath).get
+    spark.sql("UPDATE graft.dmldb.t SET v = v + 1000000 WHERE id = 7")
+    poisoned.foreach(f => Files.write(f.toPath, saved(f)))
+    assert(spark.sql("SELECT v FROM graft.dmldb.t WHERE id = 7").head().getLong(0)
+      == 7L * 2 + 1000000L)
+    assert(spark.sql("SELECT count(*) FROM graft.dmldb.t").head().getLong(0) == 300L)
+    // only day=1's first file was rewritten
+    assert(filesIn("0").forall(_.getName.startsWith("part-")))
+    assert(filesIn("2").forall(_.getName.startsWith("part-")))
+    assert(filesIn("1").count(_.getName.startsWith("rewrite-")) == 1)
+    // the pre-UPDATE snapshot still answers (retired, not unlinked)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.dmldb.t VERSION AS OF $vBefore")
+      .head().getLong(0) == 300L)
+
+    // MERGE: matched rows update, unmatched insert (routing to their
+    // partitions through the same rewrite write)
+    spark.sql("""SELECT id, CAST(id % 3 AS STRING) AS day, id * 100 AS v
+                |FROM range(295, 310)""".stripMargin)
+      .createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO graft.dmldb.t t USING dml_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, day, v) VALUES (s.id, s.day, s.v)
+                |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.dmldb.t").head().getLong(0) == 310L)
+    // matched ids 295-299 now carry v = id*100; inserted 300-309 too
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.dmldb.t WHERE id >= 295").head().getLong(0)
+      == (295L until 310L).map(_ * 100).sum)
+    // untouched rows kept their values (minus the id=7 update)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.dmldb.t WHERE id < 295").head().getLong(0)
+      == (0L until 295L).map(_ * 2).sum + 1000000L)
+    // inserted rows landed in hive-layout partition dirs
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.dmldb.t WHERE day = '0' AND id >= 300")
+      .head().getLong(0) == (300L until 310L).count(_ % 3 == 0))
+    spark.sql("DROP TABLE graft.dmldb.t")
+  }
 }
