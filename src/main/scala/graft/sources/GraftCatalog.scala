@@ -214,6 +214,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTableAt(ident, Some(v))
   }
 
+  /** `TIMESTAMP AS OF <t>`: resolve the version that was CURRENT at t
+    * (the largest retained version whose commit wall-clock is <= t;
+    * Spark hands micros). Resolution is GAP-SAFE: if the true as-of
+    * version was expired by retention GC — detectable because version
+    * numbers are contiguous, so a winner other than the current version
+    * must be succeeded by a RETAINED version committed after t — the
+    * read fails loudly instead of silently serving an older snapshot as
+    * if it had been current at t. Pre-timestamp (legacy headerless)
+    * versions carry no clock and are excluded the same loud way.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val tMs = Math.floorDiv(timestampMicros, 1000L)
+    val versions = GraftCommit.retainedVersions(d)
+    if (versions.isEmpty) throw new UnsupportedOperationException(
+      s"graft catalog: table $ident has no versions (glob table) — " +
+        "TIMESTAMP AS OF needs a versioned table")
+    val cur = versions.map(_._1).max
+    val cands = versions.collect { case (v, Some(ts)) if ts <= tMs => (v, ts) }
+    if (cands.isEmpty) throw new IllegalStateException(
+      s"graft catalog: no retained version of $ident existed at " +
+        s"timestamp $tMs ms — it precedes the table (or retention GC " +
+        "expired the history); use VERSION AS OF or a later timestamp")
+    val (w, _) = cands.maxBy(_._1)
+    if (w != cur) {
+      val next = versions.find(_._1 == w + 1)
+      if (!next.exists(_._2.exists(_ > tMs))) throw new IllegalStateException(
+        s"graft catalog: version history of $ident has a gap above " +
+          s"version $w (expired by retention GC) — the snapshot current " +
+          s"at $tMs ms is no longer resolvable")
+    }
+    loadTableAt(ident, Some(w))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val d = tableDir(ident)

@@ -1665,6 +1665,7 @@ private[sources] object GraftCommit {
   // guarantee.
 
   private val VersionHeader = "#version="
+  private val TsHeader = "#ts="
 
   /** Current visible file set (header lines skipped; legacy headerless
     * manifests read identically as version 0).
@@ -1719,11 +1720,44 @@ private[sources] object GraftCommit {
     */
   def commitManifest(root: File, files: Seq[String]): Long = {
     val v = currentManifestVersion(root).getOrElse(0L) + 1
+    // the commit wall-clock rides in a header: TIMESTAMP AS OF resolves
+    // against it (purely informational for everything else)
     val body = VersionHeader + v + "\n" +
+      TsHeader + System.currentTimeMillis() + "\n" +
       files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n")
     writeAtomic(root, s"${GraftStore.ManifestFile}.v$v", body)
     writeAtomic(root, GraftStore.ManifestFile, body)
     v
+  }
+
+  /** Commit wall-clock of one manifest file (None: pre-timestamp
+    * format or unreadable).
+    */
+  private def manifestTs(f: File): Option[Long] =
+    if (!f.isFile) None
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.takeWhile(_.startsWith("#"))
+      .find(_.startsWith(TsHeader))
+      .flatMap(l => scala.util.Try(l.substring(TsHeader.length).toLong).toOption)
+
+  /** The RETAINED versions with their commit timestamps (history files
+    * plus the current manifest; versions whose history GC expired are
+    * absent — TIMESTAMP AS OF resolution must treat the gaps as loud
+    * failures, never serve an older snapshot as if it were current at
+    * the asked time).
+    */
+  def retainedVersions(root: File): Seq[(Long, Option[Long])] = {
+    val HistName = ("^" + java.util.regex.Pattern.quote(GraftStore.ManifestFile) +
+      "\\.v(\\d+)$").r
+    val hist = Option(root.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case HistName(vs) => Some(vs.toLong -> manifestTs(f))
+        case _            => None
+      }
+    }.toMap
+    val cur = currentManifestVersion(root).map(v =>
+      v -> manifestTs(new File(root, GraftStore.ManifestFile)))
+    (hist ++ cur).toSeq.sortBy(_._1)
   }
 
   // ---- `_RETIRED` ledger: files superseded by some version but still

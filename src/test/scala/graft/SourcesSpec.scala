@@ -1537,4 +1537,55 @@ class SourcesSpec extends AnyFunSuite {
       .head().getLong(0) == (300L until 310L).count(_ % 3 == 0))
     spark.sql("DROP TABLE graft.dmldb.t")
   }
+
+  test("TIMESTAMP AS OF resolves the version current at t, gap-safe against expired history") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tsdb")
+    spark.sql("DROP TABLE IF EXISTS graft.tsdb.t")
+    def tsLit(ms: Long): String = {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneId.of(tz))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    }
+    val t0 = System.currentTimeMillis() - 5 // before the table existed
+    spark.sql("CREATE TABLE graft.tsdb.t (id BIGINT, v BIGINT)") // v1
+    spark.sql("INSERT INTO graft.tsdb.t SELECT id, id FROM range(10)") // v2
+    Thread.sleep(15)
+    val t2 = System.currentTimeMillis() // between v2 and v3
+    Thread.sleep(15)
+    spark.sql("INSERT INTO graft.tsdb.t SELECT id, id FROM range(10, 30)") // v3
+    // as of t2: version 2 (10 rows); as of now: current (30 rows)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.tsdb.t TIMESTAMP AS OF '${tsLit(t2)}'")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.tsdb.t TIMESTAMP AS OF '${tsLit(System.currentTimeMillis() + 1000)}'")
+      .head().getLong(0) == 30L)
+    // before the table existed: loud
+    intercept[Throwable] {
+      spark.sql(
+        s"SELECT count(*) FROM graft.tsdb.t TIMESTAMP AS OF '${tsLit(t0)}'")
+        .collect()
+    }
+    // expire history -> the snapshot current at t2 is GONE; resolution
+    // must fail loudly (gap-safety), never silently serve another one
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    graft.sources.GraftMaintenance.expireSnapshots(s"$wh/tsdb/t",
+      olderThanMs = 0L)
+    intercept[Throwable] {
+      spark.sql(
+        s"SELECT count(*) FROM graft.tsdb.t TIMESTAMP AS OF '${tsLit(t2)}'")
+        .collect()
+    }
+    // the current snapshot stays resolvable by a future timestamp
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.tsdb.t TIMESTAMP AS OF '${tsLit(System.currentTimeMillis() + 1000)}'")
+      .head().getLong(0) == 30L)
+    spark.sql("DROP TABLE graft.tsdb.t")
+  }
 }
