@@ -202,9 +202,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * that version's exact file set (resolution fails loudly on an
     * expired or never-committed version). The CURRENT schema applies,
     * matching the zero-rewrite ADD COLUMN story: old snapshots read
-    * evolved columns as null. Timestamp-based travel is not supported
-    * (versions carry no wall-clock in their identity — by design, the
-    * manifest swap is the only commit artifact).
+    * evolved columns as null. The timestamp overload below resolves
+    * `TIMESTAMP AS OF` against the commit wall-clocks the manifests
+    * carry in their `#ts=` header.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {

@@ -348,8 +348,7 @@ object GraftMaintenance {
       // beyond keepVersions — the window is the contract, keepVersions
       // only PROTECTS recent versions' files from it.
       var droppedVersions = 0
-      val HistName = ("^" + java.util.regex.Pattern.quote(GraftStore.ManifestFile) +
-        "\\.v(\\d+)$").r
+      val HistName = GraftCommit.HistManifestName // the shared naming contract
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
         f.getName match {
           case HistName(vs) =>

@@ -990,8 +990,10 @@ private[sources] class GraftStoreScan(
     // rule resolves these against the pruned output and throws on a
     // miss (surfaced by the MERGE rewrite, whose matching scan prunes
     // to [join keys, _file] — but any join over a store scan that
-    // drops its partition columns would hit the same wall)
-    partCols.filter(c => required.fieldNames.contains(c))
+    // drops its partition columns would hit the same wall). Resolved
+    // against readSchema() — virtual, so the AGGREGATE scan subclass
+    // (whose output is the agg columns, not `required`) is covered too.
+    partCols.filter(c => readSchema().fieldNames.contains(c))
       .map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit =
@@ -1721,24 +1723,42 @@ private[sources] object GraftCommit {
   def commitManifest(root: File, files: Seq[String]): Long = {
     val v = currentManifestVersion(root).getOrElse(0L) + 1
     // the commit wall-clock rides in a header: TIMESTAMP AS OF resolves
-    // against it (purely informational for everything else)
+    // against it (purely informational for everything else). CLAMPED to
+    // the previous version's stamp — a backwards clock step (NTP) must
+    // not produce non-monotonic version times, or as-of resolution
+    // would serve a snapshot that was not current at the asked time
+    val prevTs = manifestTs(new File(root, GraftStore.ManifestFile)).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs)
     val body = VersionHeader + v + "\n" +
-      TsHeader + System.currentTimeMillis() + "\n" +
+      TsHeader + ts + "\n" +
       files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n")
     writeAtomic(root, s"${GraftStore.ManifestFile}.v$v", body)
     writeAtomic(root, GraftStore.ManifestFile, body)
     v
   }
 
+  /** The history-copy naming contract, shared with retention GC. */
+  private[sources] val HistManifestName =
+    ("^" + java.util.regex.Pattern.quote(GraftStore.ManifestFile) +
+      "\\.v(\\d+)$").r
+
   /** Commit wall-clock of one manifest file (None: pre-timestamp
-    * format or unreadable).
+    * format or unreadable). Reads ONLY the leading header lines — a
+    * million-file manifest is never materialized for one stamp.
     */
-  private def manifestTs(f: File): Option[Long] =
-    if (!f.isFile) None
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.takeWhile(_.startsWith("#"))
-      .find(_.startsWith(TsHeader))
-      .flatMap(l => scala.util.Try(l.substring(TsHeader.length).toLong).toOption)
+  private def manifestTs(f: File): Option[Long] = {
+    if (!f.isFile) return None
+    val br = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+    try {
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        if (line.startsWith(TsHeader))
+          return scala.util.Try(line.substring(TsHeader.length).toLong).toOption
+        line = br.readLine()
+      }
+      None
+    } finally br.close()
+  }
 
   /** The RETAINED versions with their commit timestamps (history files
     * plus the current manifest; versions whose history GC expired are
@@ -1747,12 +1767,10 @@ private[sources] object GraftCommit {
     * the asked time).
     */
   def retainedVersions(root: File): Seq[(Long, Option[Long])] = {
-    val HistName = ("^" + java.util.regex.Pattern.quote(GraftStore.ManifestFile) +
-      "\\.v(\\d+)$").r
     val hist = Option(root.listFiles()).getOrElse(Array.empty).flatMap { f =>
       f.getName match {
-        case HistName(vs) => Some(vs.toLong -> manifestTs(f))
-        case _            => None
+        case HistManifestName(vs) => Some(vs.toLong -> manifestTs(f))
+        case _                    => None
       }
     }.toMap
     val cur = currentManifestVersion(root).map(v =>
@@ -2031,7 +2049,7 @@ private[sources] class GraftCowScan(
   private var fileFilter: Option[Set[String]] = None
 
   override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains(GraftStore.FileMetaColumn))
+    if (readSchema().fieldNames.contains(GraftStore.FileMetaColumn))
       Array(Expressions.column(GraftStore.FileMetaColumn))
     else Array.empty
 

@@ -13,6 +13,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class SourcesSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
+  /** Once-per-session graft catalog registration for the catalog tests
+    * (idempotent; the engine-side counterpart lives in SourceQueries).
+    */
+  private def ensureGraftCatalog(): Unit =
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_spec_wh_"))
+    }
+
   test("PERMISSIVE csv read quarantines malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_badcsv_").toString
     Files.writeString(Paths.get(dir, "part.csv"),
@@ -742,11 +752,7 @@ class SourcesSpec extends AnyFunSuite {
 
   test("graft catalog: DDL/DML round-trips partitioning, empty table reads 0, drop/rename work") {
     import spark.implicits._
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.specdb")
     spark.sql("DROP TABLE IF EXISTS graft.specdb.t1")
     spark.sql("""CREATE TABLE graft.specdb.t1 (id BIGINT, day STRING, v BIGINT)
@@ -843,11 +849,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft-store DELETE: partition predicates drop whole files/dirs, data predicates are rejected") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.deldb")
     spark.sql("DROP TABLE IF EXISTS graft.deldb.t")
     spark.sql("""CREATE TABLE graft.deldb.t (id BIGINT, day STRING, v BIGINT)
@@ -880,11 +882,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft catalog ADD COLUMN: zero-rewrite evolution, old files read null, rewrites rejected") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evodb")
     spark.sql("DROP TABLE IF EXISTS graft.evodb.t")
     spark.sql("CREATE TABLE graft.evodb.t (id BIGINT, v BIGINT)")
@@ -919,11 +917,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft catalog CTAS: CREATE TABLE AS SELECT creates and loads through the same store") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctasdb")
     spark.sql("DROP TABLE IF EXISTS graft.ctasdb.squares")
     spark.sql("""CREATE TABLE graft.ctasdb.squares AS
@@ -1193,11 +1187,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft-store row-level DELETE: copy-on-write rewrites only intersecting files, snapshots retire") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cowdb")
     spark.sql("DROP TABLE IF EXISTS graft.cowdb.t")
     spark.sql("""CREATE TABLE graft.cowdb.t (id BIGINT, day STRING, v BIGINT)
@@ -1429,11 +1419,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("INSERT OVERWRITE keeps a catalog table versioned: history expires, snapshots resume") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ovrdb")
     spark.sql("DROP TABLE IF EXISTS graft.ovrdb.t")
     spark.sql("""CREATE TABLE graft.ovrdb.t (id BIGINT, day STRING, v BIGINT)
@@ -1466,11 +1452,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft-store row-level UPDATE and MERGE: the same COW rewrite carries full DML") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dmldb")
     spark.sql("DROP TABLE IF EXISTS graft.dmldb.t")
     spark.sql("""CREATE TABLE graft.dmldb.t (id BIGINT, day STRING, v BIGINT)
@@ -1539,11 +1521,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("TIMESTAMP AS OF resolves the version current at t, gap-safe against expired history") {
-    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft.warehouse",
-        graft.util.TempDirs.create("graft_spec_wh_"))
-    }
+    ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tsdb")
     spark.sql("DROP TABLE IF EXISTS graft.tsdb.t")
     def tsLit(ms: Long): String = {
