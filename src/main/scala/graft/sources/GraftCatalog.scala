@@ -293,7 +293,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (partCols.nonEmpty)
       GraftCommit.writeAtomic(d, GraftStore.PartitionFile, partCols.mkString(","))
     // versioned from birth (VERDICT r11 task 1)
-    GraftCommit.withMetaLock(d) { GraftCommit.commitManifest(d, Seq.empty) }
+    GraftCommit.withMetaLock(d) {
+      GraftCommit.commitManifest(d, Seq.empty, op = "create")
+    }
     Files.write(new File(d, GraftStore.SuccessFile).toPath, Array.empty[Byte])
     ()
   }

@@ -199,7 +199,8 @@ object GraftMaintenance {
     // survive the swap untouched (commitRewrite keeps non-input files).
     val version: Long = GraftCommit.currentManifestVersion(root).getOrElse {
       GraftCommit.withMetaLock(root) {
-        GraftCommit.commitManifest(root, GraftCommit.visibleFiles(root))
+        GraftCommit.commitManifest(root, GraftCommit.visibleFiles(root),
+          op = "adopt")
       }
     }
     val visible: Seq[String] = GraftCommit.readManifestAt(root, version)
@@ -267,21 +268,30 @@ object GraftMaintenance {
       mergedStats: Map[String, GraftFileStats]): Unit = {
     val replacedSet = replacedList.toSet
     GraftCommit.withMetaLock(root) {
-      val current: Seq[String] = GraftCommit.visibleFiles(root)
-      if (!replacedList.forall(current.toSet)) {
-        merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
-        GraftCommit.deleteTemp(path, tempJob)
-        throw new IllegalStateException(
-          "graft-store: a concurrent writer removed compaction inputs " +
-            s"under $path — nothing was swapped; rerun compact")
+      // CAS-conflict rebase is safe here (VERDICT r12 task 1): compaction
+      // is data-neutral over immutable inputs, so once the inputs-present
+      // check passes on the fresh read, interleaved appends simply ride
+      // through the swap; a concurrent DELETE of an input aborts loudly.
+      GraftCommit.retryingCommit("compaction") {
+        val mf = GraftCommit.readManifestFull(root)
+        val current: Seq[String] =
+          mf.map(_.files).getOrElse(GraftCommit.visibleFiles(root))
+        if (!replacedList.forall(current.toSet)) {
+          merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+          GraftCommit.deleteTemp(path, tempJob)
+          throw new IllegalStateException(
+            "graft-store: a concurrent writer removed compaction inputs " +
+              s"under $path — nothing was swapped; rerun compact")
+        }
+        // replaced inputs KEEP their stats entries (they are retired, and
+        // pinned/time-travel scans still skip by them); GC drops both
+        val statsNow = GraftCommit.readStats(root)
+        GraftCommit.writeStats(root, (statsNow ++ mergedStats).toSeq.sortBy(_._1))
+        val v = GraftCommit.commitManifest(root,
+          current.filterNot(replacedSet) ++ merged,
+          op = "compact", base = mf.map(_.version))
+        GraftCommit.retire(root, replacedList, v)
       }
-      // replaced inputs KEEP their stats entries (they are retired, and
-      // pinned/time-travel scans still skip by them); GC drops both
-      val statsNow = GraftCommit.readStats(root)
-      GraftCommit.writeStats(root, (statsNow ++ mergedStats).toSeq.sortBy(_._1))
-      val v = GraftCommit.commitManifest(root,
-        current.filterNot(replacedSet) ++ merged)
-      GraftCommit.retire(root, replacedList, v)
     }
     GraftCommit.deleteTemp(path, tempJob)
   }

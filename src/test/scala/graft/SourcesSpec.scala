@@ -1378,11 +1378,13 @@ class SourcesSpec extends AnyFunSuite {
 
     // KILL between the history write and the _MANIFEST swap: simulate by
     // planting a v2 history file while _MANIFEST still says v1 — readers
-    // plan v1 (the swap IS the commit point), currentVersion stays 1,
-    // and versionAsOf 2 resolving the ORPHAN is the documented torn-
-    // state behavior only if its files exist; a fresh commit then takes
-    // version 2 and OVERWRITES the orphan (REPLACE_EXISTING), so the
-    // stray can never shadow a real commit
+    // plan v1 (the swap IS the commit point), currentVersion stays 1.
+    // Under the r12 validate-and-swap protocol a CORRUPT orphan (its
+    // files don't exist — a real crashed winner's always do, publish
+    // precedes commit) is DISCARDED by the next committer, which then
+    // reclaims the version number; a COMPLETE orphan would instead be
+    // rolled forward (covered in the optimistic-commit spec). Either
+    // way the stray can never shadow or wedge a real commit.
     Files.writeString(Paths.get(dir, "_MANIFEST.v2"),
       "#version=2\nno-such-file.csv\n")
     assert(read().count() == 100L)
@@ -1418,7 +1420,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(GraftMaintenance.currentVersion(dir).contains(2L))
   }
 
-  test("INSERT OVERWRITE keeps a catalog table versioned: history expires, snapshots resume") {
+  test("INSERT OVERWRITE keeps a catalog table versioned: same-shape history survives until GC") {
     ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ovrdb")
     spark.sql("DROP TABLE IF EXISTS graft.ovrdb.t")
@@ -1432,11 +1434,18 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql(
       "INSERT OVERWRITE graft.ovrdb.t SELECT id, CAST(id % 2 AS STRING), id * 10 FROM range(10)") // v3
     // STILL versioned: the overwrite committed the next version with
-    // exactly its own files; prior history is expired (old files were
-    // unlinked), never silently glob-degraded
+    // exactly its own files. SAME-SHAPE overwrite (ADVICE r12 medium):
+    // the old files are RETIRED, not unlinked — no committed manifest
+    // ever references a missing file — so time travel now CROSSES the
+    // overwrite until retention GC reclaims the history
     assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(3L))
     assert(spark.sql("SELECT sum(v) FROM graft.ovrdb.t").head().getLong(0)
       == (0L until 10L).map(_ * 10).sum)
+    assert(spark.sql("SELECT count(*) FROM graft.ovrdb.t VERSION AS OF 2")
+      .head().getLong(0) == 100L, "same-shape overwrite must keep history readable")
+    // GC past the window reclaims the overwritten generation; resolution
+    // of the expired version then fails loudly
+    graft.sources.GraftMaintenance.expireSnapshots(tpath, olderThanMs = 0L)
     intercept[Throwable] {
       spark.sql("SELECT count(*) FROM graft.ovrdb.t VERSION AS OF 2").collect()
     }
