@@ -1,0 +1,377 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGES-BETWEEN-VERSIONS (CDC) read + version-pointer STREAMING
+  * source for graft-store (VERDICT r12 task 2): the versioned manifests
+  * and the retirement ledger already encode every commit's adds/removes
+  * — this exposes them as a CONSUMABLE CHANGELOG.
+  *
+  * Batch:
+  * {{{
+  *   spark.read.format("graft.sources.GraftStoreProvider")
+  *     .option("path", dir)
+  *     .option("changesFrom", vA)          // exclusive lower bound
+  *     .option("changesTo", vB)            // inclusive; default current
+  *     .load()                             // schema + _change_type + _commit_version
+  * }}}
+  * Rows are emitted PER INTERVENING VERSION by diffing each version's
+  * manifest against its predecessor: added files → `insert` rows,
+  * removed files → `delete` rows (read from the RETIRED copies — loud if
+  * retention GC already expired them), a DELETION-VECTOR generation
+  * change → `delete` rows at exactly the newly-set ordinals. A
+  * `compact`/`adopt` version is DATA-NEUTRAL by construction and emits
+  * NOTHING (the file-level diff would be pure rewrite noise).
+  *
+  * A COW rewrite (cow-delete/update/merge) file-diff necessarily emits
+  * its KEPT rows as same-version delete+insert pairs (the rewrite
+  * replaced their file). [[GraftCDC.netChanges]] cancels those pairs
+  * RELATIONALLY — group by row content + version, net the signs — which
+  * is the Spark-first shape of Iceberg's net-changes changelog: the
+  * cancellation is a distributed aggregate, not a reader-side special
+  * case.
+  *
+  * Streaming: the plain store table now supports `readStream` (TableCapability
+  * MICRO_BATCH_READ). Offsets ARE manifest versions; each micro-batch
+  * covers the versions committed since the last one. The first batch is
+  * the FULL SNAPSHOT at the then-current version (so no history is
+  * required), or starts after `startingVersion` when given. The plain
+  * stream is APPEND-ONLY and fails LOUDLY on a version that removed or
+  * DV-deleted rows (deletes cannot be retracted from a downstream
+  * append stream); compact versions pass through silently. The full
+  * changelog (with `_change_type`) is the batch changes read above.
+  *
+  * Scale: planning is O(changed files) per version — manifest diffs,
+  * no directory listing; reads parallelize one InputPartition per
+  * changed file, so "catch up on the last N commits" costs the changed
+  * data, never the table.
+  */
+private[sources] object GraftChanges {
+  val ChangesFromOption = "changesFrom"
+  val ChangesToOption = "changesTo"
+  val StartingVersionOption = "startingVersion"
+  val ChangeTypeColumn = "_change_type"
+  val CommitVersionColumn = "_commit_version"
+
+  def changeSchema(data: StructType): StructType =
+    StructType(data.fields :+
+      StructField(ChangeTypeColumn, StringType, nullable = false) :+
+      StructField(CommitVersionColumn, LongType, nullable = false))
+
+  /** Manifest at `v`, with v=0 the empty pre-birth baseline. */
+  private def at(root: File, v: Long): GraftManifest =
+    if (v == 0L) GraftManifest(0L, None, "none", Seq.empty, Map.empty)
+    else GraftCommit.readManifestFullAt(root, v)
+
+  /** Ops that change the visible file set without changing DATA. */
+  private def dataNeutral(op: String): Boolean =
+    op == "compact" || op == "adopt"
+
+  /** Plan the changelog for versions (fromV, toV]. `insertsOnly` is the
+    * streaming contract: loud on any version that removed or DV-deleted
+    * rows.
+    */
+  def planChanges(root: File, fromV: Long, toV: Long, partCols: Seq[String],
+      insertsOnly: Boolean, surface: String): Seq[GraftChangePartition] = {
+    require(fromV <= toV,
+      s"graft-store: $surface asked for changes ($fromV, $toV] — empty or inverted range")
+    (fromV + 1 to toV).flatMap { v =>
+      val cur = at(root, v)
+      val prev = at(root, v - 1)
+      if (dataNeutral(cur.op)) Seq.empty
+      else {
+        val curSet = cur.files.toSet
+        val prevSet = prev.files.toSet
+        val added = cur.files.filterNot(prevSet).sorted
+        val removed = prev.files.filterNot(curSet).sorted
+        val dvChanged = cur.files
+          .filter(f => prevSet(f) && cur.dvs.get(f) != prev.dvs.get(f)).sorted
+        if (insertsOnly && (removed.nonEmpty || dvChanged.nonEmpty))
+          throw new IllegalStateException(
+            s"graft-store: version $v (op=${cur.op}) of $root removed or " +
+              s"DV-deleted rows; the $surface read is append-only — consume " +
+              "the changes read (changesFrom/changesTo) for the full changelog")
+        def part(rel: String, kind: String, dvApply: Option[String],
+            dvOld: Option[String], delta: Boolean): GraftChangePartition = {
+          val f = new File(root, rel)
+          if (!f.isFile) throw new IllegalStateException(
+            s"graft-store: version $v change file '$rel' is no longer on " +
+              s"disk under $root — retention GC expired this range; read a " +
+              "newer changesFrom or widen the retention window")
+          GraftChangePartition(f.getAbsolutePath,
+            partValuesOf(rel, partCols), kind, v,
+            dvApply.map(d => new File(root, d).getAbsolutePath),
+            dvOld.map(d => new File(root, d).getAbsolutePath), delta)
+        }
+        added.map(rel =>
+          part(rel, "insert", cur.dvs.get(rel), None, delta = false)) ++
+          removed.map(rel =>
+            // logically-removed rows = rows LIVE at v-1: apply prev's DV
+            part(rel, "delete", prev.dvs.get(rel), None, delta = false)) ++
+          dvChanged.map(rel =>
+            // newly-deleted rows = ordinals in (dv(v) \ dv(v-1))
+            part(rel, "delete", cur.dvs.get(rel), prev.dvs.get(rel), delta = true))
+      }
+    }
+  }
+
+  /** The full snapshot at `v` as `insert` partitions (the streaming
+    * first batch — Delta's initial-snapshot semantics, needs no history).
+    */
+  def planSnapshot(root: File, v: Long, partCols: Seq[String]): Seq[GraftChangePartition] = {
+    val m = at(root, v)
+    m.files.sorted.map { rel =>
+      val f = new File(root, rel)
+      if (!f.isFile) throw new IllegalStateException(
+        s"graft-store: snapshot file '$rel' missing under $root — torn store")
+      GraftChangePartition(f.getAbsolutePath, partValuesOf(rel, partCols),
+        "insert", v, m.dvs.get(rel).map(d => new File(root, d).getAbsolutePath),
+        None, delta = false)
+    }
+  }
+
+  private def partValuesOf(rel: String, partCols: Seq[String]): Seq[String] = {
+    val comps = rel.split('/')
+    require(comps.length == partCols.length + 1,
+      s"graft-store: manifest path '$rel' does not match the " +
+        s"${partCols.length}-level partitioning ${partCols.mkString(",")}")
+    partCols.zipWithIndex.map { case (c, i) =>
+      require(comps(i).startsWith(c + "="),
+        s"graft-store: manifest path '$rel' level $i is not '$c='")
+      GraftStore.decodePartValue(comps(i).substring(c.length + 1))
+    }
+  }
+}
+
+/** Public batch CDC entry points (the option plumbing, typed). */
+object GraftCDC {
+  /** The RAW changelog for versions (fromV, toV] — file-level diff per
+    * version; a COW rewrite's kept rows appear as same-version
+    * delete+insert pairs (see [[netChanges]]).
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long,
+      toV: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", path)
+      .option(GraftChanges.ChangesFromOption, fromV.toString)
+    toV.fold(r)(v => r.option(GraftChanges.ChangesToOption, v.toString)).load()
+  }
+
+  /** NET row-level changes for versions (fromV, toV]: the raw changelog
+    * with same-version delete+insert pairs of identical row content
+    * CANCELLED — a distributed aggregate (group by row content +
+    * version, net the signs, re-expand multiplicities), so rewrite
+    * amplification never reaches the consumer. Exact for multisets.
+    */
+  def netChanges(spark: SparkSession, path: String, fromV: Long,
+      toV: Option[Long] = None): DataFrame = {
+    val raw = changes(spark, path, fromV, toV)
+    val dataCols = raw.columns.filterNot(c =>
+      c == GraftChanges.ChangeTypeColumn || c == GraftChanges.CommitVersionColumn)
+    raw.groupBy((dataCols :+ GraftChanges.CommitVersionColumn).map(col): _*)
+      .agg(sum(when(col(GraftChanges.ChangeTypeColumn) === "insert", 1L)
+        .otherwise(-1L)).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .withColumn(GraftChanges.ChangeTypeColumn,
+        when(col("_net") > 0L, "insert").otherwise("delete"))
+      .withColumn("_dup", explode(expr("array_repeat(0, int(abs(_net)))")))
+      .drop("_net", "_dup")
+      .select(raw.columns.map(col): _*)
+  }
+}
+
+/** The changes TABLE: read-only, schema = data schema + change columns. */
+private[sources] class GraftChangesTable(
+    path: String, fullSchema: StructType, partCols: Seq[String],
+    fromV: Long, toV: Option[Long])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-store-changes($path)"
+  override def schema(): StructType = fullSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftChangesScanBuilder(path, fullSchema, partCols, fromV, toV)
+}
+
+private[sources] class GraftChangesScanBuilder(
+    path: String, fullSchema: StructType, partCols: Seq[String],
+    fromV: Long, toV: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftChangesScan(path, fullSchema, required, partCols, fromV, toV)
+}
+
+private[sources] class GraftChangesScan(
+    path: String, fullSchema: StructType, required: StructType,
+    partCols: Seq[String], fromV: Long, toV: Option[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val to = toV.map(_.toString).getOrElse("current")
+    s"graft-store-changes($path) Versions: ($fromV, $to], " +
+      s"ReadSchema: ${required.catalogString}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new File(path)
+    val end = toV.getOrElse(GraftCommit.currentManifestVersion(root)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-store: $path is not a versioned table — the changes read " +
+          "needs manifest versions (write through the catalog or compact once)")))
+    GraftChanges.planChanges(root, fromV, end, partCols,
+      insertsOnly = false, surface = "changes").toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangesReaderFactory(fullSchema, required, partCols)
+}
+
+/** One changed file at one version: `changeType`/`version` become the
+  * constant change columns; `dvApply` skips deleted ordinals; in
+  * `delta` mode only ordinals in (dvApply \ dvOld) are EMITTED — the
+  * rows one DV generation deleted.
+  */
+private[sources] case class GraftChangePartition(
+    file: String, partValues: Seq[String], changeType: String, version: Long,
+    dvApply: Option[String], dvOld: Option[String], delta: Boolean)
+    extends InputPartition
+
+private[sources] class GraftChangesReaderFactory(
+    fullSchema: StructType, required: StructType, partCols: Seq[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftChangePartition]
+    // on-disk layout: DATA schema (change columns are virtual) minus
+    // partition cols, in schema order — the store's layout contract
+    val dataFields = fullSchema.fields.filterNot(f =>
+      partCols.contains(f.name) || f.name == GraftChanges.ChangeTypeColumn ||
+        f.name == GraftChanges.CommitVersionColumn)
+    val fileIndex = dataFields.map(_.name).zipWithIndex.toMap
+    val partIndex = partCols.zipWithIndex.toMap
+
+    sealed trait Slot
+    case class Const(v: Any) extends Slot
+    case class FromFile(idx: Int, dt: DataType) extends Slot
+    val slots: Array[Slot] = required.fields.map { f =>
+      if (f.name == GraftChanges.ChangeTypeColumn)
+        Const(UTF8String.fromString(gp.changeType))
+      else if (f.name == GraftChanges.CommitVersionColumn)
+        Const(gp.version)
+      else partIndex.get(f.name) match {
+        case Some(pi) =>
+          Const(GraftStore.partValueTyped(gp.partValues(pi), f.dataType) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          })
+        case None => FromFile(fileIndex(f.name), f.dataType)
+      }
+    }
+    val applyBits: util.BitSet = gp.dvApply.map(GraftDv.read).orNull
+    val oldBits: util.BitSet = gp.dvOld.map(GraftDv.read).orNull
+
+    val parser = new GraftRecordParser(Files.newBufferedReader(
+      Paths.get(gp.file), StandardCharsets.UTF_8))
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      private var pos = -1L
+      private def emit(): Boolean = {
+        val in = applyBits != null && pos <= Int.MaxValue &&
+          applyBits.get(pos.toInt)
+        if (gp.delta) in && !(oldBits != null && oldBits.get(pos.toInt))
+        else !in
+      }
+      override def next(): Boolean = {
+        var rec = parser.next()
+        if (rec != null) pos += 1
+        while (rec != null && !emit()) {
+          rec = parser.next()
+          if (rec != null) pos += 1
+        }
+        if (rec == null) false
+        else {
+          val r = rec
+          row = InternalRow.fromSeq(slots.toSeq.map {
+            case Const(v)          => v
+            case FromFile(idx, dt) =>
+              GraftStore.convert(if (idx < r.length) r(idx) else null, dt)
+          })
+          true
+        }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = parser.close()
+    }
+  }
+}
+
+// ------------------------------------------------------------- streaming
+
+/** A manifest version as a streaming offset. -1 is the pre-snapshot
+  * sentinel: the next batch is the full snapshot at its end version.
+  */
+private[sources] case class GraftVersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** The version-pointer MICRO-BATCH stream over a plain store table
+  * (VERDICT r12 task 2): append-only rows, schema = table schema.
+  */
+private[sources] class GraftVersionStream(
+    path: String, fullSchema: StructType, required: StructType,
+    partCols: Seq[String], startingVersion: Option[Long])
+    extends MicroBatchStream {
+  private val root = new File(path)
+
+  private def current(): Long =
+    GraftCommit.currentManifestVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"graft-store: streaming read of $path needs a VERSIONED table " +
+          "(write through the catalog or compact once to adopt a manifest)"))
+
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+
+  override def latestOffset(): Offset = GraftVersionOffset(current())
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    if (s == e) Array.empty
+    else if (s == -1L)
+      // first batch: the full snapshot at e (no history needed)
+      GraftChanges.planSnapshot(root, e, partCols).toArray
+    else GraftChanges.planChanges(root, s, e, partCols,
+      insertsOnly = true, surface = "streaming").toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangesReaderFactory(fullSchema, required, partCols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

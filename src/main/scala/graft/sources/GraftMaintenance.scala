@@ -94,10 +94,18 @@ object GraftMaintenance {
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
 
     // the CURRENT visible set: manifest if present, else the glob
-    val visible: Seq[String] = GraftCommit.visibleFiles(root)
+    val mf0 = GraftCommit.readManifestFull(root)
+    val visible: Seq[String] = mf0.map(_.files).getOrElse(
+      GraftCommit.visibleFiles(root))
+    // DV-carrying files are EXCLUDED from byte-concat compaction: the
+    // merge is a raw concatenation, which would resurrect the deleted
+    // ordinals (and shift later files' ordinals). compactSorted is the
+    // path that materializes DVs away — it reads through the scan.
+    val pinnedDvs = mf0.map(_.dvs).getOrElse(Map.empty[String, String])
 
     val statsBook = GraftCommit.readStats(root)
-    val byDir: Map[String, Seq[String]] = visible.groupBy { rel =>
+    val byDir: Map[String, Seq[String]] = visible
+      .filterNot(pinnedDvs.contains).groupBy { rel =>
       val i = rel.lastIndexOf('/')
       if (i < 0) "" else rel.substring(0, i)
     }
@@ -155,7 +163,7 @@ object GraftMaintenance {
       return CompactResult(visible.size, visible.size, 0)
     }
     commitRewrite(root, path, s"compact-$compactId", replacedList, merged,
-      mergedStats.toMap)
+      mergedStats.toMap, pinnedDvs)
     val after = visible.size - replacedList.size + groupNo
     CompactResult(visible.size, after, groupNo)
   }
@@ -203,7 +211,8 @@ object GraftMaintenance {
           op = "adopt")
       }
     }
-    val visible: Seq[String] = GraftCommit.readManifestAt(root, version)
+    val mfPinned = GraftCommit.readManifestFullAt(root, version)
+    val visible: Seq[String] = mfPinned.files
     if (visible.isEmpty) return CompactResult(0, 0, 0)
 
     val totalBytes = visible.map(rel => new File(root, rel).length()).sum
@@ -253,7 +262,7 @@ object GraftMaintenance {
       stagedStats.get(srel).foreach(mergedStats(rel) = _)
     }
     commitRewrite(root, path, s"compact-$compactId", visible, merged.result(),
-      mergedStats.toMap)
+      mergedStats.toMap, mfPinned.dvs)
     CompactResult(visible.size, n, n)
   }
 
@@ -265,7 +274,8 @@ object GraftMaintenance {
     */
   private def commitRewrite(root: File, path: String, tempJob: String,
       replacedList: Seq[String], merged: Seq[String],
-      mergedStats: Map[String, GraftFileStats]): Unit = {
+      mergedStats: Map[String, GraftFileStats],
+      pinnedDvs: Map[String, String]): Unit = {
     val replacedSet = replacedList.toSet
     GraftCommit.withMetaLock(root) {
       // CAS-conflict rebase is safe here (VERDICT r12 task 1): compaction
@@ -282,6 +292,19 @@ object GraftMaintenance {
           throw new IllegalStateException(
             "graft-store: a concurrent writer removed compaction inputs " +
               s"under $path — nothing was swapped; rerun compact")
+        }
+        // a concurrent MERGE-ON-READ delete changed an input's deletion
+        // vector: the staged rewrite was read under the OLD generation,
+        // so committing it would resurrect the newly-deleted rows and
+        // silently drop the new DV binding — abort loudly instead
+        val curDvs = mf.map(_.dvs).getOrElse(Map.empty[String, String])
+        if (replacedList.exists(rel => curDvs.get(rel) != pinnedDvs.get(rel))) {
+          merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+          GraftCommit.deleteTemp(path, tempJob)
+          throw new IllegalStateException(
+            "graft-store: a concurrent merge-on-read DELETE changed a " +
+              s"compaction input's deletion vector under $path — nothing " +
+              "was swapped; rerun compact")
         }
         // replaced inputs KEEP their stats entries (they are retired, and
         // pinned/time-travel scans still skip by them); GC drops both
@@ -407,6 +430,15 @@ object GraftMaintenance {
         GraftCommit.writeStats(root, GraftCommit.readStats(root)
           .filterNot(e => strayRels(e._1)).toSeq.sortBy(_._1))
       }
+      // 4) sweep DELETION-VECTOR generations no retained version
+      // references (superseded by a newer cumulative DV, materialized
+      // away by compaction, or orphaned by a crashed commit) — aged past
+      // the same grace as other strays so a mid-commit sidecar survives
+      val dvRefs = GraftCommit.retainedDvRefs(root)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("dv-") &&
+          !dvRefs(f.getName) && now - f.lastModified() >= strayGraceMs)
+        .foreach(f => Files.deleteIfExists(f.toPath))
       // drop now-empty partition dirs left behind by expiry
       GraftCommit.pruneEmptyDirs(root,
         (expired.map(e => new File(root, e._1)) ++ strays).map(_.getParentFile))

@@ -98,8 +98,12 @@ class GraftStoreProvider extends TableProvider {
     require(f.isFile,
       s"graft-store: no committed table at $path (missing ${GraftStore.SchemaFile}); " +
         "pass an explicit schema to read an uncommitted location")
-    StructType.fromDDL(new String(
+    val base = StructType.fromDDL(new String(
       Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    // the CHANGES read surfaces the changelog columns (VERDICT r12 task 2)
+    if (options.containsKey(GraftChanges.ChangesFromOption))
+      GraftChanges.changeSchema(base)
+    else base
   }
 
   /** Read path: recover the identity transforms from `_PARTITIONING`, so
@@ -118,6 +122,17 @@ class GraftStoreProvider extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
+    // CHANGES-BETWEEN-VERSIONS read (VERDICT r12 task 2): a read-only
+    // changelog table over the version range
+    val changesFrom = Option(properties.get(GraftChanges.ChangesFromOption))
+      .orElse(Option(properties.get(GraftChanges.ChangesFromOption.toLowerCase)))
+    if (changesFrom.isDefined) {
+      val to = Option(properties.get(GraftChanges.ChangesToOption))
+        .orElse(Option(properties.get(GraftChanges.ChangesToOption.toLowerCase)))
+        .map(_.toLong)
+      return new GraftChangesTable(path, schema,
+        GraftStore.readPartitionCols(path), changesFrom.get.toLong, to)
+    }
     // Honor the Transforms when Spark hands them over (VERDICT r9 task 5);
     // otherwise derive from the write option / committed metadata — the
     // V2 path-based write entry point doesn't always thread them through.
@@ -147,8 +162,17 @@ object GraftStore {
   val ColumnarOption = "columnar"
   val VersionAsOfOption = "versionAsOf"
   val FileMetaColumn = "_file"
+  val PosMetaColumn = "_pos"
   val NullPartitionValue = "__GRAFT_NULL__"
   val EmptyPartitionValue = "__GRAFT_EMPTY__"
+
+  /** Session conf selecting the DELETE implementation: `copy-on-write`
+    * (default — rewrite the surviving rows of matching files) or
+    * `merge-on-read` (VERDICT r12 task 3 — commit per-file DELETION
+    * VECTORS instead; a 1-row delete in a large file rewrites nothing,
+    * scans apply the DV at read, compaction materializes it away).
+    */
+  val DeleteModeConf = "spark.graft.store.delete.mode"
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -571,6 +595,37 @@ final case class GraftFileStats(rows: Long, cols: Map[String, GraftColStatsTxt])
 final case class GraftManifest(version: Long, ts: Option[Long], op: String,
     files: Seq[String], dvs: Map[String, String])
 
+/** DELETION-VECTOR sidecar codec (VERDICT r12 task 3): one small binary
+  * file per (data file, delete generation) holding the BITSET of deleted
+  * row ordinals (`java.util.BitSet.toByteArray`, ordinals = 0-based
+  * physical record positions — stable across later DVs, which are
+  * cumulative). DV files live at the table ROOT under `dv-*.bin` names
+  * the data-file glob ignores; which DV (if any) applies to a file at a
+  * given version is recorded in that version's manifest `#dv=` headers,
+  * so DVs are part of the SNAPSHOT: a pinned scan applies exactly its
+  * version's DVs, and retention GC sweeps DV generations no retained
+  * version references.
+  */
+private[sources] object GraftDv {
+  def write(root: File, name: String, bits: java.util.BitSet): Unit = {
+    val tmp = new File(root, name + ".tmp")
+    Files.write(tmp.toPath, bits.toByteArray)
+    Files.move(tmp.toPath, new File(root, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def read(path: String): util.BitSet = {
+    val f = new File(path)
+    require(f.isFile,
+      s"graft-store: deletion vector '$path' is missing — torn store " +
+        "state (a DV referenced by a manifest was removed)")
+    util.BitSet.valueOf(Files.readAllBytes(f.toPath))
+  }
+
+  def cardinality(path: String): Long = read(path).cardinality().toLong
+}
+
 /** A manifest commit lost the validate-and-swap race: the version the
   * committer staged against is no longer current (VERDICT r12 task 1 —
   * the stale-lock survivor case: a writer whose `_META_LOCK` was broken
@@ -674,17 +729,20 @@ private[sources] class GraftStoreTable(
     partCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // vectorized by default (measured 1.4x on scan-bound aggregates,
     // tools/ColumnarAb); `columnar=false` selects the row reader — both
     // paths stay oracled/spec-pinned byte-equal. `versionAsOf` pins a
     // committed manifest version (store-level time travel, r11 task 1).
+    // `startingVersion` seeds a streaming read (VERDICT r12 task 2).
     new GraftScanBuilder(path, tschema, partCols,
       options.getBoolean(GraftStore.ColumnarOption, true),
       Option(options.get(GraftStore.VersionAsOfOption)).map(_.toLong)
-        .orElse(pinnedVersion))
+        .orElse(pinnedVersion),
+      Option(options.get(GraftChanges.StartingVersionOption)).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), partCols)
@@ -699,7 +757,7 @@ private[sources] class GraftStoreTable(
     */
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftFileMetaColumn)
+    Array(GraftFileMetaColumn, GraftPosMetaColumn)
 
   /** ROW-LEVEL DML via copy-on-write rewrite (VERDICT r11 task 2 asked
     * for DELETE-by-id — the right-to-be-forgotten path; UPDATE and
@@ -728,8 +786,19 @@ private[sources] class GraftStoreTable(
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
-      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(path, tschema, partCols, info.command)
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // DELETE mode switch (VERDICT r12 task 3): `merge-on-read` plans the
+    // delete as a DELTA operation — matched rows come back as (_file,
+    // _pos) row ids and the commit writes per-file DELETION VECTORS; no
+    // data file is rewritten. Default stays copy-on-write. UPDATE/MERGE
+    // remain group-based COW (their outputs are new rows, not removals).
+    val mor = info.command ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+      org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        GraftStore.DeleteModeConf, "copy-on-write") == "merge-on-read"
+    if (mor) () => new GraftDeltaDeleteOperation(path, tschema, partCols)
+    else () => new GraftRowLevelOperation(path, tschema, partCols, info.command)
+  }
 
   /** QUIESCENCE contract (shared with [[GraftMaintenance.compact]]): a
     * streaming checkpoint that may still REPLAY an epoch must be
@@ -833,7 +902,8 @@ private[sources] final case class GraftStatsSum(col: String) extends GraftAggSpe
 
 private[sources] class GraftScanBuilder(
     path: String, fullSchema: StructType, partCols: Seq[String],
-    columnar: Boolean, versionAsOf: Option[Long] = None)
+    columnar: Boolean, versionAsOf: Option[Long] = None,
+    streamStart: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -948,6 +1018,11 @@ private[sources] class GraftScanBuilder(
       partFilters, dataFilters, versionAsOf = versionAsOf).planInputPartitions()
     // empty-store guard: the global-count final merge needs >= 1 partial
     if (parts.isEmpty) return false
+    // DELETION VECTORS void a file's physical stats (row counts/bounds/
+    // sums describe rows a DV may have deleted) — decline and let Spark
+    // aggregate the DV-filtered scan instead
+    if (parts.exists(_.asInstanceOf[GraftFilePartition].dv.isDefined))
+      return false
     // stats-backed specs need full coverage: every candidate file must
     // carry the column's zone-map entry (and a row count for COUNT(*))
     val needStats = flat.exists {
@@ -982,7 +1057,7 @@ private[sources] class GraftScanBuilder(
         dataFilters, gb, specs, versionAsOf)
     case None =>
       new GraftStoreScan(path, fullSchema, required, partCols, partFilters,
-        dataFilters, columnar, limit, versionAsOf)
+        dataFilters, columnar, limit, versionAsOf, streamStart)
   }
 }
 
@@ -990,21 +1065,37 @@ private[sources] class GraftScanBuilder(
   * (encoded text, schema-typed at read time; parallel to `partCols`),
   * plus the file's zone-map stats when the `_STATS` sidecar has them.
   * `rel` is the table-relative path — the `_file` metadata column's
-  * value and the unit of copy-on-write group replacement.
+  * value and the unit of copy-on-write group replacement. `dv` is the
+  * absolute path of the file's DELETION VECTOR at the scan's pinned
+  * version, when one exists — the reader loads it executor-side and
+  * skips the deleted ordinals.
   */
 private[sources] case class GraftFilePartition(
     file: String, partValues: Seq[String],
-    stats: Option[GraftFileStats] = None, rel: String = "") extends InputPartition
+    stats: Option[GraftFileStats] = None, rel: String = "",
+    dv: Option[String] = None) extends InputPartition
 
 private[sources] class GraftStoreScan(
     path: String, fullSchema: StructType, required: StructType,
     partCols: Seq[String], partFilters: Array[Filter],
     dataFilters: Array[Filter] = Array.empty, columnar: Boolean = false,
-    limit: Option[Int] = None, versionAsOf: Option[Long] = None)
+    limit: Option[Int] = None, versionAsOf: Option[Long] = None,
+    streamStart: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The VERSION-POINTER streaming source (VERDICT r12 task 2):
+    * `readStream` over the store follows manifest versions — each
+    * micro-batch is the appended rows of the versions committed since
+    * the last batch (first batch = full snapshot, or after the
+    * `startingVersion` option). Append-only; loud on non-append
+    * versions; `compact` versions are data-neutral and pass silently.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftVersionStream(path, fullSchema, required, partCols, streamStart)
 
   /** DYNAMIC partition pruning (`SupportsRuntimeFiltering`): the scan
     * advertises its partition columns as runtime-filterable, so a join
@@ -1058,10 +1149,13 @@ private[sources] class GraftStoreScan(
     val est = raw * reqW / storedW
     // exact row count when every surviving file has a zone-map entry —
     // CBO-grade cardinality for free (the partition-pruned, file-skipped
-    // set's rows are already recorded; no file is opened)
+    // set's rows are already recorded; no file is opened). DV-carrying
+    // files subtract their deleted-ordinal count — DV sidecars are tiny
+    // and driver-local, so the estimate stays EXACT under merge-on-read
     val nRows =
       if (files.nonEmpty && files.forall(_.stats.isDefined))
-        util.OptionalLong.of(files.map(_.stats.get.rows).sum)
+        util.OptionalLong.of(files.map(f =>
+          f.stats.get.rows - f.dv.map(GraftDv.cardinality).getOrElse(0L)).sum)
       else util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(est)
@@ -1106,10 +1200,11 @@ private[sources] class GraftStoreScan(
   // successfully READING) the version it saw. `versionAsOf` pins an
   // explicit history version instead (time travel); it fails loudly on
   // an expired or never-committed version.
-  protected lazy val manifestBook: Option[Seq[String]] = versionAsOf match {
-    case Some(v) => Some(GraftCommit.readManifestAt(new File(path), v))
-    case None    => GraftCommit.readManifest(new File(path))
+  protected lazy val manifestFull: Option[GraftManifest] = versionAsOf match {
+    case Some(v) => Some(GraftCommit.readManifestFullAt(new File(path), v))
+    case None    => GraftCommit.readManifestFull(new File(path))
   }
+  protected lazy val manifestBook: Option[Seq[String]] = manifestFull.map(_.files)
 
   private def plannedWith(filters: Array[Filter]): Array[GraftFilePartition] = {
     val root = new File(path)
@@ -1160,9 +1255,12 @@ private[sources] class GraftStoreScan(
           }.toMap
           // full binding: accepted filters are consumed, so definite-true
           // only (same leaf rule as the directory walk)
-          if (filters.forall(GraftStore.evalFilter3(_, bound).contains(true)))
-            Some(withStats(f, texts)).filter(keepByZoneMap)
-          else None
+          if (filters.forall(GraftStore.evalFilter3(_, bound).contains(true))) {
+            // the file's DELETION VECTOR at this scan's pinned version
+            val dv = manifestFull.flatMap(_.dvs.get(rel))
+              .map(d => new File(root, d).getAbsolutePath)
+            Some(withStats(f, texts).copy(dv = dv)).filter(keepByZoneMap)
+          } else None
         }.toArray
       case None => ()
     }
@@ -1214,7 +1312,12 @@ private[sources] class GraftStoreScan(
         var confirmed = 0L
         var k = 0
         while (k < planned.length && confirmed < n) {
-          confirmed += planned(k).stats.map(_.rows).getOrElse(0L)
+          // a DV-carrying file's zone-map row count OVERCOUNTS (some
+          // ordinals are deleted): contribute unknown (0), so the cut
+          // only ever happens later — never a missing row
+          confirmed +=
+            (if (planned(k).dv.isDefined) 0L
+             else planned(k).stats.map(_.rows).getOrElse(0L))
           k += 1
         }
         if (confirmed >= n) planned.take(k) else planned
@@ -1372,10 +1475,12 @@ private[sources] class GraftReaderFactory(
     val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
 
     // slot binding, same contract as the row reader (`_file` metadata
-    // column = the partition's table-relative path, a per-file constant)
+    // column = the partition's table-relative path, a per-file constant;
+    // `_pos` = the record's 0-based physical ordinal, the DV row id)
     sealed trait Slot
     case class Const(v: Any) extends Slot
     case class FromFile(idx: Int, dt: DataType) extends Slot
+    case object PosSlot extends Slot
     val slots: Array[Slot] = required.fields.map { f =>
       partIndex.get(f.name) match {
         case Some(pi) =>
@@ -1384,9 +1489,14 @@ private[sources] class GraftReaderFactory(
         // (Spark's SupportsMetadataColumns conflict rule)
         case None if f.name == GraftStore.FileMetaColumn &&
           !fileIndex.contains(f.name) => Const(gp.rel)
+        case None if f.name == GraftStore.PosMetaColumn &&
+          !fileIndex.contains(f.name) => PosSlot
         case None => FromFile(fileIndex(f.name), f.dataType)
       }
     }
+    // deletion vector: skip deleted ordinals while still counting them
+    // (ordinals are PHYSICAL positions — stable across DV generations)
+    val dvBits: util.BitSet = gp.dv.map(GraftDv.read).orNull
 
     def put(vec: OnHeapColumnVector, dt: DataType, i: Int, v: Any): Unit =
       if (v == null) vec.putNull(i)
@@ -1406,35 +1516,46 @@ private[sources] class GraftReaderFactory(
     val parser = new GraftRecordParser(Files.newBufferedReader(
       Paths.get(gp.file), StandardCharsets.UTF_8))
     new PartitionReader[ColumnarBatch] {
+      private var pos = -1L // physical ordinal of the current record
+      private def advance(): Array[String] = {
+        val r = parser.next()
+        if (r != null) pos += 1
+        r
+      }
       override def next(): Boolean = {
         vectors.foreach(_.reset())
         var n = 0
-        var rec = parser.next()
+        var rec = advance()
         while (rec != null && n < capacity) {
-          var s = 0
-          while (s < slots.length) {
-            slots(s) match {
-              case Const(v) => put(vectors(s), required.fields(s).dataType, n, v)
-              case FromFile(idx, dt) =>
-                val raw = if (idx < rec.length) rec(idx) else null
-                if (raw == null) vectors(s).putNull(n)
-                else dt match {
-                  case LongType    => vectors(s).putLong(n, raw.toLong)
-                  case IntegerType => vectors(s).putInt(n, raw.toInt)
-                  case DoubleType  => vectors(s).putDouble(n, raw.toDouble)
-                  case BooleanType => vectors(s).putBoolean(n, raw.toBoolean)
-                  case StringType  =>
-                    val b = raw.getBytes(StandardCharsets.UTF_8)
-                    vectors(s).putByteArray(n, b, 0, b.length)
-                    ()
-                  case other => throw new IllegalArgumentException(
-                    s"graft-store: unsupported column type $other")
-                }
+          if (dvBits != null && pos <= Int.MaxValue && dvBits.get(pos.toInt)) {
+            rec = advance() // deleted ordinal: skip, keep counting
+          } else {
+            var s = 0
+            while (s < slots.length) {
+              slots(s) match {
+                case Const(v) => put(vectors(s), required.fields(s).dataType, n, v)
+                case PosSlot  => vectors(s).putLong(n, pos)
+                case FromFile(idx, dt) =>
+                  val raw = if (idx < rec.length) rec(idx) else null
+                  if (raw == null) vectors(s).putNull(n)
+                  else dt match {
+                    case LongType    => vectors(s).putLong(n, raw.toLong)
+                    case IntegerType => vectors(s).putInt(n, raw.toInt)
+                    case DoubleType  => vectors(s).putDouble(n, raw.toDouble)
+                    case BooleanType => vectors(s).putBoolean(n, raw.toBoolean)
+                    case StringType  =>
+                      val b = raw.getBytes(StandardCharsets.UTF_8)
+                      vectors(s).putByteArray(n, b, 0, b.length)
+                      ()
+                    case other => throw new IllegalArgumentException(
+                      s"graft-store: unsupported column type $other")
+                  }
+              }
+              s += 1
             }
-            s += 1
+            n += 1
+            if (n < capacity) rec = advance() else rec = null
           }
-          n += 1
-          if (n < capacity) rec = parser.next() else rec = null
         }
         batch.setNumRows(n)
         n > 0
@@ -1459,6 +1580,7 @@ private[sources] class GraftReaderFactory(
     sealed trait Slot
     case class Const(v: Any) extends Slot
     case class FromFile(idx: Int, dt: DataType) extends Slot
+    case object PosSlot extends Slot
     val slots: Array[Slot] = required.fields.map { f =>
       partIndex.get(f.name) match {
         case Some(pi) =>
@@ -1469,23 +1591,37 @@ private[sources] class GraftReaderFactory(
         case None if f.name == GraftStore.FileMetaColumn &&
             !fileIndex.contains(f.name) =>
           Const(UTF8String.fromString(gp.rel)) // metadata column (see above)
+        case None if f.name == GraftStore.PosMetaColumn &&
+            !fileIndex.contains(f.name) =>
+          PosSlot // 0-based physical record ordinal (the DV row id)
         case None =>
           FromFile(fileIndex(f.name), f.dataType)
       }
     }
+    val dvBits: util.BitSet = gp.dv.map(GraftDv.read).orNull
 
     val parser = new GraftRecordParser(Files.newBufferedReader(
       Paths.get(gp.file), StandardCharsets.UTF_8))
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
+      private var pos = -1L
       override def next(): Boolean = {
-        val rec = parser.next()
+        var rec = parser.next()
+        if (rec != null) pos += 1
+        // deletion vector: skip deleted ordinals (still counted)
+        while (rec != null && dvBits != null &&
+            pos <= Int.MaxValue && dvBits.get(pos.toInt)) {
+          rec = parser.next()
+          if (rec != null) pos += 1
+        }
         if (rec == null) false
         else {
+          val r = rec
           row = InternalRow.fromSeq(slots.toSeq.map {
             case Const(v)          => v
+            case PosSlot           => pos
             case FromFile(idx, dt) =>
-              GraftStore.convert(if (idx < rec.length) rec(idx) else null, dt)
+              GraftStore.convert(if (idx < r.length) r(idx) else null, dt)
           })
           true
         }
@@ -1935,6 +2071,18 @@ private[sources] object GraftCommit {
     } finally br.close()
   }
 
+  /** Every DV sidecar some RETAINED version (current manifest or a
+    * surviving history copy) still references — the protection set for
+    * retention GC's DV sweep.
+    */
+  def retainedDvRefs(root: File): Set[String] = {
+    val hist = Option(root.listFiles()).getOrElse(Array.empty).filter(f =>
+      HistManifestName.findFirstIn(f.getName).isDefined)
+    (hist.flatMap(f => readManifestFullFile(f).map(_.dvs.values.toSeq)
+      .getOrElse(Seq.empty)) ++
+      readManifestFull(root).map(_.dvs.values.toSeq).getOrElse(Seq.empty)).toSet
+  }
+
   /** The RETAINED versions with their commit timestamps (history files
     * plus the current manifest; versions whose history GC expired are
     * absent — TIMESTAMP AS OF resolution must treat the gaps as loud
@@ -2256,6 +2404,20 @@ private[sources] object GraftFileMetaColumn
     "table-relative path of the data file the row lives in"
 }
 
+/** The `_pos` metadata column: the row's 0-based PHYSICAL ordinal within
+  * its data file — stable across deletion-vector generations (deleted
+  * ordinals stay counted), so (_file, _pos) is a durable row id: the
+  * merge-on-read DELETE's `rowId()` and the deletion vectors' key.
+  */
+private[sources] object GraftPosMetaColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = GraftStore.PosMetaColumn
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "0-based physical record ordinal within the row's data file"
+}
+
 /** One copy-on-write DELETE (see [[GraftStoreTable
   * .newRowLevelOperationBuilder]]). The operation object is the bridge
   * between its SCAN (which records the files it actually planned —
@@ -2461,6 +2623,161 @@ private[sources] class GraftCowBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommit.deleteTemp(path, jobId)
+}
+
+/** MERGE-ON-READ DELETE (VERDICT r12 task 3): a `SupportsDelta`
+  * row-level operation. Where the group-based COW path rewrites every
+  * file containing a match, the delta rewrite plans ONLY the matched
+  * rows — projected to the durable (_file, _pos) row id — and the
+  * write's commit records them as per-file DELETION VECTORS:
+  *
+  *  1. the scan is the SAME rewrite scan as COW (condition pushdown,
+  *     partition pruning, zone-map refutation, snapshot + condition
+  *     recording for the write-skew gate);
+  *  2. each task accumulates a bitset of deleted ordinals per file;
+  *  3. the commit merges the bitsets, ORs them into any existing DV
+  *     generation (DVs are CUMULATIVE — ordinals are physical), writes
+  *     the new `dv-*.bin` sidecars, and commits version N+1 whose
+  *     `#dv=` headers bind them — the data file set is UNCHANGED, so a
+  *     1-row DELETE in a terabyte file moves a few bytes (SourcesSpec
+  *     proves zero rewrites by mtime + file-set checks);
+  *  4. reads at version N+1 skip the DV'd ordinals on both reader
+  *     paths; pinned/time-travel scans at ≤N never see the DV; plain
+  *     `compact` leaves DV'd files alone (byte-concat would resurrect
+  *     the rows) and `compactSorted` MATERIALIZES the DVs away (it
+  *     reads through the scan); retention GC sweeps unreferenced DV
+  *     generations.
+  *
+  * Write amplification becomes O(matched rows) instead of O(bytes of
+  * matched files) — the bound VERDICT r12 asked for; the read-side cost
+  * is one small bitset load per DV'd file (measured in tools/StoreAb).
+  */
+private[sources] class GraftDeltaDeleteOperation(
+    path: String, schema: StructType, partCols: Seq[String])
+    extends GraftRowLevelOperation(path, schema, partCols,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def description(): String = s"graft-store DV DELETE($path)"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftStore.FileMetaColumn),
+      Expressions.column(GraftStore.PosMetaColumn))
+
+  override def newWriteBuilder(info: LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDvBatchWrite(GraftDeltaDeleteOperation.this, path,
+              java.util.UUID.randomUUID().toString.take(8))
+        }
+    }
+}
+
+/** Per-task delta-writer commit message: deleted-ordinal bitsets keyed
+  * by table-relative file path.
+  */
+private[sources] case class GraftDvCommitMessage(
+    deletes: Map[String, Array[Byte]]) extends WriterCommitMessage
+
+/** Collects (_file, _pos) delete row ids into per-file bitsets. */
+private[sources] class GraftDvWriter
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val acc = scala.collection.mutable.Map.empty[String, util.BitSet]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val rel = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    require(pos <= Int.MaxValue,
+      s"graft-store: row ordinal $pos exceeds the deletion-vector range")
+    acc.getOrElseUpdate(rel, new util.BitSet).set(pos.toInt)
+  }
+
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft-store: the delta operation supports DELETE only")
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "graft-store: the delta operation supports DELETE only")
+
+  override def commit(): WriterCommitMessage =
+    GraftDvCommitMessage(acc.map { case (k, v) => k -> v.toByteArray }.toMap)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+/** The DV delete's commit: merge task bitsets, OR into the current DV
+  * generation, publish new sidecars, commit ONE version binding them.
+  * Same conflict discipline as the COW commit — removed targets abort,
+  * unrefutable concurrent appends abort (write skew), CAS conflicts
+  * rebase (re-merging against the fresh DV generation is monotone, so
+  * an interleaved DV delete's bits are preserved).
+  */
+private[sources] class GraftDvBatchWrite(
+    op: GraftRowLevelOperation, path: String, jobId: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long):
+          org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+        new GraftDvWriter
+    }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val merged = scala.collection.mutable.Map.empty[String, util.BitSet]
+    messages.foreach {
+      case GraftDvCommitMessage(deletes) =>
+        deletes.foreach { case (rel, bytes) =>
+          val b = util.BitSet.valueOf(bytes)
+          merged.get(rel) match {
+            case Some(x) => x.or(b)
+            case None    => merged(rel) = b
+          }
+        }
+      case other => throw new IllegalStateException(
+        s"graft-store: unexpected delta commit message $other")
+    }
+    if (merged.isEmpty) return // no matching rows: no new version
+    GraftCommit.withMetaLock(dir) {
+      GraftCommit.retryingCommit("merge-on-read DELETE") {
+        val mf = GraftCommit.readManifestFull(dir)
+        val current: Seq[String] =
+          mf.map(_.files).getOrElse(GraftCommit.visibleFiles(dir))
+        val curSet = current.toSet
+        if (!merged.keys.forall(curSet)) throw new IllegalStateException(
+          "graft-store: a concurrent writer removed merge-on-read DELETE " +
+            s"targets under $path — nothing was committed; rerun the DELETE")
+        val added = (curSet -- op.scanSnapshot.toSet).toSeq.sorted
+        val bad = GraftCommit.unrefutableAdds(dir, op.schema, op.partCols,
+          added, op.scanCondition)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"graft-store: a concurrent append under $path committed files " +
+            "that may contain rows matching the DELETE condition " +
+            s"(${bad.take(5).mkString(", ")}) — write skew; rerun the DELETE")
+        val oldDvs = mf.map(_.dvs).getOrElse(Map.empty[String, String])
+        var n = 0
+        val updates: Map[String, Option[String]] =
+          merged.toSeq.sortBy(_._1).map { case (rel, bits) =>
+            oldDvs.get(rel).foreach(prev =>
+              bits.or(GraftDv.read(new File(dir, prev).getAbsolutePath)))
+            val name = f"dv-$jobId-$n%05d.bin"
+            n += 1
+            GraftDv.write(dir, name, bits)
+            rel -> Option(name)
+          }.toMap
+        GraftCommit.commitManifest(dir, current, op = "dv-delete",
+          dvUpdates = updates, base = mf.map(_.version))
+      }
+    }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Epoch-idempotent streaming write: each epoch is one mini job commit

@@ -62,6 +62,43 @@ object StoreAb {
       f"probe(1%%): ${p0}%.3f -> ${p1}%.3f s (${p0 / p1}%.1fx) " +
       f"minmaxcount: ${a0}%.3f -> ${a1}%.3f s (${a0 / a1}%.1fx) " +
       f"limit1000: ${l0}%.3f -> ${l1}%.3f s (${l0 / l1}%.1fx)")
+
+    // ---- DELETION-VECTOR A/B (VERDICT r12 task 3): the same sparse
+    // DELETE (~n/100001 rows spread across files) as a COW rewrite vs a
+    // merge-on-read DV commit, on two catalog copies of the store; then
+    // the full-scan read-path cost with the DVs applied vs clean.
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      graft.util.TempDirs.create("graft_storeab_wh_"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ab")
+    def mkCopy(name: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS graft.ab.$name")
+      spark.sql(s"CREATE TABLE graft.ab.$name (id BIGINT, v BIGINT, s STRING)")
+      read().createOrReplaceTempView("storeab_src")
+      spark.sql(
+        s"INSERT INTO graft.ab.$name SELECT /*+ REPARTITION_BY_RANGE(64, id) */ id, v, s FROM storeab_src")
+      name
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val cow = mkCopy("cow")
+    val dvt = mkCopy("dv")
+    val dCow = timed(spark.sql(
+      s"DELETE FROM graft.ab.$cow WHERE id % 100001 = 0"))
+    spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
+    val dDv = try timed(spark.sql(
+      s"DELETE FROM graft.ab.$dvt WHERE id % 100001 = 0"))
+    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    def scanAgg(name: String) = spark.sql(
+      s"SELECT sum(v), count(*) FROM graft.ab.$name WHERE id % 3 = 0")
+    scanAgg(cow).collect(); scanAgg(dvt).collect()
+    val sCow = (1 to 3).map(_ => timed(scanAgg(cow).collect())).min
+    val sDv = (1 to 3).map(_ => timed(scanAgg(dvt).collect())).min
+    println(f"[storeab-dv] rows=$n%d sparse-delete: cow ${dCow}%.3f s vs " +
+      f"dv ${dDv}%.3f s (${dCow / dDv}%.1fx less write); " +
+      f"full-scan read: clean(cow) ${sCow}%.3f s vs dv-applied ${sDv}%.3f s " +
+      f"(${sDv / sCow}%.2fx read overhead)")
     spark.stop()
   }
 }

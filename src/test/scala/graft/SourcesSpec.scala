@@ -1278,6 +1278,199 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cowdb.t")
   }
 
+  test("graft-store merge-on-read DELETE: deletion vectors, zero data-file rewrites, snapshot reads") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dvdb")
+    spark.sql("DROP TABLE IF EXISTS graft.dvdb.t")
+    spark.sql("""CREATE TABLE graft.dvdb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("""INSERT INTO graft.dvdb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(0, 200)""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = new java.io.File(s"$wh/dvdb/t")
+    def filesIn(day: String) = new java.io.File(tdir, s"day=$day").listFiles()
+      .filter(f => f.getName.startsWith("part-") || f.getName.startsWith("rewrite-") ||
+        f.getName.startsWith("merged-"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    def dvFiles = tdir.listFiles().filter(_.getName.startsWith("dv-")).map(_.getName).toSeq
+    val before = Seq("0", "1").map(filesIn)
+    val vBefore = graft.sources.GraftMaintenance.currentVersion(tdir.getAbsolutePath).get
+
+    spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
+    try {
+      // the r12 done-bar: a 1-row DELETE in a large file rewrites NOTHING
+      spark.sql("DELETE FROM graft.dvdb.t WHERE id = 7")
+      assert(Seq("0", "1").map(filesIn) == before,
+        "merge-on-read DELETE must not touch any data file (names/mtimes/sizes)")
+      assert(dvFiles.nonEmpty, "a deletion vector sidecar must be committed")
+      assert(spark.sql("SELECT count(*) FROM graft.dvdb.t").head().getLong(0) == 199L)
+      assert(spark.sql("SELECT count(*) FROM graft.dvdb.t WHERE id = 7")
+        .head().getLong(0) == 0L)
+
+      // both reader paths agree under a DV
+      val rows = spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", tdir.getAbsolutePath).option("columnar", "false").load()
+      val cols = spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", tdir.getAbsolutePath).option("columnar", "true").load()
+      assert(rows.orderBy("id").collect().toSeq == cols.orderBy("id").collect().toSeq)
+      assert(rows.count() == 199L)
+
+      // the pre-DELETE snapshot never sees the DV (it binds to versions)
+      assert(spark.sql(s"SELECT count(*) FROM graft.dvdb.t VERSION AS OF $vBefore")
+        .head().getLong(0) == 200L)
+
+      // CUMULATIVE generations: a second DELETE on the same file ORs into
+      // the previous bits; physical ordinals stay stable
+      spark.sql("DELETE FROM graft.dvdb.t WHERE id = 9 OR id = 11")
+      assert(Seq("0", "1").map(filesIn) == before, "still zero rewrites")
+      assert(spark.sql("SELECT count(*) FROM graft.dvdb.t").head().getLong(0) == 197L)
+      assert(spark.sql("SELECT sum(v) FROM graft.dvdb.t").head().getLong(0)
+        == (0L until 200L).filterNot(Set(7L, 9L, 11L)).map(_ * 2).sum)
+
+      // aggregate pushdown DECLINES on DV'd files but stays correct, and
+      // LIMIT still returns full rows (DV'd zone-map counts contribute 0)
+      val agg = spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", tdir.getAbsolutePath).load()
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: []")
+        || !agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        "stats-backed aggregate pushdown must decline under deletion vectors")
+      assert(agg.collect().map(_.getLong(1)).sum == 197L)
+      assert(spark.sql("SELECT id FROM graft.dvdb.t LIMIT 150").count() == 150L)
+
+      // compactSorted MATERIALIZES the DVs away (it reads through the
+      // scan); retention GC then sweeps the unreferenced generations
+      graft.sources.GraftMaintenance.compactSorted(
+        tdir.getAbsolutePath, Seq("id"), spark)
+      assert(spark.sql("SELECT count(*) FROM graft.dvdb.t").head().getLong(0) == 197L)
+      graft.sources.GraftMaintenance.expireSnapshots(
+        tdir.getAbsolutePath, olderThanMs = 0L, strayGraceMs = 0L)
+      assert(dvFiles.isEmpty, "materialized DV generations must be GC'd")
+      assert(spark.sql("SELECT count(*) FROM graft.dvdb.t").head().getLong(0) == 197L)
+      assert(spark.sql("SELECT sum(v) FROM graft.dvdb.t").head().getLong(0)
+        == (0L until 200L).filterNot(Set(7L, 9L, 11L)).map(_ * 2).sum)
+      spark.sql("DROP TABLE graft.dvdb.t")
+    } finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+  }
+
+  test("graft-store changes read: per-version changelog, COW/DV delete attribution, compaction silent") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcdb")
+    spark.sql("DROP TABLE IF EXISTS graft.cdcdb.t")
+    spark.sql("""CREATE TABLE graft.cdcdb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin) // v1: empty
+    spark.sql("""INSERT INTO graft.cdcdb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(0, 100)""".stripMargin) // v2
+    spark.sql("""INSERT INTO graft.cdcdb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(100, 200)""".stripMargin) // v3
+    spark.sql("DELETE FROM graft.cdcdb.t WHERE id = 7") // v4: COW rewrite
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/cdcdb/t"
+    import graft.sources.GraftCDC
+    assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(4L))
+
+    // an append version's changes: exactly its inserted rows
+    val c12 = GraftCDC.changes(spark, tpath, 1L, Some(2L))
+    assert(c12.count() == 100L)
+    assert(c12.filter(col("_change_type") =!= "insert").count() == 0L)
+    assert(c12.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
+
+    // COW delete attribution: the raw file diff carries the rewrite's
+    // kept rows as same-version delete+insert pairs; NET changes cancel
+    // them to exactly the deleted row
+    val raw34 = GraftCDC.changes(spark, tpath, 3L, Some(4L))
+    assert(raw34.filter(col("_change_type") === "delete" && col("id") === 7L)
+      .count() == 1L)
+    val net34 = GraftCDC.netChanges(spark, tpath, 3L, Some(4L)).collect()
+    assert(net34.length == 1)
+    assert(net34.head.getAs[String]("_change_type") == "delete")
+    assert(net34.head.getAs[Long]("id") == 7L)
+    assert(net34.head.getAs[Long]("_commit_version") == 4L)
+
+    // compaction is DATA-NEUTRAL: its version emits NO change rows
+    graft.sources.GraftMaintenance.compact(tpath, targetBytes = 1L << 30) // v5
+    assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(5L))
+    assert(GraftCDC.changes(spark, tpath, 4L, Some(5L)).count() == 0L)
+
+    // the whole-range NET changelog equals the per-version pieces
+    val netAll = GraftCDC.netChanges(spark, tpath, 0L, Some(5L))
+    assert(netAll.count() == 201L) // 200 inserts + 1 delete
+    assert(netAll.filter(col("_change_type") === "delete").count() == 1L)
+
+    // a MERGE-ON-READ delete's changes are the DV delta: exactly the
+    // newly-deleted ordinals, nothing else (no file was rewritten)
+    spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
+    try spark.sql("DELETE FROM graft.cdcdb.t WHERE id = 11 OR id = 13") // v6
+    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    val dv56 = GraftCDC.changes(spark, tpath, 5L, Some(6L)).collect()
+    assert(dv56.map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id")))
+      .toSet == Set(("delete", 11L), ("delete", 13L)))
+
+    // retention GC expiring the range makes the read fail LOUDLY —
+    // never a silent partial changelog
+    graft.sources.GraftMaintenance.expireSnapshots(tpath, olderThanMs = 0L,
+      strayGraceMs = 0L)
+    intercept[Throwable] {
+      GraftCDC.changes(spark, tpath, 1L, Some(2L)).collect()
+    }
+    spark.sql("DROP TABLE graft.cdcdb.t")
+  }
+
+  test("graft-store readStream: micro-batches follow the version pointer, loud on non-append versions") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.strdb")
+    spark.sql("DROP TABLE IF EXISTS graft.strdb.t")
+    spark.sql("CREATE TABLE graft.strdb.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.strdb.t SELECT id, id * 2 FROM range(0, 50)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/strdb/t"
+    val ckpt = graft.util.TempDirs.create("graft_stream_ckpt_")
+
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    def runBatch(): Long = {
+      got.set(0)
+      val q = spark.readStream.format("graft.sources.GraftStoreProvider")
+        .option("path", tpath).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.get()
+    }
+    // first run: the full snapshot
+    assert(runBatch() == 50L)
+    // new commits only on resume (offsets are versions, checkpointed)
+    spark.sql("INSERT INTO graft.strdb.t SELECT id, id * 2 FROM range(50, 80)")
+    spark.sql("INSERT INTO graft.strdb.t SELECT id, id * 2 FROM range(80, 90)")
+    assert(runBatch() == 40L)
+    // compaction between batches is DATA-NEUTRAL: emits nothing
+    graft.sources.GraftMaintenance.compact(tpath, targetBytes = 1L << 30)
+    assert(runBatch() == 0L)
+    // a version that REMOVED rows cannot be streamed append-only: loud
+    spark.sql("DELETE FROM graft.strdb.t WHERE id = 7")
+    intercept[Throwable] { runBatch() }
+    spark.sql("DROP TABLE graft.strdb.t")
+  }
+
+  test("q257 oracle flow is mode-equivalent: merge-on-read DELETE returns byte-identical results") {
+    // the verdict's done-bar: the q257 lifecycle (create/insert/DELETE by
+    // user id/aggregate) must produce the SAME result with DVs forced on
+    val cow = SparkEntry.queries("q257_store_cow_delete")(spark, sf)
+      .collect().toSeq
+    spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
+    val mor = try SparkEntry.queries("q257_store_cow_delete")(spark, sf)
+      .collect().toSeq
+    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    assert(cow == mor)
+  }
+
   test("graft-store sorted compaction: executor-parallel re-cluster restores zone-map skipping") {
     import graft.sources.GraftMaintenance
     val dir = graft.util.TempDirs.create("graft_sortcpt_") + "/t"
