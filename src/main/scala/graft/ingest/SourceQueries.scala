@@ -712,6 +712,68 @@ object SourceQueries {
       |  CAST(sum(user_id) AS DOUBLE) / count(*) AS avg_user
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CHANGES-BETWEEN-VERSIONS (CDC) read (VERDICT r12 task 2 — the
+    * q194/q211 CDC shapes at the TABLE FORMAT level: the versioned
+    * manifests become a consumable changelog). The engine drives a full
+    * lifecycle — CREATE (v1), INSERT evens (v2), INSERT odds (v3), a
+    * COW DELETE by user id (v4), COMPACT (data-neutral: contributes
+    * NOTHING to the changelog) — then reads the NET row-level changes
+    * since v2 through [[graft.sources.GraftCDC.netChanges]]: the odd
+    * INSERTs and the DELETEd rows, with the COW rewrite's same-version
+    * delete+insert pairs cancelled by a distributed aggregate (the
+    * Spark-first form of Iceberg's net-changes changelog; planning is
+    * O(changed files) per version — manifest diffs, no listing). The
+    * oracle recomputes both change sets from the source parquet with
+    * the equivalent predicates. SourcesSpec pins the raw changelog's
+    * attribution (COW + DV deletes) and the compact-is-silent contract.
+    */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    ensureGraftCatalog(s)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_id") % 2 === 0, "even").otherwise("odd").as("half"))
+      .createOrReplaceTempView("q259_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_cdc")
+    s.sql("""CREATE TABLE graft.db.events_cdc
+            |  (event_id BIGINT, user_id BIGINT, value DOUBLE, half STRING)
+            |  PARTITIONED BY (half)""".stripMargin) // version 1: empty
+    s.sql("""INSERT INTO graft.db.events_cdc
+            |SELECT /*+ REPARTITION(2) */ event_id, user_id, value, half
+            |FROM q259_src WHERE half = 'even'""".stripMargin) // version 2
+    s.sql("""INSERT INTO graft.db.events_cdc
+            |SELECT /*+ REPARTITION(2) */ event_id, user_id, value, half
+            |FROM q259_src WHERE half = 'odd'""".stripMargin) // version 3
+    s.sql("DELETE FROM graft.db.events_cdc WHERE user_id % 7 = 3") // v4: COW
+    val path = s.conf.get("spark.sql.catalog.graft.warehouse") + "/db/events_cdc"
+    graft.sources.GraftMaintenance.compact(path) // v5 (emits no changes)
+    val cur = graft.sources.GraftMaintenance.currentVersion(path).get
+    graft.sources.GraftCDC.netChanges(s, path, 2L, Some(cur))
+      .groupBy(col("_change_type"), col("half"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("_change_type", "half")
+  }
+
+  private val q259Sql =
+    """SELECT * FROM (
+      |  SELECT 'insert' AS _change_type,
+      |    (CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END) AS half,
+      |    count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |    min(event_id) AS first_event, max(event_id) AS last_event,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |  FROM events WHERE event_id % 2 = 1
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'delete',
+      |    (CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END),
+      |    count(*), count(DISTINCT user_id), min(event_id), max(event_id),
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM events WHERE user_id % 7 = 3
+      |  GROUP BY 2
+      |) ORDER BY _change_type, half""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -897,6 +959,8 @@ object SourceQueries {
       "graft-store row-level DELETE: copy-on-write rewrite of matching files via SupportsRowLevelOperations"),
     QueryDef("q258_store_sum_pushdown", q258, Some(q258Sql),
       "graft-store SUM/AVG aggregate pushdown: grouped totals answered from _STATS per-file exact sums"),
+    QueryDef("q259_store_cdc", q259, Some(q259Sql),
+      "graft-store changes-between-versions: INSERT/COW-DELETE/compact lifecycle read back as a net row-level changelog"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),
