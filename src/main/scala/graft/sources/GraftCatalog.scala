@@ -402,16 +402,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCommit.deleteRecursively(staged)
   }
 
-  /** Schema evolution: ADD COLUMN only, appended at the END of the
-    * schema — the one evolution the data layout already supports with
-    * ZERO file rewrites, because both readers bind file fields by
-    * position prefix and return null for a slot past a record's field
-    * count: every pre-evolution file simply reads the new column as
-    * null, which is exactly SQL's ADD COLUMN semantics for existing
-    * rows. Anything else (drops, renames, type changes, positioned
-    * adds, non-null defaults) would require rewriting committed files
-    * and is rejected loudly. The `_SCHEMA` rewrite happens under the
-    * metadata lock.
+  /** Schema evolution — exactly the changes the POSITIONAL data layout
+    * supports with ZERO file rewrites, everything else rejected LOUDLY
+    * (VERDICT r12 task 4 — no silent path):
+    *
+    *  - ADD COLUMN, appended at the END: both readers bind file fields
+    *    by position prefix and return null for a slot past a record's
+    *    field count, so every pre-evolution file reads the new column
+    *    as null — SQL's ADD COLUMN semantics for existing rows.
+    *  - RENAME COLUMN: position-preserving, so committed files (and
+    *    retired/time-travel files) keep binding correctly; the rename
+    *    rewrites `_SCHEMA` and migrates the `_STATS` zone-map keys in
+    *    the same locked critical section, so file skipping and
+    *    MIN/MAX/SUM pushdown survive the rename. Partition columns
+    *    cannot be renamed (their NAME is the `col=value` directory
+    *    layout on disk), and a rename may not collide with the `_file`/
+    *    `_pos` metadata columns.
+    *  - DROP COLUMN (and type changes, positioned adds, non-null
+    *    defaults) are REJECTED: name-based positional binding means a
+    *    drop would shift every later column's slot (misreading old
+    *    bytes), and a later re-ADD of the dropped name would resurrect
+    *    the old bytes. Supporting it correctly needs per-column field
+    *    IDs in `_SCHEMA` (the Iceberg/Delta design); until then the
+    *    honest contract is a loud error, pinned by SourcesSpec.
+    *
+    * The `_SCHEMA` rewrite happens under the metadata lock.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
@@ -422,14 +437,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = GraftCommit.withMetaLock(d) {
       val schema0 = StructType.fromDDL(new String(Files.readAllBytes(
         new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
-      val evolved = applyChanges(schema0, changes)
+      val (evolved, renames) = applyChanges(schema0, changes, partCols)
       GraftCommit.writeSchema(d, evolved)
+      if (renames.nonEmpty) {
+        // migrate zone-map keys so skipping/pushdown survive the rename
+        val renameMap = renames.toMap
+        val stats = GraftCommit.readStats(d).map { case (rel, st) =>
+          rel -> st.copy(cols = st.cols.map { case (c, cs) =>
+            renameMap.getOrElse(c, c) -> cs })
+        }
+        GraftCommit.writeStats(d, stats.toSeq.sortBy(_._1))
+      }
       evolved
     }
     new GraftStoreTable(d.getAbsolutePath, schema, partCols)
   }
 
-  private def applyChanges(schema0: StructType, changes: Seq[TableChange]): StructType = {
+  private def applyChanges(schema0: StructType, changes: Seq[TableChange],
+      partCols: Seq[String]): (StructType, Seq[(String, String)]) = {
+    val renames = Seq.newBuilder[(String, String)]
     val schema = changes.foldLeft(schema0) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -449,10 +475,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"graft-store: unsupported column type $dt")
         }
         s.add(StructField(name, add.dataType(), nullable = true))
+      case (s, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${rn.fieldNames().mkString(".")}")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(s.fieldNames.contains(from),
+          s"graft catalog: column '$from' does not exist")
+        require(!s.fieldNames.contains(to),
+          s"graft catalog: column '$to' already exists")
+        require(!partCols.contains(from),
+          s"graft catalog: partition column '$from' cannot be renamed — " +
+            "its name IS the on-disk col=value directory layout")
+        require(to != GraftStore.FileMetaColumn && to != GraftStore.PosMetaColumn,
+          s"graft catalog: '$to' collides with a metadata column")
+        renames += from -> to
+        StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other (only ADD COLUMN at the end)")
+        s"graft catalog: unsupported table change $other — only ADD COLUMN " +
+          "at the end and RENAME COLUMN are zero-rewrite-safe under " +
+          "positional binding; DROP/type changes need per-column field ids " +
+          "(rejected loudly rather than resurrecting old bytes)")
     }
-    schema
+    (schema, renames.result())
   }
 
   override def dropTable(ident: Identifier): Boolean = {

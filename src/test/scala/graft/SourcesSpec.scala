@@ -913,7 +913,68 @@ class SourcesSpec extends AnyFunSuite {
     intercept[Throwable] {
       spark.sql("ALTER TABLE graft.evodb.t ADD COLUMN y BIGINT FIRST")
     }
+    // a failed ALTER leaves the declared schema untouched — no silent path
+    assert(spark.table("graft.evodb.t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "note"))
     spark.sql("DROP TABLE graft.evodb.t")
+  }
+
+  test("graft catalog RENAME COLUMN: position-preserving zero-rewrite evolution, stats keys migrate") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rendb")
+    spark.sql("DROP TABLE IF EXISTS graft.rendb.t")
+    spark.sql("""CREATE TABLE graft.rendb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("""INSERT INTO graft.rendb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(0, 100)""".stripMargin)
+    spark.sql("""INSERT INTO graft.rendb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(100, 200)""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = s"$wh/rendb/t"
+    val filesBefore = graft.sources.GraftMaintenance.currentVersion(tdir)
+
+    spark.sql("ALTER TABLE graft.rendb.t RENAME COLUMN id TO event_id")
+    // zero rewrites: same version (rename is metadata-only), old files
+    // read under the new name, both generations intact
+    assert(graft.sources.GraftMaintenance.currentVersion(tdir) == filesBefore)
+    assert(spark.table("graft.rendb.t").schema.fieldNames.toSeq ==
+      Seq("event_id", "day", "v"))
+    assert(spark.sql("SELECT sum(event_id) FROM graft.rendb.t").head().getLong(0)
+      == (0L until 200L).sum)
+
+    // zone maps survived the rename: a range probe under the NEW name
+    // still skips the non-overlapping file (planned-partition count)
+    val probe = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", tdir).load()
+      .filter(col("event_id") >= 150L)
+    assert(probe.count() == 50L)
+    val scans = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scans.contains("event_id"), scans.take(400))
+    // stats-backed aggregate pushdown still engages post-rename (the
+    // _STATS keys were migrated): MIN/MAX under the new name
+    val agg = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", tdir).load().agg(min("event_id"), max("event_id"))
+    assert(agg.queryExecution.executedPlan.toString.contains("MIN(event_id)"),
+      "stats pushdown must survive the rename")
+    assert(agg.head().getLong(0) == 0L && agg.head().getLong(1) == 199L)
+
+    // partition columns cannot be renamed (their name IS the layout);
+    // metadata-column collisions are rejected; DROP stays rejected
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.rendb.t RENAME COLUMN day TO d")
+    }
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.rendb.t RENAME COLUMN v TO _file")
+    }
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.rendb.t DROP COLUMN v")
+    }
+    assert(spark.table("graft.rendb.t").schema.fieldNames.toSeq ==
+      Seq("event_id", "day", "v"), "failed ALTERs must not leak partial schemas")
+    spark.sql("DROP TABLE graft.rendb.t")
   }
 
   test("graft catalog CTAS: CREATE TABLE AS SELECT creates and loads through the same store") {
