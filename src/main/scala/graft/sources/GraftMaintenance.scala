@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, coalesce, col, element_at, expr, lit, max, min, shiftleft}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -186,7 +186,7 @@ object GraftMaintenance {
     * is a quiesced table; the check makes a violation loud, not lossy).
     */
   def compactSorted(path: String, sortBy: Seq[String], spark: SparkSession,
-      targetBytes: Long = 64L << 20): CompactResult = {
+      targetBytes: Long = 64L << 20, zOrder: Boolean = false): CompactResult = {
     require(sortBy.nonEmpty, "compactSorted requires at least one sort column")
     val root = new File(path)
     require(new File(root, GraftStore.SuccessFile).isFile,
@@ -227,12 +227,63 @@ object GraftMaintenance {
     // so each executor-written range lands in few partition dirs and each
     // file's sortBy zone map is tight; sortWithinPartitions pins row
     // order inside every output file
-    val keyCols = (partCols ++ sortBy.filterNot(partCols.contains)).map(col)
-    spark.read.format("graft.sources.GraftStoreProvider")
+    val base = spark.read.format("graft.sources.GraftStoreProvider")
       .option("path", path)
       .option(GraftStore.VersionAsOfOption, version.toString).load()
-      .repartitionByRange(nRanges, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
+    val dims = sortBy.filterNot(partCols.contains)
+    val clustered =
+      if (!zOrder) {
+        val keyCols = (partCols ++ dims).map(col)
+        base.repartitionByRange(nRanges, keyCols: _*)
+          .sortWithinPartitions(keyCols: _*)
+      } else {
+        // Z-ORDER layout (VERDICT r12 task 5 — q124's Morton interleave
+        // as a MAINTENANCE clustering): rank each dimension to 8 bits
+        // against its data bounds, interleave the bits, and range-
+        // cluster on the Morton code. Every output file then spans a
+        // NARROW range of EVERY dimension (lexicographic clustering
+        // gives a tight zone map only on the leading column), so
+        // multi-dimensional probes prune files on each predicate —
+        // SortAb records the planned-file counts under both layouts.
+        require(dims.size >= 2,
+          "compactSorted zOrder needs >= 2 non-partition sort columns " +
+            "(one dimension is plain range clustering)")
+        dims.foreach(c => schema(c).dataType match {
+          case LongType | IntegerType => ()
+          case dt => throw new IllegalArgumentException(
+            s"compactSorted zOrder: column '$c' has unsupported type $dt " +
+              "(integral dimensions only)")
+        })
+        val aggs = dims.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c).cast("long")).as(s"lo_$i"),
+            max(col(c).cast("long")).as(s"hi_$i"))
+        }
+        val b = base.agg(aggs.head, aggs.tail: _*).head()
+        val k = dims.size
+        // spread(x) places byte x's bits k apart; z = Σ spread(rank_d)<<d
+        val spreadK: Seq[Long] = (0 until 256).map(x =>
+          (0 until 8).map(bit => ((x >> bit) & 1).toLong << (bit * k)).sum)
+        val spreadArr = array(spreadK.map(lit): _*)
+        val z = dims.zipWithIndex.map { case (c, d) =>
+          val lo = if (b.isNullAt(b.fieldIndex(s"lo_$d"))) 0L
+                   else b.getLong(b.fieldIndex(s"lo_$d"))
+          val hi = if (b.isNullAt(b.fieldIndex(s"hi_$d"))) 0L
+                   else b.getLong(b.fieldIndex(s"hi_$d"))
+          // 8-bit rank via a driver-computed divisor (overflow-safe for
+          // any long range; all-null dimensions rank 0)
+          val span = BigInt(hi) - BigInt(lo) + 1
+          val divisor = ((span + 255) / 256).max(1).toLong
+          val rank = coalesce(
+            expr(s"(CAST(`$c` AS BIGINT) - ${lo}L) div ${divisor}L"), lit(0L))
+          shiftleft(element_at(spreadArr, (rank + 1).cast("int")), d)
+        }.reduce(_ + _)
+        val zname = "__graft_z"
+        base.withColumn(zname, z)
+          .repartitionByRange(nRanges, (partCols.map(col) :+ col(zname)): _*)
+          .sortWithinPartitions((partCols.map(col) :+ col(zname)): _*)
+          .drop(zname)
+      }
+    clustered
       .write.format("graft.sources.GraftStoreProvider")
       .option("path", stageDir.getAbsolutePath)
       .option(GraftStore.PartitionByOption, partCols.mkString(","))

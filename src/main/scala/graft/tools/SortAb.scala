@@ -100,6 +100,46 @@ object SortAb {
     val probeSorted = time("probe 1% window, SORTED layout")(probe())
     println(f"[sortab] sorted-compact probe speedup: ${probeDecayed / probeSorted}%.2fx")
     println(f"[sortab] SUM pushdown speedup:         ${sumScan / sumStats}%.2fx")
+
+    // ---- 3. Z-ORDER vs LEXICOGRAPHIC layout (VERDICT r12 task 5): two
+    // uniform dimensions, a 2-D probe selecting 1/16 of EACH. Under
+    // lexicographic (x, y) clustering only the leading column's zone map
+    // is tight — the y predicate prunes nothing; under the Morton layout
+    // every file spans a narrow range of BOTH, so the probe plans the
+    // intersection. Reported as PLANNED-FILE counts (the verdict's ask).
+    val dir2 = graft.util.TempDirs.create("graft_zorderab_") + "/t"
+    spark.range(0, n, 1, 64)
+      .select((col("id") % 65536).as("x"),
+        ((col("id") * 2654435761L) % 65536).as("y"),
+        col("id").as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).mode("overwrite").save()
+    val bytes2 = GraftCommit0.allBytes(dir2)
+    def read2() = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).load()
+    def sel2() = read2().filter(
+      col("x") >= 30000L && col("x") < 34096L &&
+        col("y") >= 30000L && col("y") < 34096L)
+    def probe2() = sel2().agg(sum("v"), count(lit(1)))
+    // one task per planned (post-zone-map) file: the scan RDD's partition
+    // count IS the planned-file count
+    def plannedFiles(): Int = sel2().rdd.getNumPartitions
+    val target2 = math.max(1L, bytes2 / 256)
+    graft.sources.GraftMaintenance.compactSorted(dir2, Seq("x", "y"), spark,
+      targetBytes = target2)
+    graft.sources.GraftMaintenance.expireSnapshots(dir2, olderThanMs = 0L,
+      strayGraceMs = 0L)
+    val lexFiles = plannedFiles()
+    val lexTime = time("2-D probe, LEXICOGRAPHIC (x,y)")(probe2().collect())
+    graft.sources.GraftMaintenance.compactSorted(dir2, Seq("x", "y"), spark,
+      targetBytes = target2, zOrder = true)
+    graft.sources.GraftMaintenance.expireSnapshots(dir2, olderThanMs = 0L,
+      strayGraceMs = 0L)
+    val zFiles = plannedFiles()
+    val zTime = time("2-D probe, Z-ORDER (x,y)")(probe2().collect())
+    println(f"[sortab] z-order 2-D probe: planned files $lexFiles -> $zFiles " +
+      f"(${lexFiles.toDouble / math.max(1, zFiles)}%.1fx fewer), " +
+      f"time ${lexTime / zTime}%.2fx")
     spark.stop()
   }
 }

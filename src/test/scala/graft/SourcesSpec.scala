@@ -1618,6 +1618,52 @@ class SourcesSpec extends AnyFunSuite {
       _.getParentFile.getName.startsWith("day=")))
   }
 
+  test("graft-store z-order compaction: zone maps prune on EVERY dimension, data intact") {
+    import graft.sources.GraftMaintenance
+    val dir = graft.util.TempDirs.create("graft_zorder_") + "/t"
+    spark.range(0, 65536, 1, 8)
+      .select((col("id") % 256).as("x"),
+        ((col("id") * 2654435761L) % 256).as("y"), col("id").as("v"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    def read() = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val expect = read().agg(sum("v")).head().getLong(0)
+
+    val bytes = graft.tools.GraftCommit0.allBytes(dir)
+    GraftMaintenance.compactSorted(dir, Seq("x", "y"), spark,
+      targetBytes = math.max(1L, bytes / 16), zOrder = true)
+    val total = read().rdd.getNumPartitions
+    assert(total >= 8, s"expected >= 8 clustered files, got $total")
+    // a TRAILING-dimension probe prunes files — impossible under
+    // lexicographic (x, y) clustering, where every file spans all of y
+    val ySel = read().filter(col("y") >= 100L && col("y") < 116L)
+    assert(ySel.rdd.getNumPartitions < total,
+      s"y-probe planned ${ySel.rdd.getNumPartitions} of $total files — " +
+        "z-order must bound the trailing dimension too")
+    // and the leading dimension still prunes
+    val xSel = read().filter(col("x") >= 100L && col("x") < 116L)
+    assert(xSel.rdd.getNumPartitions < total)
+    // data survives the re-cluster byte-exactly
+    assert(read().agg(sum("v")).head().getLong(0) == expect)
+    assert(read().count() == 65536L)
+    assert(ySel.count() ==
+      (0L until 65536L).count(id => { val yy = id * 2654435761L % 256; yy >= 100 && yy < 116 }))
+
+    // guardrails: 1 dimension or a non-integral dimension is rejected
+    intercept[Throwable] {
+      GraftMaintenance.compactSorted(dir, Seq("x"), spark, zOrder = true)
+    }
+    val dir2 = graft.util.TempDirs.create("graft_zorder_s_") + "/t"
+    spark.range(0, 10, 1, 1)
+      .select(col("id").as("x"), col("id").cast("string").as("s"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir2).mode("overwrite").save()
+    intercept[Throwable] {
+      GraftMaintenance.compactSorted(dir2, Seq("x", "s"), spark, zOrder = true)
+    }
+  }
+
   test("graft-store version-pointer kill boundaries: history-first commit, stray history is harmless and overwritten") {
     import graft.sources.GraftMaintenance
     val dir = graft.util.TempDirs.create("graft_vkill_") + "/t"
