@@ -539,9 +539,14 @@ object GraftMaintenance {
             case DoubleType =>
               if (sts.zip(cs).forall { case (st, c) =>
                 c.sum.isDefined || c.nulls == st.rows } &&
-                  cs.exists(_.sum.isDefined))
-                Some(cs.flatMap(_.sum).map(_.toDouble).sum.toString)
-              else None
+                  cs.exists(_.sum.isDefined)) {
+                // Kahan-compensated merge, matching the writer (ADVICE r12)
+                var s = 0.0; var comp = 0.0
+                cs.flatMap(_.sum).map(_.toDouble).foreach { v =>
+                  val y = v - comp; val t = s + y; comp = (t - s) - y; s = t
+                }
+                Some(s.toString)
+              } else None
             case _ => None
           }
           f.name -> GraftColStatsTxt(cs.map(_.nulls).sum,

@@ -566,10 +566,12 @@ object GraftStore {
   * MIN/MAX aggregate pushdown may answer from them directly. `sum` is
   * the file's exact non-null SUM (VERDICT r11 task 4) for long/int
   * columns (absent on int64 overflow — honesty over wraparound) and
-  * for double columns (accumulated in row-write order; the documented
-  * summation-order contract: a stats-answered SUM(double) is the
-  * per-file sequential sum merged by Spark's partial-aggregate merge,
-  * the same nondeterminism class as Spark's own shuffle-order sums).
+  * for double columns (KAHAN-compensated in row-write order — ADVICE
+  * r12 low; the documented summation-order contract remains: a
+  * stats-answered SUM(double) is the per-file compensated sum merged by
+  * Spark's partial-aggregate merge, the same nondeterminism class as
+  * Spark's own shuffle-order sums, with the compensation shrinking the
+  * pushed-vs-scanned divergence to the final merge's rounding).
   */
 final case class GraftColStatsTxt(nulls: Long, min: Option[String],
     max: Option[String], sum: Option[String] = None)
@@ -2925,9 +2927,14 @@ private[sources] class GraftDataWriter(
     // exact non-null SUM (VERDICT r11 task 4): integral sums via
     // addExact — an int64 overflow drops the sum (sumOk=false) rather
     // than wrapping, so pushdown declines instead of answering wrong;
-    // double sums accumulate in row-write order (documented contract)
+    // double sums accumulate in row-write order with KAHAN compensation
+    // (ADVICE r12 low: the stats-answered SUM(double) uses a different
+    // summation order than a row scan — compensation shrinks the
+    // divergence to at most the final partial-merge rounding; the
+    // write-order contract itself stays documented)
     val lsums = new Array[Long](dataSlots.length)
     val dsums = new Array[Double](dataSlots.length)
+    val dcomp = new Array[Double](dataSlots.length)
     val sumOk = Array.fill(dataSlots.length)(true)
     val seen = new Array[Boolean](dataSlots.length) // any non-null value
 
@@ -2946,7 +2953,11 @@ private[sources] class GraftDataWriter(
             case i: Int if sumOk(j) =>
               try lsums(j) = Math.addExact(lsums(j), i.toLong)
               catch { case _: ArithmeticException => sumOk(j) = false }
-            case d: Double => dsums(j) += d
+            case d: Double =>
+              val y = d - dcomp(j)
+              val t = dsums(j) + y
+              dcomp(j) = (t - dsums(j)) - y
+              dsums(j) = t
             case _ => ()
           }
           val v: Any = v0 match {
