@@ -28,15 +28,19 @@ object TimeMany {
           try {
             spark.catalog.clearCache()
             fn(spark, sfDir).count() // warm-up (codegen + analysis)
-            var best = Double.MaxValue
             var rows = 0L
-            (1 to reps).foreach { _ =>
+            val times = (1 to reps).map { _ =>
               spark.catalog.clearCache()
               val t0 = System.nanoTime()
               rows = fn(spark, sfDir).count()
-              best = math.min(best, (System.nanoTime() - t0) / 1e9)
-            }
-            println(f"[timemany] $name: $best%.2f s ($rows rows)")
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            // median alongside min (VERDICT r12 task 6: q44's bench line
+            // ranged 0.86-2.01 s across clean runs with no code change —
+            // the 3-run median is the number a regression is judged by)
+            val med = times(times.length / 2)
+            println(f"[timemany] $name: min ${times.head}%.2f s " +
+              f"median $med%.2f s ($rows rows)")
           } catch {
             case e: Throwable =>
               println(s"[timemany] $name: FAILED ${e.getMessage}")

@@ -1520,6 +1520,89 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.strdb.t")
   }
 
+  test("graft-store merge-on-read UPDATE and MERGE: DVs + insert files, matched files never rewritten") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mordb")
+
+    // the same DML sequence on two tables, one per mode — results must
+    // be identical; the merge-on-read table's ORIGINAL files must be
+    // byte-untouched throughout
+    def build(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft.mordb.$name")
+      spark.sql(s"""CREATE TABLE graft.mordb.$name
+                   |  (id BIGINT, day STRING, v BIGINT)
+                   |  PARTITIONED BY (day)""".stripMargin)
+      spark.sql(s"""INSERT INTO graft.mordb.$name
+                   |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                   |FROM range(0, 200)""".stripMargin)
+    }
+    def dml(name: String): Unit = {
+      spark.sql(s"UPDATE graft.mordb.$name SET v = v + 100000 WHERE id % 31 = 7")
+      spark.range(0, 250, 1, 1)
+        .selectExpr("id AS mid", "id * 3 AS mv", "id % 50 = 11 AS kill")
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"""MERGE INTO graft.mordb.$name t USING ${name}_src s
+                   |ON t.id = s.mid
+                   |WHEN MATCHED AND s.kill THEN DELETE
+                   |WHEN MATCHED AND s.mid % 10 = 3 THEN UPDATE SET v = s.mv
+                   |WHEN NOT MATCHED AND s.mid >= 200 AND s.mid % 2 = 0 THEN
+                   |  INSERT (id, day, v) VALUES (s.mid, CAST(s.mid % 2 AS STRING), s.mv)
+                   |""".stripMargin)
+    }
+    build("cow"); build("mor")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    def dataFiles(name: String): Seq[(String, Long, Long)] =
+      Seq("0", "1").flatMap { d =>
+        Option(new java.io.File(s"$wh/mordb/$name/day=$d").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-"))
+          .map(f => (f.getName, f.lastModified(), f.length()))
+      }.sortBy(_._1)
+    val morBefore = dataFiles("mor")
+
+    dml("cow") // default: group-based copy-on-write
+    spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
+    spark.conf.set("spark.graft.store.merge.mode", "merge-on-read")
+    try dml("mor")
+    finally {
+      spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+      spark.conf.set("spark.graft.store.merge.mode", "copy-on-write")
+    }
+
+    // identical results across modes
+    val a = spark.table("graft.mordb.cow").orderBy("id", "v")
+      .collect().map(_.toString).toSeq
+    val b = spark.table("graft.mordb.mor").orderBy("id", "v")
+      .collect().map(_.toString).toSeq
+    assert(a == b, s"mode divergence: cow=${a.take(3)}... mor=${b.take(3)}...")
+
+    // the merge-on-read table's ORIGINAL part files are untouched (names,
+    // mtimes, sizes); its changes live in DVs + rewrite-* insert files
+    assert(dataFiles("mor") == morBefore,
+      "merge-on-read DML must never rewrite a matched data file")
+    val morDir = new java.io.File(s"$wh/mordb/mor")
+    assert(morDir.listFiles().exists(_.getName.startsWith("dv-")))
+    def rewrites(name: String) = Seq("0", "1").flatMap { d =>
+      Option(new java.io.File(s"$wh/mordb/$name/day=$d").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("rewrite-"))
+    }
+    assert(rewrites("mor").nonEmpty, "UPDATE/MERGE outputs are new files")
+
+    // CDC attribution stays generic: the UPDATE version emits the old
+    // row as delete (DV delta) and the new row as insert (new file)
+    val tpath = s"$wh/mordb/mor"
+    val updV = 3L // create=1, insert=2, update=3, merge=4
+    val upd = graft.sources.GraftCDC.changes(spark, tpath, updV - 1, Some(updV))
+    val updById = upd.collect().groupBy(_.getAs[String]("_change_type"))
+    assert(updById("delete").map(_.getAs[Long]("id")).toSet ==
+      (0L until 200L).filter(_ % 31 == 7).toSet)
+    assert(updById("insert").map(r =>
+      (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet ==
+      (0L until 200L).filter(_ % 31 == 7).map(i => (i, i * 2 + 100000)).toSet)
+    spark.sql("DROP TABLE graft.mordb.cow")
+    spark.sql("DROP TABLE graft.mordb.mor")
+  }
+
   test("q257 oracle flow is mode-equivalent: merge-on-read DELETE returns byte-identical results") {
     // the verdict's done-bar: the q257 lifecycle (create/insert/DELETE by
     // user id/aggregate) must produce the SAME result with DVs forced on
