@@ -2026,9 +2026,11 @@ private[sources] object GraftCommit {
     */
   private def casPublishHistory(root: File, v: Long, body: String): Unit = {
     val hist = new File(root, s"${GraftStore.ManifestFile}.v$v")
+    // named to end in ".tmp" so a crash between write and link leaves an
+    // orphan the retention GC's aged-tmp sweeper already collects
     val tmp = new File(root,
-      s"${GraftStore.ManifestFile}.v$v.tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
+      s"${GraftStore.ManifestFile}.v$v-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     try {
       var attempts = 0
