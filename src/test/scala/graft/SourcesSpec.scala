@@ -1480,6 +1480,57 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdcdb.t")
   }
 
+  test("graft-store CDC realizes incremental view maintenance: delta-applied view equals recompute") {
+    // the r12 verdict's stated payoff for the changes read: the IVM
+    // algebra (q108/q220) runs against the store's changelog instead of
+    // recomputing — view(vB) = view(vA) + signed aggregate of the net
+    // changes in (vA, vB], across COW deletes AND merge-on-read updates
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ivmdb")
+    spark.sql("DROP TABLE IF EXISTS graft.ivmdb.t")
+    spark.sql("CREATE TABLE graft.ivmdb.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.ivmdb.t SELECT id, id % 7, id * 3 FROM range(0, 500)") // v2
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/ivmdb/t"
+    val vA = graft.sources.GraftMaintenance.currentVersion(tpath).get
+
+    // the materialized view at vA: SUM(v), COUNT(*) per k
+    val viewA = spark.table("graft.ivmdb.t")
+      .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // three change generations: append, COW delete, merge-on-read update
+    spark.sql(
+      "INSERT INTO graft.ivmdb.t SELECT id, id % 7, id * 3 FROM range(500, 800)")
+    spark.sql("DELETE FROM graft.ivmdb.t WHERE id % 13 = 5")
+    spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
+    try spark.sql("UPDATE graft.ivmdb.t SET v = v + 1000000 WHERE id % 17 = 2")
+    finally spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+    val vB = graft.sources.GraftMaintenance.currentVersion(tpath).get
+
+    // MAINTAIN: apply the signed net changes to the old view state
+    val delta = graft.sources.GraftCDC.netChanges(spark, tpath, vA, Some(vB))
+      .groupBy("k")
+      .agg(sum(when(col("_change_type") === "insert", col("v"))
+        .otherwise(-col("v"))).as("dv"),
+        sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("dn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maintained = (viewA.keySet ++ delta.keySet).map { k =>
+      val (sv, n) = viewA.getOrElse(k, (0L, 0L))
+      val (dv, dn) = delta.getOrElse(k, (0L, 0L))
+      k -> (sv + dv, n + dn)
+    }.toMap
+
+    // ... equals the full recompute at vB
+    val recomputed = spark.table("graft.ivmdb.t")
+      .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(maintained == recomputed,
+      s"IVM drift: maintained=$maintained recomputed=$recomputed")
+    spark.sql("DROP TABLE graft.ivmdb.t")
+  }
+
   test("graft-store readStream: micro-batches follow the version pointer, loud on non-append versions") {
     ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.strdb")
