@@ -64,6 +64,7 @@ private[sources] object GraftChanges {
   val ChangesFromOption = "changesFrom"
   val ChangesToOption = "changesTo"
   val StartingVersionOption = "startingVersion"
+  val MaxVersionsPerTriggerOption = "maxVersionsPerTrigger"
   val ChangeTypeColumn = "_change_type"
   val CommitVersionColumn = "_commit_version"
 
@@ -337,11 +338,20 @@ private[sources] case class GraftVersionOffset(v: Long) extends Offset {
 
 /** The version-pointer MICRO-BATCH stream over a plain store table
   * (VERDICT r12 task 2): append-only rows, schema = table schema.
+  * ADMISSION CONTROL: `maxVersionsPerTrigger` caps how many commits one
+  * micro-batch absorbs — a stream catching up on a month-old pointer
+  * processes the backlog as bounded batches (checkpointed progress
+  * between them) instead of one giant batch that must fit in memory and
+  * restart from zero on failure. The first (snapshot) batch is always
+  * one batch — it reads one manifest, not a version range.
   */
 private[sources] class GraftVersionStream(
     path: String, fullSchema: StructType, required: StructType,
-    partCols: Seq[String], startingVersion: Option[Long])
-    extends MicroBatchStream {
+    partCols: Seq[String], startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val root = new File(path)
 
   private def current(): Long =
@@ -350,10 +360,36 @@ private[sources] class GraftVersionStream(
         s"graft-store: streaming read of $path needs a VERSIONED table " +
           "(write through the catalog or compact once to adopt a manifest)"))
 
+  // Trigger.AvailableNow pins its end version ONCE at query start, so a
+  // bounded catch-up drains to a fixed target across several batches and
+  // terminates even while writers keep committing
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current())
+
   override def initialOffset(): Offset =
     GraftVersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
   override def latestOffset(): Offset = GraftVersionOffset(current())
+
+  /** Bounded catch-up: advance at most `maxVersionsPerTrigger` versions
+    * past the batch's start (the ReadLimit row shapes don't map to a
+    * version-addressed source; the option is the contract). The
+    * pre-snapshot sentinel always advances to the full snapshot — that
+    * batch reads ONE manifest regardless of how many commits preceded it.
+    */
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = availableNowTarget.getOrElse(current())
+    val s = startOffset.asInstanceOf[GraftVersionOffset].v
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) if s >= 0 => math.min(cur, s + math.max(1L, m))
+      case _                 => cur
+    }
+    GraftVersionOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = GraftVersionOffset(current())
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.toLong)

@@ -748,7 +748,8 @@ private[sources] class GraftStoreTable(
       options.getBoolean(GraftStore.ColumnarOption, true),
       Option(options.get(GraftStore.VersionAsOfOption)).map(_.toLong)
         .orElse(pinnedVersion),
-      Option(options.get(GraftChanges.StartingVersionOption)).map(_.toLong))
+      Option(options.get(GraftChanges.StartingVersionOption)).map(_.toLong),
+      Option(options.get(GraftChanges.MaxVersionsPerTriggerOption)).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), partCols)
@@ -914,7 +915,8 @@ private[sources] final case class GraftStatsSum(col: String) extends GraftAggSpe
 private[sources] class GraftScanBuilder(
     path: String, fullSchema: StructType, partCols: Seq[String],
     columnar: Boolean, versionAsOf: Option[Long] = None,
-    streamStart: Option[Long] = None)
+    streamStart: Option[Long] = None,
+    streamMaxVersions: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -1029,11 +1031,20 @@ private[sources] class GraftScanBuilder(
       partFilters, dataFilters, versionAsOf = versionAsOf).planInputPartitions()
     // empty-store guard: the global-count final merge needs >= 1 partial
     if (parts.isEmpty) return false
-    // DELETION VECTORS void a file's physical stats (row counts/bounds/
-    // sums describe rows a DV may have deleted) — decline and let Spark
-    // aggregate the DV-filtered scan instead
-    if (parts.exists(_.asInstanceOf[GraftFilePartition].dv.isDefined))
-      return false
+    // DELETION VECTORS void a file's physical VALUE stats (bounds, sums
+    // and null counts describe rows the DV may have deleted), but COUNTS
+    // stay derivable: live rows = physical rows − DV cardinality. So
+    // under a DV, COUNT(*) and COUNT(partition col) still push (the agg
+    // reader subtracts the bitset cardinality per file); every other
+    // shape declines and Spark aggregates the DV-filtered scan.
+    if (parts.exists(_.asInstanceOf[GraftFilePartition].dv.isDefined)) {
+      val dvSafe = flat.forall {
+        case GraftCountStar => true
+        case GraftStatsCount(c) if pc(c) => true
+        case _ => false
+      }
+      if (!dvSafe) return false
+    }
     // stats-backed specs need full coverage: every candidate file must
     // carry the column's zone-map entry (and a row count for COUNT(*))
     val needStats = flat.exists {
@@ -1068,7 +1079,8 @@ private[sources] class GraftScanBuilder(
         dataFilters, gb, specs, versionAsOf)
     case None =>
       new GraftStoreScan(path, fullSchema, required, partCols, partFilters,
-        dataFilters, columnar, limit, versionAsOf, streamStart)
+        dataFilters, columnar, limit, versionAsOf, streamStart,
+        streamMaxVersions)
   }
 }
 
@@ -1091,7 +1103,7 @@ private[sources] class GraftStoreScan(
     partCols: Seq[String], partFilters: Array[Filter],
     dataFilters: Array[Filter] = Array.empty, columnar: Boolean = false,
     limit: Option[Int] = None, versionAsOf: Option[Long] = None,
-    streamStart: Option[Long] = None)
+    streamStart: Option[Long] = None, streamMaxVersions: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -1106,7 +1118,8 @@ private[sources] class GraftStoreScan(
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftVersionStream(path, fullSchema, required, partCols, streamStart)
+    new GraftVersionStream(path, fullSchema, required, partCols, streamStart,
+      streamMaxVersions)
 
   /** DYNAMIC partition pruning (`SupportsRuntimeFiltering`): the scan
     * advertises its partition columns as runtime-filterable, so a join
@@ -1412,15 +1425,20 @@ private[sources] class GraftAggReaderFactory(
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
-      private lazy val rowCount: Long = gp.stats match {
-        case Some(st) => st.rows // zone map: zero bytes touched
-        case None =>
-          // record-boundary walk only: no field is ever type-converted
-          val parser = new GraftRecordParser(Files.newBufferedReader(
-            Paths.get(gp.file), StandardCharsets.UTF_8))
-          var n = 0L
-          try { while (parser.next() != null) n += 1 } finally parser.close()
-          n
+      private lazy val rowCount: Long = {
+        val physical = gp.stats match {
+          case Some(st) => st.rows // zone map: zero bytes touched
+          case None =>
+            // record-boundary walk only: no field is ever type-converted
+            val parser = new GraftRecordParser(Files.newBufferedReader(
+              Paths.get(gp.file), StandardCharsets.UTF_8))
+            var n = 0L
+            try { while (parser.next() != null) n += 1 } finally parser.close()
+            n
+        }
+        // live rows under a deletion vector (the coverage gate admits
+        // only COUNT shapes for DV'd files, so this is the only stat used)
+        physical - gp.dv.map(GraftDv.cardinality).getOrElse(0L)
       }
       override def next(): Boolean = {
         if (done) return false

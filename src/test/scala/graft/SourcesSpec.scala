@@ -1389,15 +1389,29 @@ class SourcesSpec extends AnyFunSuite {
       assert(spark.sql("SELECT sum(v) FROM graft.dvdb.t").head().getLong(0)
         == (0L until 200L).filterNot(Set(7L, 9L, 11L)).map(_ * 2).sum)
 
-      // aggregate pushdown DECLINES on DV'd files but stays correct, and
-      // LIMIT still returns full rows (DV'd zone-map counts contribute 0)
+      // COUNT pushdown stays metadata-only under DVs (live rows =
+      // physical rows − DV cardinality): poison every data file — the
+      // grouped count must answer from stats + bitsets without opening
+      // one. VALUE aggregates (min/max/sum) decline; LIMIT still returns
+      // full rows (DV'd zone-map counts contribute 0)
+      val dataFs = Seq("0", "1").flatMap(d =>
+        new java.io.File(tdir, s"day=$d").listFiles().filter(f =>
+          f.getName.startsWith("part-")))
+      val saved = dataFs.map(f => f -> Files.readAllBytes(f.toPath)).toMap
+      dataFs.foreach(f => Files.writeString(f.toPath, "zz,zz\n"))
       val agg = spark.read.format("graft.sources.GraftStoreProvider")
         .option("path", tdir.getAbsolutePath).load()
         .groupBy("day").agg(count(lit(1)).as("n"))
-      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: []")
-        || !agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
-        "stats-backed aggregate pushdown must decline under deletion vectors")
+      assert(agg.queryExecution.executedPlan.toString.contains("COUNT(*)"),
+        "COUNT(*) must stay pushed under deletion vectors")
       assert(agg.collect().map(_.getLong(1)).sum == 197L)
+      dataFs.foreach(f => Files.write(f.toPath, saved(f)))
+      val vagg = spark.read.format("graft.sources.GraftStoreProvider")
+        .option("path", tdir.getAbsolutePath).load().agg(min("v"))
+      assert(!vagg.queryExecution.executedPlan.toString.contains("PushedAggregates: [MIN"),
+        "value aggregates must decline under deletion vectors")
+      assert(vagg.head().getLong(0) ==
+        (0L until 200L).filterNot(Set(7L, 9L, 11L)).map(_ * 2).min)
       assert(spark.sql("SELECT id FROM graft.dvdb.t LIMIT 150").count() == 150L)
 
       // compactSorted MATERIALIZES the DVs away (it reads through the
@@ -1569,6 +1583,45 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft.strdb.t WHERE id = 7")
     intercept[Throwable] { runBatch() }
     spark.sql("DROP TABLE graft.strdb.t")
+  }
+
+  test("graft-store streaming admission control: maxVersionsPerTrigger bounds catch-up batches") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.admdb")
+    spark.sql("DROP TABLE IF EXISTS graft.admdb.t")
+    spark.sql("CREATE TABLE graft.admdb.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.admdb.t SELECT id FROM range(0, 10)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/admdb/t"
+    val ckpt = graft.util.TempDirs.create("graft_adm_ckpt_")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftStoreProvider")
+        .option("path", tpath).option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count()
+          if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // snapshot batch
+    assert(rows.get() == 10L && batches.get() == 1L)
+    // a 4-commit backlog must drain as FOUR bounded batches, not one
+    (1 to 4).foreach(k => spark.sql(
+      s"INSERT INTO graft.admdb.t SELECT id FROM range(${k * 100}, ${k * 100 + 5})"))
+    batches.set(0); rows.set(0)
+    run()
+    assert(rows.get() == 20L, s"rows=${rows.get()}")
+    assert(batches.get() == 4L,
+      s"a 4-version backlog under maxVersionsPerTrigger=1 must take 4 " +
+        s"batches, took ${batches.get()}")
+    spark.sql("DROP TABLE graft.admdb.t")
   }
 
   test("graft-store merge-on-read UPDATE and MERGE: DVs + insert files, matched files never rewritten") {
