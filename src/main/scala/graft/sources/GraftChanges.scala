@@ -195,39 +195,57 @@ object GraftCDC {
   }
 }
 
-/** The changes TABLE: read-only, schema = data schema + change columns. */
+/** The changes TABLE: read-only, schema = data schema + change columns.
+  * Batch reads cover an explicit version range; STREAMING (MICRO_BATCH_
+  * READ) follows the version pointer from `changesFrom`, emitting the
+  * FULL changelog — deletes included as `_change_type = 'delete'` rows,
+  * the retractions the plain append-only stream must refuse. The same
+  * admission-control option (`maxVersionsPerTrigger`) applies.
+  */
 private[sources] class GraftChangesTable(
     path: String, fullSchema: StructType, partCols: Seq[String],
-    fromV: Long, toV: Option[Long])
+    fromV: Long, toV: Option[Long], maxVersionsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-store-changes($path)"
   override def schema(): StructType = fullSchema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftChangesScanBuilder(path, fullSchema, partCols, fromV, toV)
+    new GraftChangesScanBuilder(path, fullSchema, partCols, fromV, toV,
+      maxVersionsPerTrigger)
 }
 
 private[sources] class GraftChangesScanBuilder(
     path: String, fullSchema: StructType, partCols: Seq[String],
-    fromV: Long, toV: Option[Long])
+    fromV: Long, toV: Option[Long], maxVersionsPerTrigger: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new GraftChangesScan(path, fullSchema, required, partCols, fromV, toV)
+    new GraftChangesScan(path, fullSchema, required, partCols, fromV, toV,
+      maxVersionsPerTrigger)
 }
 
 private[sources] class GraftChangesScan(
     path: String, fullSchema: StructType, required: StructType,
-    partCols: Seq[String], fromV: Long, toV: Option[Long])
+    partCols: Seq[String], fromV: Long, toV: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The STREAMING changelog: offsets are manifest versions, each batch
+    * emits the full per-version changelog (inserts AND deletes) for the
+    * commits since the last one, starting after `changesFrom`.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftChangelogStream(path, fullSchema, required, partCols, fromV,
+      maxVersionsPerTrigger)
   override def description(): String = {
     val to = toV.map(_.toString).getOrElse("current")
     s"graft-store-changes($path) Versions: ($fromV, $to], " +
@@ -328,6 +346,62 @@ private[sources] class GraftChangesReaderFactory(
 }
 
 // ------------------------------------------------------------- streaming
+
+/** The streaming CHANGELOG over the changes table: like
+  * [[GraftVersionStream]] but emits the FULL per-version changelog
+  * (`_change_type` deletes included), so downstream state can apply
+  * retractions — the streaming form of [[GraftCDC.changes]]. Starts
+  * AFTER `fromV` (the `changesFrom` option); no snapshot batch — a
+  * changelog consumer wants deltas, the snapshot is the batch read.
+  */
+private[sources] class GraftChangelogStream(
+    path: String, fullSchema: StructType, required: StructType,
+    partCols: Seq[String], fromV: Long, maxVersionsPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  private val root = new File(path)
+
+  private def current(): Long =
+    GraftCommit.currentManifestVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"graft-store: streaming changes of $path needs a VERSIONED table"))
+
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current())
+
+  override def initialOffset(): Offset = GraftVersionOffset(fromV)
+  override def latestOffset(): Offset = GraftVersionOffset(current())
+  override def reportLatestOffset(): Offset = GraftVersionOffset(current())
+
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = availableNowTarget.getOrElse(current())
+    val s = startOffset.asInstanceOf[GraftVersionOffset].v
+    GraftVersionOffset(maxVersionsPerTrigger match {
+      case Some(m) => math.min(cur, s + math.max(1L, m))
+      case None    => cur
+    })
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    if (s == e) Array.empty
+    else GraftChanges.planChanges(root, s, e, partCols,
+      insertsOnly = false, surface = "streaming changes").toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangesReaderFactory(fullSchema, required, partCols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** A manifest version as a streaming offset. -1 is the pre-snapshot
   * sentinel: the next batch is the full snapshot at its end version.

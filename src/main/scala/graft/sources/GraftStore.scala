@@ -130,8 +130,11 @@ class GraftStoreProvider extends TableProvider {
       val to = Option(properties.get(GraftChanges.ChangesToOption))
         .orElse(Option(properties.get(GraftChanges.ChangesToOption.toLowerCase)))
         .map(_.toLong)
+      val maxV = Option(properties.get(GraftChanges.MaxVersionsPerTriggerOption))
+        .orElse(Option(properties.get(
+          GraftChanges.MaxVersionsPerTriggerOption.toLowerCase))).map(_.toLong)
       return new GraftChangesTable(path, schema,
-        GraftStore.readPartitionCols(path), changesFrom.get.toLong, to)
+        GraftStore.readPartitionCols(path), changesFrom.get.toLong, to, maxV)
     }
     // Honor the Transforms when Spark hands them over (VERDICT r9 task 5);
     // otherwise derive from the write option / committed metadata — the

@@ -1707,6 +1707,47 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mordb.mor")
   }
 
+  test("graft-store streaming changelog: deletes flow as retraction rows, resume follows the pointer") {
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.clogdb")
+    spark.sql("DROP TABLE IF EXISTS graft.clogdb.t")
+    spark.sql("CREATE TABLE graft.clogdb.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.clogdb.t SELECT id, id * 2 FROM range(0, 30)") // v2
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/clogdb/t"
+    val ckpt = graft.util.TempDirs.create("graft_clog_ckpt_")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftStoreProvider")
+        .option("path", tpath).option("changesFrom", "2").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_change_type", "id").collect().foreach(r =>
+            got.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // nothing after changesFrom yet
+    run()
+    assert(got.isEmpty)
+    // an append streams as inserts; a merge-on-read DELETE streams as
+    // retraction rows — the retractions the plain stream must refuse
+    spark.sql("INSERT INTO graft.clogdb.t SELECT id, id * 2 FROM range(30, 40)") // v3
+    spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
+    try spark.sql("DELETE FROM graft.clogdb.t WHERE id = 5 OR id = 35") // v4
+    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    run()
+    val byType = got.toArray.map(_.asInstanceOf[(String, Long)])
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byType("insert") == (30L until 40L).toSet, byType)
+    assert(byType("delete") == Set(5L, 35L), byType)
+    spark.sql("DROP TABLE graft.clogdb.t")
+  }
+
   test("q257 oracle flow is mode-equivalent: merge-on-read DELETE returns byte-identical results") {
     // the verdict's done-bar: the q257 lifecycle (create/insert/DELETE by
     // user id/aggregate) must produce the SAME result with DVs forced on
