@@ -5,7 +5,24 @@ import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // WIDTH GUARD (VERDICT r13 task 1): both committed r13 artifacts were
+    // silently recorded at local[4] because this default was "4" and the
+    // recording shell didn't export SPARK_GRAFT_CPUS — producing two
+    // incomparable points in the official trend series. The default is now
+    // the HOST width (capped at the baseline's 32), the artifact stamps
+    // both the requested width and the host width, and a run whose width
+    // differs from the baseline series' 32 refuses to pass silently: it
+    // stamps "width_ok":false and prints a loud stderr banner.
+    val BaselineWidth = 32
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(hostCpus, BaselineWidth).toString)
+    val widthOk = cpus.toInt == BaselineWidth && hostCpus >= BaselineWidth
+    if (!widthOk) System.err.println(
+      s"[bench] WIDTH MISMATCH: requested local[$cpus] on a $hostCpus-CPU " +
+        s"host; the baseline series is local[$BaselineWidth]. This record " +
+        "is NOT comparable to the official series — do not commit it as " +
+        "BENCH_SF01_r*/BENCH_SF1.")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +94,7 @@ object Bench {
       s"""{"after":"$after","t":$t,"contended":${t > 3 * sFloor}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sentinel_floor":$sFloor,"sentinel":$sjson,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sentinel_floor":$sFloor,"sentinel":$sjson,"cpus":$cpus,"host_cpus":$hostCpus,"width_ok":$widthOk,"sf":"$sfDir"}"""
     println(json)
     // VERDICT r10 task 4: the driver's captured stdout tail truncates, so
     // round-over-round per-query comparison kept losing the record. Every

@@ -15,6 +15,12 @@ object TimeMany {
     val sfDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // width guard (VERDICT r13 task 1): numbers from a narrowed host are
+    // not comparable to the local[32] baseline series — say so on every run
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    if (cpus.toInt != 32 || hostCpus < 32) println(
+      s"[timemany] WIDTH MISMATCH: local[$cpus] on a $hostCpus-CPU host; " +
+        "the baseline series is local[32] — medians below are NOT comparable")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
