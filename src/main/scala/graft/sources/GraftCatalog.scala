@@ -188,12 +188,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def loadTableAt(ident: Identifier, pinned: Option[Long]): Table = {
     val d = tableDir(ident)
-    if (!isTable(d)) throw new NoSuchTableException(ident)
+    if (!isTable(d)) {
+      // CDC METADATA TABLE (VERDICT r13 task 3 — the SQL surface for the
+      // changes read, matching Iceberg's `db.t.<meta>` identifier shape):
+      // `SELECT * FROM cat.db.t.changes WHERE _commit_version > v` reads
+      // the full changelog with ZERO reader options. The identifier
+      // parses as namespace [db, t] + name "changes"; it resolves here
+      // only when no real table shadows it AND the namespace tail IS a
+      // table. `_commit_version` predicates push into version-range
+      // planning (GraftChangesScanBuilder), so a bounded SQL read plans
+      // only the manifests inside the slice — retention-GC-expired
+      // history outside the bound is never touched.
+      if (ident.name() == ChangesMetaTable && ident.namespace().nonEmpty) {
+        val base = nsDir(ident.namespace())
+        if (isTable(base)) {
+          val schema = StructType.fromDDL(new String(Files.readAllBytes(
+            new File(base, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
+          return new GraftChangesTable(base.getAbsolutePath,
+            GraftChanges.changeSchema(schema),
+            GraftStore.readPartitionCols(base.getAbsolutePath),
+            fromV = 0L, toV = None)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val schema = StructType.fromDDL(new String(Files.readAllBytes(
       new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
     new GraftStoreTable(d.getAbsolutePath, schema,
       GraftStore.readPartitionCols(d.getAbsolutePath), pinned)
   }
+
+  private val ChangesMetaTable = "changes"
 
   override def loadTable(ident: Identifier): Table = loadTableAt(ident, None)
 
@@ -402,9 +427,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCommit.deleteRecursively(staged)
   }
 
-  /** Schema evolution — exactly the changes the POSITIONAL data layout
-    * supports with ZERO file rewrites, everything else rejected LOUDLY
-    * (VERDICT r12 task 4 — no silent path):
+  /** Schema evolution — every change here is ZERO file rewrites,
+    * everything else rejected LOUDLY (VERDICT r12 task 4 — no silent
+    * path; VERDICT r13 task 5 adds DROP via field ids):
     *
     *  - ADD COLUMN, appended at the END: both readers bind file fields
     *    by position prefix and return null for a slot past a record's
@@ -418,15 +443,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *    cannot be renamed (their NAME is the `col=value` directory
     *    layout on disk), and a rename may not collide with the `_file`/
     *    `_pos` metadata columns.
-    *  - DROP COLUMN (and type changes, positioned adds, non-null
-    *    defaults) are REJECTED: name-based positional binding means a
-    *    drop would shift every later column's slot (misreading old
-    *    bytes), and a later re-ADD of the dropped name would resurrect
-    *    the old bytes. Supporting it correctly needs per-column field
-    *    IDs in `_SCHEMA` (the Iceberg/Delta design); until then the
-    *    honest contract is a loud error, pinned by SourcesSpec.
+    *  - DROP COLUMN (VERDICT r13 task 5): the first drop materializes
+    *    the COLUMN LEDGER (`_COLUMNS` — per-column field ids in
+    *    physical slot order, the Iceberg/Delta design), then the drop
+    *    is a TOMBSTONE: the slot stays reserved forever, readers bind
+    *    remaining columns by LEDGER position (old bytes never shift
+    *    slots), writers emit a null field at the tombstoned position,
+    *    and a later re-ADD of the same name gets a FRESH id appended at
+    *    the end — it reads as null over every pre-drop file and can
+    *    never resurrect the dropped bytes. The dropped column's
+    *    `_STATS` entries are purged in the same locked section, so a
+    *    re-added namesake is never refuted by the old column's zone
+    *    maps. Time travel across the drop binds old data correctly
+    *    (the ledger is append-only, one binding serves every
+    *    generation); the dropped column itself is no longer selectable
+    *    at ANY version — the current-schema-applies contract.
+    *  - Type changes, positioned adds, non-null defaults stay
+    *    REJECTED: positional text records carry no per-value type tag,
+    *    so a type change would reinterpret committed bytes.
     *
-    * The `_SCHEMA` rewrite happens under the metadata lock.
+    * The `_SCHEMA`/`_COLUMNS`/`_STATS` rewrites happen together under
+    * the metadata lock.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
@@ -437,14 +474,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = GraftCommit.withMetaLock(d) {
       val schema0 = StructType.fromDDL(new String(Files.readAllBytes(
         new File(d, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
-      val (evolved, renames) = applyChanges(schema0, changes, partCols)
+      val ledger0 = GraftCommit.readLedger(d)
+      val (evolved, renames, ledger, dropped) =
+        applyChanges(schema0, ledger0, changes, partCols)
       GraftCommit.writeSchema(d, evolved)
-      if (renames.nonEmpty) {
-        // migrate zone-map keys so skipping/pushdown survive the rename
+      ledger.foreach(GraftCommit.writeLedger(d, _))
+      if (renames.nonEmpty || dropped.nonEmpty) {
+        // migrate zone-map keys so skipping/pushdown survive the rename;
+        // PURGE dropped columns' entries so a re-added namesake is never
+        // skipped/answered from the dead column's bounds
         val renameMap = renames.toMap
+        val deadSet = dropped.toSet
         val stats = GraftCommit.readStats(d).map { case (rel, st) =>
-          rel -> st.copy(cols = st.cols.map { case (c, cs) =>
-            renameMap.getOrElse(c, c) -> cs })
+          rel -> st.copy(cols = st.cols.collect {
+            case (c, cs) if !deadSet(c) => renameMap.getOrElse(c, c) -> cs })
         }
         GraftCommit.writeStats(d, stats.toSeq.sortBy(_._1))
       }
@@ -453,9 +496,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftStoreTable(d.getAbsolutePath, schema, partCols)
   }
 
-  private def applyChanges(schema0: StructType, changes: Seq[TableChange],
-      partCols: Seq[String]): (StructType, Seq[(String, String)]) = {
+  /** Fold the changes over (visible schema, column ledger). The working
+    * ledger starts as the persisted one, or the implicit schema-order
+    * layout when none exists; it is RETURNED for persistence only when a
+    * drop made it load-bearing (or it already existed and must stay in
+    * sync).
+    */
+  private def applyChanges(schema0: StructType,
+      ledger0: Option[Seq[GraftLedgerCol]], changes: Seq[TableChange],
+      partCols: Seq[String])
+      : (StructType, Seq[(String, String)], Option[Seq[GraftLedgerCol]], Seq[String]) = {
     val renames = Seq.newBuilder[(String, String)]
+    val dropped = Seq.newBuilder[String]
+    var ledger: Seq[GraftLedgerCol] = ledger0.getOrElse(
+      schema0.fields.filterNot(f => partCols.contains(f.name))
+        .zipWithIndex.map { case (f, i) => GraftLedgerCol(i, f.name, dropped = false) }.toSeq)
+    var ledgerNeeded: Boolean = ledger0.isDefined
     val schema = changes.foldLeft(schema0) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -474,6 +530,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case dt => throw new IllegalArgumentException(
             s"graft-store: unsupported column type $dt")
         }
+        // fresh id, appended at the end — NEVER a reused tombstone slot
+        ledger = ledger :+ GraftLedgerCol(
+          ledger.map(_.id).maxOption.getOrElse(-1) + 1, name, dropped = false)
         s.add(StructField(name, add.dataType(), nullable = true))
       case (s, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1,
@@ -490,14 +549,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(to != GraftStore.FileMetaColumn && to != GraftStore.PosMetaColumn,
           s"graft catalog: '$to' collides with a metadata column")
         renames += from -> to
+        ledger = ledger.map(c =>
+          if (!c.dropped && c.name == from) c.copy(name = to) else c)
         StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames()(0)
+        if (!s.fieldNames.contains(name)) {
+          require(del.ifExists(),
+            s"graft catalog: column '$name' does not exist")
+          s
+        } else {
+          require(!partCols.contains(name),
+            s"graft catalog: partition column '$name' cannot be dropped — " +
+              "its name IS the on-disk col=value directory layout")
+          require(s.fields.count(f => !partCols.contains(f.name)) > 1,
+            "graft catalog: cannot drop the last data column")
+          ledger = ledger.map(c =>
+            if (!c.dropped && c.name == name) c.copy(dropped = true) else c)
+          ledgerNeeded = true
+          dropped += name
+          StructType(s.fields.filterNot(_.name == name))
+        }
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other — only ADD COLUMN " +
-          "at the end and RENAME COLUMN are zero-rewrite-safe under " +
-          "positional binding; DROP/type changes need per-column field ids " +
-          "(rejected loudly rather than resurrecting old bytes)")
+        s"graft catalog: unsupported table change $other — ADD COLUMN at " +
+          "the end, RENAME COLUMN and DROP COLUMN are the zero-rewrite " +
+          "evolutions; type changes would reinterpret committed bytes " +
+          "(rejected loudly)")
     }
-    (schema, renames.result())
+    (schema, renames.result(), if (ledgerNeeded) Some(ledger) else None,
+      dropped.result())
   }
 
   override def dropTable(ident: Identifier): Boolean = {

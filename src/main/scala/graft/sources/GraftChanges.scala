@@ -179,8 +179,17 @@ object GraftCDC {
     * amplification never reaches the consumer. Exact for multisets.
     */
   def netChanges(spark: SparkSession, path: String, fromV: Long,
-      toV: Option[Long] = None): DataFrame = {
-    val raw = changes(spark, path, fromV, toV)
+      toV: Option[Long] = None): DataFrame =
+    netChangesOf(changes(spark, path, fromV, toV))
+
+  /** The net-changes cancellation over ANY changelog-shaped frame
+    * (data columns + `_change_type` + `_commit_version`) — so the SQL
+    * metadata-table surface (`SELECT * FROM cat.db.t.changes WHERE
+    * _commit_version > v`) composes with the same relational
+    * cancellation as the reader-options path, and [[graft.sources
+    * .GraftIVM]] can consume either.
+    */
+  def netChangesOf(raw: DataFrame): DataFrame = {
     val dataCols = raw.columns.filterNot(c =>
       c == GraftChanges.ChangeTypeColumn || c == GraftChanges.CommitVersionColumn)
     raw.groupBy((dataCols :+ GraftChanges.CommitVersionColumn).map(col): _*)
@@ -222,12 +231,54 @@ private[sources] class GraftChangesTable(
 private[sources] class GraftChangesScanBuilder(
     path: String, fullSchema: StructType, partCols: Seq[String],
     fromV: Long, toV: Option[Long], maxVersionsPerTrigger: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var lo: Long = fromV          // exclusive lower bound
+  private var hi: Option[Long] = toV    // inclusive upper bound
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** `_commit_version` bounds NARROW the planned version range — the
+    * SQL surface's way of addressing a changelog slice
+    * (`SELECT * FROM cat.db.t.changes WHERE _commit_version > v`)
+    * without reader options. Planning then touches only the manifests
+    * inside the narrowed range, so a bounded SQL read never trips over
+    * retention-GC-expired history outside it. Every filter stays
+    * RESIDUAL (Spark re-evaluates on the emitted rows — the bounds are
+    * a pruning hint, correctness never depends on them).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val vc = GraftChanges.CommitVersionColumn
+    def asL(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    pushed = filters.filter {
+      case GreaterThan(a, v) if a == vc && asL(v).isDefined =>
+        lo = math.max(lo, asL(v).get); true
+      case GreaterThanOrEqual(a, v) if a == vc && asL(v).isDefined =>
+        lo = math.max(lo, asL(v).get - 1); true
+      case LessThan(a, v) if a == vc && asL(v).isDefined =>
+        hi = Some(hi.fold(asL(v).get - 1)(math.min(_, asL(v).get - 1))); true
+      case LessThanOrEqual(a, v) if a == vc && asL(v).isDefined =>
+        hi = Some(hi.fold(asL(v).get)(math.min(_, asL(v).get))); true
+      case EqualTo(a, v) if a == vc && asL(v).isDefined =>
+        lo = math.max(lo, asL(v).get - 1)
+        hi = Some(hi.fold(asL(v).get)(math.min(_, asL(v).get))); true
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan =
-    new GraftChangesScan(path, fullSchema, required, partCols, fromV, toV,
+    new GraftChangesScan(path, fullSchema, required, partCols, lo, hi,
       maxVersionsPerTrigger)
 }
 
@@ -258,12 +309,18 @@ private[sources] class GraftChangesScan(
       .getOrElse(throw new IllegalStateException(
         s"graft-store: $path is not a versioned table — the changes read " +
           "needs manifest versions (write through the catalog or compact once)")))
-    GraftChanges.planChanges(root, fromV, end, partCols,
+    // a pushed bound past the table's history is an EMPTY slice, not an
+    // inverted-range error (e.g. `WHERE _commit_version > current`)
+    if (fromV >= end) Array.empty
+    else GraftChanges.planChanges(root, fromV, end, partCols,
       insertsOnly = false, surface = "changes").toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory(fullSchema, required, partCols)
+    new GraftChangesReaderFactory(fullSchema, required, partCols,
+      Some(GraftCommit.slotIndex(new File(path), fullSchema.fields.filterNot(f =>
+        partCols.contains(f.name) || f.name == GraftChanges.ChangeTypeColumn ||
+          f.name == GraftChanges.CommitVersionColumn).toSeq)))
 }
 
 /** One changed file at one version: `changeType`/`version` become the
@@ -277,17 +334,19 @@ private[sources] case class GraftChangePartition(
     extends InputPartition
 
 private[sources] class GraftChangesReaderFactory(
-    fullSchema: StructType, required: StructType, partCols: Seq[String])
+    fullSchema: StructType, required: StructType, partCols: Seq[String],
+    fileIndexOpt: Option[Map[String, Int]] = None)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftChangePartition]
     // on-disk layout: DATA schema (change columns are virtual) minus
-    // partition cols, in schema order — the store's layout contract
-    val dataFields = fullSchema.fields.filterNot(f =>
+    // partition cols, in schema order — the store's layout contract;
+    // tables with a column ledger bind by ledger slot (driver-resolved)
+    val fileIndex = fileIndexOpt.getOrElse(fullSchema.fields.filterNot(f =>
       partCols.contains(f.name) || f.name == GraftChanges.ChangeTypeColumn ||
         f.name == GraftChanges.CommitVersionColumn)
-    val fileIndex = dataFields.map(_.name).zipWithIndex.toMap
+      .map(_.name).zipWithIndex.toMap)
     val partIndex = partCols.zipWithIndex.toMap
 
     sealed trait Slot
@@ -397,7 +456,10 @@ private[sources] class GraftChangelogStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory(fullSchema, required, partCols)
+    new GraftChangesReaderFactory(fullSchema, required, partCols,
+      Some(GraftCommit.slotIndex(new File(path), fullSchema.fields.filterNot(f =>
+        partCols.contains(f.name) || f.name == GraftChanges.ChangeTypeColumn ||
+          f.name == GraftChanges.CommitVersionColumn).toSeq)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -480,7 +542,10 @@ private[sources] class GraftVersionStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory(fullSchema, required, partCols)
+    new GraftChangesReaderFactory(fullSchema, required, partCols,
+      Some(GraftCommit.slotIndex(new File(path), fullSchema.fields.filterNot(f =>
+        partCols.contains(f.name) || f.name == GraftChanges.ChangeTypeColumn ||
+          f.name == GraftChanges.CommitVersionColumn).toSeq)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{array, coalesce, col, element_at, expr, lit, max, min, shiftleft}
+import org.apache.spark.sql.functions.{array, coalesce, col, element_at, expr, lit, max, min, shiftleft, when}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -238,44 +238,92 @@ object GraftMaintenance {
           .sortWithinPartitions(keyCols: _*)
       } else {
         // Z-ORDER layout (VERDICT r12 task 5 — q124's Morton interleave
-        // as a MAINTENANCE clustering): rank each dimension to 8 bits
-        // against its data bounds, interleave the bits, and range-
-        // cluster on the Morton code. Every output file then spans a
-        // NARROW range of EVERY dimension (lexicographic clustering
-        // gives a tight zone map only on the leading column), so
-        // multi-dimensional probes prune files on each predicate —
-        // SortAb records the planned-file counts under both layouts.
+        // as a MAINTENANCE clustering): rank each dimension to 8 bits,
+        // interleave the bits, and range-cluster on the Morton code.
+        // Every output file then spans a NARROW range of EVERY dimension
+        // (lexicographic clustering gives a tight zone map only on the
+        // leading column), so multi-dimensional probes prune files on
+        // each predicate — SortAb records the planned-file counts under
+        // both layouts. Ranking per type (VERDICT r13 task 7):
+        //  - integral: exact linear rank against the data min/max
+        //    (driver-computed divisor, overflow-safe for any long range);
+        //  - string/double: RANK AGAINST STATS — the cut points are the
+        //    table's own per-file zone-map bounds (≤255, evenly sampled
+        //    when more), so the ranking adapts to the value distribution
+        //    with ZERO extra data passes; rank = #cuts ≤ value, the same
+        //    total order the zone maps use (UTF-8 binary strings,
+        //    NaN-greatest doubles). Nulls rank 0 everywhere.
         require(dims.size >= 2,
           "compactSorted zOrder needs >= 2 non-partition sort columns " +
             "(one dimension is plain range clustering)")
         dims.foreach(c => schema(c).dataType match {
-          case LongType | IntegerType => ()
+          case LongType | IntegerType | DoubleType | StringType => ()
           case dt => throw new IllegalArgumentException(
             s"compactSorted zOrder: column '$c' has unsupported type $dt " +
-              "(integral dimensions only)")
+              "(rankable dimensions: long/int/double/string)")
         })
-        val aggs = dims.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c).cast("long")).as(s"lo_$i"),
-            max(col(c).cast("long")).as(s"hi_$i"))
+        val intDims = dims.filter(c => schema(c).dataType match {
+          case LongType | IntegerType => true
+          case _                      => false
+        })
+        val b = if (intDims.isEmpty) null else {
+          val aggs = intDims.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(col(c).cast("long")).as(s"lo_$i"),
+              max(col(c).cast("long")).as(s"hi_$i"))
+          }
+          base.agg(aggs.head, aggs.tail: _*).head()
         }
-        val b = base.agg(aggs.head, aggs.tail: _*).head()
+        val intIdx = intDims.zipWithIndex.toMap
+        val statsBook = GraftCommit.readStats(root)
+        def cutsFor(c: String): Seq[String] = {
+          val dt = schema(c).dataType
+          val bounds = statsBook.valuesIterator
+            .flatMap(_.cols.get(c).toSeq.flatMap(cs => cs.min.toSeq ++ cs.max.toSeq))
+            .toSeq.distinct
+          val sorted = bounds.sortWith((x, y) => textCmp(dt, x, y) < 0)
+          if (sorted.size <= 255) sorted
+          else (1 to 255).map(i => sorted((i * sorted.size) / 256))
+        }
+        def rankOf(c: String): org.apache.spark.sql.Column =
+          schema(c).dataType match {
+            case LongType | IntegerType =>
+              val i = intIdx(c)
+              val lo = if (b.isNullAt(b.fieldIndex(s"lo_$i"))) 0L
+                       else b.getLong(b.fieldIndex(s"lo_$i"))
+              val hi = if (b.isNullAt(b.fieldIndex(s"hi_$i"))) 0L
+                       else b.getLong(b.fieldIndex(s"hi_$i"))
+              val span = BigInt(hi) - BigInt(lo) + 1
+              val divisor = ((span + 255) / 256).max(1).toLong
+              coalesce(
+                expr(s"(CAST(`$c` AS BIGINT) - ${lo}L) div ${divisor}L"), lit(0L))
+            case dt =>
+              val cuts = cutsFor(c)
+              if (cuts.isEmpty) lit(0L)
+              else {
+                val lits = dt match {
+                  case DoubleType => cuts.map(v => lit(v.toDouble))
+                  case _          => cuts.map(lit(_))
+                }
+                // rank = #cuts <= value; null comparisons fall to 0, so
+                // nulls rank 0 without a special case. RESCALED to fill
+                // the full 8-bit domain — with few cuts an unscaled rank
+                // would occupy only the Morton code's LOW bits and the
+                // other dimensions' high bits would dominate the
+                // clustering (measured: an unscaled 16-cut string rank
+                // prunes nothing)
+                val raw = org.apache.spark.sql.functions.aggregate(
+                  array(lits: _*), lit(0L),
+                  (acc, cut) => acc + when(col(c) >= cut, 1L).otherwise(0L))
+                (raw * 255L) / lit(cuts.size.toLong)
+              }
+          }
         val k = dims.size
         // spread(x) places byte x's bits k apart; z = Σ spread(rank_d)<<d
         val spreadK: Seq[Long] = (0 until 256).map(x =>
           (0 until 8).map(bit => ((x >> bit) & 1).toLong << (bit * k)).sum)
         val spreadArr = array(spreadK.map(lit): _*)
         val z = dims.zipWithIndex.map { case (c, d) =>
-          val lo = if (b.isNullAt(b.fieldIndex(s"lo_$d"))) 0L
-                   else b.getLong(b.fieldIndex(s"lo_$d"))
-          val hi = if (b.isNullAt(b.fieldIndex(s"hi_$d"))) 0L
-                   else b.getLong(b.fieldIndex(s"hi_$d"))
-          // 8-bit rank via a driver-computed divisor (overflow-safe for
-          // any long range; all-null dimensions rank 0)
-          val span = BigInt(hi) - BigInt(lo) + 1
-          val divisor = ((span + 255) / 256).max(1).toLong
-          val rank = coalesce(
-            expr(s"(CAST(`$c` AS BIGINT) - ${lo}L) div ${divisor}L"), lit(0L))
-          shiftleft(element_at(spreadArr, (rank + 1).cast("int")), d)
+          shiftleft(element_at(spreadArr, (rankOf(c) + 1).cast("int")), d)
         }.reduce(_ + _)
         val zname = "__graft_z"
         base.withColumn(zname, z)
@@ -283,6 +331,14 @@ object GraftMaintenance {
           .sortWithinPartitions((partCols.map(col) :+ col(zname)): _*)
           .drop(zname)
       }
+    // a ledgered table's rewrite must KEEP the ledger layout (tombstoned
+    // slots included) — stage the ledger first so the overwrite into the
+    // staged table writes (and keeps) that layout, and the adopted files
+    // bind under the main table's ledger
+    GraftCommit.readLedger(root).foreach { led =>
+      stageDir.mkdirs()
+      GraftCommit.writeLedger(stageDir, led)
+    }
     clustered
       .write.format("graft.sources.GraftStoreProvider")
       .option("path", stageDir.getAbsolutePath)
@@ -390,9 +446,22 @@ object GraftMaintenance {
     *
     * `DELETE ... ; expireSnapshots(path, olderThanMs = 0)` is the
     * right-to-be-forgotten end state: the bytes go.
+    *
+    * RETENTION vs STREAMING READERS (VERDICT r13 task 6): a version-
+    * pointer stream that falls behind GC fails LOUDLY on resume (the
+    * expired range cannot be planned) — but nothing in the window
+    * arithmetic knows about checkpoints. `floorVersion` is the
+    * deployment's contract: pass the OLDEST version any active
+    * checkpoint still needs (its committed offset) and every version
+    * from there up stays fully plannable — files protected, history
+    * manifests kept — regardless of age or `keepVersions`. Wire it to
+    * `min(checkpoint offsets)` in a deployment's GC job; without it the
+    * time window alone governs and a lagging stream's failure mode is
+    * the loud error, never a silent gap.
     */
   def expireSnapshots(path: String, olderThanMs: Long = 24L * 3600 * 1000,
-      keepVersions: Int = 1, strayGraceMs: Long = 60000L): ExpireResult = {
+      keepVersions: Int = 1, strayGraceMs: Long = 60000L,
+      floorVersion: Option[Long] = None): ExpireResult = {
     val root = new File(path)
     require(new File(root, GraftStore.SuccessFile).isFile,
       s"graft-store: no committed table at $path")
@@ -400,8 +469,13 @@ object GraftMaintenance {
     val now = System.currentTimeMillis()
     GraftCommit.withMetaLock(root) {
       val curVersion = GraftCommit.currentManifestVersion(root)
-      // protected = every file a kept version can still plan
-      val keptFrom = curVersion.map(c => math.max(1L, c - keepVersions + 1))
+      // protected = every file a kept version can still plan; the floor
+      // extends the kept window DOWN to the oldest checkpointed version
+      // (a stream diffing (floor, floor+1] needs floor's manifest too)
+      val keptFrom = curVersion.map { c =>
+        val base = math.max(1L, c - keepVersions + 1)
+        floorVersion.fold(base)(f => math.min(base, math.max(1L, f)))
+      }
       val protectedRels: Set[String] = curVersion match {
         case None => Set.empty // glob table: no versions, no retire ledger
         case Some(c) =>

@@ -161,6 +161,7 @@ object GraftStore {
   val StatsFile = "_STATS"
   val ManifestFile = "_MANIFEST"
   val RetiredFile = "_RETIRED"
+  val ColumnsFile = "_COLUMNS"
   val PartitionByOption = "partitionBy"
   val ColumnarOption = "columnar"
   val VersionAsOfOption = "versionAsOf"
@@ -180,6 +181,13 @@ object GraftStore {
   val DeleteModeConf = "spark.graft.store.delete.mode"
   val UpdateModeConf = "spark.graft.store.update.mode"
   val MergeModeConf = "spark.graft.store.merge.mode"
+
+  /** In `auto` DML mode: a file whose deleted-row fraction reaches this
+    * threshold REWRITES its kept rows at commit instead of binding a
+    * deletion vector (VERDICT r13 task 4 — the per-file COW/MOR
+    * decision, made from the commit's own matched-row counts).
+    */
+  val AutoRewriteFractionConf = "spark.graft.store.dml.autoRewriteFraction"
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -604,6 +612,28 @@ final case class GraftFileStats(rows: Long, cols: Map[String, GraftColStatsTxt])
 final case class GraftManifest(version: Long, ts: Option[Long], op: String,
     files: Seq[String], dvs: Map[String, String])
 
+/** One PHYSICAL record slot in the column ledger (VERDICT r13 task 5 —
+  * per-column FIELD IDs, the Iceberg/Delta design that makes DROP COLUMN
+  * a zero-rewrite metadata operation under positional binding):
+  *
+  *  - `id` is assigned once, at CREATE or ADD, and never reused;
+  *  - the ledger (`_COLUMNS`, one line per slot in physical order) is
+  *    APPEND-ONLY and order-stable, so slot k means the same bytes in
+  *    every file generation of the table's life — readers bind a visible
+  *    column to its LEDGER position, not its position in the current
+  *    schema;
+  *  - DROP marks the slot `dropped` (a tombstone): readers stop binding
+  *    it, writers emit an empty (null) field at its position, and a
+  *    later re-ADD of the same NAME appends a NEW slot with a fresh id —
+  *    old files read the re-added column as null (slot past their field
+  *    count) and can never resurrect the dropped bytes.
+  *
+  * Tables that never dropped a column have no ledger: their layout is
+  * the schema's data-column order, exactly as before (the ledger is
+  * created lazily by the first DROP).
+  */
+final case class GraftLedgerCol(id: Int, name: String, dropped: Boolean)
+
 /** DELETION-VECTOR sidecar codec (VERDICT r12 task 3): one small binary
   * file per (data file, delete generation) holding the BITSET of deleted
   * row ordinals (`java.util.BitSet.toByteArray`, ordinals = 0-based
@@ -633,6 +663,106 @@ private[sources] object GraftDv {
   }
 
   def cardinality(path: String): Long = read(path).cardinality().toLong
+
+  /** Rewrite data file `rel` WITHOUT its deleted ordinals — the rewrite
+    * half of the AUTO COW/MOR decision (VERDICT r13 task 4): when a
+    * commit finds a file's deleted fraction above the auto threshold, a
+    * DV would leave the scan paying for mostly-dead rows forever, so
+    * the kept rows republish instead. Records are re-encoded
+    * field-for-field (the codec is canonical: numbers carry no escapes,
+    * strings re-escape identically), and the new file's zone map is
+    * accumulated from the kept values under the SAME comparison/sum
+    * rules as the write path's StatsAcc (NaN-greatest, -0.0 normalized,
+    * addExact integral sums that decline on overflow, Kahan double
+    * sums). `layout` is the physical slot list — None = tombstoned
+    * ledger slot (re-emitted as null, no stats).
+    */
+  def materializeKept(root: File, rel: String, destRel: String,
+      bits: util.BitSet, layout: Seq[Option[StructField]]): GraftFileStats = {
+    val dest = new File(root, destRel)
+    Option(dest.getParentFile).foreach(_.mkdirs())
+    val k = layout.length
+    val nulls = new Array[Long](k); val seen = Array.fill(k)(false)
+    val mins = new Array[Any](k); val maxs = new Array[Any](k)
+    val lsums = new Array[Long](k); val dsums = new Array[Double](k)
+    val dcomp = new Array[Double](k); val sumOk = Array.fill(k)(true)
+    def cmpVal(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)         => Integer.compare(x, y)
+      case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x: String, y: String)   =>
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+      case _ => throw new IllegalStateException(s"stats type clash: $a vs $b")
+    }
+    var rows = 0L
+    val parser = new GraftRecordParser(Files.newBufferedReader(
+      new File(root, rel).toPath, StandardCharsets.UTF_8))
+    val out = Files.newBufferedWriter(dest.toPath, StandardCharsets.UTF_8)
+    try {
+      var pos = -1L
+      var rec = parser.next()
+      while (rec != null) {
+        pos += 1
+        if (!(pos <= Int.MaxValue && bits.get(pos.toInt))) {
+          rows += 1
+          val sb = new StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(',')
+            val raw: String = if (j < rec.length) rec(j) else null
+            if (raw != null) sb.append(GraftStore.escape(raw))
+            layout(j) match {
+              case Some(f) if raw == null => nulls(j) += 1
+              case Some(f) =>
+                seen(j) = true
+                val v: Any = f.dataType match {
+                  case LongType =>
+                    val l = raw.toLong
+                    if (sumOk(j)) {
+                      try lsums(j) = Math.addExact(lsums(j), l)
+                      catch { case _: ArithmeticException => sumOk(j) = false }
+                    }
+                    l
+                  case IntegerType =>
+                    val i = raw.toInt
+                    if (sumOk(j)) {
+                      try lsums(j) = Math.addExact(lsums(j), i.toLong)
+                      catch { case _: ArithmeticException => sumOk(j) = false }
+                    }
+                    i
+                  case DoubleType =>
+                    val d = raw.toDouble
+                    val y = d - dcomp(j); val t = dsums(j) + y
+                    dcomp(j) = (t - dsums(j)) - y; dsums(j) = t
+                    if (d == 0.0) 0.0 else d
+                  case BooleanType => raw.toBoolean
+                  case StringType  => raw
+                  case dt => throw new IllegalArgumentException(
+                    s"graft-store: unsupported column type $dt")
+                }
+                if (mins(j) == null || cmpVal(v, mins(j)) < 0) mins(j) = v
+                if (maxs(j) == null || cmpVal(v, maxs(j)) > 0) maxs(j) = v
+              case None => () // tombstoned slot: re-emitted verbatim-null
+            }
+            j += 1
+          }
+          out.write(sb.toString); out.write("\n")
+        }
+        rec = parser.next()
+      }
+    } finally { parser.close(); out.close() }
+    GraftFileStats(rows, layout.zipWithIndex.collect { case (Some(f), j) =>
+      val sum = f.dataType match {
+        case LongType | IntegerType if seen(j) && sumOk(j) =>
+          Some(lsums(j).toString)
+        case DoubleType if seen(j) => Some(dsums(j).toString)
+        case _ => None
+      }
+      f.name -> GraftColStatsTxt(nulls(j),
+        Option(mins(j)).map(_.toString), Option(maxs(j)).map(_.toString), sum)
+    }.toMap)
+  }
 }
 
 /** A manifest commit lost the validate-and-swap race: the version the
@@ -809,10 +939,29 @@ private[sources] class GraftStoreTable(
       case Command.UPDATE => GraftStore.UpdateModeConf
       case Command.MERGE  => GraftStore.MergeModeConf
     }
-    val mor = org.apache.spark.sql.internal.SQLConf.get.getConfString(
-      confName, "copy-on-write") == "merge-on-read"
-    if (mor) () => new GraftDeltaOperation(path, tschema, partCols, info.command)
-    else () => new GraftRowLevelOperation(path, tschema, partCols, info.command)
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    conf.getConfString(confName, "copy-on-write") match {
+      case "merge-on-read" =>
+        () => new GraftDeltaOperation(path, tschema, partCols, info.command)
+      case "auto" =>
+        // AUTO (VERDICT r13 task 4): plan as a delta operation, but the
+        // commit decides PER FILE — a file whose deleted fraction is at
+        // or above the threshold rewrites its kept rows (a DV would make
+        // every later scan pay for mostly-dead bytes forever), the rest
+        // take deletion vectors (a rewrite would be O(file) for a few
+        // rows). One commit binds both.
+        val threshold = conf.getConfString(
+          GraftStore.AutoRewriteFractionConf, "0.5").toDouble
+        require(threshold > 0.0 && threshold <= 1.0,
+          s"graft-store: ${GraftStore.AutoRewriteFractionConf} must be in (0, 1]")
+        () => new GraftDeltaOperation(path, tschema, partCols, info.command,
+          autoRewrite = Some(threshold))
+      case "copy-on-write" =>
+        () => new GraftRowLevelOperation(path, tschema, partCols, info.command)
+      case other => throw new IllegalArgumentException(
+        s"graft-store: $confName = '$other' — expected copy-on-write, " +
+          "merge-on-read or auto")
+    }
   }
 
   /** QUIESCENCE contract (shared with [[GraftMaintenance.compact]]): a
@@ -1354,7 +1503,9 @@ private[sources] class GraftStoreScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(fullSchema, required, partCols, columnar)
+    new GraftReaderFactory(fullSchema, required, partCols, columnar,
+      Some(GraftCommit.slotIndex(new File(path),
+        fullSchema.fields.filterNot(f => partCols.contains(f.name)).toSeq)))
 }
 
 /** The pushed-aggregate scan: same directory planning (partition
@@ -1477,8 +1628,17 @@ private[sources] class GraftAggReaderFactory(
 
 private[sources] class GraftReaderFactory(
     fullSchema: StructType, required: StructType, partCols: Seq[String],
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    // visible data column -> PHYSICAL record slot. Schema-order by
+    // default; tables with a column ledger (DROP COLUMN history) bind by
+    // ledger position — resolved ONCE on the driver (GraftCommit
+    // .slotIndex) and shipped, so executors never re-read `_COLUMNS`.
+    fileIndexOpt: Option[Map[String, Int]] = None)
     extends PartitionReaderFactory {
+
+  private def binding: Map[String, Int] = fileIndexOpt.getOrElse(
+    fullSchema.fields.filterNot(f => partCols.contains(f.name))
+      .map(_.name).zipWithIndex.toMap)
 
   /** VECTORIZED read path (VERDICT r10 task 5; the DEFAULT —
     * `.option("columnar", "false")` selects the row reader): instead of
@@ -1498,8 +1658,7 @@ private[sources] class GraftReaderFactory(
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.ColumnarBatch
     val gp = p.asInstanceOf[GraftFilePartition]
-    val fileFields = fullSchema.fields.filterNot(f => partCols.contains(f.name))
-    val fileIndex = fileFields.map(_.name).zipWithIndex.toMap
+    val fileIndex = binding
     val partIndex = partCols.zipWithIndex.toMap
     val capacity = 4096
 
@@ -1599,9 +1758,8 @@ private[sources] class GraftReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftFilePartition]
-    // on-disk layout: full schema minus partition cols, in schema order
-    val fileFields = fullSchema.fields.filterNot(f => partCols.contains(f.name))
-    val fileIndex = fileFields.map(_.name).zipWithIndex.toMap
+    // on-disk layout: schema order without a ledger, ledger slots with
+    val fileIndex = binding
     val partIndex = partCols.zipWithIndex.toMap
 
     // Bind each REQUIRED output slot once: partition columns come from
@@ -2238,6 +2396,54 @@ private[sources] object GraftCommit {
   def writeSchema(root: File, schema: StructType): Unit =
     writeAtomic(root, GraftStore.SchemaFile, schema.toDDL)
 
+  // ---- column ledger (field ids — VERDICT r13 task 5) ------------------
+
+  /** The physical slot ledger, if this table ever dropped a column
+    * (tables without one lay out data columns in schema order).
+    */
+  def readLedger(root: File): Option[Seq[GraftLedgerCol]] = {
+    val f = new File(root, GraftStore.ColumnsFile)
+    if (!f.isFile) None
+    else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val t = line.split("\t", -1)
+        require(t.length == 3,
+          s"graft-store: torn ${GraftStore.ColumnsFile} line '$line' in $root")
+        GraftLedgerCol(t(0).toInt, t(1), t(2) == "1")
+      }.toSeq)
+  }
+
+  def writeLedger(root: File, entries: Seq[GraftLedgerCol]): Unit =
+    writeAtomic(root, GraftStore.ColumnsFile, entries.map(c =>
+      s"${c.id}\t${c.name}\t${if (c.dropped) "1" else "0"}").mkString("\n"))
+
+  /** Visible data-column name → PHYSICAL slot index (reader binding).
+    * With a ledger: the column's ledger position; without: its position
+    * among the schema's data columns — the pre-ledger contract.
+    */
+  def slotIndex(root: File, dataFields: Seq[StructField]): Map[String, Int] =
+    readLedger(root) match {
+      case None => dataFields.map(_.name).zipWithIndex.toMap
+      case Some(led) =>
+        val live = led.zipWithIndex.collect {
+          case (c, i) if !c.dropped => c.name -> i
+        }.toMap
+        val names = dataFields.map(_.name).toSet
+        require(live.keySet == names,
+          s"graft-store: ${GraftStore.ColumnsFile} live columns " +
+            s"${live.keySet.toSeq.sorted.mkString(",")} do not match the " +
+            s"schema's data columns ${names.toSeq.sorted.mkString(",")} in $root")
+        live
+    }
+
+  /** WRITER layout: one entry per physical slot — `Some(name)` for a
+    * live column (bound to the write schema by name), `None` for a
+    * dropped slot (the writer emits a null field there so slot positions
+    * stay stable). `None` overall = no ledger = schema-order layout.
+    */
+  def writeLayout(root: File): Option[Seq[Option[String]]] =
+    readLedger(root).map(_.map(c => if (c.dropped) None else Some(c.name)))
+
   /** Persist table metadata from a WRITE. The declared schema belongs
     * to the table, not to any one write: an append must NOT clobber
     * `_SCHEMA` (before this rule, an INSERT whose input happened to be
@@ -2290,10 +2496,23 @@ private[sources] class GraftBatchWrite(
     truncate: Boolean, jobId: String)
     extends BatchWrite {
 
+  // layout for the files THIS write produces: appends always honor the
+  // ledger (dropped slots keep their positions); an overwrite keeps it
+  // only while the write schema's data columns still match the ledger's
+  // live set — otherwise the overwrite REDEFINES the layout and the
+  // ledger is retired at commit (readers of the new files bind by the
+  // new schema order)
+  private val writeLayoutUsed: Option[Seq[Option[String]]] = {
+    val led = GraftCommit.writeLayout(new File(path))
+    if (!truncate) led
+    else led.filter(_.flatten.toSet ==
+      schema.fields.filterNot(f => partCols.contains(f.name)).map(_.name).toSet)
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(
       new File(new File(path, "_temporary"), jobId).getAbsolutePath,
-      schema, partCols)
+      schema, partCols, writeLayoutUsed)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -2345,6 +2564,11 @@ private[sources] class GraftBatchWrite(
     Seq(GraftStore.SuccessFile, GraftStore.SchemaFile, GraftStore.PartitionFile,
       GraftStore.StatsFile, GraftStore.RetiredFile, GraftStore.ManifestFile)
       .foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
+    // a layout-redefining overwrite retires the column ledger with the
+    // old bytes; one that wrote in ledger layout keeps it (see
+    // writeLayoutUsed)
+    if (writeLayoutUsed.isEmpty)
+      Files.deleteIfExists(new File(dir, GraftStore.ColumnsFile).toPath)
     val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
     GraftCommit.writeMeta(dir, schema, partCols)
     GraftCommit.withMetaLock(dir) {
@@ -2415,6 +2639,10 @@ private[sources] class GraftBatchWrite(
           goners.foreach(f => Files.delete(f.toPath))
           GraftCommit.writeRetired(dir, Seq.empty)
           GraftCommit.writeStats(dir, published.toSeq.sortBy(_._1))
+          // the old bytes are gone; a ledger the new files were not
+          // written under goes with them (see writeLayoutUsed)
+          if (writeLayoutUsed.isEmpty)
+            Files.deleteIfExists(new File(dir, GraftStore.ColumnsFile).toPath)
           GraftCommit.pruneEmptyDirs(dir, goners.map(_.getParentFile))
         }
       }
@@ -2606,7 +2834,7 @@ private[sources] class GraftCowBatchWrite(
       "graft-store: rewrite rows must not carry the _file metadata column")
     new GraftWriterFactory(
       new File(new File(path, "_temporary"), jobId).getAbsolutePath,
-      schema, partCols)
+      schema, partCols, GraftCommit.writeLayout(new File(path)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2695,7 +2923,8 @@ private[sources] class GraftCowBatchWrite(
   */
 private[sources] class GraftDeltaOperation(
     path: String, schema: StructType, partCols: Seq[String],
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    val autoRewrite: Option[Double] = None)
     extends GraftRowLevelOperation(path, schema, partCols, cmd)
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -2738,7 +2967,8 @@ private[sources] case class GraftDvCommitMessage(
   */
 private[sources] class GraftDvWriter(
     tempDir: String, schema: StructType, partCols: Seq[String],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    layout: Option[Seq[Option[String]]] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val acc = scala.collection.mutable.Map.empty[String, util.BitSet]
   private var inner: GraftDataWriter = _
@@ -2753,7 +2983,8 @@ private[sources] class GraftDvWriter(
 
   override def insert(row: InternalRow): Unit = {
     if (inner == null)
-      inner = new GraftDataWriter(tempDir, schema, partCols, partitionId, taskId)
+      inner = new GraftDataWriter(tempDir, schema, partCols, partitionId,
+        taskId, layout)
     inner.write(row)
   }
 
@@ -2775,11 +3006,12 @@ private[sources] class GraftDvWriter(
 
 /** Serializable factory for [[GraftDvWriter]]s (ships to executors). */
 private[sources] case class GraftDvWriterFactory(
-    tempDir: String, schema: StructType, partCols: Seq[String])
+    tempDir: String, schema: StructType, partCols: Seq[String],
+    layout: Option[Seq[Option[String]]])
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new GraftDvWriter(tempDir, schema, partCols, partitionId, taskId)
+    new GraftDvWriter(tempDir, schema, partCols, partitionId, taskId, layout)
 }
 
 /** The delta commit: publish insert files, merge task bitsets, OR into
@@ -2801,7 +3033,7 @@ private[sources] class GraftDvBatchWrite(
       "graft-store: delta rows must not carry metadata columns")
     GraftDvWriterFactory(
       new File(new File(path, "_temporary"), jobId).getAbsolutePath,
-      schema, partCols)
+      schema, partCols, GraftCommit.writeLayout(new File(path)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2835,6 +3067,19 @@ private[sources] class GraftDvBatchWrite(
       GraftCommit.deleteTemp(path, jobId)
       throw new IllegalStateException(msg)
     }
+    // physical slot layout for the AUTO path's rewrites (ledger-aware)
+    lazy val slotLayout: Seq[Option[StructField]] = {
+      val dataFields = op.schema.fields.filterNot(f => op.partCols.contains(f.name))
+      GraftCommit.writeLayout(dir)
+        .map(_.map(_.map(name => dataFields.find(_.name == name).getOrElse(
+          throw new IllegalStateException(
+            s"graft-store: ledger column '$name' missing from schema under $path")))))
+        .getOrElse(dataFields.map(Option(_)).toSeq)
+    }
+    val threshold: Option[Double] = op match {
+      case d: GraftDeltaOperation => d.autoRewrite
+      case _                      => None
+    }
     GraftCommit.withMetaLock(dir) {
       GraftCommit.retryingCommit(s"merge-on-read ${op.command()}") {
         val mf = GraftCommit.readManifestFull(dir)
@@ -2853,21 +3098,62 @@ private[sources] class GraftDvBatchWrite(
             s"that may contain rows matching the ${op.command()} condition " +
             s"(${bad.take(5).mkString(", ")}) — write skew; rerun the operation")
         val oldDvs = mf.map(_.dvs).getOrElse(Map.empty[String, String])
+        merged.foreach { case (rel, bits) =>
+          oldDvs.get(rel).foreach(prev =>
+            bits.or(GraftDv.read(new File(dir, prev).getAbsolutePath)))
+        }
+        // AUTO per-file decision (VERDICT r13 task 4), from the commit's
+        // own counts: files whose CUMULATIVE deleted fraction (new bits
+        // OR'd into any existing DV) reaches the threshold rewrite their
+        // kept rows — a DV would make every later scan pay for mostly-
+        // dead bytes forever; the rest bind a DV — a rewrite would cost
+        // O(file) for a few matched rows. Files without a stats row
+        // count keep a DV (the cheap, conservative direction). One
+        // version commits both halves.
+        val statsBook = GraftCommit.readStats(dir)
+        val (toRewrite, toDv) = merged.toSeq.sortBy(_._1).partition {
+          case (rel, bits) => threshold.exists(t =>
+            statsBook.get(rel).exists(st => st.rows > 0 &&
+              bits.cardinality().toDouble / st.rows >= t))
+        }
         var n = 0
         val updates: Map[String, Option[String]] =
-          merged.toSeq.sortBy(_._1).map { case (rel, bits) =>
-            oldDvs.get(rel).foreach(prev =>
-              bits.or(GraftDv.read(new File(dir, prev).getAbsolutePath)))
+          toDv.map { case (rel, bits) =>
             val name = f"dv-$jobId-$n%05d.bin"
             n += 1
             GraftDv.write(dir, name, bits)
             rel -> Option(name)
           }.toMap
-        if (published.nonEmpty) GraftCommit.writeStats(dir,
-          (GraftCommit.readStats(dir) ++ published).toSeq.sortBy(_._1))
-        GraftCommit.commitManifest(dir, current ++ published.map(_._1),
-          op = "dv-" + op.command().toString.toLowerCase,
-          dvUpdates = updates, base = mf.map(_.version))
+        var mi = 0
+        val mat: Seq[(String, GraftFileStats)] = toRewrite.map { case (rel, bits) =>
+          val i = rel.lastIndexOf('/')
+          val relDir = if (i < 0) "" else rel.substring(0, i + 1)
+          val destRel = f"${relDir}rewrite-$jobId-m$mi%05d.csv"
+          mi += 1
+          destRel -> GraftDv.materializeKept(dir, rel, destRel, bits, slotLayout)
+        }
+        // a fully-deleted file republishes NOTHING — it just leaves
+        val (matKeep, matEmpty) = mat.partition(_._2.rows > 0)
+        matEmpty.foreach(m => Files.deleteIfExists(new File(dir, m._1).toPath))
+        try {
+          if (published.nonEmpty || matKeep.nonEmpty)
+            GraftCommit.writeStats(dir,
+              (GraftCommit.readStats(dir) ++ published ++ matKeep).toSeq.sortBy(_._1))
+          val rewrittenSet = toRewrite.map(_._1).toSet
+          val v = GraftCommit.commitManifest(dir,
+            current.filterNot(rewrittenSet) ++ published.map(_._1) ++
+              matKeep.map(_._1),
+            op = "dv-" + op.command().toString.toLowerCase,
+            dvUpdates = updates, base = mf.map(_.version))
+          if (rewrittenSet.nonEmpty)
+            GraftCommit.retire(dir, toRewrite.map(_._1), v)
+          v
+        } catch { case e: Throwable =>
+          // a lost CAS race retries with a fresh read — this attempt's
+          // rewrites must not survive as strays
+          matKeep.foreach(m => Files.deleteIfExists(new File(dir, m._1).toPath))
+          throw e
+        }
       }
     }
     GraftCommit.deleteTemp(path, jobId)
@@ -2897,7 +3183,8 @@ private[sources] class GraftStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(path, schema, partCols)
+    new GraftStreamingWriterFactory(path, schema, partCols,
+      GraftCommit.writeLayout(new File(path)))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -2964,20 +3251,22 @@ private[sources] class GraftStreamingWrite(
 }
 
 private[sources] class GraftStreamingWriterFactory(
-    path: String, schema: StructType, partCols: Seq[String])
+    path: String, schema: StructType, partCols: Seq[String],
+    layout: Option[Seq[Option[String]]])
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       new File(new File(path, "_temporary"), s"epoch-$epochId").getAbsolutePath,
-      schema, partCols, partitionId, taskId)
+      schema, partCols, partitionId, taskId, layout)
 }
 
 private[sources] class GraftWriterFactory(
-    tempDir: String, schema: StructType, partCols: Seq[String])
+    tempDir: String, schema: StructType, partCols: Seq[String],
+    layout: Option[Seq[Option[String]]] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(tempDir, schema, partCols, partitionId, taskId)
+    new GraftDataWriter(tempDir, schema, partCols, partitionId, taskId, layout)
 }
 
 /** Routes each row to its partition's temp file (one writer per distinct
@@ -2988,7 +3277,8 @@ private[sources] class GraftWriterFactory(
   */
 private[sources] class GraftDataWriter(
     tempDir: String, schema: StructType, partCols: Seq[String],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    layout: Option[Seq[Option[String]]] = None)
     extends DataWriter[InternalRow] {
 
   private val taskDir = {
@@ -2997,13 +3287,32 @@ private[sources] class GraftDataWriter(
     d
   }
   // (schema index, field) of the partition cols in declaration order,
-  // and of the data cols in schema order — the on-disk layout contract
+  // and of the data cols in PHYSICAL slot order — the on-disk layout
+  // contract: schema order without a ledger; with one (the table has
+  // dropped columns), the ledger's slot order, where a dropped slot
+  // (index -1) always serializes as a null field so later slots keep
+  // their positions across the table's whole file history
   private val partSlots: Seq[(Int, StructField)] =
     partCols.map(c => schema.fieldIndex(c)).map(i => (i, schema.fields(i)))
-  private val dataSlots: Array[Int] =
-    schema.fields.zipWithIndex
+  private val dataSlots: Array[Int] = layout match {
+    case None => schema.fields.zipWithIndex
       .filterNot { case (f, _) => partCols.contains(f.name) }.map(_._2)
-  private val dataSchema = StructType(dataSlots.map(schema.fields(_)))
+    case Some(lay) =>
+      val covered = lay.flatten.toSet
+      schema.fields.foreach(f => require(
+        partCols.contains(f.name) || covered(f.name),
+        s"graft-store: write column '${f.name}' is not in the column " +
+          "ledger — the table's visible schema and _COLUMNS diverged"))
+      lay.map {
+        case Some(name) => schema.fieldIndex(name)
+        case None       => -1
+      }.toArray
+  }
+  private val droppedSlot: Array[Boolean] = dataSlots.map(_ < 0)
+  private val dataSchema = StructType(dataSlots.zipWithIndex.map {
+    case (i, j) if i >= 0 => schema.fields(i)
+    case (_, j) => StructField(s"__graft_dropped_$j", StringType, nullable = true)
+  })
   private val dataVals = new Array[Any](dataSlots.length)
   private val dataProj =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(dataVals)
@@ -3078,7 +3387,9 @@ private[sources] class GraftDataWriter(
     }
 
     def result(): GraftFileStats = GraftFileStats(rows,
-      dataSchema.fields.zipWithIndex.map { case (f, j) =>
+      dataSchema.fields.zipWithIndex
+        .filterNot { case (_, j) => droppedSlot(j) } // tombstoned slots have no stats
+        .map { case (f, j) =>
         // sum is recorded only when >=1 non-null value exists — an
         // all-null file's partial SUM is SQL NULL, which the agg reader
         // derives from (nulls == rows), never from a misleading 0
@@ -3115,7 +3426,7 @@ private[sources] class GraftDataWriter(
     var j = 0
     while (j < dataSlots.length) {
       val i = dataSlots(j)
-      dataProj.update(j, if (row.isNullAt(i)) null else schema.fields(i).dataType match {
+      dataProj.update(j, if (i < 0 || row.isNullAt(i)) null else schema.fields(i).dataType match {
         case LongType    => row.getLong(i)
         case IntegerType => row.getInt(i)
         case DoubleType  => row.getDouble(i)

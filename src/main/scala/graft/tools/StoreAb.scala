@@ -99,6 +99,31 @@ object StoreAb {
       f"dv ${dDv}%.3f s (${dCow / dDv}%.1fx less write); " +
       f"full-scan read: clean(cow) ${sCow}%.3f s vs dv-applied ${sDv}%.3f s " +
       f"(${sDv / sCow}%.2fx read overhead)")
+
+    // ---- AUTO COW/MOR A/B (VERDICT r13 task 4): a MIXED delete — all
+    // of the low 10% of the id range (the low files die ~whole) plus a
+    // sparse ~n/100001 sprinkle across the rest — under the three modes.
+    // Records: commit wall, NEW data bytes published (write amp; the
+    // retired originals stay on disk either way), and the post-delete
+    // full-scan cost (the DV read tax auto avoids on mostly-dead files).
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val mixedPred = s"(id % 100001 = 1) OR (id < ${n / 10})"
+    val autoRes = Seq("copy-on-write", "merge-on-read", "auto").map { m =>
+      val name = mkCopy("mix_" + m.replace("-", ""))
+      val before = GraftCommit0.allBytes(s"$wh/ab/$name")
+      spark.conf.set("spark.graft.store.delete.mode", m)
+      val d = try timed(spark.sql(
+        s"DELETE FROM graft.ab.$name WHERE $mixedPred"))
+      finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+      val written = GraftCommit0.allBytes(s"$wh/ab/$name") - before
+      scanAgg(name).collect()
+      val s = (1 to 3).map(_ => timed(scanAgg(name).collect())).min
+      (m, d, written, s)
+    }
+    autoRes.foreach { case (m, d, w, s) =>
+      println(f"[storeab-auto] mode=$m%-14s mixed-delete ${d}%.3f s, " +
+        f"new-bytes ${w / 1024}%d KiB, post-delete scan ${s}%.3f s")
+    }
     spark.stop()
   }
 }

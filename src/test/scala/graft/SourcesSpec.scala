@@ -906,7 +906,10 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy("id", "v").collect().map(_.toString).toSeq
     assert(a == b)
     // evolutions that would rewrite committed files are rejected
-    intercept[Throwable] { spark.sql("ALTER TABLE graft.evodb.t DROP COLUMN v") }
+    // (DROP COLUMN is no longer one of them — see the field-id test)
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.evodb.t ALTER COLUMN v TYPE INT")
+    }
     intercept[Throwable] {
       spark.sql("ALTER TABLE graft.evodb.t ADD COLUMN x BIGINT NOT NULL")
     }
@@ -961,8 +964,8 @@ class SourcesSpec extends AnyFunSuite {
       "stats pushdown must survive the rename")
     assert(agg.head().getLong(0) == 0L && agg.head().getLong(1) == 199L)
 
-    // partition columns cannot be renamed (their name IS the layout);
-    // metadata-column collisions are rejected; DROP stays rejected
+    // partition columns cannot be renamed OR dropped (their name IS the
+    // layout); metadata-column collisions are rejected
     intercept[Throwable] {
       spark.sql("ALTER TABLE graft.rendb.t RENAME COLUMN day TO d")
     }
@@ -970,11 +973,181 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft.rendb.t RENAME COLUMN v TO _file")
     }
     intercept[Throwable] {
-      spark.sql("ALTER TABLE graft.rendb.t DROP COLUMN v")
+      spark.sql("ALTER TABLE graft.rendb.t DROP COLUMN day")
     }
     assert(spark.table("graft.rendb.t").schema.fieldNames.toSeq ==
       Seq("event_id", "day", "v"), "failed ALTERs must not leak partial schemas")
     spark.sql("DROP TABLE graft.rendb.t")
+  }
+
+  test("auto DML mode: per-file COW/MOR decision — one DV + one rewrite in a single commit") {
+    // VERDICT r13 task 4: `auto` decides per file from the commit's own
+    // matched-row counts — a 1%-hit file binds a deletion vector, a
+    // 90%-hit file rewrites its kept rows; ONE version carries both
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.autodb")
+    spark.sql("DROP TABLE IF EXISTS graft.autodb.t")
+    spark.sql("""CREATE TABLE graft.autodb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("""INSERT INTO graft.autodb.t
+                |SELECT /*+ REPARTITION(1) */ id,
+                |       CASE WHEN id < 100 THEN 'a' ELSE 'b' END, id * 2
+                |FROM range(0, 111)""".stripMargin) // a: 100 rows, b: 11 rows
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = s"$wh/autodb/t"
+    def files(day: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(s"$tdir/day=$day").listFiles())
+        .getOrElse(Array.empty)
+        .map(f => f.getName -> ((f.lastModified(), f.length()))).toMap
+    val aBefore = files("a")
+    val v0 = graft.sources.GraftMaintenance.currentVersion(tdir).get
+
+    spark.conf.set("spark.graft.store.delete.mode", "auto")
+    try {
+      // 1 of 100 rows in file a (1% < 0.5 -> DV), 10 of 11 in file b
+      // (91% >= 0.5 -> rewrite)
+      spark.sql("DELETE FROM graft.autodb.t WHERE id = 5 OR id >= 101")
+      assert(graft.sources.GraftMaintenance.currentVersion(tdir)
+        .contains(v0 + 1), "the mixed decision must be ONE commit")
+      // file a untouched (name/mtime/size), its dead row behind a DV
+      assert(files("a") == aBefore,
+        "a 1%-hit file must take a deletion vector, not a rewrite")
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tdir, "_MANIFEST").toPath), "UTF-8")
+      assert(manifest.contains("#dv=") && manifest.contains("day%3Da"),
+        "file a must carry a DV binding in the committed manifest")
+      // file b replaced by a materialized rewrite IN THE MANIFEST (the
+      // original stays on disk, retired for pinned readers), NOT DV-bound
+      val dataLines = manifest.linesIterator.filterNot(_.startsWith("#")).toSeq
+      assert(dataLines.exists(l => l.contains("day%3Db") && l.contains("-m")),
+        s"file b must be rewritten, manifest files: $dataLines")
+      assert(!dataLines.exists(l => l.contains("day%3Db") && l.contains("part-")),
+        "the original b file must leave the manifest")
+      assert(!manifest.linesIterator.exists(l =>
+        l.startsWith("#dv=") && l.contains("day%3Db")),
+        "the rewritten file must not be DV-bound")
+      // results exact on both reader paths
+      assert(spark.sql("SELECT count(*) FROM graft.autodb.t").head().getLong(0)
+        == 111L - 11L)
+      assert(spark.sql("SELECT sum(v) FROM graft.autodb.t WHERE day = 'b'")
+        .head().getLong(0) == 100L * 2L)
+      // the changelog nets exactly the deleted rows, both halves
+      val net = graft.sources.GraftCDC.netChanges(spark, tdir, v0, Some(v0 + 1))
+      assert(net.count() == 11L)
+      assert(net.filter(col("_change_type") =!= "delete").count() == 0L)
+
+      // CUMULATIVE fraction: more small deletes against file a OR into
+      // its existing DV until the threshold trips — then the commit
+      // materializes the DV away instead of stacking generations
+      spark.sql("DELETE FROM graft.autodb.t WHERE day = 'a' AND id < 60") // 59 live (id=5 gone): cum 60/100
+      assert(files("a").keySet.exists(_.contains("-m")),
+        "crossing the cumulative threshold must materialize the file")
+      assert(!new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tdir, "_MANIFEST").toPath), "UTF-8")
+        .linesIterator.exists(_.startsWith("#dv=")),
+        "the materialized file sheds its DV binding")
+      assert(spark.sql("SELECT count(*), min(id) FROM graft.autodb.t WHERE day = 'a'")
+        .head() match {
+        case r => r.getLong(0) == 40L && r.getLong(1) == 60L
+      })
+    } finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    spark.sql("DROP TABLE graft.autodb.t")
+  }
+
+  test("graft catalog DROP COLUMN: field-id tombstones, re-ADD never resurrects, time travel binds") {
+    // VERDICT r13 task 5 lifecycle: ADD→write→DROP→re-ADD→write; pre-drop
+    // rows read null under the re-added name, later columns never shift
+    // slots, time travel across the drop binds old data correctly
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dropdb")
+    spark.sql("DROP TABLE IF EXISTS graft.dropdb.t")
+    spark.sql("""CREATE TABLE graft.dropdb.t
+                |  (id BIGINT, v BIGINT, w STRING, day STRING)
+                |  PARTITIONED BY (day)""".stripMargin) // v1
+    spark.sql("""INSERT INTO graft.dropdb.t
+                |SELECT id, id * 2, CONCAT('w', CAST(id AS STRING)),
+                |       CAST(id % 2 AS STRING)
+                |FROM range(0, 10)""".stripMargin) // v2: pre-drop generation
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = s"$wh/dropdb/t"
+    val vPre = graft.sources.GraftMaintenance.currentVersion(tdir).get
+
+    spark.sql("ALTER TABLE graft.dropdb.t DROP COLUMN v")
+    // metadata-only: no data version committed, ledger materialized
+    assert(graft.sources.GraftMaintenance.currentVersion(tdir).contains(vPre))
+    assert(new java.io.File(tdir, "_COLUMNS").isFile,
+      "the first DROP must materialize the column ledger")
+    assert(spark.table("graft.dropdb.t").schema.fieldNames.toSeq ==
+      Seq("id", "w", "day"))
+    // LATER slots never shift: w still binds over pre-drop files
+    assert(spark.sql("SELECT max(w) FROM graft.dropdb.t").head().getString(0) == "w9")
+
+    // post-drop generation: the tombstoned slot is padded, not collapsed
+    spark.sql("""INSERT INTO graft.dropdb.t
+                |SELECT id, CONCAT('x', CAST(id AS STRING)), CAST(id % 2 AS STRING)
+                |FROM range(10, 15)""".stripMargin) // v3
+    assert(spark.sql("SELECT count(*) FROM graft.dropdb.t").head().getLong(0) == 15L)
+
+    // re-ADD of the dropped NAME = fresh field id: NEVER resurrects the
+    // old bytes — every pre-re-add row reads null
+    spark.sql("ALTER TABLE graft.dropdb.t ADD COLUMN v BIGINT")
+    assert(spark.sql("SELECT count(v) FROM graft.dropdb.t").head().getLong(0) == 0L,
+      "a re-added namesake must not resurrect dropped bytes")
+    spark.sql("""INSERT INTO graft.dropdb.t
+                |SELECT id, CONCAT('y', CAST(id AS STRING)), CAST(id % 2 AS STRING),
+                |       id * 100
+                |FROM range(15, 18)""".stripMargin) // v4
+    assert(spark.sql("SELECT count(v), sum(v) FROM graft.dropdb.t").head() match {
+      case r => r.getLong(0) == 3L && r.getLong(1) == (15L + 16L + 17L) * 100L
+    })
+    assert(spark.sql("SELECT sum(id) FROM graft.dropdb.t").head().getLong(0)
+      == (0L until 18L).sum)
+    // stats purge: the re-added v's probe is never refuted by the DEAD
+    // column's zone maps (old files carried v in [0,18] — the new values
+    // are 1500+ and must all surface)
+    assert(spark.sql("SELECT count(*) FROM graft.dropdb.t WHERE v >= 1500")
+      .head().getLong(0) == 3L)
+
+    // both reader paths agree across all three generations
+    val a = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", tdir).load().orderBy("id").collect().map(_.toString).toSeq
+    val b = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", tdir).option("columnar", "false").load()
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+
+    // TIME TRAVEL across the drop: the pinned pre-drop snapshot reads
+    // under the CURRENT schema — surviving columns bind to their original
+    // bytes, the re-added v is null everywhere
+    val tt = spark.sql(
+      s"""SELECT count(*) n, count(v) nv, max(w) mw
+         |FROM graft.dropdb.t VERSION AS OF $vPre""".stripMargin).head()
+    assert(tt.getLong(0) == 10L && tt.getLong(1) == 0L && tt.getString(2) == "w9")
+
+    // DML + maintenance preserve the ledger layout: a COW delete rewrites
+    // files with the tombstone padded, compactSorted re-clusters the whole
+    // table, and every generation still reads correctly afterwards
+    spark.sql("DELETE FROM graft.dropdb.t WHERE id = 16")
+    graft.sources.GraftMaintenance.compactSorted(tdir, Seq("id"), spark)
+    assert(spark.sql("SELECT count(*), count(v), sum(v) FROM graft.dropdb.t")
+      .head() match {
+      case r => r.getLong(0) == 17L && r.getLong(1) == 2L &&
+        r.getLong(2) == (15L + 17L) * 100L
+    })
+    assert(spark.sql("SELECT max(w) FROM graft.dropdb.t").head().getString(0) == "y17")
+
+    // guardrails: partition columns and the last data column stay put
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.dropdb.t DROP COLUMN day")
+    }
+    spark.sql("ALTER TABLE graft.dropdb.t DROP COLUMN v")
+    spark.sql("ALTER TABLE graft.dropdb.t DROP COLUMN w")
+    intercept[Throwable] { // id is the last data column
+      spark.sql("ALTER TABLE graft.dropdb.t DROP COLUMN id")
+    }
+    assert(spark.sql("SELECT sum(id) FROM graft.dropdb.t").head().getLong(0)
+      == (0L until 18L).filterNot(_ == 16L).sum)
+    spark.sql("DROP TABLE graft.dropdb.t")
   }
 
   test("graft catalog CTAS: CREATE TABLE AS SELECT creates and loads through the same store") {
@@ -1545,6 +1718,165 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ivmdb.t")
   }
 
+  test("CDC metadata table: pure-SQL changes read equals reader options; version bound narrows planning") {
+    // VERDICT r13 task 3: `SELECT * FROM cat.db.t.changes` — the
+    // Iceberg-shaped identifier — must reach the changelog with ZERO
+    // reader options, and a `_commit_version` bound must push into
+    // version-range PLANNING (not just row filtering), so a bounded SQL
+    // read never touches retention-GC-expired history outside its slice
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.metadb")
+    spark.sql("DROP TABLE IF EXISTS graft.metadb.t")
+    spark.sql("""CREATE TABLE graft.metadb.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin) // v1
+    spark.sql("""INSERT INTO graft.metadb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(0, 60)""".stripMargin) // v2
+    spark.sql("""INSERT INTO graft.metadb.t
+                |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
+                |FROM range(60, 100)""".stripMargin) // v3
+    spark.sql("DELETE FROM graft.metadb.t WHERE id = 7") // v4: COW
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/metadb/t"
+
+    def key(r: org.apache.spark.sql.Row): (String, Long, Long) =
+      (r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"),
+        r.getAs[Long]("id"))
+    // SQL surface ≡ reader-options surface, same slice
+    val viaSql = spark.sql(
+      """SELECT * FROM graft.metadb.t.changes
+        |WHERE _commit_version > 2 AND _commit_version <= 4""".stripMargin)
+    val viaOpts = graft.sources.GraftCDC.changes(spark, tpath, 2L, Some(4L))
+    assert(viaSql.collect().map(key).sorted.toSeq ==
+      viaOpts.collect().map(key).sorted.toSeq)
+    assert(viaSql.columns.sorted.toSeq == viaOpts.columns.sorted.toSeq)
+    // and the net-changes cancellation composes with the SQL surface
+    val netSql = graft.sources.GraftCDC.netChangesOf(viaSql)
+    assert(netSql.filter(col("_change_type") === "delete").collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(7L))
+
+    // a real table named `changes` SHADOWS the metadata table
+    spark.sql("CREATE TABLE graft.metadb.changes (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO graft.metadb.changes SELECT id, id FROM range(0, 5)")
+    assert(spark.sql("SELECT * FROM graft.metadb.changes").columns.toSeq ==
+      Seq("x", "y"))
+    spark.sql("DROP TABLE graft.metadb.changes")
+
+    // PLANNING proof: expire everything below the current version, then
+    // a bounded SQL read over the live range still plans (the pushed
+    // bound keeps GC'd versions out of planInputPartitions), while an
+    // unbounded read over the dead range fails loudly
+    spark.sql("INSERT INTO graft.metadb.t SELECT id, CAST(id % 2 AS STRING), id FROM range(100, 110)") // v5
+    // keepVersions = 2: v4+v5 manifests survive (diffing v5 needs v4 as
+    // its baseline), everything below expires — files AND manifests
+    graft.sources.GraftMaintenance.expireSnapshots(tpath, olderThanMs = 0L,
+      keepVersions = 2, strayGraceMs = 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.metadb.t.changes WHERE _commit_version > 4")
+      .head().getLong(0) == 10L)
+    intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM graft.metadb.t.changes").collect()
+    }
+    spark.sql("DROP TABLE graft.metadb.t")
+  }
+
+  test("expireSnapshots floorVersion: a checkpointed version range survives aggressive GC; without the floor the lag fails loudly") {
+    // VERDICT r13 task 6 — the retention-vs-streaming-reader contract:
+    // wire floorVersion to the oldest active checkpoint offset and every
+    // version from there up stays plannable regardless of the age window
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.floordb")
+    spark.sql("DROP TABLE IF EXISTS graft.floordb.t")
+    spark.sql("""CREATE TABLE graft.floordb.t (id BIGINT, day STRING)
+                |PARTITIONED BY (day)""".stripMargin) // v1
+    spark.sql("INSERT INTO graft.floordb.t SELECT /*+ REPARTITION(1) */ id, 'a' FROM range(0, 50)") // v2
+    spark.sql("INSERT INTO graft.floordb.t SELECT /*+ REPARTITION(1) */ id, 'b' FROM range(0, 30)") // v3
+    spark.sql("DELETE FROM graft.floordb.t WHERE day = 'a'") // v4: retires v2's file
+    spark.sql("INSERT INTO graft.floordb.t SELECT /*+ REPARTITION(1) */ id, 'c' FROM range(0, 20)") // v5
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/floordb/t"
+    assert(graft.sources.GraftMaintenance.currentVersion(tpath).contains(5L))
+
+    // a checkpoint sits at offset 3: GC with the floor keeps (3, 5]
+    // plannable — v3's manifest (the diff baseline), v4's retired file
+    // (the delete's row source), v5 — even at olderThanMs = 0
+    graft.sources.GraftMaintenance.expireSnapshots(tpath, olderThanMs = 0L,
+      keepVersions = 1, strayGraceMs = 0L, floorVersion = Some(3L))
+    val net = graft.sources.GraftCDC.netChanges(spark, tpath, 3L, Some(5L))
+    assert(net.filter(col("_change_type") === "delete").count() == 50L)
+    assert(net.filter(col("_change_type") === "insert").count() == 20L)
+    // ... while history BELOW the floor expired normally
+    intercept[Throwable] {
+      graft.sources.GraftCDC.changes(spark, tpath, 1L, Some(2L)).collect()
+    }
+
+    // without the floor, the same window expires the range a lagging
+    // reader needs — and the failure is LOUD, never a silent gap
+    graft.sources.GraftMaintenance.expireSnapshots(tpath, olderThanMs = 0L,
+      keepVersions = 1, strayGraceMs = 0L)
+    intercept[Throwable] {
+      graft.sources.GraftCDC.changes(spark, tpath, 3L, Some(5L)).collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.floordb.t").head().getLong(0)
+      == 50L, "the CURRENT snapshot always survives GC")
+    spark.sql("DROP TABLE graft.floordb.t")
+  }
+
+  test("GraftIVM refresh: input is the changelog, not the table; refreshed view equals recompute") {
+    // VERDICT r13 task 2's done-bar: the registered IVM operator's
+    // refresh must consume exactly the net changelog (O(changed rows)),
+    // never rescan the base table
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ivm2db")
+    spark.sql("DROP TABLE IF EXISTS graft.ivm2db.t")
+    spark.sql("DROP TABLE IF EXISTS graft.ivm2db.view")
+    spark.sql("CREATE TABLE graft.ivm2db.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.ivm2db.t SELECT id, id % 5, id * 3 FROM range(0, 1000)") // v2
+    spark.sql("CREATE TABLE graft.ivm2db.view (k BIGINT, n BIGINT, sv BIGINT)")
+    spark.sql("""INSERT INTO graft.ivm2db.view
+                |SELECT k, count(*), sum(v) FROM graft.ivm2db.t GROUP BY k""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/ivm2db/t"
+    val v0 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+
+    // small mixed DML batch against the 1000-row base
+    spark.sql("INSERT INTO graft.ivm2db.t SELECT id, id % 5, id * 3 FROM range(1000, 1020)")
+    spark.sql("DELETE FROM graft.ivm2db.t WHERE id >= 990 AND id < 1000")
+    spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
+    try spark.sql("UPDATE graft.ivm2db.t SET v = v + 7 WHERE id < 5")
+    finally spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+
+    val changelog = spark.sql(
+      s"SELECT * FROM graft.ivm2db.t.changes WHERE _commit_version > $v0")
+    val consumed = graft.sources.GraftIVM.refreshAggregate(spark, changelog,
+      "graft.ivm2db.view", groupCols = Seq("k"), countCol = "n",
+      sums = Seq("sv" -> "v"))
+    // input size = the NET changelog: 20 inserts + 10 deletes + 5
+    // update pairs (delete+insert) = 40 rows — not the 1010-row table
+    assert(consumed == 40L,
+      s"refresh consumed $consumed rows; must equal the changelog size")
+
+    val refreshed = spark.table("graft.ivm2db.view").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val recomputed = spark.table("graft.ivm2db.t")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(refreshed == recomputed,
+      s"IVM refresh drift: refreshed=$refreshed recomputed=$recomputed")
+
+    // a group whose count reaches zero DISAPPEARS from the view
+    spark.sql("DELETE FROM graft.ivm2db.t WHERE k = 3")
+    val v1 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+    graft.sources.GraftIVM.refreshAggregate(spark,
+      spark.sql(s"SELECT * FROM graft.ivm2db.t.changes WHERE _commit_version >= $v1"),
+      "graft.ivm2db.view", Seq("k"), "n", Seq("sv" -> "v"))
+    assert(!spark.table("graft.ivm2db.view").collect().exists(_.getLong(0) == 3L),
+      "an emptied group must leave the maintained view")
+    spark.sql("DROP TABLE graft.ivm2db.t")
+    spark.sql("DROP TABLE graft.ivm2db.view")
+  }
+
   test("graft-store readStream: micro-batches follow the version pointer, loud on non-append versions") {
     ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.strdb")
@@ -1878,18 +2210,60 @@ class SourcesSpec extends AnyFunSuite {
     assert(ySel.count() ==
       (0L until 65536L).count(id => { val yy = id * 2654435761L % 256; yy >= 100 && yy < 116 }))
 
-    // guardrails: 1 dimension or a non-integral dimension is rejected
+    // guardrails: 1 dimension or an unrankable dimension is rejected
     intercept[Throwable] {
       GraftMaintenance.compactSorted(dir, Seq("x"), spark, zOrder = true)
     }
-    val dir2 = graft.util.TempDirs.create("graft_zorder_s_") + "/t"
+    val dirB = graft.util.TempDirs.create("graft_zorder_b_") + "/t"
     spark.range(0, 10, 1, 1)
-      .select(col("id").as("x"), col("id").cast("string").as("s"))
+      .select(col("id").as("x"), (col("id") % 2 === 0).as("flag"))
       .write.format("graft.sources.GraftStoreProvider")
-      .option("path", dir2).mode("overwrite").save()
+      .option("path", dirB).mode("overwrite").save()
     intercept[Throwable] {
-      GraftMaintenance.compactSorted(dir2, Seq("x", "s"), spark, zOrder = true)
+      GraftMaintenance.compactSorted(dirB, Seq("x", "flag"), spark, zOrder = true)
     }
+  }
+
+  test("z-order with a STRING dimension: rank-against-stats cuts, both dimensions prune") {
+    // VERDICT r13 task 7: non-integral z-order dimensions rank against
+    // the table's own zone-map bounds — no extra data pass, the same
+    // UTF-8 total order the zone maps use
+    import graft.sources.GraftMaintenance
+    val dir = graft.util.TempDirs.create("graft_zorder_str_") + "/t"
+    spark.range(0, 65536, 1, 8)
+      .select(
+        concat(lit("k"), lpad(((col("id") * 2654435761L) % 256).cast("string"),
+          3, "0")).as("s"),
+        (col("id") % 256).as("x"), col("id").as("v"))
+      // cluster the INPUT by s so the per-file zone maps carry real
+      // distribution information (the stats the string rank cuts on) —
+      // the decayed-but-not-random layout re-clustering exists for
+      .repartitionByRange(8, col("s"))
+      .write.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).mode("overwrite").save()
+    def read() = spark.read.format("graft.sources.GraftStoreProvider")
+      .option("path", dir).load()
+    val expect = read().agg(sum("v")).head().getLong(0)
+
+    val bytes = graft.tools.GraftCommit0.allBytes(dir)
+    GraftMaintenance.compactSorted(dir, Seq("s", "x"), spark,
+      targetBytes = math.max(1L, bytes / 16), zOrder = true)
+    val total = read().rdd.getNumPartitions
+    assert(total >= 8, s"expected >= 8 clustered files, got $total")
+    // the STRING dimension prunes (leading) ...
+    val sSel = read().filter(col("s") >= "k100" && col("s") < "k116")
+    assert(sSel.rdd.getNumPartitions < total,
+      s"s-probe planned ${sSel.rdd.getNumPartitions} of $total files")
+    // ... and so does the trailing integral dimension — impossible under
+    // lexicographic (s, x) clustering
+    val xSel = read().filter(col("x") >= 100L && col("x") < 116L)
+    assert(xSel.rdd.getNumPartitions < total,
+      s"x-probe planned ${xSel.rdd.getNumPartitions} of $total files")
+    // data intact, probe answers exact
+    assert(read().agg(sum("v")).head().getLong(0) == expect)
+    assert(sSel.count() == (0L until 65536L).count { id =>
+      val kk = id * 2654435761L % 256; kk >= 100 && kk < 116
+    })
   }
 
   test("graft-store version-pointer kill boundaries: history-first commit, stray history is harmless and overwritten") {
