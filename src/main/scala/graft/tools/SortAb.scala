@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * Warm-up + min-of-3 per cell. Usage: runMain graft.tools.SortAb [rows]
   */
 object GraftCommit0 {
-  /** Sum of data-file bytes under a store dir (dev-tool helper). */
+  /** Sum of data-file (and DV sidecar) bytes under a store dir — every
+    * publishable artifact class, so write-amp deltas (StoreAb's auto
+    * COW/MOR A/B) see rewrite files and deletion vectors too.
+    */
   def allBytes(path: String): Long = {
     def go(d: java.io.File): Long =
       Option(d.listFiles()).getOrElse(Array.empty).map {
         case f if f.isFile && (f.getName.startsWith("part-") ||
-          f.getName.startsWith("merged-")) => f.length()
+          f.getName.startsWith("merged-") || f.getName.startsWith("rewrite-") ||
+          f.getName.startsWith("dv-")) => f.length()
         case d2 if d2.isDirectory && d2.getName.contains("=") => go(d2)
         case _ => 0L
       }.sum
