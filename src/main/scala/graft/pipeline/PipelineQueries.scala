@@ -155,6 +155,12 @@ object PipelineQueries {
     }: _*)).as("rc"))
       .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
     val sketch = cells.groupBy("row", "cell").agg(count(lit(1)).as("c"))
+      // evaluate the sketch ONCE: each hash row's probe join filters it,
+      // and the filter pushes BELOW the aggregate, so without the cache
+      // the four broadcast subtrees each re-scan + re-aggregate the full
+      // event stream (measured: 0 ReusedExchange, 4 builds — the q99 sf1
+      // line PERF.md flagged). The cached relation is d×w = 1024 rows.
+      .cache()
     val probes = ev.filter(col("user_id") < 20).distinct()
       .select(col("user_id").as("k"))
     val probeCells = probes.select(col("k") +: cmsParams.zipWithIndex.map {

@@ -45,10 +45,13 @@ import org.apache.spark.sql.functions._
   * diffs, O(changed files)) and its STATE is the view (group-count
   * sized). The one full-table scan in a view's lifetime is its initial
   * materialization. The view overwrite rewrites the whole view — view
-  * tables are aggregate-sized; a deployment with a very large group
-  * space would partition the view and overwrite only touched
-  * partitions, which needs dynamic-overwrite support and is documented
-  * as the follow-on in CATALOG.md.
+  * tables are aggregate-sized. A deployment with a very large group
+  * space would PARTITION the view on a group column and refresh with
+  * `writeTo(view).overwritePartitions()` (the store supports dynamic
+  * partition overwrite) so only touched partitions republish — with
+  * the one extra step that partitions whose groups all vanished need a
+  * partition DELETE (dynamic overwrite cannot express "replace with
+  * nothing"); the full-overwrite form here needs no such case.
   *
   * Null contract: COUNT(*) is exact; maintained SUMs treat an all-null
   * group as 0 where SQL reports NULL (nulls contribute nothing to the

@@ -868,8 +868,8 @@ private[sources] class GraftStoreTable(
     partCols.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // vectorized by default (measured 1.4x on scan-bound aggregates,
@@ -1826,17 +1826,29 @@ private[sources] class GraftReaderFactory(
 
 private[sources] class GraftStoreWriteBuilder(
     path: String, schema: StructType, partCols: Seq[String])
-    extends WriteBuilder with SupportsTruncate {
-  private var doTruncate = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  // "append" | "truncate" | "dynamic"
+  private var mode = "append"
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+  /** DYNAMIC PARTITION OVERWRITE (`df.writeTo(t).overwritePartitions()`):
+    * replace exactly the partitions the written data lands in, leave
+    * every other partition untouched — the serving-refresh shape where a
+    * job recomputes a few day partitions of a big table. On an
+    * unpartitioned table the whole table is the one partition (full
+    * replace, Delta's convention).
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
+  }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(path, schema, partCols, doTruncate,
+      new GraftBatchWrite(path, schema, partCols, mode,
         java.util.UUID.randomUUID().toString.take(8))
     override def toStreaming: StreamingWrite = {
-      require(!doTruncate,
+      require(mode == "append",
         "graft-store: streaming writes are append-only (epoch-idempotent); " +
-          "complete/truncate output modes are not supported")
+          "complete/truncate/dynamic output modes are not supported")
       new GraftStreamingWrite(path, schema, partCols)
     }
   }
@@ -2493,15 +2505,17 @@ private[sources] object GraftCommit {
 
 private[sources] class GraftBatchWrite(
     path: String, schema: StructType, partCols: Seq[String],
-    truncate: Boolean, jobId: String)
+    mode: String, jobId: String)
     extends BatchWrite {
+  private def truncate = mode == "truncate"
 
-  // layout for the files THIS write produces: appends always honor the
-  // ledger (dropped slots keep their positions); an overwrite keeps it
-  // only while the write schema's data columns still match the ledger's
-  // live set — otherwise the overwrite REDEFINES the layout and the
-  // ledger is retired at commit (readers of the new files bind by the
-  // new schema order)
+  // layout for the files THIS write produces: appends and dynamic
+  // overwrites always honor the ledger (untouched partitions' files
+  // remain, so dropped slots must keep their positions); a full
+  // overwrite keeps it only while the write schema's data columns still
+  // match the ledger's live set — otherwise the overwrite REDEFINES the
+  // layout and the ledger is retired at commit (readers of the new
+  // files bind by the new schema order)
   private val writeLayoutUsed: Option[Seq[Option[String]]] = {
     val led = GraftCommit.writeLayout(new File(path))
     if (!truncate) led
@@ -2517,10 +2531,66 @@ private[sources] class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     dir.mkdirs()
-    if (truncate && GraftCommit.readManifest(dir).isDefined)
+    if (mode == "dynamic") commitDynamicOverwrite(dir, messages)
+    else if (truncate && GraftCommit.readManifest(dir).isDefined)
       commitVersionedOverwrite(dir, messages)
     else if (truncate) commitGlobOverwrite(dir, messages)
     else commitAppend(dir, messages)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE: publish the new files, then ONE
+    * manifest commit drops every current file living in a TOUCHED
+    * partition (a directory the write produced rows for) and adds the
+    * published set; replaced files are RETIRED, so pinned readers and
+    * time travel cross the refresh and the CDC read attributes it as
+    * deletes + inserts of exactly the touched partitions. Untouched
+    * partitions' files are carried through the swap — their bytes, zone
+    * maps and DV bindings never move. On a glob (unversioned) table the
+    * replace is physical within the touched directories only.
+    */
+  private def commitDynamicOverwrite(dir: File,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val published = GraftCommit.publish(dir, messages, n => f"part-$jobId-$n%05d.csv")
+    val mine = published.map(_._1).toSet
+    def parentOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val touched: Set[String] = published.map(p => parentOf(p._1)).toSet
+    // the declared schema stands, like an append
+    GraftCommit.writeMeta(dir, schema, partCols, keepExisting = true)
+    GraftCommit.withMetaLock(dir) {
+      GraftCommit.retryingCommit("dynamic INSERT OVERWRITE") {
+        GraftCommit.readManifestFull(dir) match {
+          case Some(m) =>
+            val (dead, kept) = m.files.partition(rel => touched(parentOf(rel)))
+            // replaced files keep their stats entries (retired; pinned
+            // scans still skip by them) — GC drops both together
+            GraftCommit.writeStats(dir,
+              (GraftCommit.readStats(dir) ++ published).toSeq.sortBy(_._1))
+            val v = GraftCommit.commitManifest(dir,
+              kept ++ published.map(_._1),
+              op = "overwrite-dynamic", base = Some(m.version))
+            GraftCommit.retire(dir, dead, v)
+          case None =>
+            // glob table: visibility is the listing — physically clear
+            // the touched directories (published files excluded), then
+            // the new files are already in place
+            val goners = GraftCommit.allPartFiles(dir).filter { f =>
+              val rel = GraftCommit.relOf(dir, f)
+              touched(parentOf(rel)) && !mine(rel)
+            }
+            val gonerRels = goners.map(f => GraftCommit.relOf(dir, f)).toSet
+            GraftCommit.writeStats(dir,
+              (GraftCommit.readStats(dir).filterNot(e => gonerRels(e._1))
+                ++ published).toSeq.sortBy(_._1))
+            goners.foreach(f => Files.delete(f.toPath))
+        }
+      }
+    }
+    GraftCommit.deleteTemp(path, jobId)
+    Files.write(new File(dir, GraftStore.SuccessFile).toPath, Array.empty[Byte])
+    ()
   }
 
   /** APPEND: publish, then commit version N+1 under the lock with the
