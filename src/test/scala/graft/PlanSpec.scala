@@ -371,6 +371,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected the aggregated side as broadcast BUILD side:\n$plan")
   }
 
+  test("q99 count-min: the sketch evaluates ONCE (cached), not per hash row") {
+    // regression pin for the round-14 fix: the per-row filter pushes
+    // below the sketch aggregate, so WITHOUT the shared cache the four
+    // broadcast probe joins each rebuilt the sketch from a full event
+    // scan (0 ReusedExchange, 4 builds — the inflated sf1 bench line)
+    val df = Registry.planForms("q99_countmin")(spark, sf)
+    df.count() // materialize so the executed plan reflects the cache
+    val plan = df.queryExecution.executedPlan.toString
+    try {
+      // all four probe joins must read the CACHED relation ("Scan
+      // parquet" occurrences are not countable here: each
+      // InMemoryRelation prints its stored build plan, scans included)
+      val memScans = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(memScans == 4, s"expected the 4 probe joins to hit the cached " +
+        s"sketch, saw $memScans InMemoryTableScan:\n${plan.take(800)}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q249 seq-source pushdown: no residual Filter, pushed set visible on the scan") {
     val df = Registry.planForms("q249_dsv2_filter_pushdown")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
