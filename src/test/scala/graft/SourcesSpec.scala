@@ -1103,6 +1103,68 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.autodb.t")
   }
 
+  test("auto DML mode: UPDATE and MERGE — rewrites and reinserted rows share one commit") {
+    // the auto decision on the commands that also INSERT: an UPDATE's
+    // delete+reinsert pairs must land with the per-file decision in the
+    // same version, and a materialized file's kept rows must not drop
+    // the reinserted ones
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.autodml")
+    spark.sql("DROP TABLE IF EXISTS graft.autodml.t")
+    spark.sql("""CREATE TABLE graft.autodml.t (id BIGINT, day STRING, v BIGINT)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("""INSERT INTO graft.autodml.t
+                |SELECT /*+ REPARTITION(1) */ id,
+                |       CASE WHEN id < 100 THEN 'a' ELSE 'b' END, id
+                |FROM range(0, 110)""".stripMargin) // a: 100 rows, b: 10 rows
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = s"$wh/autodml/t"
+    val v0 = graft.sources.GraftMaintenance.currentVersion(tdir).get
+    spark.conf.set("spark.graft.store.update.mode", "auto")
+    try {
+      // 2% of file a (DV), 90% of file b (rewrite) — one UPDATE
+      spark.sql("""UPDATE graft.autodml.t SET v = v + 1000
+                  |WHERE id IN (3, 7) OR id >= 101""".stripMargin)
+      assert(graft.sources.GraftMaintenance.currentVersion(tdir)
+        .contains(v0 + 1), "auto UPDATE must be ONE commit")
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tdir, "_MANIFEST").toPath), "UTF-8")
+      assert(manifest.linesIterator.exists(l =>
+        l.startsWith("#dv=") && l.contains("day%3Da")),
+        "the 2%-hit file must take a DV")
+      assert(!manifest.linesIterator.exists(l =>
+        l.startsWith("#dv=") && l.contains("day%3Db")),
+        "the 90%-hit file must be rewritten, not DV-bound")
+      // every row present exactly once, updates applied
+      assert(spark.sql("SELECT count(*) FROM graft.autodml.t")
+        .head().getLong(0) == 110L)
+      assert(spark.sql("SELECT sum(v) FROM graft.autodml.t").head().getLong(0)
+        == (0L until 110L).map(i =>
+          if (i == 3 || i == 7 || i >= 101) i + 1000 else i).sum)
+    } finally spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+
+    // MERGE through the same auto plumbing: matched rows update (dense
+    // in day=b), unmatched insert — still one commit, still exact
+    spark.conf.set("spark.graft.store.merge.mode", "auto")
+    try {
+      spark.range(100, 120).selectExpr("id",
+        "CASE WHEN id < 110 THEN 'b' ELSE 'c' END AS day", "id * 10 AS nv")
+        .createOrReplaceTempView("autodml_src")
+      val v1 = graft.sources.GraftMaintenance.currentVersion(tdir).get
+      spark.sql("""MERGE INTO graft.autodml.t t USING autodml_src s
+                  |ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.nv
+                  |WHEN NOT MATCHED THEN INSERT (id, day, v) VALUES (s.id, s.day, s.nv)""".stripMargin)
+      assert(graft.sources.GraftMaintenance.currentVersion(tdir)
+        .contains(v1 + 1), "auto MERGE must be ONE commit")
+      assert(spark.sql("SELECT count(*) FROM graft.autodml.t")
+        .head().getLong(0) == 120L)
+      assert(spark.sql("SELECT sum(v) FROM graft.autodml.t WHERE id >= 100")
+        .head().getLong(0) == (100L until 120L).map(_ * 10).sum)
+    } finally spark.conf.set("spark.graft.store.merge.mode", "copy-on-write")
+    spark.sql("DROP TABLE graft.autodml.t")
+  }
+
   test("graft catalog DROP COLUMN: field-id tombstones, re-ADD never resurrects, time travel binds") {
     // VERDICT r13 task 5 lifecycle: ADD→write→DROP→re-ADD→write; pre-drop
     // rows read null under the re-added name, later columns never shift
