@@ -67,6 +67,14 @@ object GraftIVM {
     * Returns the number of net change rows consumed (the refresh's
     * entire data input — SourcesSpec pins that it equals the changelog
     * size, not the base table size).
+    *
+    * RANGE OWNERSHIP: the caller owns the version bookkeeping, exactly
+    * like any changelog consumer — each refresh must cover the half-open
+    * range since the previous one (apply a slice twice and the deltas
+    * double-apply). Deployments that want managed offsets run the
+    * STREAMING changelog (`readStream` + `changesFrom`, checkpointed)
+    * into `foreachBatch(refreshAggregate(...))` — the checkpoint then
+    * carries the exactly-once range the batch form leaves to the caller.
     */
   def refreshAggregate(spark: SparkSession, changelog: DataFrame,
       viewTable: String, groupCols: Seq[String], countCol: String,
