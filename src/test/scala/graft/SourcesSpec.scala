@@ -1261,6 +1261,85 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dropdb.t")
   }
 
+  test("column-ledger model check: random ADD/RENAME/DROP/write sequences read back exactly") {
+    // model-based randomized lifecycle for the field-id ledger: a
+    // driver-side model tracks, per row, the value written under each
+    // FIELD ID; after any evolution sequence a visible column must read
+    // the value its CURRENT incarnation's id was live for — null
+    // everywhere else (never another incarnation's bytes)
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ledgerdb")
+    val rnd = new scala.util.Random(20260816L)
+    for (seqNo <- 0 until 6) {
+      spark.sql("DROP TABLE IF EXISTS graft.ledgerdb.t")
+      spark.sql("CREATE TABLE graft.ledgerdb.t (key BIGINT, c0 BIGINT, c1 BIGINT)")
+      // model state
+      var nextId = 2 // c0=0, c1=1 (implicit ledger ids by position)
+      // ORDERED like the engine's schema: rename is position-preserving,
+      // and INSERT binds the SELECT to the table by position
+      var live: Vector[(String, Int)] = Vector("c0" -> 0, "c1" -> 1)
+      def idOf(c: String): Int = live.find(_._1 == c).get._2
+      var nextName = 2
+      var nextKey = 0L
+      val rows = scala.collection.mutable.ListBuffer
+        .empty[(Long, Map[Int, Long])] // key -> fieldId -> written value
+      def value(key: Long, id: Int): Long = key * 1000 + id
+      def insertBatch(): Unit = {
+        val exprs = live.map { case (c, id) =>
+          s"id * 1000 + $id AS $c" }.mkString(", ")
+        spark.sql(s"""INSERT INTO graft.ledgerdb.t
+                     |SELECT id AS key, $exprs
+                     |FROM range($nextKey, ${nextKey + 3})""".stripMargin)
+        (nextKey until nextKey + 3).foreach { k =>
+          rows += ((k, live.map { case (_, id) => id -> value(k, id) }.toMap))
+        }
+        nextKey += 3
+      }
+      insertBatch()
+      for (_ <- 0 until 8) {
+        rnd.nextInt(4) match {
+          case 0 => // ADD
+            val name = s"c$nextName"; nextName += 1
+            spark.sql(s"ALTER TABLE graft.ledgerdb.t ADD COLUMN $name BIGINT")
+            live = live :+ (name -> nextId); nextId += 1
+          case 1 if live.size > 1 => // DROP (never the last data column)
+            val name = live(rnd.nextInt(live.size))._1
+            spark.sql(s"ALTER TABLE graft.ledgerdb.t DROP COLUMN $name")
+            live = live.filterNot(_._1 == name)
+          case 2 => // RENAME (position-preserving, like the engine)
+            val from = live(rnd.nextInt(live.size))._1
+            val to = s"c$nextName"; nextName += 1
+            spark.sql(s"ALTER TABLE graft.ledgerdb.t RENAME COLUMN $from TO $to")
+            live = live.map { case (n, i) => if (n == from) (to, i) else (n, i) }
+          case _ => insertBatch()
+        }
+      }
+      insertBatch() // always end with a write through the final layout
+      // verify every cell against the model, on both reader paths
+      val cols = live.map(_._1)
+      val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+      for (columnar <- Seq(true, false)) {
+        val got = spark.read.format("graft.sources.GraftStoreProvider")
+          .option("path", s"$wh/ledgerdb/t")
+          .option("columnar", columnar.toString).load()
+          .orderBy("key").collect()
+        assert(got.length == rows.length, s"seq $seqNo: row count")
+        got.zip(rows.sortBy(_._1)).foreach { case (r, (key, written)) =>
+          assert(r.getAs[Long]("key") == key)
+          cols.foreach { c =>
+            val expect: Option[Long] = written.get(idOf(c))
+            val actual = if (r.isNullAt(r.fieldIndex(c))) None
+                         else Some(r.getAs[Long](c))
+            assert(actual == expect,
+              s"seq $seqNo key=$key col=$c (field id ${idOf(c)}, " +
+                s"columnar=$columnar): got $actual expected $expect")
+          }
+        }
+      }
+    }
+    spark.sql("DROP TABLE graft.ledgerdb.t")
+  }
+
   test("graft catalog CTAS: CREATE TABLE AS SELECT creates and loads through the same store") {
     ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctasdb")
