@@ -202,6 +202,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (ident.name() == ChangesMetaTable && ident.namespace().nonEmpty) {
         val base = nsDir(ident.namespace())
         if (isTable(base)) {
+          // ADVICE r14 low: the changes table is version-RANGE addressed
+          // (`_commit_version` predicates), not snapshot-pinnable — a
+          // `VERSION AS OF` pin would otherwise silently resolve to the
+          // full current changelog
+          if (pinned.isDefined) throw new UnsupportedOperationException(
+            s"graft catalog: the $ChangesMetaTable metadata table cannot " +
+              "be pinned with VERSION AS OF / TIMESTAMP AS OF — bound the " +
+              s"slice with ${GraftChanges.CommitVersionColumn} predicates instead")
           val schema = StructType.fromDDL(new String(Files.readAllBytes(
             new File(base, GraftStore.SchemaFile).toPath), StandardCharsets.UTF_8))
           return new GraftChangesTable(base.getAbsolutePath,

@@ -305,10 +305,16 @@ private[sources] class GraftChangesScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new File(path)
-    val end = toV.getOrElse(GraftCommit.currentManifestVersion(root)
+    val cur = GraftCommit.currentManifestVersion(root)
       .getOrElse(throw new IllegalStateException(
         s"graft-store: $path is not a versioned table — the changes read " +
-          "needs manifest versions (write through the catalog or compact once)")))
+          "needs manifest versions (write through the catalog or compact once)"))
+    // an upper bound past the table's history CLAMPS to the current
+    // version (ADVICE r14 medium: a pushed `_commit_version <= 100` on a
+    // 5-version table must not plan never-committed manifests and throw
+    // — the same query without pushdown succeeds with a residual filter,
+    // so the SQL surface would turn a valid query into an error)
+    val end = toV.fold(cur)(math.min(_, cur))
     // a pushed bound past the table's history is an EMPTY slice, not an
     // inverted-range error (e.g. `WHERE _commit_version > current`)
     if (fromV >= end) Array.empty

@@ -711,7 +711,12 @@ private[sources] object GraftDv {
           while (j < k) {
             if (j > 0) sb.append(',')
             val raw: String = if (j < rec.length) rec(j) else null
-            if (raw != null) sb.append(GraftStore.escape(raw))
+            // ADVICE r14 low: tombstoned ledger slots must serialize as
+            // EMPTY fields like the normal write path — re-emitting the
+            // original bytes would copy dropped-column data into freshly
+            // written rewrite files, violating the DROP COLUMN contract
+            if (raw != null && layout(j).isDefined)
+              sb.append(GraftStore.escape(raw))
             layout(j) match {
               case Some(f) if raw == null => nulls(j) += 1
               case Some(f) =>
@@ -743,7 +748,7 @@ private[sources] object GraftDv {
                 }
                 if (mins(j) == null || cmpVal(v, mins(j)) < 0) mins(j) = v
                 if (maxs(j) == null || cmpVal(v, maxs(j)) > 0) maxs(j) = v
-              case None => () // tombstoned slot: re-emitted verbatim-null
+              case None => () // tombstoned slot: emitted as an empty field
             }
             j += 1
           }

@@ -1261,6 +1261,44 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dropdb.t")
   }
 
+  test("auto rewrite after DROP COLUMN: tombstoned slots serialize empty, dropped bytes never copy forward") {
+    // ADVICE r14 low: materializeKept re-emitted the ORIGINAL bytes of
+    // tombstoned ledger slots into freshly written rewrite files — the
+    // DROP COLUMN contract is that writers emit an empty (null) field at
+    // dropped positions, so dropped data ages out with its generation
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tombdb")
+    spark.sql("DROP TABLE IF EXISTS graft.tombdb.t")
+    spark.sql("CREATE TABLE graft.tombdb.t (id BIGINT, secret STRING, keep STRING)")
+    spark.sql("""INSERT INTO graft.tombdb.t
+                |SELECT /*+ REPARTITION(1) */ id,
+                |  CONCAT('SECRET', CAST(id AS STRING)),
+                |  CONCAT('k', CAST(id AS STRING))
+                |FROM range(0, 10)""".stripMargin)
+    spark.sql("ALTER TABLE graft.tombdb.t DROP COLUMN secret")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tdir = s"$wh/tombdb/t"
+    val prev = spark.conf.getOption("spark.graft.store.delete.mode")
+    spark.conf.set("spark.graft.store.delete.mode", "auto")
+    // 9 of 10 rows deleted: 90% >= the auto threshold -> materialized
+    // rewrite (the path that streams old bytes through materializeKept)
+    try spark.sql("DELETE FROM graft.tombdb.t WHERE id < 9")
+    finally prev.fold(spark.conf.unset("spark.graft.store.delete.mode"))(
+      spark.conf.set("spark.graft.store.delete.mode", _))
+    val rewrites = Option(new java.io.File(tdir).listFiles()).get
+      .filter(f => f.getName.endsWith(".csv") && f.getName.contains("-m"))
+    assert(rewrites.nonEmpty, "the 90%-deleted file must be materialized")
+    val content = rewrites.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(!content.contains("SECRET"),
+      s"dropped-column bytes leaked into a rewrite file: $content")
+    assert(content.trim == "9,,k9",
+      s"tombstoned slot must serialize as an EMPTY field: '$content'")
+    assert(spark.sql("SELECT id, keep FROM graft.tombdb.t").collect()
+      .map(_.toString).toSeq == Seq("[9,k9]"))
+    spark.sql("DROP TABLE graft.tombdb.t")
+  }
+
   test("column-ledger model check: random ADD/RENAME/DROP/write sequences read back exactly") {
     // model-based randomized lifecycle for the field-id ledger: a
     // driver-side model tracks, per row, the value written under each
@@ -1944,6 +1982,27 @@ class SourcesSpec extends AnyFunSuite {
     val netSql = graft.sources.GraftCDC.netChangesOf(viaSql)
     assert(netSql.filter(col("_change_type") === "delete").collect()
       .map(_.getAs[Long]("id")).toSeq == Seq(7L))
+
+    // ADVICE r14 medium: an upper bound PAST the table's history CLAMPS
+    // to the current version — it must not plan never-committed
+    // manifests and throw (the same query without pushdown succeeds)
+    val clamped = spark.sql(
+      "SELECT * FROM graft.metadb.t.changes WHERE _commit_version <= 100")
+    assert(clamped.collect().map(key).sorted.toSeq ==
+      graft.sources.GraftCDC.changes(spark, tpath, 0L)
+        .collect().map(key).sorted.toSeq)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.metadb.t.changes WHERE _commit_version = 100")
+      .head().getLong(0) == 0L)
+    // ADVICE r14 low: the changes table is version-RANGE addressed — a
+    // snapshot pin would silently resolve to the full current changelog,
+    // so it is refused loudly
+    val pinErr = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft.metadb.t.changes VERSION AS OF 3").collect()
+    }
+    assert(pinErr.getMessage != null &&
+      pinErr.getMessage.contains("_commit_version"),
+      s"expected a loud range-addressing error, got: ${pinErr.getMessage}")
 
     // a real table named `changes` SHADOWS the metadata table
     spark.sql("CREATE TABLE graft.metadb.changes (x BIGINT, y BIGINT)")
