@@ -636,15 +636,19 @@ object SourceQueries {
   /** ROW-LEVEL DELETE BY ID (VERDICT r11 task 2 — q230's erasure
     * cascade at the TABLE FORMAT level: right-to-be-forgotten deletes
     * by USER, not by partition): a data-column `DELETE` on a graft
-    * catalog table plans as a group-based copy-on-write rewrite — the
-    * delete condition is pushed into the rewrite scan (partition
-    * pruning + zone-map refutation bound the rewrite set), runtime
-    * group filtering narrows it to files actually containing matches,
-    * the kept rows republish as `rewrite-*` files, and one manifest
-    * commit swaps them in with the originals RETIRED (SourcesSpec
-    * proves non-intersecting files are neither opened nor rewritten,
-    * via poison + file-set checks). The oracle recomputes the surviving
-    * aggregate from the source parquet with the negated predicate.
+    * catalog table, under the session's DML mode — `auto` by default
+    * since VERDICT r14 task 6, so each file's fate is decided from the
+    * commit's own matched counts (the ~1%-hit files here all bind
+    * deletion vectors; a dense hit would rewrite its kept rows on
+    * executors). The delete condition is pushed into the scan
+    * (partition pruning + zone-map refutation bound the touched set),
+    * runtime group filtering narrows it to files actually containing
+    * matches, and one manifest commit binds the whole decision with the
+    * originals' rows RETIRED from visibility (SourcesSpec proves
+    * non-intersecting files are neither opened nor rewritten, and that
+    * all three modes return byte-identical results on this lifecycle).
+    * The oracle recomputes the surviving aggregate from the source
+    * parquet with the negated predicate.
     */
   private def q257(s: SparkSession, d: String): DataFrame = {
     ensureGraftCatalog(s)
@@ -744,7 +748,14 @@ object SourceQueries {
     s.sql("""INSERT INTO graft.db.events_cdc
             |SELECT /*+ REPARTITION(2) */ event_id, user_id, value, half
             |FROM q259_src WHERE half = 'odd'""".stripMargin) // version 3
-    s.sql("DELETE FROM graft.db.events_cdc WHERE user_id % 7 = 3") // v4: COW
+    // v4: COW delete, PINNED (the session default is auto, which would
+    // bind DVs at this churn — the query's point is the COW rewrite's
+    // same-version pair noise and its relational cancellation)
+    val prevCdcMode = s.conf.getOption(graft.sources.GraftStore.DeleteModeConf)
+    s.conf.set(graft.sources.GraftStore.DeleteModeConf, "copy-on-write")
+    try s.sql("DELETE FROM graft.db.events_cdc WHERE user_id % 7 = 3")
+    finally prevCdcMode.fold(s.conf.unset(graft.sources.GraftStore.DeleteModeConf))(
+      s.conf.set(graft.sources.GraftStore.DeleteModeConf, _))
     val path = s.conf.get("spark.sql.catalog.graft.warehouse") + "/db/events_cdc"
     graft.sources.GraftMaintenance.compact(path) // v5 (emits no changes)
     val cur = graft.sources.GraftMaintenance.currentVersion(path).get
@@ -818,7 +829,13 @@ object SourceQueries {
     s.sql("""INSERT INTO graft.db.events_ivm
             |SELECT /*+ REPARTITION(2) */ event_id, user_id, value, half
             |FROM q260_src WHERE event_id % 3 = 0""".stripMargin) // v3: append
-    s.sql("DELETE FROM graft.db.events_ivm WHERE user_id % 11 = 5") // v4: COW
+    // v4: COW delete, PINNED (the documented lifecycle is append + COW
+    // + MOR; the auto default would bind DVs at this churn)
+    val prevIvmMode = s.conf.getOption(graft.sources.GraftStore.DeleteModeConf)
+    s.conf.set(graft.sources.GraftStore.DeleteModeConf, "copy-on-write")
+    try s.sql("DELETE FROM graft.db.events_ivm WHERE user_id % 11 = 5")
+    finally prevIvmMode.fold(s.conf.unset(graft.sources.GraftStore.DeleteModeConf))(
+      s.conf.set(graft.sources.GraftStore.DeleteModeConf, _))
     val prevMode = s.conf.getOption(graft.sources.GraftStore.UpdateModeConf)
     s.conf.set(graft.sources.GraftStore.UpdateModeConf, "merge-on-read")
     try s.sql("""UPDATE graft.db.events_ivm SET user_id = user_id + 1000000

@@ -84,12 +84,15 @@ object StoreAb {
     }
     val cow = mkCopy("cow")
     val dvt = mkCopy("dv")
-    val dCow = timed(spark.sql(
+    // both modes pinned explicitly: the session default is `auto`
+    spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    val dCow = try timed(spark.sql(
       s"DELETE FROM graft.ab.$cow WHERE id % 100001 = 0"))
+    finally spark.conf.unset("spark.graft.store.delete.mode")
     spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
     val dDv = try timed(spark.sql(
       s"DELETE FROM graft.ab.$dvt WHERE id % 100001 = 0"))
-    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    finally spark.conf.unset("spark.graft.store.delete.mode")
     def scanAgg(name: String) = spark.sql(
       s"SELECT sum(v), count(*) FROM graft.ab.$name WHERE id % 3 = 0")
     scanAgg(cow).collect(); scanAgg(dvt).collect()
@@ -114,15 +117,23 @@ object StoreAb {
       spark.conf.set("spark.graft.store.delete.mode", m)
       val d = try timed(spark.sql(
         s"DELETE FROM graft.ab.$name WHERE $mixedPred"))
-      finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+      finally spark.conf.unset("spark.graft.store.delete.mode")
+      // lock-hold of the delta commit (VERDICT r14 task 1 done-bar: with
+      // executor-side rewrites the metadata-lock window must stay FLAT
+      // in rewrite bytes — auto publishes MBs of kept rows yet holds the
+      // lock about as long as pure-DV mor, which publishes none)
+      val lockMs =
+        if (m == "copy-on-write") Double.NaN
+        else graft.sources.GraftStore.LastDvCommitLockNanos.get() / 1e6
       val written = GraftCommit0.allBytes(s"$wh/ab/$name") - before
       scanAgg(name).collect()
       val s = (1 to 3).map(_ => timed(scanAgg(name).collect())).min
-      (m, d, written, s)
+      (m, d, written, s, lockMs)
     }
-    autoRes.foreach { case (m, d, w, s) =>
+    autoRes.foreach { case (m, d, w, s, lockMs) =>
       println(f"[storeab-auto] mode=$m%-14s mixed-delete ${d}%.3f s, " +
-        f"new-bytes ${w / 1024}%d KiB, post-delete scan ${s}%.3f s")
+        f"new-bytes ${w / 1024}%d KiB, post-delete scan ${s}%.3f s, " +
+        f"commit-lock ${lockMs}%.1f ms")
     }
     spark.stop()
   }

@@ -23,6 +23,18 @@ class SourcesSpec extends AnyFunSuite {
         graft.util.TempDirs.create("graft_spec_wh_"))
     }
 
+  /** Run `body` with a row-level command's mode PINNED (the session
+    * default is `auto` since VERDICT r14 task 6 — tests that prove the
+    * copy-on-write or merge-on-read mechanics pin their mode here).
+    */
+  private def withDmlMode[A](command: String, mode: String)(body: => A): A = {
+    val conf = s"spark.graft.store.$command.mode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, mode)
+    try body
+    finally prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+  }
+
   test("PERMISSIVE csv read quarantines malformed rows instead of failing the job") {
     val dir = Files.createTempDirectory("graft_badcsv_").toString
     Files.writeString(Paths.get(dir, "part.csv"),
@@ -1099,7 +1111,7 @@ class SourcesSpec extends AnyFunSuite {
         .head() match {
         case r => r.getLong(0) == 40L && r.getLong(1) == 60L
       })
-    } finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    } finally spark.conf.unset("spark.graft.store.delete.mode")
     spark.sql("DROP TABLE graft.autodb.t")
   }
 
@@ -1141,7 +1153,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(spark.sql("SELECT sum(v) FROM graft.autodml.t").head().getLong(0)
         == (0L until 110L).map(i =>
           if (i == 3 || i == 7 || i >= 101) i + 1000 else i).sum)
-    } finally spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+    } finally spark.conf.unset("spark.graft.store.update.mode")
 
     // MERGE through the same auto plumbing: matched rows update (dense
     // in day=b), unmatched insert — still one commit, still exact
@@ -1161,7 +1173,7 @@ class SourcesSpec extends AnyFunSuite {
         .head().getLong(0) == 120L)
       assert(spark.sql("SELECT sum(v) FROM graft.autodml.t WHERE id >= 100")
         .head().getLong(0) == (100L until 120L).map(_ * 10).sum)
-    } finally spark.conf.set("spark.graft.store.merge.mode", "copy-on-write")
+    } finally spark.conf.unset("spark.graft.store.merge.mode")
     spark.sql("DROP TABLE graft.autodml.t")
   }
 
@@ -1238,7 +1250,8 @@ class SourcesSpec extends AnyFunSuite {
     // DML + maintenance preserve the ledger layout: a COW delete rewrites
     // files with the tombstone padded, compactSorted re-clusters the whole
     // table, and every generation still reads correctly afterwards
-    spark.sql("DELETE FROM graft.dropdb.t WHERE id = 16")
+    withDmlMode("delete", "copy-on-write")(
+      spark.sql("DELETE FROM graft.dropdb.t WHERE id = 16"))
     graft.sources.GraftMaintenance.compactSorted(tdir, Seq("id"), spark)
     assert(spark.sql("SELECT count(*), count(v), sum(v) FROM graft.dropdb.t")
       .head() match {
@@ -1687,7 +1700,8 @@ class SourcesSpec extends AnyFunSuite {
 
     val vBefore = graft.sources.GraftMaintenance
       .currentVersion(tdir.getAbsolutePath).get
-    spark.sql("DELETE FROM graft.cowdb.t WHERE id = 7") // data predicate -> COW
+    withDmlMode("delete", "copy-on-write")( // the test proves COW mechanics
+      spark.sql("DELETE FROM graft.cowdb.t WHERE id = 7")) // data predicate -> COW
     assert(graft.sources.GraftMaintenance
       .currentVersion(tdir.getAbsolutePath).get > vBefore)
 
@@ -1716,12 +1730,14 @@ class SourcesSpec extends AnyFunSuite {
     // a predicate no file can match rewrites NOTHING (zone maps refute
     // everywhere): same file sets, version may advance but content holds
     val before = Seq("0", "1", "2").map(d => filesIn(d).map(_.getName).toSeq)
-    spark.sql("DELETE FROM graft.cowdb.t WHERE id = 999999")
+    withDmlMode("delete", "copy-on-write")(
+      spark.sql("DELETE FROM graft.cowdb.t WHERE id = 999999"))
     assert(Seq("0", "1", "2").map(d => filesIn(d).map(_.getName).toSeq) == before)
     assert(spark.sql("SELECT count(*) FROM graft.cowdb.t").head().getLong(0) == 299L)
 
     // mixed partition+data predicate: COW, bounded to day=0's first file
-    spark.sql("DELETE FROM graft.cowdb.t WHERE day = '0' AND id < 10")
+    withDmlMode("delete", "copy-on-write")(
+      spark.sql("DELETE FROM graft.cowdb.t WHERE day = '0' AND id < 10"))
     assert(spark.sql("SELECT count(*) FROM graft.cowdb.t").head().getLong(0)
       == 299L - 4L) // ids 0,3,6,9
     assert(spark.sql("SELECT count(*) FROM graft.cowdb.t WHERE day = '0'")
@@ -1827,7 +1843,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(spark.sql("SELECT sum(v) FROM graft.dvdb.t").head().getLong(0)
         == (0L until 200L).filterNot(Set(7L, 9L, 11L)).map(_ * 2).sum)
       spark.sql("DROP TABLE graft.dvdb.t")
-    } finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    } finally spark.conf.unset("spark.graft.store.delete.mode")
   }
 
   test("graft-store changes read: per-version changelog, COW/DV delete attribution, compaction silent") {
@@ -1842,7 +1858,8 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO graft.cdcdb.t
                 |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
                 |FROM range(100, 200)""".stripMargin) // v3
-    spark.sql("DELETE FROM graft.cdcdb.t WHERE id = 7") // v4: COW rewrite
+    withDmlMode("delete", "copy-on-write")(
+      spark.sql("DELETE FROM graft.cdcdb.t WHERE id = 7")) // v4: COW rewrite
     val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
     val tpath = s"$wh/cdcdb/t"
     import graft.sources.GraftCDC
@@ -1880,7 +1897,7 @@ class SourcesSpec extends AnyFunSuite {
     // newly-deleted ordinals, nothing else (no file was rewritten)
     spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
     try spark.sql("DELETE FROM graft.cdcdb.t WHERE id = 11 OR id = 13") // v6
-    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    finally spark.conf.unset("spark.graft.store.delete.mode")
     val dv56 = GraftCDC.changes(spark, tpath, 5L, Some(6L)).collect()
     assert(dv56.map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id")))
       .toSet == Set(("delete", 11L), ("delete", 13L)))
@@ -1918,10 +1935,11 @@ class SourcesSpec extends AnyFunSuite {
     // three change generations: append, COW delete, merge-on-read update
     spark.sql(
       "INSERT INTO graft.ivmdb.t SELECT id, id % 7, id * 3 FROM range(500, 800)")
-    spark.sql("DELETE FROM graft.ivmdb.t WHERE id % 13 = 5")
+    withDmlMode("delete", "copy-on-write")(
+      spark.sql("DELETE FROM graft.ivmdb.t WHERE id % 13 = 5"))
     spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
     try spark.sql("UPDATE graft.ivmdb.t SET v = v + 1000000 WHERE id % 17 = 2")
-    finally spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+    finally spark.conf.unset("spark.graft.store.update.mode")
     val vB = graft.sources.GraftMaintenance.currentVersion(tpath).get
 
     // MAINTAIN: apply the signed net changes to the old view state
@@ -1963,7 +1981,8 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO graft.metadb.t
                 |SELECT /*+ REPARTITION(1) */ id, CAST(id % 2 AS STRING), id * 2
                 |FROM range(60, 100)""".stripMargin) // v3
-    spark.sql("DELETE FROM graft.metadb.t WHERE id = 7") // v4: COW
+    withDmlMode("delete", "copy-on-write")(
+      spark.sql("DELETE FROM graft.metadb.t WHERE id = 7")) // v4: COW
     val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
     val tpath = s"$wh/metadb/t"
 
@@ -2094,7 +2113,7 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft.ivm2db.t WHERE id >= 990 AND id < 1000")
     spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
     try spark.sql("UPDATE graft.ivm2db.t SET v = v + 7 WHERE id < 5")
-    finally spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+    finally spark.conf.unset("spark.graft.store.update.mode")
 
     val changelog = spark.sql(
       s"SELECT * FROM graft.ivm2db.t.changes WHERE _commit_version > $v0")
@@ -2245,13 +2264,20 @@ class SourcesSpec extends AnyFunSuite {
       }.sortBy(_._1)
     val morBefore = dataFiles("mor")
 
-    dml("cow") // default: group-based copy-on-write
+    // group-based copy-on-write, PINNED (the session default is auto)
+    spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+    spark.conf.set("spark.graft.store.merge.mode", "copy-on-write")
+    try dml("cow")
+    finally {
+      spark.conf.unset("spark.graft.store.update.mode")
+      spark.conf.unset("spark.graft.store.merge.mode")
+    }
     spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
     spark.conf.set("spark.graft.store.merge.mode", "merge-on-read")
     try dml("mor")
     finally {
-      spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
-      spark.conf.set("spark.graft.store.merge.mode", "copy-on-write")
+      spark.conf.unset("spark.graft.store.update.mode")
+      spark.conf.unset("spark.graft.store.merge.mode")
     }
 
     // identical results across modes
@@ -2320,7 +2346,7 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.clogdb.t SELECT id, id * 2 FROM range(30, 40)") // v3
     spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
     try spark.sql("DELETE FROM graft.clogdb.t WHERE id = 5 OR id = 35") // v4
-    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    finally spark.conf.unset("spark.graft.store.delete.mode")
     run()
     val byType = got.toArray.map(_.asInstanceOf[(String, Long)])
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -2329,16 +2355,18 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.clogdb.t")
   }
 
-  test("q257 oracle flow is mode-equivalent: merge-on-read DELETE returns byte-identical results") {
-    // the verdict's done-bar: the q257 lifecycle (create/insert/DELETE by
-    // user id/aggregate) must produce the SAME result with DVs forced on
-    val cow = SparkEntry.queries("q257_store_cow_delete")(spark, sf)
+  test("q257 oracle flow is mode-equivalent: auto / merge-on-read / copy-on-write return byte-identical results") {
+    // the q257 lifecycle (create/insert/DELETE by user id/aggregate) must
+    // produce the SAME result under all three DML modes — the default is
+    // `auto` since VERDICT r14 task 6, and this is the assertion that
+    // makes flipping the default safe
+    val auto = SparkEntry.queries("q257_store_cow_delete")(spark, sf)
       .collect().toSeq
-    spark.conf.set("spark.graft.store.delete.mode", "merge-on-read")
-    val mor = try SparkEntry.queries("q257_store_cow_delete")(spark, sf)
-      .collect().toSeq
-    finally spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
-    assert(cow == mor)
+    val mor = withDmlMode("delete", "merge-on-read")(
+      SparkEntry.queries("q257_store_cow_delete")(spark, sf).collect().toSeq)
+    val cow = withDmlMode("delete", "copy-on-write")(
+      SparkEntry.queries("q257_store_cow_delete")(spark, sf).collect().toSeq)
+    assert(auto == mor && auto == cow)
   }
 
   test("graft-store sorted compaction: executor-parallel re-cluster restores zone-map skipping") {
@@ -2641,7 +2669,8 @@ class SourcesSpec extends AnyFunSuite {
     poisoned.foreach(f => Files.writeString(f.toPath, "zz,zz\n"))
     val vBefore = graft.sources.GraftMaintenance
       .currentVersion(tdir.getAbsolutePath).get
-    spark.sql("UPDATE graft.dmldb.t SET v = v + 1000000 WHERE id = 7")
+    withDmlMode("update", "copy-on-write")(
+      spark.sql("UPDATE graft.dmldb.t SET v = v + 1000000 WHERE id = 7"))
     poisoned.foreach(f => Files.write(f.toPath, saved(f)))
     assert(spark.sql("SELECT v FROM graft.dmldb.t WHERE id = 7").head().getLong(0)
       == 7L * 2 + 1000000L)
@@ -2660,10 +2689,11 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("""SELECT id, CAST(id % 3 AS STRING) AS day, id * 100 AS v
                 |FROM range(295, 310)""".stripMargin)
       .createOrReplaceTempView("dml_src")
-    spark.sql("""MERGE INTO graft.dmldb.t t USING dml_src s ON t.id = s.id
+    withDmlMode("merge", "copy-on-write")(
+      spark.sql("""MERGE INTO graft.dmldb.t t USING dml_src s ON t.id = s.id
                 |WHEN MATCHED THEN UPDATE SET v = s.v
                 |WHEN NOT MATCHED THEN INSERT (id, day, v) VALUES (s.id, s.day, s.v)
-                |""".stripMargin)
+                |""".stripMargin))
     assert(spark.sql("SELECT count(*) FROM graft.dmldb.t").head().getLong(0) == 310L)
     // matched ids 295-299 now carry v = id*100; inserted 300-309 too
     assert(spark.sql(
