@@ -862,6 +862,88 @@ object SourceQueries {
       |WHERE NOT (user_id % 11 = 5)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STREAMING incremental view maintenance (VERDICT r15 task 3): the
+    * q260 refresh with MANAGED offsets — the checkpointed streaming
+    * changelog drives [[graft.sources.GraftIVM.applyBatchExactlyOnce]]
+    * through foreachBatch, so the CHECKPOINT owns the version ranges
+    * and the view's applied watermark (`_IVM_APPLIED`) owns replay
+    * protection: together they remove the batch API's sharp edge
+    * (caller-owned ranges — apply a slice twice and the view corrupts).
+    * The engine drives THREE separate stream runs with a full
+    * stop/restart between each (the checkpoint survives) over a mixed
+    * DML history: append, pinned COW DELETE (its changelog arrives
+    * pair-diffed, r15 task 4), MOR UPDATE via deletion vectors (its
+    * changelog arrives as row-index seek reads, r15 task 2). The final
+    * view must equal the oracle's recomputation; StreamingSpec pins
+    * the replay and crash-window exactly-once cases directly.
+    */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    ensureGraftCatalog(s)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_id") % 2 === 0, "even").otherwise("odd").as("half"))
+      .createOrReplaceTempView("q261_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_sivm")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_sivm_view")
+    s.sql("""CREATE TABLE graft.db.events_sivm
+            |  (event_id BIGINT, user_id BIGINT, value DOUBLE, half STRING)
+            |  PARTITIONED BY (half)""".stripMargin) // version 1: empty
+    s.sql("""INSERT INTO graft.db.events_sivm
+            |SELECT /*+ REPARTITION(2) */ event_id, user_id, value, half
+            |FROM q261_src WHERE event_id % 3 <> 0""".stripMargin) // v2: base
+    s.sql("""CREATE TABLE graft.db.events_sivm_view
+            |  (half STRING, n BIGINT, sum_users BIGINT, sum_events BIGINT)""".stripMargin)
+    s.sql("""INSERT INTO graft.db.events_sivm_view
+            |SELECT half, count(*), sum(user_id), sum(event_id)
+            |FROM graft.db.events_sivm GROUP BY half""".stripMargin)
+    val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+    val basePath = s"$wh/db/events_sivm"
+    val viewPath = s"$wh/db/events_sivm_view"
+    // the one-time binding: "this view reflects the base AS OF v2"
+    graft.sources.GraftIVM.bind(viewPath,
+      graft.sources.GraftMaintenance.currentVersion(basePath).get)
+    val ckpt = graft.util.TempDirs.create("graft_q261_ckpt_")
+    def refreshOnce(): Unit = {
+      val q = graft.sources.GraftIVM.streamRefresh(s, basePath,
+        "graft.db.events_sivm_view", viewPath, Seq("half"), "n",
+        Seq("sum_users" -> "user_id", "sum_events" -> "event_id"), ckpt)
+      q.awaitTermination()
+    }
+    // micro-batch 1: append — stream run 1, then STOPPED
+    s.sql("""INSERT INTO graft.db.events_sivm
+            |SELECT /*+ REPARTITION(2) */ event_id, user_id, value, half
+            |FROM q261_src WHERE event_id % 3 = 0""".stripMargin)
+    refreshOnce()
+    // micro-batch 2: COW delete (pinned) — RESTART from the checkpoint
+    val prevMode = s.conf.getOption(graft.sources.GraftStore.DeleteModeConf)
+    s.conf.set(graft.sources.GraftStore.DeleteModeConf, "copy-on-write")
+    try s.sql("DELETE FROM graft.db.events_sivm WHERE user_id % 11 = 5")
+    finally prevMode.fold(s.conf.unset(graft.sources.GraftStore.DeleteModeConf))(
+      s.conf.set(graft.sources.GraftStore.DeleteModeConf, _))
+    refreshOnce()
+    // micro-batch 3: MOR update — RESTART again
+    val prevUpd = s.conf.getOption(graft.sources.GraftStore.UpdateModeConf)
+    s.conf.set(graft.sources.GraftStore.UpdateModeConf, "merge-on-read")
+    try s.sql("""UPDATE graft.db.events_sivm SET user_id = user_id + 1000000
+                |WHERE user_id % 13 = 2""".stripMargin)
+    finally prevUpd.fold(s.conf.unset(graft.sources.GraftStore.UpdateModeConf))(
+      s.conf.set(graft.sources.GraftStore.UpdateModeConf, _))
+    refreshOnce()
+    s.sql("""SELECT half, n, sum_users, sum_events
+            |FROM graft.db.events_sivm_view ORDER BY half""".stripMargin)
+  }
+
+  private val q261Sql =
+    """SELECT (CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END) AS half,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN user_id % 13 = 2 THEN user_id + 1000000
+      |               ELSE user_id END) AS BIGINT) AS sum_users,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_events
+      |FROM events
+      |WHERE NOT (user_id % 11 = 5)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -1051,6 +1133,8 @@ object SourceQueries {
       "graft-store changes-between-versions: INSERT/COW-DELETE/compact lifecycle read back as a net row-level changelog"),
     QueryDef("q260_store_ivm", q260, Some(q260Sql),
       "incremental view maintenance: aggregate view absorbs append/COW-DELETE/MOR-UPDATE by consuming only the SQL-addressed changelog"),
+    QueryDef("q261_store_stream_ivm", q261, Some(q261Sql),
+      "STREAMING incremental view maintenance: checkpointed changelog + applied watermark refresh the view exactly-once across stop/restart"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

@@ -37,13 +37,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * `compact`/`adopt` version is DATA-NEUTRAL by construction and emits
   * NOTHING (the file-level diff would be pure rewrite noise).
   *
-  * A COW rewrite (cow-delete/update/merge) file-diff necessarily emits
-  * its KEPT rows as same-version delete+insert pairs (the rewrite
-  * replaced their file). [[GraftCDC.netChanges]] cancels those pairs
-  * RELATIONALLY — group by row content + version, net the signs — which
-  * is the Spark-first shape of Iceberg's net-changes changelog: the
-  * cancellation is a distributed aggregate, not a reader-side special
-  * case.
+  * A COW rewrite (cow-delete/update) version whose commit recorded its
+  * old → new file PAIRING (`#rw=` manifest headers, VERDICT r15 task 4)
+  * is read as PAIR partitions: a streaming merge-diff of each old
+  * file's live rows against its replacements cancels kept rows in the
+  * reader, so the raw changelog already carries only the rows that
+  * changed — input ∝ churn, no shuffle spent on rewrite noise. A cow
+  * version WITHOUT pairing (pre-r15 history, MERGE whose join plan
+  * breaks task↔file attribution) falls back to the plain file diff —
+  * kept rows as same-version delete+insert pairs — and
+  * [[GraftCDC.netChanges]] cancels those RELATIONALLY (group by row
+  * content + version, net the signs), the Spark-first shape of
+  * Iceberg's net-changes changelog. Both forms are net-identical.
   *
   * Streaming: the plain store table now supports `readStream` (TableCapability
   * MICRO_BATCH_READ). Offsets ARE manifest versions; each micro-batch
@@ -87,7 +92,7 @@ private[sources] object GraftChanges {
     * rows.
     */
   def planChanges(root: File, fromV: Long, toV: Long, partCols: Seq[String],
-      insertsOnly: Boolean, surface: String): Seq[GraftChangePartition] = {
+      insertsOnly: Boolean, surface: String): Seq[InputPartition] = {
     require(fromV <= toV,
       s"graft-store: $surface asked for changes ($fromV, $toV] — empty or inverted range")
     (fromV + 1 to toV).flatMap { v =>
@@ -97,27 +102,47 @@ private[sources] object GraftChanges {
       else {
         val curSet = cur.files.toSet
         val prevSet = prev.files.toSet
-        val added = cur.files.filterNot(prevSet).sorted
-        val removed = prev.files.filterNot(curSet).sorted
+        val added0 = cur.files.filterNot(prevSet).sorted
+        val removed0 = prev.files.filterNot(curSet).sorted
         val dvChanged = cur.files
           .filter(f => prevSet(f) && cur.dvs.get(f) != prev.dvs.get(f)).sorted
-        if (insertsOnly && (removed.nonEmpty || dvChanged.nonEmpty))
+        if (insertsOnly && (removed0.nonEmpty || dvChanged.nonEmpty))
           throw new IllegalStateException(
             s"graft-store: version $v (op=${cur.op}) of $root removed or " +
               s"DV-deleted rows; the $surface read is append-only — consume " +
               "the changes read (changesFrom/changesTo) for the full changelog")
-        def part(rel: String, kind: String, dvApply: Option[String],
-            dvOld: Option[String], delta: Boolean): GraftChangePartition = {
+        def onDisk(rel: String): File = {
           val f = new File(root, rel)
           if (!f.isFile) throw new IllegalStateException(
             s"graft-store: version $v change file '$rel' is no longer on " +
               s"disk under $root — retention GC expired this range; read a " +
               "newer changesFrom or widen the retention window")
-          GraftChangePartition(f.getAbsolutePath,
+          f
+        }
+        // COW PAIR-DIFF (VERDICT r15 task 4): a cow version whose commit
+        // recorded old → new attribution emits each rewritten file as a
+        // PAIR partition — a streaming merge-diff of the old file's live
+        // rows against its replacements that cancels kept rows IN the
+        // reader, so the changelog carries O(actually-changed rows)
+        // instead of the whole old+new sets that netChangesOf would have
+        // to shuffle just to cancel. Net-exact under any pairing: every
+        // uncancelled row is still emitted with its sign.
+        val pairs: Seq[(String, Seq[String])] =
+          if (!cur.op.startsWith("cow-")) Seq.empty
+          else cur.rewrites.toSeq.sortBy(_._1).filter { case (old, news) =>
+            removed0.contains(old) && news.forall(n =>
+              curSet(n) && !prevSet(n))
+          }
+        val pairedOld = pairs.map(_._1).toSet
+        val pairedNew = pairs.flatMap(_._2).toSet
+        val added = added0.filterNot(pairedNew)
+        val removed = removed0.filterNot(pairedOld)
+        def part(rel: String, kind: String, dvApply: Option[String],
+            dvOld: Option[String], delta: Boolean): GraftChangePartition =
+          GraftChangePartition(onDisk(rel).getAbsolutePath,
             partValuesOf(rel, partCols), kind, v,
             dvApply.map(d => new File(root, d).getAbsolutePath),
             dvOld.map(d => new File(root, d).getAbsolutePath), delta)
-        }
         added.map(rel =>
           part(rel, "insert", cur.dvs.get(rel), None, delta = false)) ++
           removed.map(rel =>
@@ -125,7 +150,14 @@ private[sources] object GraftChanges {
             part(rel, "delete", prev.dvs.get(rel), None, delta = false)) ++
           dvChanged.map(rel =>
             // newly-deleted rows = ordinals in (dv(v) \ dv(v-1))
-            part(rel, "delete", cur.dvs.get(rel), prev.dvs.get(rel), delta = true))
+            part(rel, "delete", cur.dvs.get(rel), prev.dvs.get(rel), delta = true)) ++
+          pairs.map { case (old, news) =>
+            GraftCowPairPartition(onDisk(old).getAbsolutePath,
+              partValuesOf(old, partCols),
+              prev.dvs.get(old).map(d => new File(root, d).getAbsolutePath),
+              news.map(n => (onDisk(n).getAbsolutePath, partValuesOf(n, partCols))),
+              v, deleteOnly = cur.op == "cow-delete")
+          }
       }
     }
   }
@@ -339,13 +371,29 @@ private[sources] case class GraftChangePartition(
     dvApply: Option[String], dvOld: Option[String], delta: Boolean)
     extends InputPartition
 
+/** One PAIR-DIFFED cow rewrite at one version (VERDICT r15 task 4): the
+  * old file's live rows (dvOld applied) merge-diff against its recorded
+  * replacement files. `deleteOnly` selects the policy: a cow-delete's
+  * kept rows are a SUBSEQUENCE of the old rows, so on mismatch only the
+  * old side advances (emitting the row as a delete — exact, minimal); a
+  * cow-update rewrites rows IN PLACE, so a mismatch emits delete(old) +
+  * insert(new) and advances both. Rows are compared as RAW record
+  * fields — the codec is canonical, so identical content means
+  * identical fields. Under any pairing or ordering the emission is
+  * NET-exact: a row is cancelled only against an equal row, so
+  * Σinserts − Σdeletes = new − old as multisets.
+  */
+private[sources] case class GraftCowPairPartition(
+    oldFile: String, oldPartValues: Seq[String], dvOld: Option[String],
+    newFiles: Seq[(String, Seq[String])], version: Long, deleteOnly: Boolean)
+    extends InputPartition
+
 private[sources] class GraftChangesReaderFactory(
     fullSchema: StructType, required: StructType, partCols: Seq[String],
     fileIndexOpt: Option[Map[String, Int]] = None)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftChangePartition]
     // on-disk layout: DATA schema (change columns are virtual) minus
     // partition cols, in schema order — the store's layout contract;
     // tables with a column ledger bind by ledger slot (driver-resolved)
@@ -358,22 +406,205 @@ private[sources] class GraftChangesReaderFactory(
     sealed trait Slot
     case class Const(v: Any) extends Slot
     case class FromFile(idx: Int, dt: DataType) extends Slot
-    val slots: Array[Slot] = required.fields.map { f =>
+    // one resolved slot array per (change type, partition values) side
+    def slotsFor(version: Long, changeType: String,
+        partValues: Seq[String]): Array[Slot] = required.fields.map { f =>
       if (f.name == GraftChanges.ChangeTypeColumn)
-        Const(UTF8String.fromString(gp.changeType))
+        Const(UTF8String.fromString(changeType))
       else if (f.name == GraftChanges.CommitVersionColumn)
-        Const(gp.version)
+        Const(version)
       else partIndex.get(f.name) match {
         case Some(pi) =>
-          Const(GraftStore.partValueTyped(gp.partValues(pi), f.dataType) match {
+          Const(GraftStore.partValueTyped(partValues(pi), f.dataType) match {
             case s: String => UTF8String.fromString(s)
             case other     => other
           })
         case None => FromFile(fileIndex(f.name), f.dataType)
       }
     }
+    def rowFor(slots: Array[Slot], rec: Array[String]): InternalRow =
+      InternalRow.fromSeq(slots.toSeq.map {
+        case Const(v)          => v
+        case FromFile(idx, dt) =>
+          GraftStore.convert(if (idx < rec.length) rec(idx) else null, dt)
+      })
+
+    p match {
+      case pp: GraftCowPairPartition =>
+        // PAIR-DIFF reader (VERDICT r15 task 4): stream the old file's
+        // live rows against the concatenated replacements; equal rows
+        // cancel IN the reader (no shuffle), mismatches emit with their
+        // sign under the op's policy (see GraftCowPairPartition).
+        val delSlots = slotsFor(pp.version, "delete", pp.oldPartValues)
+        val insSlots = pp.newFiles.map { case (_, pv) =>
+          slotsFor(pp.version, "insert", pv) }
+        val dvBits = pp.dvOld.map(GraftDv.read).orNull
+        return new PartitionReader[InternalRow] {
+          private val oldParser = new GraftRecordParser(Files.newBufferedReader(
+            Paths.get(pp.oldFile), StandardCharsets.UTF_8))
+          private var oldPos = -1L
+          private var nfi = -1
+          private var newParser: GraftRecordParser = null
+          private var oldCur: Array[String] = null
+          private var newCur: Array[String] = null
+          private var pending: InternalRow = null
+          private var row: InternalRow = null
+
+          // old side = rows LIVE at v-1 (prev's DV applied)
+          private def nextOld(): Array[String] = {
+            var r = oldParser.next(); oldPos += 1
+            while (r != null && dvBits != null && oldPos <= Int.MaxValue &&
+                dvBits.get(oldPos.toInt)) {
+              r = oldParser.next(); oldPos += 1
+            }
+            r
+          }
+          private def nextNew(): Array[String] = {
+            while (true) {
+              if (newParser == null) {
+                nfi += 1
+                if (nfi >= pp.newFiles.length) return null
+                newParser = new GraftRecordParser(Files.newBufferedReader(
+                  Paths.get(pp.newFiles(nfi)._1), StandardCharsets.UTF_8))
+              }
+              val r = newParser.next()
+              if (r != null) return r
+              newParser.close(); newParser = null
+            }
+            null
+          }
+          // canonical codec: identical content = identical raw fields
+          // (absent trailing fields read as null on both paths)
+          private def same(a: Array[String], b: Array[String]): Boolean = {
+            val n = math.max(a.length, b.length)
+            var i = 0
+            while (i < n) {
+              val x = if (i < a.length) a(i) else null
+              val y = if (i < b.length) b(i) else null
+              if (x != y) return false
+              i += 1
+            }
+            true
+          }
+          override def next(): Boolean = {
+            if (pending != null) { row = pending; pending = null; return true }
+            while (true) {
+              if (oldCur == null) oldCur = nextOld()
+              if (newCur == null) newCur = nextNew()
+              if (oldCur == null && newCur == null) return false
+              else if (oldCur == null) {
+                row = rowFor(insSlots(nfi), newCur); newCur = null; return true
+              } else if (newCur == null) {
+                row = rowFor(delSlots, oldCur); oldCur = null; return true
+              } else if (same(oldCur, newCur)) {
+                oldCur = null; newCur = null // kept row: cancels in place
+              } else if (pp.deleteOnly) {
+                // kept rows are a subsequence: this old row was deleted
+                row = rowFor(delSlots, oldCur); oldCur = null; return true
+              } else {
+                // update-in-place: old out, new in — one pass, both sides
+                row = rowFor(delSlots, oldCur)
+                pending = rowFor(insSlots(nfi), newCur)
+                oldCur = null; newCur = null
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = {
+            oldParser.close()
+            if (newParser != null) newParser.close()
+          }
+        }
+      case _ => ()
+    }
+    val gp = p.asInstanceOf[GraftChangePartition]
+    val slots: Array[Slot] = slotsFor(gp.version, gp.changeType, gp.partValues)
     val applyBits: util.BitSet = gp.dvApply.map(GraftDv.read).orNull
     val oldBits: util.BitSet = gp.dvOld.map(GraftDv.read).orNull
+
+    def buildRow(rec: Array[String]): InternalRow = rowFor(slots, rec)
+
+    // DELTA read with a ROW-INDEX sidecar (VERDICT r15 task 2): the
+    // emitted set is exactly (dvApply \ dvOld) — churn-sized — so with
+    // block offsets on disk the reader SEEKS to the blocks holding
+    // changed ordinals instead of streaming the whole file: the read is
+    // O(changed rows), the property that lets an IVM refresh beat a
+    // full recompute on wall clock, not just files touched. A file
+    // without an index (pre-index history, byte-concat compaction
+    // output) falls through to the full-scan path below — enumeration
+    // is identical (RowIndexSpec pins equality and the seek).
+    if (gp.delta && applyBits != null) {
+      val changed = applyBits.clone().asInstanceOf[util.BitSet]
+      if (oldBits != null) changed.andNot(oldBits)
+      GraftRidx.read(new File(gp.file)) match {
+        case Some((blockRows, offs)) if !changed.isEmpty =>
+          GraftStore.DeltaSeekReads.incrementAndGet()
+          return new PartitionReader[InternalRow] {
+            private val blocks: Array[Int] = {
+              val b = scala.collection.mutable.SortedSet.empty[Int]
+              var i = changed.nextSetBit(0)
+              while (i >= 0) { b += i / blockRows; i = changed.nextSetBit(i + 1) }
+              b.toArray
+            }
+            private var bi = 0
+            private var parser: GraftRecordParser = null
+            private var ordinal = 0
+            private var rowsLeftInBlock = 0
+            private var row: InternalRow = _
+
+            private def openBlock(): Boolean = {
+              if (bi >= blocks.length) return false
+              val b = blocks(bi)
+              require(b < offs.length,
+                s"graft-store: deletion vector of '${gp.file}' marks ordinal " +
+                  s"block $b past the row index (${offs.length} blocks) — " +
+                  "torn sidecar state")
+              val in = new java.io.FileInputStream(gp.file)
+              var toSkip = offs(b)
+              while (toSkip > 0) {
+                val skipped = in.skip(toSkip)
+                if (skipped <= 0) throw new IllegalStateException(
+                  s"graft-store: could not seek to block $b of '${gp.file}'")
+                toSkip -= skipped
+              }
+              parser = new GraftRecordParser(
+                new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+              ordinal = b * blockRows
+              rowsLeftInBlock = blockRows
+              true
+            }
+            private def closeBlock(): Unit =
+              if (parser != null) { parser.close(); parser = null }
+
+            override def next(): Boolean = {
+              while (true) {
+                if (parser == null && !openBlock()) return false
+                val blockEnd = (blocks(bi) + 1) * blockRows
+                val rec = if (rowsLeftInBlock > 0) parser.next() else null
+                if (rec == null) { closeBlock(); bi += 1 }
+                else {
+                  val ord = ordinal
+                  ordinal += 1; rowsLeftInBlock -= 1
+                  if (changed.get(ord)) {
+                    row = buildRow(rec)
+                    // no more hits in this block: release it now so the
+                    // next call seeks straight to the next one
+                    val nxt = changed.nextSetBit(ordinal)
+                    if (nxt < 0 || nxt >= blockEnd) { closeBlock(); bi += 1 }
+                    return true
+                  }
+                }
+              }
+              throw new IllegalStateException("unreachable")
+            }
+            override def get(): InternalRow = row
+            override def close(): Unit = closeBlock()
+          }
+        case _ => () // no index / empty delta: full-scan fallback below
+      }
+    }
 
     val parser = new GraftRecordParser(Files.newBufferedReader(
       Paths.get(gp.file), StandardCharsets.UTF_8))
@@ -395,12 +626,7 @@ private[sources] class GraftChangesReaderFactory(
         }
         if (rec == null) false
         else {
-          val r = rec
-          row = InternalRow.fromSeq(slots.toSeq.map {
-            case Const(v)          => v
-            case FromFile(idx, dt) =>
-              GraftStore.convert(if (idx < r.length) r(idx) else null, dt)
-          })
+          row = buildRow(rec)
           true
         }
       }

@@ -365,6 +365,13 @@ object GraftMaintenance {
       destDir.mkdirs()
       Files.move(new File(stageDir, srel).toPath,
         new File(destDir, name).toPath, StandardCopyOption.ATOMIC_MOVE)
+      // the staged ROW-INDEX sidecar (written by the provider write)
+      // adopts the merged name alongside its data file
+      val sridx = GraftRidx.fileFor(new File(stageDir, srel))
+      if (sridx.isFile)
+        Files.move(sridx.toPath,
+          GraftRidx.fileFor(new File(destDir, name)).toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       merged += rel
       stagedStats.get(srel).foreach(mergedStats(rel) = _)
     }
@@ -394,7 +401,10 @@ object GraftMaintenance {
         val current: Seq[String] =
           mf.map(_.files).getOrElse(GraftCommit.visibleFiles(root))
         if (!replacedList.forall(current.toSet)) {
-          merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+          merged.foreach { rel =>
+            val f = new File(root, rel)
+            Files.deleteIfExists(f.toPath); GraftRidx.deleteFor(f)
+          }
           GraftCommit.deleteTemp(path, tempJob)
           throw new IllegalStateException(
             "graft-store: a concurrent writer removed compaction inputs " +
@@ -406,7 +416,10 @@ object GraftMaintenance {
         // silently drop the new DV binding — abort loudly instead
         val curDvs = mf.map(_.dvs).getOrElse(Map.empty[String, String])
         if (replacedList.exists(rel => curDvs.get(rel) != pinnedDvs.get(rel))) {
-          merged.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+          merged.foreach { rel =>
+            val f = new File(root, rel)
+            Files.deleteIfExists(f.toPath); GraftRidx.deleteFor(f)
+          }
           GraftCommit.deleteTemp(path, tempJob)
           throw new IllegalStateException(
             "graft-store: a concurrent merge-on-read DELETE changed a " +
@@ -490,8 +503,9 @@ object GraftMaintenance {
         now - ms >= olderThanMs && !protectedRels(rel)
       }
       expired.foreach { case (rel, _, _) =>
-        Files.deleteIfExists(new File(root, rel).toPath)
-        ()
+        val f = new File(root, rel)
+        Files.deleteIfExists(f.toPath)
+        GraftRidx.deleteFor(f)
       }
       if (expired.nonEmpty) {
         GraftCommit.writeRetired(root, kept)
@@ -549,7 +563,7 @@ object GraftMaintenance {
         !visibleNow(rel) && !keptRels(rel) &&
           now - f.lastModified() >= strayGraceMs
       }
-      strays.foreach(f => Files.delete(f.toPath))
+      strays.foreach { f => Files.delete(f.toPath); GraftRidx.deleteFor(f) }
       if (strays.nonEmpty) {
         val strayRels = strays.map(relOf).toSet
         GraftCommit.writeStats(root, GraftCommit.readStats(root)
@@ -564,6 +578,20 @@ object GraftMaintenance {
         .filter(f => f.isFile && f.getName.startsWith("dv-") &&
           !dvRefs(f.getName) && now - f.lastModified() >= strayGraceMs)
         .foreach(f => Files.deleteIfExists(f.toPath))
+      // 5) sweep ROW-INDEX sidecars whose data file is gone — the
+      // paired deletes handle every normal path; this catches a crash
+      // between a data-file unlink and its sidecar's
+      def sweepRidx(d: File): Unit =
+        Option(d.listFiles()).getOrElse(Array.empty).foreach {
+          case f if f.isFile && f.getName.startsWith(GraftRidx.Prefix) &&
+              !new File(f.getParentFile,
+                f.getName.substring(GraftRidx.Prefix.length)).isFile =>
+            Files.deleteIfExists(f.toPath)
+            ()
+          case d2 if d2.isDirectory && d2.getName.contains("=") => sweepRidx(d2)
+          case _ => ()
+        }
+      sweepRidx(root)
       // drop now-empty partition dirs left behind by expiry
       GraftCommit.pruneEmptyDirs(root,
         (expired.map(e => new File(root, e._1)) ++ strays).map(_.getParentFile))

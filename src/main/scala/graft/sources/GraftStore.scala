@@ -212,6 +212,12 @@ object GraftStore {
     */
   val LastDvCommitLockNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** DIAGNOSTIC: how many DELTA changelog partitions were read through
+    * the ROW-INDEX seek path (vs the full-scan fallback) — RowIndexSpec
+    * pins that indexed files take it.
+    */
+  val DeltaSeekReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-store requires a 'path' option")
@@ -633,7 +639,8 @@ final case class GraftFileStats(rows: Long, cols: Map[String, GraftColStatsTxt])
   * DVs).
   */
 final case class GraftManifest(version: Long, ts: Option[Long], op: String,
-    files: Seq[String], dvs: Map[String, String])
+    files: Seq[String], dvs: Map[String, String],
+    rewrites: Map[String, Seq[String]] = Map.empty)
 
 /** One PHYSICAL record slot in the column ledger (VERDICT r13 task 5 —
   * per-column FIELD IDs, the Iceberg/Delta design that makes DROP COLUMN
@@ -668,6 +675,89 @@ final case class GraftLedgerCol(id: Int, name: String, dropped: Boolean)
   * version's DVs, and retention GC sweeps DV generations no retained
   * version references.
   */
+/** Byte-counting stream so writers can record EXACT record-boundary
+  * offsets without re-encoding rows (the row-index sidecar's input).
+  */
+private[sources] final class GraftCountingOutputStream(out: java.io.OutputStream)
+    extends java.io.FilterOutputStream(out) {
+  var count: Long = 0L
+  override def write(b: Int): Unit = { out.write(b); count += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    out.write(b, off, len); count += len
+  }
+}
+
+/** ROW-INDEX sidecar (VERDICT r15 task 2 — "the last constant"): one
+  * small binary file per data file recording the byte offset of every
+  * [[GraftRidx.BlockRows]]-th record boundary, so a DELTA changelog
+  * read (the rows one deletion-vector generation removed) SEEKS to the
+  * blocks holding changed ordinals instead of streaming the whole
+  * file. This is what turns the DV changelog read from O(file) into
+  * O(changed rows): with it, "refresh the view from the last N
+  * commits" costs the churn, not the table (tools/IvmAb measures it).
+  *
+  * Named `ridx-<datafile>` beside its data file — a prefix NO lister
+  * matches (`part-*`/`merged-*`/`rewrite-*` globs, manifest entries,
+  * the stray sweep), so it can never be read as data. Lifecycle is
+  * slaved to the data file: written at write time (task temp, moved by
+  * [[GraftCommit.publish]] in the same rename step) or by the auto
+  * path's executor rewrites; deleted wherever the data file is
+  * unlinked; orphans swept by [[GraftMaintenance.expireSnapshots]].
+  * PURELY an accelerator: a file without one (pre-index history,
+  * byte-concat compaction outputs) falls back to the full-scan delta
+  * read — enumeration is identical either way (spec-pinned).
+  */
+private[sources] object GraftRidx {
+  val BlockRows = 4096
+  val Magic = 0x47524958 // "GRIX"
+  val Prefix = "ridx-"
+
+  def fileFor(dataFile: File): File =
+    new File(dataFile.getParentFile, Prefix + dataFile.getName)
+
+  /** `blockOffsets(i)` = byte offset where block i+1 starts (block 0
+    * starts at 0 and is implicit).
+    */
+  def write(dataFile: File, blockOffsets: Seq[Long]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(fileFor(dataFile))))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(BlockRows)
+      out.writeInt(blockOffsets.length)
+      blockOffsets.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  /** (rows per block, block start offsets INCLUDING block 0's) — None
+    * when the data file has no (readable) index.
+    */
+  def read(dataFile: File): Option[(Int, Array[Long])] = {
+    val f = fileFor(dataFile)
+    if (!f.isFile) return None
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f)))
+    try {
+      if (in.readInt() != Magic) return None // foreign/torn: fall back
+      val blockRows = in.readInt()
+      val k = in.readInt()
+      val offs = new Array[Long](k + 1)
+      var i = 1
+      while (i <= k) { offs(i) = in.readLong(); i += 1 }
+      Some((blockRows, offs))
+    } catch { case _: java.io.IOException => None } // torn: fall back
+    finally in.close()
+  }
+
+  /** Paired delete: every site that unlinks a data file drops its
+    * index in the same breath.
+    */
+  def deleteFor(dataFile: File): Unit = {
+    Files.deleteIfExists(fileFor(dataFile).toPath)
+    ()
+  }
+}
+
 private[sources] object GraftDv {
   def write(root: File, name: String, bits: java.util.BitSet): Unit = {
     val tmp = new File(root, name + ".tmp")
@@ -723,7 +813,10 @@ private[sources] object GraftDv {
     var rows = 0L
     val parser = new GraftRecordParser(Files.newBufferedReader(
       new File(root, rel).toPath, StandardCharsets.UTF_8))
-    val out = Files.newBufferedWriter(dest.toPath, StandardCharsets.UTF_8)
+    val cos = new GraftCountingOutputStream(new java.io.FileOutputStream(dest))
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(cos, StandardCharsets.UTF_8))
+    val ridxOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
       var pos = -1L
       var rec = parser.next()
@@ -778,10 +871,16 @@ private[sources] object GraftDv {
             j += 1
           }
           out.write(sb.toString); out.write("\n")
+          if (rows % GraftRidx.BlockRows == 0) {
+            out.flush(); ridxOffsets += cos.count
+          }
         }
         rec = parser.next()
       }
     } finally { parser.close(); out.close() }
+    // rewrites get a fresh ROW-INDEX like any written file (the old
+    // file's index retires with it)
+    if (ridxOffsets.nonEmpty) GraftRidx.write(dest, ridxOffsets.toSeq)
     GraftFileStats(rows, layout.zipWithIndex.collect { case (Some(f), j) =>
       val sum = f.dataType match {
         case LongType | IntegerType if seen(j) && sumOk(j) =>
@@ -1067,7 +1166,11 @@ private[sources] class GraftStoreTable(
           if (deadSet.nonEmpty) {
             GraftCommit.writeStats(root, GraftCommit.readStats(root)
               .filterNot(e => deadSet(e._1)).toSeq.sortBy(_._1))
-            deadSet.foreach(rel => Files.deleteIfExists(new File(root, rel).toPath))
+            deadSet.foreach { rel =>
+              val f = new File(root, rel)
+              Files.deleteIfExists(f.toPath)
+              GraftRidx.deleteFor(f)
+            }
             GraftCommit.pruneEmptyDirs(root,
               deadSet.toSeq.map(rel => new File(root, rel).getParentFile))
           }
@@ -1963,6 +2066,14 @@ private[sources] object GraftCommit {
           val dest = new File(dir, name)
           Files.move(Paths.get(tempPath), dest.toPath,
             StandardCopyOption.ATOMIC_MOVE)
+          // the ROW-INDEX sidecar rides the same rename (names are
+          // job-unique, but REPLACE_EXISTING + the else-delete keep a
+          // stale index from ever describing a different file's bytes)
+          val tempRidx = GraftRidx.fileFor(new File(tempPath))
+          if (tempRidx.isFile)
+            Files.move(tempRidx.toPath, GraftRidx.fileFor(dest).toPath,
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          else GraftRidx.deleteFor(dest)
           // stamp PUBLISH time: ATOMIC_MOVE preserves the task-write
           // mtime, but expireSnapshots' stray grace window must key on
           // when the file became publishable — a straggler task's file
@@ -2082,6 +2193,14 @@ private[sources] object GraftCommit {
   private val TsHeader = "#ts="
   private val OpHeader = "#op="
   private val DvHeader = "#dv="
+  // COW REWRITE PAIRING (VERDICT r15 task 4): `#rw=<old>\t<new>...` —
+  // which replacement files hold a rewritten file's kept rows, recorded
+  // at commit from the write's task attribution (scan partition p's
+  // kept rows commit as write task p's files; the rewrite plan is
+  // narrow for DELETE/UPDATE). PURELY a changelog-planning hint: the
+  // pair diff it enables is net-exact under ANY pairing (see
+  // GraftChanges), so correctness never depends on it.
+  private val RwHeader = "#rw="
 
   /** Current visible file set (header lines skipped; legacy headerless
     * manifests read identically as version 0).
@@ -2104,6 +2223,7 @@ private[sources] object GraftCommit {
     var ts: Option[Long] = None
     var op = "unknown"
     val dvs = Map.newBuilder[String, String]
+    val rws = Map.newBuilder[String, Seq[String]]
     val files = Seq.newBuilder[String]
     lines.foreach {
       case l if l.startsWith(VersionHeader) =>
@@ -2117,10 +2237,17 @@ private[sources] object GraftCommit {
         require(t.length == 2,
           s"graft-store: malformed manifest #dv line: ${l.take(120)}")
         dvs += GraftStore.decodePartValue(t(0)) -> GraftStore.decodePartValue(t(1))
+      case l if l.startsWith(RwHeader) =>
+        val t = l.substring(RwHeader.length).split("\t", -1)
+        require(t.nonEmpty,
+          s"graft-store: malformed manifest #rw line: ${l.take(120)}")
+        rws += GraftStore.decodePartValue(t.head) ->
+          t.tail.toSeq.map(GraftStore.decodePartValue)
       case l if l.startsWith("#") => () // unknown headers: forward-compatible
       case l => files += GraftStore.decodePartValue(l)
     }
-    Some(GraftManifest(version, ts, op, files.result(), dvs.result()))
+    Some(GraftManifest(version, ts, op, files.result(), dvs.result(),
+      rws.result()))
   }
 
   /** The CURRENT manifest, fully parsed — version, files and DV map in
@@ -2208,7 +2335,8 @@ private[sources] object GraftCommit {
     */
   def commitManifest(root: File, files: Seq[String], op: String = "append",
       dvUpdates: Map[String, Option[String]] = Map.empty,
-      base: Option[Long] = None): Long = {
+      base: Option[Long] = None,
+      rewrites: Map[String, Seq[String]] = Map.empty): Long = {
     val cur = readManifestFull(root)
     val curV = cur.map(_.version).getOrElse(0L)
     base.foreach { b =>
@@ -2235,6 +2363,10 @@ private[sources] object GraftCommit {
       dvs.toSeq.sortBy(_._1).map { case (f, dv) =>
         DvHeader + GraftStore.encodePartValue(f) + "\t" + GraftStore.encodePartValue(dv)
       }.mkString("", "\n", if (dvs.isEmpty) "" else "\n") +
+      rewrites.toSeq.sortBy(_._1).map { case (old, news) =>
+        (old +: news).map(GraftStore.encodePartValue)
+          .mkString(RwHeader, "\t", "")
+      }.mkString("", "\n", if (rewrites.isEmpty) "" else "\n") +
       files.sorted.map(GraftStore.encodePartValue).mkString("", "\n", "\n")
     casPublishHistory(root, v, body)
     writeAtomic(root, GraftStore.ManifestFile, body)
@@ -2945,8 +3077,42 @@ private[sources] class GraftCowBatchWrite(
     val published = GraftCommit.publish(dir, messages,
       n => f"rewrite-$jobId-$n%05d.csv")
     val scanned = op.scannedRels
+    // COW REWRITE PAIRING (VERDICT r15 task 4): scan partition p reads
+    // exactly one scanned file, and the DELETE/UPDATE rewrite plan is
+    // NARROW (scan → filter/project → write, no exchange), so write
+    // task p's kept rows are exactly scanned(p)'s survivors. Recording
+    // old → new files as `#rw=` manifest headers lets the changelog
+    // reader PAIR-DIFF a cow version — emitting only the rows that
+    // actually changed — instead of the whole old file as deletes plus
+    // the whole new file as inserts. MERGE plans join (shuffle), so it
+    // records nothing and keeps the plain diff. The hint is
+    // self-healing: the pair diff is net-exact under ANY pairing (every
+    // uncancelled row still comes out with its sign), so a wrong map
+    // could cost noise, never correctness.
+    val pairing: Map[String, Seq[String]] = {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val narrow = op.command() == Command.DELETE ||
+        op.command() == Command.UPDATE
+      val sorted = messages.map(_.asInstanceOf[GraftCommitMessage])
+        .sortBy(_.partitionId)
+      if (!narrow || sorted.exists(_.partitionId >= scanned.length)) Map.empty
+      else {
+        var off = 0
+        val b = Map.newBuilder[String, Seq[String]]
+        sorted.foreach { m =>
+          val names = published.slice(off, off + m.files.length).map(_._1)
+          off += m.files.length
+          b += scanned(m.partitionId) -> names
+        }
+        b.result()
+      }
+    }
     def cleanupAbort(msg: String): Nothing = {
-      published.foreach(p => Files.deleteIfExists(new File(dir, p._1).toPath))
+      published.foreach { p =>
+        val f = new File(dir, p._1)
+        Files.deleteIfExists(f.toPath)
+        GraftRidx.deleteFor(f)
+      }
       GraftCommit.deleteTemp(path, jobId)
       throw new IllegalStateException(msg)
     }
@@ -2978,7 +3144,7 @@ private[sources] class GraftCowBatchWrite(
         val v = GraftCommit.commitManifest(dir,
           current.filterNot(scanned.toSet) ++ published.map(_._1),
           op = "cow-" + op.command().toString.toLowerCase,
-          base = mf.map(_.version))
+          base = mf.map(_.version), rewrites = pairing)
         GraftCommit.retire(dir, scanned, v)
       }
     }
@@ -3165,9 +3331,13 @@ private[sources] class GraftDvBatchWrite(
       GraftCommit.deleteTemp(path, jobId)
       return // no matching rows, no outputs: no new version
     }
+    def dropFile(rel: String): Unit = {
+      val f = new File(dir, rel)
+      Files.deleteIfExists(f.toPath)
+      GraftRidx.deleteFor(f)
+    }
     def cleanupAbort(msg: String, alsoDelete: Seq[String] = Seq.empty): Nothing = {
-      (published.map(_._1) ++ alsoDelete).foreach(p =>
-        Files.deleteIfExists(new File(dir, p).toPath))
+      (published.map(_._1) ++ alsoDelete).foreach(dropFile)
       GraftCommit.deleteTemp(path, jobId)
       throw new IllegalStateException(msg)
     }
@@ -3248,7 +3418,7 @@ private[sources] class GraftDvBatchWrite(
         }
       // a fully-deleted file republishes NOTHING — it just leaves
       val (matKeep, matEmpty) = mat.partition(_._2.rows > 0)
-      matEmpty.foreach(m => Files.deleteIfExists(new File(dir, m._1).toPath))
+      matEmpty.foreach(m => dropFile(m._1))
       try {
         val lock0 = System.nanoTime()
         GraftCommit.withMetaLock(dir) {
@@ -3307,7 +3477,7 @@ private[sources] class GraftDvBatchWrite(
         committed = true
       } catch {
         case _: StaleRewriteAttempt =>
-          matKeep.foreach(m => Files.deleteIfExists(new File(dir, m._1).toPath))
+          matKeep.foreach(m => dropFile(m._1))
           attempt += 1
           if (attempt >= 20) cleanupAbort(
             s"graft-store: merge-on-read ${op.command()} under $path lost " +
@@ -3316,7 +3486,7 @@ private[sources] class GraftDvBatchWrite(
           // a genuine failure: this attempt's rewrites must not survive
           // as strays (cleanupAbort already deleted them — deleteIfExists
           // makes the repeat harmless)
-          matKeep.foreach(m => Files.deleteIfExists(new File(dir, m._1).toPath))
+          matKeep.foreach(m => dropFile(m._1))
           throw e
       }
     }
@@ -3365,7 +3535,7 @@ private[sources] class GraftStreamingWrite(
       // micro-batch file-sink visibility window, healed by the replay)
       GraftCommit.allPartFiles(dir)
         .filter(_.getName.startsWith(prefix))
-        .foreach(f => Files.delete(f.toPath))
+        .foreach { f => Files.delete(f.toPath); GraftRidx.deleteFor(f) }
     }
     val published = GraftCommit.publish(dir, messages,
       n => f"$prefix$attempt-$n%05d.csv")
@@ -3568,16 +3738,35 @@ private[sources] class GraftDataWriter(
       }.toMap)
   }
 
+  /** One open temp file: the UTF-8 writer over a byte-counting stream
+    * (so record-boundary offsets are exact without re-encoding), its
+    * running zone map, and the ROW-INDEX offsets — the byte position of
+    * every [[GraftRidx.BlockRows]]-th record, flushed-then-read so the
+    * count is the true file offset.
+    */
+  private final class OpenFile(val file: File) {
+    private val cos = new GraftCountingOutputStream(
+      new java.io.FileOutputStream(file))
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(cos, StandardCharsets.UTF_8))
+    val acc = new StatsAcc
+    private var rows = 0L
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def rowWritten(): Unit = {
+      rows += 1
+      if (rows % GraftRidx.BlockRows == 0) { out.flush(); offsets += cos.count }
+    }
+  }
+
   private val open = scala.collection.mutable.LinkedHashMap
-    .empty[String, (java.io.BufferedWriter, StatsAcc)]
+    .empty[String, OpenFile]
   private var closed = false
 
-  private def writerFor(relDir: String): (java.io.BufferedWriter, StatsAcc) =
+  private def writerFor(relDir: String): OpenFile =
     open.getOrElseUpdate(relDir, {
       val dir = if (relDir.isEmpty) taskDir else new File(taskDir, relDir)
       dir.mkdirs()
-      (Files.newBufferedWriter(
-        new File(dir, "data.csv").toPath, StandardCharsets.UTF_8), new StatsAcc)
+      new OpenFile(new File(dir, "data.csv"))
     })
 
   private def relDirOf(row: InternalRow): String =
@@ -3601,26 +3790,32 @@ private[sources] class GraftDataWriter(
       })
       j += 1
     }
-    val (out, acc) = writerFor(if (partCols.isEmpty) "" else relDirOf(row))
-    acc.update(dataVals)
-    out.write(GraftStore.serialize(dataProj, dataSchema))
-    out.write("\n")
+    val of = writerFor(if (partCols.isEmpty) "" else relDirOf(row))
+    of.acc.update(dataVals)
+    of.out.write(GraftStore.serialize(dataProj, dataSchema))
+    of.out.write("\n")
+    of.rowWritten()
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._1.close()); closed = true
+    open.values.foreach(_.out.close()); closed = true
+    // row-index sidecars ride the temp dir next to their data file;
+    // publish() moves both in the same step (files under one block of
+    // rows need no index — the delta read's fallback scan IS the file)
+    open.values.foreach(of =>
+      if (of.offsets.nonEmpty) GraftRidx.write(of.file, of.offsets.toSeq))
     val files = open.keys.toSeq.map { relDir =>
       val dir = if (relDir.isEmpty) taskDir else new File(taskDir, relDir)
       (relDir, new File(dir, "data.csv").getAbsolutePath)
     }
-    GraftCommitMessage(partitionId, files, open.values.map(_._2.result()).toSeq)
+    GraftCommitMessage(partitionId, files, open.values.map(_.acc.result()).toSeq)
   }
 
   override def abort(): Unit = {
-    if (!closed) open.values.foreach(_._1.close())
+    if (!closed) open.values.foreach(_.out.close())
     GraftCommit.deleteRecursively(taskDir)
   }
 
   override def close(): Unit =
-    if (!closed) { open.values.foreach(_._1.close()); closed = true }
+    if (!closed) { open.values.foreach(_.out.close()); closed = true }
 }

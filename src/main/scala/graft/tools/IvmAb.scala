@@ -70,8 +70,8 @@ object IvmAb {
       spark.sql(
         s"UPDATE graft.ab.base SET v = v + 1 WHERE id >= ${n - churn / 2} AND id < $n")
     } finally {
-      spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
-      spark.conf.set("spark.graft.store.update.mode", "copy-on-write")
+      spark.conf.unset("spark.graft.store.delete.mode")
+      spark.conf.unset("spark.graft.store.update.mode")
     }
 
     def timed(body: => Unit): Double = {
@@ -106,6 +106,34 @@ object IvmAb {
       f"incremental ${tInc}%.2f s vs full recompute ${tFull}%.2f s; " +
       f"files read: changelog $changedFiles%d vs table $tableFiles%d " +
       f"(${tableFiles.toDouble / changedFiles}%.1fx) — groups=${a.length}%d")
+
+    // ---- COW-churn cycle (VERDICT r15 task 4's done-bar): the same
+    // refresh economics with a PINNED copy-on-write delete. Pre-pairing
+    // this was IVM's designed loss: the rewrite republished its file's
+    // ~250k kept rows and the changelog read them all just to cancel
+    // them relationally (9.1 s at 8M). With `#rw` pairing the reader
+    // merge-diffs old vs new, so the refresh INPUT is ∝ deleted rows.
+    val vCow = graft.sources.GraftMaintenance.currentVersion(tpath).get
+    spark.conf.set("spark.graft.store.delete.mode", "copy-on-write")
+    try spark.sql(
+      s"DELETE FROM graft.ab.base WHERE id >= ${churn / 2} AND id < $churn")
+    finally spark.conf.unset("spark.graft.store.delete.mode")
+    val cowLog = spark.sql(
+      s"SELECT * FROM graft.ab.base.changes WHERE _commit_version > $vCow")
+    var cowConsumed = 0L
+    val tCow = timed {
+      cowConsumed = graft.sources.GraftIVM.refreshAggregate(spark, cowLog,
+        "graft.ab.view", Seq("k"), "n", Seq("sv" -> "v"))
+    }
+    val tFull2 = timed {
+      spark.sql("""INSERT OVERWRITE TABLE graft.ab.view
+                  |SELECT k, count(*), sum(v) FROM graft.ab.base GROUP BY k""".stripMargin)
+        .collect()
+    }
+    println(f"[ivmab-cow] cow-delete churn=${churn / 2}%d: refresh input " +
+      f"$cowConsumed%d rows (paired diff; pre-r15 this was the rewrite's " +
+      f"whole kept set), incremental ${tCow}%.2f s vs full recompute " +
+      f"${tFull2}%.2f s")
     spark.stop()
   }
 }

@@ -1871,10 +1871,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(c12.filter(col("_change_type") =!= "insert").count() == 0L)
     assert(c12.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
 
-    // COW delete attribution: the raw file diff carries the rewrite's
-    // kept rows as same-version delete+insert pairs; NET changes cancel
-    // them to exactly the deleted row
+    // COW delete attribution (r15 pair-diff): the commit recorded the
+    // old -> new pairing, so the raw changelog emits ONLY the deleted
+    // row — kept rows cancel in the reader's merge-diff, never reaching
+    // the consumer (pre-r15 they arrived as delete+insert pairs that
+    // netChangesOf had to shuffle away)
     val raw34 = GraftCDC.changes(spark, tpath, 3L, Some(4L))
+    assert(raw34.count() == 1L,
+      "a paired cow version's raw changelog must be exactly the churn")
     assert(raw34.filter(col("_change_type") === "delete" && col("id") === 7L)
       .count() == 1L)
     val net34 = GraftCDC.netChanges(spark, tpath, 3L, Some(4L)).collect()
@@ -2143,6 +2147,64 @@ class SourcesSpec extends AnyFunSuite {
       "an emptied group must leave the maintained view")
     spark.sql("DROP TABLE graft.ivm2db.t")
     spark.sql("DROP TABLE graft.ivm2db.view")
+  }
+
+  test("partitioned-view IVM refresh: untouched partitions keep their exact files, vanished partitions delete") {
+    // VERDICT r15 task 5: a view partitioned on a group column
+    // republishes ONLY the partitions the changelog touches (dynamic
+    // overwrite), an all-vanished partition gets the DELETE dynamic
+    // overwrite cannot express, and every untouched partition keeps its
+    // exact files (names + mtimes + sizes) across the refresh
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pivmdb")
+    spark.sql("DROP TABLE IF EXISTS graft.pivmdb.t")
+    spark.sql("DROP TABLE IF EXISTS graft.pivmdb.view")
+    spark.sql("CREATE TABLE graft.pivmdb.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.pivmdb.t SELECT id, id % 8, id * 3 FROM range(0, 800)") // v2
+    spark.sql("""CREATE TABLE graft.pivmdb.view (k BIGINT, n BIGINT, sv BIGINT)
+                |PARTITIONED BY (k)""".stripMargin)
+    spark.sql("""INSERT INTO graft.pivmdb.view
+                |SELECT k, count(*), sum(v) FROM graft.pivmdb.t GROUP BY k""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/pivmdb/t"
+    val vpath = s"$wh/pivmdb/view"
+    val v0 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+
+    def filesIn(k: Long): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$vpath/k=$k").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sortBy(_._1)
+    val untouchedBefore = Seq(0L, 4L, 5L, 6L, 7L).map(k => k -> filesIn(k)).toMap
+
+    // the churn: group 3 vanishes entirely; groups 1 and 2 grow
+    spark.sql("DELETE FROM graft.pivmdb.t WHERE k = 3") // v3
+    spark.sql("""INSERT INTO graft.pivmdb.t
+                |SELECT id, 1 + id % 2, id * 3 FROM range(800, 840)""".stripMargin) // v4
+    val changelog = spark.sql(
+      s"SELECT * FROM graft.pivmdb.t.changes WHERE _commit_version > $v0")
+    val consumed = graft.sources.GraftIVM.refreshAggregatePartitioned(spark,
+      changelog, "graft.pivmdb.view", "k", Seq("k"), "n", Seq("sv" -> "v"))
+    assert(consumed == 140L, // 100 deletes + 40 inserts
+      s"refresh input must be the changelog, got $consumed")
+
+    // exactness: the maintained view equals the recompute
+    val refreshed = spark.table("graft.pivmdb.view").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val recomputed = spark.sql(
+      "SELECT k, count(*), sum(v) FROM graft.pivmdb.t GROUP BY k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(refreshed == recomputed,
+      s"partitioned IVM drift: $refreshed vs $recomputed")
+    assert(!refreshed.contains(3L), "the vanished group must leave the view")
+
+    // untouched partitions: EXACT same files (the refresh never wrote,
+    // moved or rewrote them)
+    Seq(0L, 4L, 5L, 6L, 7L).foreach { k =>
+      assert(filesIn(k) == untouchedBefore(k),
+        s"untouched view partition k=$k changed: ${filesIn(k)} vs ${untouchedBefore(k)}")
+    }
+    spark.sql("DROP TABLE graft.pivmdb.t")
+    spark.sql("DROP TABLE graft.pivmdb.view")
   }
 
   test("graft-store readStream: micro-batches follow the version pointer, loud on non-append versions") {
