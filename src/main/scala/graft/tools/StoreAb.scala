@@ -135,6 +135,24 @@ object StoreAb {
         f"new-bytes ${w / 1024}%d KiB, post-delete scan ${s}%.3f s, " +
         f"commit-lock ${lockMs}%.1f ms")
     }
+
+    // ---- LOCK-FLATNESS check (VERDICT r15 task 1's done-bar): a 60%
+    // delete of EVERY file under auto rewrites ~40% of the table's
+    // bytes — on executors, OUTSIDE the metadata lock. The lock window
+    // must stay at DV-write + manifest-swap scale (the sparse case
+    // above), NOT grow with rewrite bytes.
+    val big = mkCopy("mix_bigauto")
+    val beforeBig = GraftCommit0.allBytes(s"$wh/ab/$big")
+    spark.conf.set("spark.graft.store.delete.mode", "auto")
+    val dBig = try timed(spark.sql(
+      s"DELETE FROM graft.ab.$big WHERE id % 10 < 6"))
+    finally spark.conf.unset("spark.graft.store.delete.mode")
+    val bigLockMs = graft.sources.GraftStore.LastDvCommitLockNanos.get() / 1e6
+    val bigBytes = GraftCommit0.allBytes(s"$wh/ab/$big") - beforeBig
+    println(f"[storeab-lock] auto 60%%-of-every-file delete: rewrite bytes " +
+      f"${bigBytes / 1024}%d KiB (executor-side), commit ${dBig}%.3f s, " +
+      f"commit-lock ${bigLockMs}%.1f ms — flat vs the sparse case's " +
+      f"${autoRes.last._5}%.1f ms despite ~${bigBytes / math.max(1, autoRes.last._3)}%dx the bytes")
     spark.stop()
   }
 }
