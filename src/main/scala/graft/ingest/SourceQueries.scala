@@ -1126,7 +1126,7 @@ object SourceQueries {
     QueryDef("q256_store_time_travel", q256, Some(q256Sql),
       "graft-store versioned manifests: CREATE/INSERT/INSERT/DELETE lifecycle read back as four VERSION AS OF snapshots"),
     QueryDef("q257_store_cow_delete", q257, Some(q257Sql),
-      "graft-store row-level DELETE: copy-on-write rewrite of matching files via SupportsRowLevelOperations"),
+      "graft-store row-level DELETE by id under the auto COW/MOR default (per-file decision; all three modes spec-pinned byte-identical)"),
     QueryDef("q258_store_sum_pushdown", q258, Some(q258Sql),
       "graft-store SUM/AVG aggregate pushdown: grouped totals answered from _STATS per-file exact sums"),
     QueryDef("q259_store_cdc", q259, Some(q259Sql),
