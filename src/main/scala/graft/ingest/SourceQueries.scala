@@ -944,6 +944,85 @@ object SourceQueries {
       |WHERE NOT (user_id % 11 = 5)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TOUCHED-GROUP IVM for NON-INVERTIBLE aggregates (VERDICT r16 task
+    * 2): a view carrying MIN/MAX cannot be maintained from signed deltas
+    * — a DELETE that removes a group's current maximum needs the base
+    * data to find the runner-up. [[graft.sources.GraftIVM
+    * .refreshAggregateTouchedGroups]] re-aggregates ONLY the groups
+    * present in the changelog (keys from the delta; one PRUNED base
+    * scan over exactly those groups — SourcesSpec pins base input =
+    * touched groups' rows, never table size) while untouched groups'
+    * view rows carry through verbatim. The lifecycle here makes the
+    * non-invertibility REAL: the DELETE removes the top event_id band,
+    * killing both groups' current maxima, and the refreshed view must
+    * surface each group's runner-up — which no signed-delta algebra
+    * could produce. Append + auto-DML DELETE + MOR UPDATE all feed one
+    * refresh; the DuckDB oracle recomputes the final state from
+    * scratch.
+    */
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    ensureGraftCatalog(s)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id") % 2 === 0, "even").otherwise("odd").as("half"))
+      .createOrReplaceTempView("q262_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_xivm")
+    s.sql("DROP TABLE IF EXISTS graft.db.events_xivm_view")
+    s.sql("""CREATE TABLE graft.db.events_xivm
+            |  (event_id BIGINT, user_id BIGINT, half STRING)
+            |  PARTITIONED BY (half)""".stripMargin) // version 1: empty
+    s.sql("""INSERT INTO graft.db.events_xivm
+            |SELECT /*+ REPARTITION(2) */ event_id, user_id, half
+            |FROM q262_src WHERE event_id % 3 <> 0""".stripMargin) // v2: base
+    s.sql("""CREATE TABLE graft.db.events_xivm_view
+            |  (half STRING, n BIGINT, sum_users BIGINT,
+            |   min_event BIGINT, max_event BIGINT)""".stripMargin)
+    s.sql("""INSERT INTO graft.db.events_xivm_view
+            |SELECT half, count(*), sum(user_id), min(event_id), max(event_id)
+            |FROM graft.db.events_xivm GROUP BY half""".stripMargin)
+    val basePath = s.conf.get("spark.sql.catalog.graft.warehouse") + "/db/events_xivm"
+    val v0 = graft.sources.GraftMaintenance.currentVersion(basePath).get
+    // the max-killing cut, fixed from the PRE-APPEND snapshot (the
+    // oracle reproduces it as a scalar subquery over the same rows)
+    val cut = s.sql("SELECT max(event_id) - 50 FROM graft.db.events_xivm")
+      .head().getLong(0)
+    s.sql("""INSERT INTO graft.db.events_xivm
+            |SELECT /*+ REPARTITION(2) */ event_id, user_id, half
+            |FROM q262_src WHERE event_id % 3 = 0""".stripMargin) // v3: append
+    // v4: DELETE the top band under the auto DML default — both groups
+    // lose their current max; the refresh must find the runner-ups
+    s.sql(s"DELETE FROM graft.db.events_xivm WHERE event_id > $cut")
+    val prevMode = s.conf.getOption(graft.sources.GraftStore.UpdateModeConf)
+    s.conf.set(graft.sources.GraftStore.UpdateModeConf, "merge-on-read")
+    try s.sql("""UPDATE graft.db.events_xivm SET user_id = user_id + 1000000
+                |WHERE user_id % 13 = 2""".stripMargin) // v5: MOR (DV + reinsert)
+    finally prevMode.fold(s.conf.unset(graft.sources.GraftStore.UpdateModeConf))(
+      s.conf.set(graft.sources.GraftStore.UpdateModeConf, _))
+    val changelog = s.sql(
+      s"SELECT * FROM graft.db.events_xivm.changes WHERE _commit_version > $v0")
+    graft.sources.GraftIVM.refreshAggregateTouchedGroups(s, changelog,
+      s.table("graft.db.events_xivm"), "graft.db.events_xivm_view",
+      groupCols = Seq("half"), countCol = "n",
+      sums = Seq("sum_users" -> "user_id"),
+      mins = Seq("min_event" -> "event_id"),
+      maxs = Seq("max_event" -> "event_id"))
+    s.sql("""SELECT half, n, sum_users, min_event, max_event
+            |FROM graft.db.events_xivm_view ORDER BY half""".stripMargin)
+  }
+
+  private val q262Sql =
+    """SELECT (CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END) AS half,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN user_id % 13 = 2 THEN user_id + 1000000
+      |               ELSE user_id END) AS BIGINT) AS sum_users,
+      |  min(event_id) AS min_event,
+      |  max(event_id) AS max_event
+      |FROM events
+      |WHERE event_id <= (SELECT max(event_id) - 50 FROM events
+      |                   WHERE event_id % 3 <> 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XML round trip (Spark 4 ships the spark-xml source natively —
     * completing the text-format inventory: CSV q70, JSONL q95, XML here).
     * Values travel as typed XML elements and come back through an
@@ -1135,6 +1214,8 @@ object SourceQueries {
       "incremental view maintenance: aggregate view absorbs append/COW-DELETE/MOR-UPDATE by consuming only the SQL-addressed changelog"),
     QueryDef("q261_store_stream_ivm", q261, Some(q261Sql),
       "STREAMING incremental view maintenance: checkpointed changelog + applied watermark refresh the view exactly-once across stop/restart"),
+    QueryDef("q262_store_ivm_minmax", q262, Some(q262Sql),
+      "touched-group IVM for MIN/MAX: a max-killing DELETE refreshes to the runner-up by re-aggregating only changelog groups from a pruned base scan"),
     QueryDef("q134_xml_roundtrip", q134, Some(q134Sql), "XML source write/read round trip (Spark 4 native)"),
     QueryDef("q135_variant_shred", q135, Some(q135Sql), "VARIANT parse + typed path extraction"),
     QueryDef("q75_partition_pruning", q75, Some(q75Sql), "partitioned layout + pruning"),

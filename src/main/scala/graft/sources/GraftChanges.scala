@@ -37,18 +37,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * `compact`/`adopt` version is DATA-NEUTRAL by construction and emits
   * NOTHING (the file-level diff would be pure rewrite noise).
   *
-  * A COW rewrite (cow-delete/update) version whose commit recorded its
-  * old → new file PAIRING (`#rw=` manifest headers, VERDICT r15 task 4)
-  * is read as PAIR partitions: a streaming merge-diff of each old
-  * file's live rows against its replacements cancels kept rows in the
-  * reader, so the raw changelog already carries only the rows that
-  * changed — input ∝ churn, no shuffle spent on rewrite noise. A cow
-  * version WITHOUT pairing (pre-r15 history, MERGE whose join plan
-  * breaks task↔file attribution) falls back to the plain file diff —
-  * kept rows as same-version delete+insert pairs — and
+  * A rewrite version whose commit recorded its old → new file PAIRING
+  * (`#rw=` manifest headers, VERDICT r15 task 4 + r16 task 1) is read
+  * as PAIR partitions: each old file's live rows diff against its
+  * replacements and kept rows cancel in the reader, so the raw
+  * changelog already carries only the rows that changed — input ∝
+  * churn, no shuffle spent on rewrite noise. That covers cow-delete /
+  * cow-update (narrow plans: ordered merge-diff), the auto-DML `dv-*`
+  * rewrites (materializeKept: ordered subsequence), and cow-merge
+  * where the commit could attribute (join output has no row order —
+  * those pairs cancel by in-reader HASH multiset; see
+  * [[GraftPairPolicy]]). A rewrite WITHOUT pairing (pre-r15 history, a
+  * MERGE whose partition holds several rewritten files — ambiguous
+  * task↔file attribution) falls back to the plain file diff — kept
+  * rows as same-version delete+insert pairs — and
   * [[GraftCDC.netChanges]] cancels those RELATIONALLY (group by row
   * content + version, net the signs), the Spark-first shape of
-  * Iceberg's net-changes changelog. Both forms are net-identical.
+  * Iceberg's net-changes changelog. All forms are net-identical.
   *
   * Streaming: the plain store table now supports `readStream` (TableCapability
   * MICRO_BATCH_READ). Offsets ARE manifest versions; each micro-batch
@@ -119,20 +124,32 @@ private[sources] object GraftChanges {
               "newer changesFrom or widen the retention window")
           f
         }
-        // COW PAIR-DIFF (VERDICT r15 task 4): a cow version whose commit
-        // recorded old → new attribution emits each rewritten file as a
-        // PAIR partition — a streaming merge-diff of the old file's live
-        // rows against its replacements that cancels kept rows IN the
-        // reader, so the changelog carries O(actually-changed rows)
+        // REWRITE PAIR-DIFF (VERDICT r15 task 4 + r16 task 1): a version
+        // whose commit recorded old → new attribution emits each
+        // rewritten file as a PAIR partition — a diff of the old file's
+        // live rows against its replacements that cancels kept rows IN
+        // the reader, so the changelog carries O(actually-changed rows)
         // instead of the whole old+new sets that netChangesOf would have
         // to shuffle just to cancel. Net-exact under any pairing: every
-        // uncancelled row is still emitted with its sign.
+        // uncancelled row is still emitted with its sign. The diff
+        // POLICY follows the op's row-order guarantee: a cow-delete's
+        // kept rows are an ordered SUBSEQUENCE (narrow plan) — likewise
+        // an auto-DML (`dv-*`) rewrite, whose materializeKept streams
+        // the file; a cow-update rewrites IN PLACE; a cow-merge's output
+        // passed through a join (no order guarantee), so it cancels by
+        // HASH multiset instead.
+        val pairable = cur.op.startsWith("cow-") || cur.op.startsWith("dv-")
         val pairs: Seq[(String, Seq[String])] =
-          if (!cur.op.startsWith("cow-")) Seq.empty
+          if (!pairable) Seq.empty
           else cur.rewrites.toSeq.sortBy(_._1).filter { case (old, news) =>
             removed0.contains(old) && news.forall(n =>
               curSet(n) && !prevSet(n))
           }
+        val policy = cur.op match {
+          case "cow-update" => GraftPairPolicy.InPlace
+          case "cow-merge"  => GraftPairPolicy.Hash
+          case _            => GraftPairPolicy.Subseq // cow-delete, dv-*
+        }
         val pairedOld = pairs.map(_._1).toSet
         val pairedNew = pairs.flatMap(_._2).toSet
         val added = added0.filterNot(pairedNew)
@@ -156,7 +173,7 @@ private[sources] object GraftChanges {
               partValuesOf(old, partCols),
               prev.dvs.get(old).map(d => new File(root, d).getAbsolutePath),
               news.map(n => (onDisk(n).getAbsolutePath, partValuesOf(n, partCols))),
-              v, deleteOnly = cur.op == "cow-delete")
+              v, policy)
           }
       }
     }
@@ -267,7 +284,13 @@ private[sources] class GraftChangesScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
   private var lo: Long = fromV          // exclusive lower bound
-  private var hi: Option[Long] = toV    // inclusive upper bound
+  // pushed inclusive upper bound — kept SEPARATE from the explicit
+  // changesTo option (ADVICE r15 low): a pushed `_commit_version`
+  // predicate past the table's history clamps (the residual filter
+  // guarantees equivalence), an EXPLICIT changesTo past it stays a
+  // loud error (silently truncating a caller's bookkept range would
+  // hide a rolled-back/recreated table)
+  private var pushedHi: Option[Long] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -291,18 +314,20 @@ private[sources] class GraftChangesScanBuilder(
       case i: Int  => Some(i.toLong)
       case _       => None
     }
+    def cap(v: Long): Unit =
+      pushedHi = Some(pushedHi.fold(v)(math.min(_, v)))
     pushed = filters.filter {
       case GreaterThan(a, v) if a == vc && asL(v).isDefined =>
         lo = math.max(lo, asL(v).get); true
       case GreaterThanOrEqual(a, v) if a == vc && asL(v).isDefined =>
         lo = math.max(lo, asL(v).get - 1); true
       case LessThan(a, v) if a == vc && asL(v).isDefined =>
-        hi = Some(hi.fold(asL(v).get - 1)(math.min(_, asL(v).get - 1))); true
+        cap(asL(v).get - 1); true
       case LessThanOrEqual(a, v) if a == vc && asL(v).isDefined =>
-        hi = Some(hi.fold(asL(v).get)(math.min(_, asL(v).get))); true
+        cap(asL(v).get); true
       case EqualTo(a, v) if a == vc && asL(v).isDefined =>
         lo = math.max(lo, asL(v).get - 1)
-        hi = Some(hi.fold(asL(v).get)(math.min(_, asL(v).get))); true
+        cap(asL(v).get); true
       case _ => false
     }
     filters // all residual
@@ -310,13 +335,14 @@ private[sources] class GraftChangesScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftChangesScan(path, fullSchema, required, partCols, lo, hi,
-      maxVersionsPerTrigger)
+    new GraftChangesScan(path, fullSchema, required, partCols, lo, toV,
+      pushedHi, maxVersionsPerTrigger)
 }
 
 private[sources] class GraftChangesScan(
     path: String, fullSchema: StructType, required: StructType,
     partCols: Seq[String], fromV: Long, toV: Option[Long],
+    pushedHi: Option[Long] = None,
     maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -341,12 +367,21 @@ private[sources] class GraftChangesScan(
       .getOrElse(throw new IllegalStateException(
         s"graft-store: $path is not a versioned table — the changes read " +
           "needs manifest versions (write through the catalog or compact once)"))
-    // an upper bound past the table's history CLAMPS to the current
-    // version (ADVICE r14 medium: a pushed `_commit_version <= 100` on a
-    // 5-version table must not plan never-committed manifests and throw
-    // — the same query without pushdown succeeds with a residual filter,
-    // so the SQL surface would turn a valid query into an error)
-    val end = toV.fold(cur)(math.min(_, cur))
+    // a PUSHED upper bound past the table's history CLAMPS to the
+    // current version (ADVICE r14 medium: a pushed `_commit_version <=
+    // 100` on a 5-version table must not plan never-committed manifests
+    // and throw — the same query without pushdown succeeds with a
+    // residual filter, so the SQL surface would turn a valid query into
+    // an error). The EXPLICIT changesTo option does NOT clamp (ADVICE
+    // r15 low): a caller's bookkept end version past the history means
+    // the table was rolled back or recreated — silently returning a
+    // truncated slice would hide it
+    toV.foreach(t => require(t <= cur,
+      s"graft-store: changesTo = $t but the current version of $path is " +
+        s"$cur — the requested range was never committed (rolled-back or " +
+        "recreated table?); drop changesTo to read through the current version"))
+    val end = (toV.toSeq ++ pushedHi.map(math.min(_, cur)).toSeq)
+      .reduceOption((a: Long, b: Long) => math.min(a, b)).getOrElse(cur)
     // a pushed bound past the table's history is an EMPTY slice, not an
     // inverted-range error (e.g. `WHERE _commit_version > current`)
     if (fromV >= end) Array.empty
@@ -371,21 +406,40 @@ private[sources] case class GraftChangePartition(
     dvApply: Option[String], dvOld: Option[String], delta: Boolean)
     extends InputPartition
 
-/** One PAIR-DIFFED cow rewrite at one version (VERDICT r15 task 4): the
-  * old file's live rows (dvOld applied) merge-diff against its recorded
-  * replacement files. `deleteOnly` selects the policy: a cow-delete's
-  * kept rows are a SUBSEQUENCE of the old rows, so on mismatch only the
-  * old side advances (emitting the row as a delete — exact, minimal); a
-  * cow-update rewrites rows IN PLACE, so a mismatch emits delete(old) +
-  * insert(new) and advances both. Rows are compared as RAW record
-  * fields — the codec is canonical, so identical content means
-  * identical fields. Under any pairing or ordering the emission is
-  * NET-exact: a row is cancelled only against an equal row, so
-  * Σinserts − Σdeletes = new − old as multisets.
+/** The pair-diff policies, by the committing op's row-order guarantee. */
+private[sources] object GraftPairPolicy {
+  /** Kept rows are an ordered SUBSEQUENCE of the old live rows
+    * (cow-delete's narrow plan; an auto-DML rewrite's materializeKept):
+    * on mismatch only the old side advances, emitting a delete — exact
+    * and minimal.
+    */
+  val Subseq = "subseq"
+  /** Rows rewritten IN PLACE, same order (cow-update's narrow plan): a
+    * mismatch emits delete(old) + insert(new) and advances both.
+    */
+  val InPlace = "inplace"
+  /** No order guarantee (cow-merge: the output passed through a join):
+    * cancel by HASH multiset — the old file's live rows load into an
+    * in-reader multiset (O(one file's rows) memory, the same unit the
+    * DV bitsets and materializeKept already size by), the new rows
+    * stream against it, and the leftovers emit with their signs. The
+    * relational alternative (netChangesOf) shuffles the same bytes
+    * across the cluster to do the identical cancellation.
+    */
+  val Hash = "hash"
+}
+
+/** One PAIR-DIFFED rewrite at one version (VERDICT r15 task 4, r16
+  * task 1): the old file's live rows (dvOld applied) diff against its
+  * recorded replacement files under `policy` (see [[GraftPairPolicy]]).
+  * Rows are compared as RAW record fields — the codec is canonical, so
+  * identical content means identical fields. Under any pairing or
+  * ordering the emission is NET-exact: a row is cancelled only against
+  * an equal row, so Σinserts − Σdeletes = new − old as multisets.
   */
 private[sources] case class GraftCowPairPartition(
     oldFile: String, oldPartValues: Seq[String], dvOld: Option[String],
-    newFiles: Seq[(String, Seq[String])], version: Long, deleteOnly: Boolean)
+    newFiles: Seq[(String, Seq[String])], version: Long, policy: String)
     extends InputPartition
 
 private[sources] class GraftChangesReaderFactory(
@@ -434,7 +488,7 @@ private[sources] class GraftChangesReaderFactory(
         // PAIR-DIFF reader (VERDICT r15 task 4): stream the old file's
         // live rows against the concatenated replacements; equal rows
         // cancel IN the reader (no shuffle), mismatches emit with their
-        // sign under the op's policy (see GraftCowPairPartition).
+        // sign under the op's policy (see GraftPairPolicy).
         val delSlots = slotsFor(pp.version, "delete", pp.oldPartValues)
         val insSlots = pp.newFiles.map { case (_, pv) =>
           slotsFor(pp.version, "insert", pv) }
@@ -450,11 +504,18 @@ private[sources] class GraftChangesReaderFactory(
           private var pending: InternalRow = null
           private var row: InternalRow = null
 
-          // old side = rows LIVE at v-1 (prev's DV applied)
+          // old side = rows LIVE at v-1 (prev's DV applied). Ordinals
+          // past the DV range fail LOUDLY (ADVICE r15 low — silently
+          // skipping DV application would re-emit already-deleted rows
+          // as changelog deletes), mirroring the delta seek reader.
           private def nextOld(): Array[String] = {
             var r = oldParser.next(); oldPos += 1
-            while (r != null && dvBits != null && oldPos <= Int.MaxValue &&
-                dvBits.get(oldPos.toInt)) {
+            while (r != null && dvBits != null && {
+                if (oldPos > Int.MaxValue) throw new IllegalStateException(
+                  s"graft-store: row ordinal $oldPos of '${pp.oldFile}' " +
+                    "exceeds the deletion-vector range — torn store state")
+                dvBits.get(oldPos.toInt)
+              }) {
               r = oldParser.next(); oldPos += 1
             }
             r
@@ -486,7 +547,52 @@ private[sources] class GraftChangesReaderFactory(
             }
             true
           }
+          // HASH policy state (cow-merge — no row-order guarantee): the
+          // old live rows load as a multiset keyed by trailing-null-
+          // normalized field vectors; new rows stream against it.
+          private var oldCounts:
+            scala.collection.mutable.HashMap[Vector[String], Int] = null
+          private var leftover: Iterator[InternalRow] = null
+          private def keyOf(rec: Array[String]): Vector[String] = {
+            var n = rec.length
+            while (n > 0 && rec(n - 1) == null) n -= 1
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < n) { b += rec(i); i += 1 }
+            b.result()
+          }
+          private def nextHash(): Boolean = {
+            if (oldCounts == null) {
+              oldCounts = scala.collection.mutable.HashMap.empty
+              var r = nextOld()
+              while (r != null) {
+                val k = keyOf(r)
+                oldCounts.update(k, oldCounts.getOrElse(k, 0) + 1)
+                r = nextOld()
+              }
+            }
+            while (leftover == null) {
+              val r = nextNew()
+              if (r == null) {
+                // new side drained: the uncancelled old rows are the
+                // deletes (order irrelevant — the changelog is a multiset)
+                leftover = oldCounts.iterator.flatMap { case (k, c) =>
+                  Iterator.fill(c)(k)
+                }.map(k => rowFor(delSlots, k.toArray))
+              } else {
+                val k = keyOf(r)
+                oldCounts.getOrElse(k, 0) match {
+                  case 0 => // genuinely new content: an insert
+                    row = rowFor(insSlots(nfi), r); return true
+                  case 1 => oldCounts.remove(k) // kept row: cancels
+                  case c => oldCounts.update(k, c - 1)
+                }
+              }
+            }
+            if (leftover.hasNext) { row = leftover.next(); true } else false
+          }
           override def next(): Boolean = {
+            if (pp.policy == GraftPairPolicy.Hash) return nextHash()
             if (pending != null) { row = pending; pending = null; return true }
             while (true) {
               if (oldCur == null) oldCur = nextOld()
@@ -498,7 +604,7 @@ private[sources] class GraftChangesReaderFactory(
                 row = rowFor(delSlots, oldCur); oldCur = null; return true
               } else if (same(oldCur, newCur)) {
                 oldCur = null; newCur = null // kept row: cancels in place
-              } else if (pp.deleteOnly) {
+              } else if (pp.policy == GraftPairPolicy.Subseq) {
                 // kept rows are a subsequence: this old row was deleted
                 row = rowFor(delSlots, oldCur); oldCur = null; return true
               } else {
@@ -612,8 +718,14 @@ private[sources] class GraftChangesReaderFactory(
       private var row: InternalRow = _
       private var pos = -1L
       private def emit(): Boolean = {
-        val in = applyBits != null && pos <= Int.MaxValue &&
-          applyBits.get(pos.toInt)
+        // loud past the DV range (ADVICE r15 low, same class as the
+        // pair-diff reader): a silently-unapplied DV would emit rows a
+        // delete already removed
+        if ((applyBits != null || oldBits != null) && pos > Int.MaxValue)
+          throw new IllegalStateException(
+            s"graft-store: row ordinal $pos of '${gp.file}' exceeds the " +
+              "deletion-vector range — torn store state")
+        val in = applyBits != null && applyBits.get(pos.toInt)
         if (gp.delta) in && !(oldBits != null && oldBits.get(pos.toInt))
         else !in
       }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL VIEW MAINTENANCE over the store changelog (VERDICT r13
@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *              (+1/-1 per row for COUNT, ±value per row for each SUM)
   *
   * (MIN/MAX are NOT maintainable this way — a delete of the current
-  * minimum needs the base data to find the runner-up — and are refused
-  * by construction: they simply aren't in the view contract.)
+  * minimum needs the base data to find the runner-up. Views carrying
+  * them refresh with [[refreshAggregateTouchedGroups]] instead, VERDICT
+  * r15 task 2: the changelog contributes only the touched GROUP KEYS,
+  * and those groups re-aggregate from a pruned base scan while
+  * untouched groups keep their rows verbatim.)
   *
   * The algebra was spec-proven against append / COW-delete / MOR-update
   * commits in round 13; this wires it as an OPERATOR:
@@ -50,9 +53,9 @@ import org.apache.spark.sql.functions._
   * tables are aggregate-sized. A view with a very large group space
   * PARTITIONS on a group column and refreshes with
   * [[refreshAggregatePartitioned]] (VERDICT r15 task 5): only touched
-  * partitions republish (dynamic partition overwrite), vanished
-  * partitions get the explicit DELETE dynamic overwrite cannot
-  * express, untouched partitions keep their exact files.
+  * partitions republish — ONE atomic commit that carries the vanished
+  * partitions too (r16 task 3) — and untouched partitions keep their
+  * exact files.
   *
   * Null contract: COUNT(*) is exact; maintained SUMs treat an all-null
   * group as 0 where SQL reports NULL (nulls contribute nothing to the
@@ -133,14 +136,20 @@ object GraftIVM {
 
   /** The observed consumed-row metric, with a BOUNDED wait (the
     * listener fires asynchronously after the action) and a defensive
-    * count fallback — a refresh must never hang on a lost metric.
+    * count fallback — a refresh must never hang on a lost metric. The
+    * fallback also covers AQE EMPTY-RELATION PROPAGATION: a refresh
+    * whose surviving result is empty (e.g. every touched group
+    * vanished) can have its CollectMetrics node optimized out of the
+    * final adaptive plan, completing the future with a schemaless
+    * empty row instead of the metric.
     */
   private def observed(obs: org.apache.spark.sql.Observation,
       changelog: DataFrame): Long =
     try {
       import scala.concurrent.duration._
-      scala.concurrent.Await.result(obs.future, 30.seconds)
-        .getAs[Long]("consumed")
+      val row = scala.concurrent.Await.result(obs.future, 30.seconds)
+      if (row.length == 0 || row.schema == null) changelog.count()
+      else row.getAs[Long]("consumed")
     } catch {
       case _: java.util.concurrent.TimeoutException => changelog.count()
     }
@@ -160,26 +169,53 @@ object GraftIVM {
     * to the touched partitions (a store partition-pruned scan). The
     * touched-partition values are collected to the driver — view
     * partition columns are low-cardinality by design (that is what
-    * makes them partition columns). The republish is two commits
-    * (overwrite, then the vanished-partition delete); a reader between
-    * them sees refreshed survivors and a stale vanished partition —
-    * the same visibility class as any multi-statement maintenance.
+    * makes them partition columns). The republish is ONE atomic commit
+    * (VERDICT r15 "what's wrong" 2): the dynamic partition overwrite
+    * carries the vanished partitions — touched partitions whose groups
+    * all emptied, which overwrite-by-written-data alone cannot retire —
+    * in the write's `alsoReplacePartitions` option, so the survivor
+    * republish and the vanished-partition retirement are a single
+    * manifest version and no reader ever sees a half-refreshed view.
+    * Partition keys are handled as TYPED values end to end (ADVICE r15
+    * medium): the vanished set travels as the store's canonical encoded
+    * directory names — never interpolated SQL text — and a NULL group
+    * key prunes, republishes and retires like any other value.
     * Same range-ownership contract as [[refreshAggregate]].
     */
   def refreshAggregatePartitioned(spark: SparkSession, changelog: DataFrame,
       viewTable: String, partitionCol: String, groupCols: Seq[String],
+      countCol: String, sums: Seq[(String, String)]): Long =
+    refreshPartitionedFrom(changelog.sparkSession.table(viewTable), changelog,
+      viewTable, partitionCol, groupCols, countCol, sums)
+
+  /** A 3-value-safe membership predicate over collected key values:
+    * covers NULL explicitly in BOTH directions, so `!touchedPred` is
+    * exact too (a bare `isInCollection` evaluates to NULL for a null
+    * key — filtered out on the positive side AND on the negation,
+    * silently dropping the null group; ADVICE r15 medium).
+    */
+  private def memberPred(c: Column, values: Seq[Any]): Column = {
+    val (nulls, vs) = values.partition(_ == null)
+    val inVals =
+      if (vs.isEmpty) lit(false)
+      else c.isNotNull && c.isInCollection(vs)
+    if (nulls.nonEmpty) c.isNull || inVals else inVals
+  }
+
+  private def refreshPartitionedFrom(view: DataFrame, changelog: DataFrame,
+      viewTable: String, partitionCol: String, groupCols: Seq[String],
       countCol: String, sums: Seq[(String, String)]): Long = {
     require(groupCols.contains(partitionCol),
       s"graft-ivm: view partition column '$partitionCol' must be a group column")
+    require(view.sparkSession eq changelog.sparkSession,
+      "graft-ivm: the view and changelog frames must share one SparkSession")
     val obs = org.apache.spark.sql.Observation(
       s"graft_ivm_${java.util.UUID.randomUUID().toString.take(8)}")
     val sign = when(col(GraftChanges.ChangeTypeColumn) === "insert", 1L)
       .otherwise(-1L)
-    val session = changelog.sparkSession // see refreshFrom: one session
     val touched: Seq[Any] = changelog.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return 0L
-    val view = session.table(viewTable)
     val deltas = changelog
       .observe(obs, count(lit(1)).as("consumed"))
       .select((groupCols.map(col) :+ sign.as(countCol)) ++
@@ -187,7 +223,7 @@ object GraftIVM {
           (sign * col(baseCol)).as(viewCol)
         }: _*)
     val applied = view
-      .filter(col(partitionCol).isInCollection(touched)) // pruned scan
+      .filter(memberPred(col(partitionCol), touched)) // pruned scan
       .unionByName(deltas)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col(countCol)).as(countCol),
@@ -199,22 +235,117 @@ object GraftIVM {
     try {
       val survived: Set[Any] = applied.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).toSet
-      if (survived.nonEmpty)
-        applied.writeTo(viewTable).overwritePartitions()
-      // vanished partitions: dynamic overwrite cannot "replace with
-      // nothing" — an explicit partition DELETE finishes the refresh
+      // the survived-collect executed the observed subtree already
       val vanished = touched.filterNot(survived)
-      if (vanished.nonEmpty) {
-        val pred = vanished.map {
-          case s: String => s"$partitionCol = '${s.replace("'", "''")}'"
-          case other     => s"$partitionCol = $other"
-        }.mkString(" OR ")
-        session.sql(s"DELETE FROM $viewTable WHERE $pred")
-      }
-      // the survived-collect executed the observed subtree either way
+      // ONE atomic version: overwrite the survivor partitions and retire
+      // the vanished ones in the same manifest commit — the vanished set
+      // rides as canonical encoded partition-directory names (typed: a
+      // Long renders as its directory text, null as the null sentinel)
+      val w = applied.writeTo(viewTable)
+      (if (vanished.isEmpty) w
+       else w.option(GraftStore.AlsoReplacePartitionsOption,
+         vanished.map(v => GraftStore.encodePartValue(
+           partitionCol + "=" + GraftStore.encodePartValue(
+             if (v == null) null else v.toString))).mkString(",")))
+        .overwritePartitions()
       observed(obs, changelog)
     } finally { applied.unpersist(); () }
   }
+
+  /** TOUCHED-GROUP RE-AGGREGATION (VERDICT r15 task 2) — the refresh
+    * for views carrying NON-INVERTIBLE aggregates (MIN/MAX), which no
+    * signed delta can maintain: a delete of a group's current maximum
+    * needs the base data to find the runner-up. The standard move, and
+    * this operator: the changelog contributes only the touched GROUP
+    * KEYS; those groups re-aggregate from the base table through a
+    * PRUNED scan (an IN-list predicate when the touched key set is
+    * small — pushed to the store scan, so partition pruning and
+    * zone-map refutation apply — or a broadcast semi join otherwise,
+    * whose build side is still churn-sized); every untouched group's
+    * row is carried through verbatim (3-value-safe anti predicate).
+    * COUNT and SUMs recompute in the SAME pruned scan — arithmetically
+    * free once the touched rows are being read for MIN/MAX, and exact
+    * SQL null semantics fall out (no signed-delta "all-null sum is 0"
+    * divergence for touched groups).
+    *
+    * Refresh input ∝ rows of touched groups — never table size —
+    * pinned by [[LastTouchedGroupBaseRows]] in SourcesSpec. `base`
+    * must be the SNAPSHOT the changelog leads to (read it AS OF the
+    * slice's end version for a lagging refresh). Null-key groups
+    * refresh exactly (null-safe membership on both sides). Same
+    * range-ownership contract as [[refreshAggregate]]; returns the
+    * changelog rows consumed (here: read once, for the key set).
+    */
+  def refreshAggregateTouchedGroups(spark: SparkSession, changelog: DataFrame,
+      base: DataFrame, viewTable: String, groupCols: Seq[String],
+      countCol: String, sums: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)]): Long = {
+    require(groupCols.nonEmpty, "graft-ivm: at least one group column")
+    require(mins.nonEmpty || maxs.nonEmpty,
+      "graft-ivm: no MIN/MAX columns — use refreshAggregate (signed " +
+        "deltas, no base scan at all) for purely invertible views")
+    val session = changelog.sparkSession
+    require((base.sparkSession eq session) &&
+      (session.table(viewTable).sparkSession eq session),
+      "graft-ivm: the base and changelog frames must share one SparkSession")
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_ivm_${java.util.UUID.randomUUID().toString.take(8)}")
+    val baseObs = org.apache.spark.sql.Observation(
+      s"graft_ivm_base_${java.util.UUID.randomUUID().toString.take(8)}")
+    val view = session.table(viewTable)
+    val keyFrame = changelog
+      .observe(obs, count(lit(1)).as("consumed"))
+      .select(groupCols.map(col): _*).distinct().cache()
+    try {
+      // small key sets travel as an IN-list (predicate pushdown reaches
+      // the store scan); big ones as a broadcast semi join
+      val probe = keyFrame.limit(InListKeyLimit + 1).collect()
+      if (probe.isEmpty) return 0L
+      val (touchedBase, untouchedView) =
+        if (groupCols.size == 1 && probe.length <= InListKeyLimit) {
+          val p = memberPred(col(groupCols.head), probe.map(_.get(0)).toSeq)
+          (base.filter(p), view.filter(!p))
+        } else {
+          def cond(l: DataFrame) =
+            groupCols.map(c => l(c) <=> keyFrame(c)).reduce(_ && _)
+          (base.join(broadcast(keyFrame), cond(base), "left_semi"),
+            view.join(broadcast(keyFrame), cond(view), "left_anti"))
+        }
+      val aggCols: Seq[Column] =
+        sums.map { case (vc, bc) => sum(col(bc)).as(vc) } ++
+          mins.map { case (vc, bc) => min(col(bc)).as(vc) } ++
+          maxs.map { case (vc, bc) => max(col(bc)).as(vc) }
+      val recomputed = touchedBase
+        .observe(baseObs, count(lit(1)).as("rows"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as(countCol), aggCols: _*)
+        .select(view.columns.map(col): _*)
+      untouchedView.select(view.columns.map(col): _*)
+        .unionByName(recomputed)
+        .writeTo(viewTable).overwrite(lit(true))
+      LastTouchedGroupBaseRows.set(
+        try {
+          import scala.concurrent.duration._
+          val row = scala.concurrent.Await.result(baseObs.future, 30.seconds)
+          if (row.length == 0 || row.schema == null) -1L // see observed()
+          else row.getAs[Long]("rows")
+        } catch {
+          case _: java.util.concurrent.TimeoutException => -1L
+        })
+      observed(obs, changelog)
+    } finally { keyFrame.unpersist(); () }
+  }
+
+  /** Above this many touched group keys the base prune switches from an
+    * IN-list (store-scan pushdown) to a broadcast semi join.
+    */
+  private val InListKeyLimit = 1000
+
+  /** DIAGNOSTIC: base rows the most recent touched-group refresh
+    * actually scanned — SourcesSpec pins it at the touched groups' row
+    * count, not the table's (the task 2 done-bar).
+    */
+  val LastTouchedGroupBaseRows = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   // ------------------------------------------------- streaming (r15)
 
@@ -234,10 +365,21 @@ object GraftIVM {
     * AS OF `appliedVersion` — call ONCE, right after materializing the
     * view. [[streamRefresh]] refuses to run without it (an unbound view
     * cannot be replay-protected: a crashed first batch would otherwise
-    * re-apply onto its own output).
+    * re-apply onto its own output). The call-once contract is ENFORCED
+    * (ADVICE r15 low): a view that is already bound refuses a rebind —
+    * an accidental second bind would rewind the applied watermark and a
+    * later replay would double-apply already-applied versions. Pass
+    * `force = true` only when the view was genuinely RE-materialized
+    * from a fresh base snapshot.
     */
-  def bind(viewPath: String, appliedVersion: Long): Unit = {
+  def bind(viewPath: String, appliedVersion: Long,
+      force: Boolean = false): Unit = {
     val root = new java.io.File(viewPath)
+    require(force || !new java.io.File(root, AppliedMarker).isFile,
+      s"graft-ivm: $viewPath is already bound to a base version — " +
+        "rebinding rewinds the applied watermark and double-applies " +
+        "replayed versions; re-materialize the view and pass force = true " +
+        "if that is really what you want")
     val viewV = GraftCommit.currentManifestVersion(root).getOrElse(
       throw new IllegalStateException(
         s"graft-ivm: $viewPath is not a versioned table — materialize the " +
@@ -261,11 +403,17 @@ object GraftIVM {
   /** Apply ONE changelog batch exactly-once (the foreachBatch body of
     * [[streamRefresh]], public so the replay contract is directly
     * testable). Returns the changelog rows consumed; 0 for an empty or
-    * already-applied (replayed) batch.
+    * already-applied (replayed) batch. With `partitionCol` set (VERDICT
+    * r15 task "wire streamRefresh to the partitioned form") the refresh
+    * is the PRUNED partitioned republish: only touched partitions move,
+    * in one atomic commit, and a replay recomputes them from the PINNED
+    * view version — untouched partitions' files never move, even across
+    * a crash-window replay.
     */
   def applyBatchExactlyOnce(spark: SparkSession, batch: DataFrame,
       viewTable: String, viewPath: String, groupCols: Seq[String],
-      countCol: String, sums: Seq[(String, String)]): Long = {
+      countCol: String, sums: Seq[(String, String)],
+      partitionCol: Option[String] = None): Long = {
     val (applied, viewV) = binding(viewPath).getOrElse(
       throw new IllegalStateException(
         s"graft-ivm: no $AppliedMarker under $viewPath — call " +
@@ -286,8 +434,12 @@ object GraftIVM {
       .format("graft.sources.GraftStoreProvider")
       .option("path", viewPath)
       .option(GraftStore.VersionAsOfOption, viewV.toString).load()
-    val consumed = refreshFrom(spark, base, live, viewTable,
-      groupCols, countCol, sums)
+    val consumed = partitionCol match {
+      case Some(pc) => refreshPartitionedFrom(base, live, viewTable, pc,
+        groupCols, countCol, sums)
+      case None => refreshFrom(spark, base, live, viewTable,
+        groupCols, countCol, sums)
+    }
     val newViewV = GraftCommit.currentManifestVersion(new java.io.File(viewPath))
       .getOrElse(throw new IllegalStateException(
         s"graft-ivm: view $viewPath lost its manifest mid-refresh"))
@@ -305,13 +457,18 @@ object GraftIVM {
     * with stop/restart, the managed form of the batch API's
     * caller-owned ranges. Call with `Trigger.AvailableNow` for a
     * catch-up-and-stop refresh job, or a processing-time trigger for a
-    * continuous one.
+    * continuous one. A view PARTITIONED on a group column passes
+    * `partitionCol`: each micro-batch then republishes only the
+    * partitions it touches (one atomic commit, vanished partitions
+    * included) under the same exactly-once contract — untouched
+    * partitions keep their exact files across batches AND restarts.
     */
   def streamRefresh(spark: SparkSession, basePath: String, viewTable: String,
       viewPath: String, groupCols: Seq[String], countCol: String,
       sums: Seq[(String, String)], checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      partitionCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val (applied, _) = binding(viewPath).getOrElse(
       throw new IllegalStateException(
@@ -323,7 +480,7 @@ object GraftIVM {
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         applyBatchExactlyOnce(spark, df, viewTable, viewPath,
-          groupCols, countCol, sums)
+          groupCols, countCol, sums, partitionCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

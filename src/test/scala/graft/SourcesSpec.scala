@@ -2017,6 +2017,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graft.metadb.t.changes WHERE _commit_version = 100")
       .head().getLong(0) == 0L)
+    // ...but the EXPLICIT changesTo option does NOT clamp (ADVICE r15
+    // low): a programmatic end version past the table's history means
+    // the caller's bookkeeping disagrees with the table (rolled back or
+    // recreated) — silently truncating the slice would hide it
+    val pastErr = intercept[Throwable] {
+      graft.sources.GraftCDC.changes(spark, tpath, 2L, Some(99L)).collect()
+    }
+    assert(pastErr.getMessage != null && pastErr.getMessage.contains("changesTo"),
+      s"explicit changesTo past history must fail loudly, got: ${pastErr.getMessage}")
     // ADVICE r14 low: the changes table is version-RANGE addressed — a
     // snapshot pin would silently resolve to the full current changelog,
     // so it is refused loudly
@@ -2149,12 +2158,123 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ivm2db.view")
   }
 
-  test("partitioned-view IVM refresh: untouched partitions keep their exact files, vanished partitions delete") {
-    // VERDICT r15 task 5: a view partitioned on a group column
-    // republishes ONLY the partitions the changelog touches (dynamic
-    // overwrite), an all-vanished partition gets the DELETE dynamic
-    // overwrite cannot express, and every untouched partition keeps its
-    // exact files (names + mtimes + sizes) across the refresh
+  test("touched-group IVM refresh: MIN/MAX survive a max-killing delete; base input ∝ touched groups") {
+    // VERDICT r16 task 2's done-bar: a DELETE that removes a group's
+    // current MAX refreshes to the correct runner-up (no signed delta
+    // can do that), the refresh re-aggregates ONLY the groups present
+    // in the changelog (base input pinned at the touched groups' rows,
+    // never the table), and untouched groups' rows carry through
+    // verbatim — including a NULL group key on both sides.
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.xivmdb")
+    spark.sql("DROP TABLE IF EXISTS graft.xivmdb.t")
+    spark.sql("DROP TABLE IF EXISTS graft.xivmdb.view")
+    spark.sql("CREATE TABLE graft.xivmdb.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql("""INSERT INTO graft.xivmdb.t
+                |SELECT id, CASE WHEN id % 100 = 99 THEN CAST(NULL AS BIGINT)
+                |               ELSE id % 10 END, id
+                |FROM range(0, 1000)""".stripMargin) // v2: 10 groups + null group
+    spark.sql("""CREATE TABLE graft.xivmdb.view
+                |  (k BIGINT, n BIGINT, sv BIGINT, mn BIGINT, mx BIGINT)""".stripMargin)
+    spark.sql("""INSERT INTO graft.xivmdb.view
+                |SELECT k, count(*), sum(v), min(v), max(v)
+                |FROM graft.xivmdb.t GROUP BY k""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/xivmdb/t"
+    val v0 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+
+    // the churn: kill group 4's current max (994) and its whole top
+    // decile; bump group 2's values (MOR update); add a brand-new group;
+    // delete part of the NULL group (its max 999 goes too)
+    spark.sql("DELETE FROM graft.xivmdb.t WHERE k = 4 AND v >= 900")
+    spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
+    try spark.sql("UPDATE graft.xivmdb.t SET v = v - 7 WHERE k = 2 AND v < 100")
+    finally spark.conf.unset("spark.graft.store.update.mode")
+    spark.sql("INSERT INTO graft.xivmdb.t SELECT id, 77L, id FROM range(5000, 5020)")
+    spark.sql("DELETE FROM graft.xivmdb.t WHERE k IS NULL AND v > 500")
+
+    def recompute(): Map[Option[Long], (Long, Long, Long, Long)] =
+      spark.sql("""SELECT k, count(*) n, sum(v) sv, min(v) mn, max(v) mx
+                  |FROM graft.xivmdb.t GROUP BY k""".stripMargin).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def viewState(): Map[Option[Long], (Long, Long, Long, Long)] =
+      spark.table("graft.xivmdb.view").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val changelog = spark.sql(
+      s"SELECT * FROM graft.xivmdb.t.changes WHERE _commit_version > $v0")
+    graft.sources.GraftIVM.refreshAggregateTouchedGroups(spark, changelog,
+      spark.table("graft.xivmdb.t"), "graft.xivmdb.view", Seq("k"), "n",
+      sums = Seq("sv" -> "v"), mins = Seq("mn" -> "v"), maxs = Seq("mx" -> "v"))
+    val expect = recompute()
+    assert(viewState() == expect,
+      s"touched-group refresh drift: ${viewState()} vs $expect")
+    // the max-killing delete found the runner-up
+    assert(expect(Some(4L))._4 == 894L && viewState()(Some(4L))._4 == 894L)
+    assert(viewState()(None)._4 == 499L, "the null group's new max")
+    // base INPUT ∝ touched groups (k ∈ {2, 4, 77, NULL}), never the table
+    val touchedRows = spark.sql(
+      "SELECT count(*) FROM graft.xivmdb.t WHERE k IN (2, 4, 77) OR k IS NULL")
+      .head().getLong(0)
+    assert(graft.sources.GraftIVM.LastTouchedGroupBaseRows.get() == touchedRows,
+      s"refresh scanned ${graft.sources.GraftIVM.LastTouchedGroupBaseRows.get()} " +
+        s"base rows; the touched groups hold only $touchedRows")
+
+    // a touched group that empties LEAVES the view (no zombie row)
+    val v1 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+    spark.sql("DELETE FROM graft.xivmdb.t WHERE k = 77")
+    graft.sources.GraftIVM.refreshAggregateTouchedGroups(spark,
+      spark.sql(s"SELECT * FROM graft.xivmdb.t.changes WHERE _commit_version > $v1"),
+      spark.table("graft.xivmdb.t"), "graft.xivmdb.view", Seq("k"), "n",
+      sums = Seq("sv" -> "v"), mins = Seq("mn" -> "v"), maxs = Seq("mx" -> "v"))
+    assert(viewState() == recompute())
+    assert(!viewState().contains(Some(77L)), "the emptied group must leave")
+
+    // composite group key exercises the broadcast-semi/anti branch
+    spark.sql("DROP TABLE IF EXISTS graft.xivmdb.t2")
+    spark.sql("DROP TABLE IF EXISTS graft.xivmdb.view2")
+    spark.sql("CREATE TABLE graft.xivmdb.t2 (id BIGINT, k BIGINT, k2 BIGINT, v BIGINT)")
+    spark.sql("""INSERT INTO graft.xivmdb.t2
+                |SELECT id, k, id % 3, v FROM graft.xivmdb.t""".stripMargin)
+    spark.sql("""CREATE TABLE graft.xivmdb.view2
+                |  (k BIGINT, k2 BIGINT, n BIGINT, sv BIGINT, mx BIGINT)""".stripMargin)
+    spark.sql("""INSERT INTO graft.xivmdb.view2
+                |SELECT k, k2, count(*), sum(v), max(v)
+                |FROM graft.xivmdb.t2 GROUP BY k, k2""".stripMargin)
+    val t2path = s"$wh/xivmdb/t2"
+    val v2 = graft.sources.GraftMaintenance.currentVersion(t2path).get
+    spark.sql("DELETE FROM graft.xivmdb.t2 WHERE k = 5 AND k2 = 1 AND v > 800")
+    graft.sources.GraftIVM.refreshAggregateTouchedGroups(spark,
+      spark.sql(s"SELECT * FROM graft.xivmdb.t2.changes WHERE _commit_version > $v2"),
+      spark.table("graft.xivmdb.t2"), "graft.xivmdb.view2", Seq("k", "k2"), "n",
+      sums = Seq("sv" -> "v"), mins = Seq.empty, maxs = Seq("mx" -> "v"))
+    val exp2 = spark.sql(
+      """SELECT k, k2, count(*) n, sum(v) sv, max(v) mx
+        |FROM graft.xivmdb.t2 GROUP BY k, k2""".stripMargin).collect()
+      .map(r => (r.get(0), r.get(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val got2 = spark.table("graft.xivmdb.view2").collect()
+      .map(r => (r.get(0), r.get(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got2 == exp2, s"composite-key touched-group drift")
+    spark.sql("DROP TABLE graft.xivmdb.t")
+    spark.sql("DROP TABLE graft.xivmdb.t2")
+    spark.sql("DROP TABLE graft.xivmdb.view")
+    spark.sql("DROP TABLE graft.xivmdb.view2")
+  }
+
+  test("partitioned-view IVM refresh: one atomic commit, untouched partitions keep their exact files, vanished partitions retire") {
+    // VERDICT r15 task 5 + r16 task 3: a view partitioned on a group
+    // column republishes ONLY the partitions the changelog touches, the
+    // vanished-partition retirement rides the SAME manifest commit as
+    // the survivor overwrite (exactly ONE version increment per refresh
+    // — no reader can see refreshed survivors next to a stale vanished
+    // partition), and every untouched partition keeps its exact files
+    // (names + mtimes + sizes) across the refresh. A NULL group key
+    // (ADVICE r15 medium) appears, refreshes and vanishes like any
+    // other value.
     ensureGraftCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pivmdb")
     spark.sql("DROP TABLE IF EXISTS graft.pivmdb.t")
@@ -2182,10 +2302,17 @@ class SourcesSpec extends AnyFunSuite {
                 |SELECT id, 1 + id % 2, id * 3 FROM range(800, 840)""".stripMargin) // v4
     val changelog = spark.sql(
       s"SELECT * FROM graft.pivmdb.t.changes WHERE _commit_version > $v0")
+    val viewV0 = graft.sources.GraftMaintenance.currentVersion(vpath).get
     val consumed = graft.sources.GraftIVM.refreshAggregatePartitioned(spark,
       changelog, "graft.pivmdb.view", "k", Seq("k"), "n", Seq("sv" -> "v"))
     assert(consumed == 140L, // 100 deletes + 40 inserts
       s"refresh input must be the changelog, got $consumed")
+    // ATOMIC republish: survivor overwrite + vanished-partition
+    // retirement = ONE version (r16 task 3's done-bar)
+    assert(graft.sources.GraftMaintenance.currentVersion(vpath).get
+      == viewV0 + 1,
+      "a partitioned refresh with a vanished partition must commit " +
+        "exactly one view version")
 
     // exactness: the maintained view equals the recompute
     val refreshed = spark.table("graft.pivmdb.view").collect()
@@ -2202,6 +2329,39 @@ class SourcesSpec extends AnyFunSuite {
     Seq(0L, 4L, 5L, 6L, 7L).foreach { k =>
       assert(filesIn(k) == untouchedBefore(k),
         s"untouched view partition k=$k changed: ${filesIn(k)} vs ${untouchedBefore(k)}")
+    }
+
+    // NULL group key (ADVICE r15 medium): a null key must not be
+    // dropped by the touched-partition prune, must republish into the
+    // null partition directory, and must VANISH through the same
+    // atomic option path — never via interpolated SQL text
+    val v1 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+    spark.sql("""INSERT INTO graft.pivmdb.t
+                |SELECT id, CAST(NULL AS BIGINT), id FROM range(0, 7)""".stripMargin)
+    graft.sources.GraftIVM.refreshAggregatePartitioned(spark,
+      spark.sql(s"SELECT * FROM graft.pivmdb.t.changes WHERE _commit_version > $v1"),
+      "graft.pivmdb.view", "k", Seq("k"), "n", Seq("sv" -> "v"))
+    val nullRow = spark.table("graft.pivmdb.view")
+      .filter(col("k").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == 7L &&
+      nullRow.head.getLong(2) == 21L,
+      s"null-key group must refresh into the view, got ${nullRow.toSeq}")
+    val v2 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+    val viewV2 = graft.sources.GraftMaintenance.currentVersion(vpath).get
+    spark.sql("DELETE FROM graft.pivmdb.t WHERE k IS NULL")
+    graft.sources.GraftIVM.refreshAggregatePartitioned(spark,
+      spark.sql(s"SELECT * FROM graft.pivmdb.t.changes WHERE _commit_version > $v2"),
+      "graft.pivmdb.view", "k", Seq("k"), "n", Seq("sv" -> "v"))
+    assert(spark.table("graft.pivmdb.view")
+      .filter(col("k").isNull).isEmpty,
+      "the vanished null-key group must leave the view")
+    assert(graft.sources.GraftMaintenance.currentVersion(vpath).get
+      == viewV2 + 1,
+      "the null-partition vanish must still be ONE atomic view commit")
+    Seq(0L, 4L, 5L, 6L, 7L).foreach { k =>
+      assert(filesIn(k) == untouchedBefore(k),
+        s"untouched view partition k=$k changed across the null-key " +
+          s"refreshes: ${filesIn(k)} vs ${untouchedBefore(k)}")
     }
     spark.sql("DROP TABLE graft.pivmdb.t")
     spark.sql("DROP TABLE graft.pivmdb.view")

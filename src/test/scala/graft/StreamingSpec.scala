@@ -422,4 +422,99 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.sivmdb.t")
     spark.sql("DROP TABLE graft.sivmdb.view")
   }
+
+  test("streaming partitioned IVM: pruned republish, exactly-once across restart and crash window, untouched partitions' files never move") {
+    // VERDICT r16 task 4: the checkpointed refresh loop drives the
+    // PARTITIONED form — each micro-batch republishes only the
+    // partitions its changelog touches, in ONE atomic view commit, and
+    // a replay recomputes them from the PINNED view version. Pinned
+    // here: across three batches, a restart, and a simulated crash
+    // window, every untouched view partition keeps its EXACT files
+    // (names + mtimes + sizes).
+    import graft.sources.{GraftCDC, GraftIVM, GraftMaintenance}
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_sivm_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spivmdb")
+    spark.sql("DROP TABLE IF EXISTS graft.spivmdb.t")
+    spark.sql("DROP TABLE IF EXISTS graft.spivmdb.view")
+    spark.sql("CREATE TABLE graft.spivmdb.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.spivmdb.t SELECT id, id % 8, id * 3 FROM range(0, 800)") // v2
+    spark.sql("""CREATE TABLE graft.spivmdb.view (k BIGINT, n BIGINT, sv BIGINT)
+                |PARTITIONED BY (k)""".stripMargin)
+    spark.sql("""INSERT INTO graft.spivmdb.view
+                |SELECT k, count(*), sum(v) FROM graft.spivmdb.t GROUP BY k""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val basePath = s"$wh/spivmdb/t"
+    val viewPath = s"$wh/spivmdb/view"
+    GraftIVM.bind(viewPath, GraftMaintenance.currentVersion(basePath).get)
+    val ckpt = graft.util.TempDirs.create("graft_spivm_ckpt_")
+    def runStream(): Unit = GraftIVM.streamRefresh(spark, basePath,
+      "graft.spivmdb.view", viewPath, Seq("k"), "n", Seq("sv" -> "v"), ckpt,
+      partitionCol = Some("k")).awaitTermination()
+    def viewState(): Map[Long, (Long, Long)] =
+      spark.table("graft.spivmdb.view").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def recompute(): Map[Long, (Long, Long)] =
+      spark.sql("SELECT k, count(*), sum(v) FROM graft.spivmdb.t GROUP BY k")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def filesIn(k: Long): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$viewPath/k=$k").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sortBy(_._1)
+    def snapshot(ks: Seq[Long]): Map[Long, Seq[(String, Long, Long)]] =
+      ks.map(k => k -> filesIn(k)).toMap
+    val before = snapshot(Seq(0L, 4L, 5L, 6L, 7L))
+
+    // batch 1 through the stream: k=3 vanishes, k=1/2 grow — only those
+    // three partitions may move
+    spark.sql("DELETE FROM graft.spivmdb.t WHERE k = 3") // v3
+    spark.sql("""INSERT INTO graft.spivmdb.t
+                |SELECT id, 1 + id % 2, id * 3 FROM range(800, 840)""".stripMargin) // v4
+    runStream()
+    assert(viewState() == recompute(), "stream run 1 must refresh the view")
+    assert(!viewState().contains(3L), "the vanished partition must retire")
+    assert(snapshot(Seq(0L, 4L, 5L, 6L, 7L)) == before,
+      "untouched view partitions moved in a pruned streaming refresh")
+
+    // batch 2 DIRECT + the crash window: only k=5 is touched; the
+    // replay recomputes k=5 from the pinned view version and leaves
+    // every other partition's files alone
+    val after1 = snapshot(Seq(0L, 1L, 2L, 4L, 6L, 7L))
+    val b1 = GraftIVM.binding(viewPath).get
+    spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
+    try spark.sql("UPDATE graft.spivmdb.t SET v = v + 1000 WHERE k = 5 AND id % 3 = 0") // v5
+    finally spark.conf.unset("spark.graft.store.update.mode")
+    val v5 = GraftMaintenance.currentVersion(basePath).get
+    val slice = GraftCDC.changes(spark, basePath, b1._1, Some(v5))
+    assert(GraftIVM.applyBatchExactlyOnce(spark, slice, "graft.spivmdb.view",
+      viewPath, Seq("k"), "n", Seq("sv" -> "v"), Some("k")) > 0L)
+    val after2 = viewState()
+    assert(after2 == recompute())
+    java.nio.file.Files.writeString( // simulated crash: old marker back
+      java.nio.file.Paths.get(viewPath, "_IVM_APPLIED"),
+      s"${b1._1}\t${b1._2}\n")
+    assert(GraftIVM.applyBatchExactlyOnce(spark, slice, "graft.spivmdb.view",
+      viewPath, Seq("k"), "n", Seq("sv" -> "v"), Some("k")) > 0L,
+      "the crash-window replay re-applies from the PINNED view version")
+    assert(viewState() == after2,
+      "a crash-window replay must not double-apply the deltas")
+    assert(snapshot(Seq(0L, 1L, 2L, 4L, 6L, 7L)) == after1,
+      "a crash-window replay must not move untouched partitions' files")
+
+    // batch 3 through a RESTARTED stream: only k=0 grows
+    spark.sql("INSERT INTO graft.spivmdb.t SELECT id, 0L, id FROM range(900, 910)") // v6
+    val after2Files = snapshot(Seq(1L, 2L, 4L, 6L, 7L))
+    runStream()
+    assert(viewState() == recompute(),
+      "the restarted stream must converge on the exact view")
+    assert(GraftIVM.binding(viewPath).get._1 ==
+      GraftMaintenance.currentVersion(basePath).get)
+    assert(snapshot(Seq(1L, 2L, 4L, 6L, 7L)) == after2Files,
+      "the restarted pruned refresh moved untouched partitions' files")
+    spark.sql("DROP TABLE graft.spivmdb.t")
+    spark.sql("DROP TABLE graft.spivmdb.view")
+  }
 }
