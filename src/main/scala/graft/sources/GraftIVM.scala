@@ -336,6 +336,100 @@ object GraftIVM {
     } finally { keyFrame.unpersist(); () }
   }
 
+  /** [[refreshAggregateTouchedGroups]] for a view PARTITIONED on one of
+    * its group columns — the two prunings COMPOSE: the changelog keys
+    * prune the BASE scan (touched groups only), and the republish is
+    * the pruned dynamic partition overwrite (touched partitions only,
+    * vanished partitions retired in the SAME atomic commit — one
+    * version, like [[refreshAggregatePartitioned]]). A touched
+    * partition may hold untouched groups when the view groups on more
+    * than the partition column; their view rows are carried through
+    * verbatim into the republish (partition-pruned view scan + the
+    * 3-value-safe anti predicate). Untouched partitions keep their
+    * exact files. Base input stays ∝ touched groups
+    * ([[LastTouchedGroupBaseRows]]); view I/O drops from O(view) to
+    * O(touched partitions).
+    */
+  def refreshAggregateTouchedGroupsPartitioned(spark: SparkSession,
+      changelog: DataFrame, base: DataFrame, viewTable: String,
+      partitionCol: String, groupCols: Seq[String], countCol: String,
+      sums: Seq[(String, String)], mins: Seq[(String, String)],
+      maxs: Seq[(String, String)]): Long = {
+    require(groupCols.contains(partitionCol),
+      s"graft-ivm: view partition column '$partitionCol' must be a group column")
+    require(mins.nonEmpty || maxs.nonEmpty,
+      "graft-ivm: no MIN/MAX columns — use refreshAggregatePartitioned " +
+        "(signed deltas, no base scan at all) for purely invertible views")
+    val session = changelog.sparkSession
+    require(base.sparkSession eq session,
+      "graft-ivm: the base and changelog frames must share one SparkSession")
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_ivm_${java.util.UUID.randomUUID().toString.take(8)}")
+    val baseObs = org.apache.spark.sql.Observation(
+      s"graft_ivm_base_${java.util.UUID.randomUUID().toString.take(8)}")
+    val view = session.table(viewTable)
+    val touchedParts: Seq[Any] = changelog.select(col(partitionCol))
+      .distinct().collect().map(_.get(0)).toSeq
+    if (touchedParts.isEmpty) return 0L
+    val partPred = memberPred(col(partitionCol), touchedParts)
+    val keyFrame = changelog
+      .observe(obs, count(lit(1)).as("consumed"))
+      .select(groupCols.map(col): _*).distinct().cache()
+    try {
+      val probe = keyFrame.limit(InListKeyLimit + 1).collect()
+      val (touchedBase, carriedView) =
+        if (groupCols.size == 1 && probe.length <= InListKeyLimit) {
+          // one group column ⇒ it IS the partition column: the key
+          // prune and the partition prune are the same predicate
+          val p = memberPred(col(groupCols.head), probe.map(_.get(0)).toSeq)
+          (base.filter(p), view.filter(partPred && !p))
+        } else {
+          def cond(l: DataFrame) =
+            groupCols.map(c => l(c) <=> keyFrame(c)).reduce(_ && _)
+          // the partition prune applies to BOTH sides: the view scan
+          // reads only touched partitions, and a base table partitioned
+          // on the same column prunes too before the semi join
+          (base.filter(partPred).join(broadcast(keyFrame), cond(base),
+            "left_semi"),
+            view.filter(partPred).join(broadcast(keyFrame), cond(view),
+              "left_anti"))
+        }
+      val aggCols: Seq[Column] =
+        sums.map { case (vc, bc) => sum(col(bc)).as(vc) } ++
+          mins.map { case (vc, bc) => min(col(bc)).as(vc) } ++
+          maxs.map { case (vc, bc) => max(col(bc)).as(vc) }
+      val republish = carriedView.select(view.columns.map(col): _*)
+        .unionByName(touchedBase
+          .observe(baseObs, count(lit(1)).as("rows"))
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as(countCol), aggCols: _*)
+          .select(view.columns.map(col): _*))
+        .cache()
+      try {
+        val survived: Set[Any] = republish.select(col(partitionCol))
+          .distinct().collect().map(_.get(0)).toSet
+        val vanished = touchedParts.filterNot(survived)
+        val w = republish.writeTo(viewTable)
+        (if (vanished.isEmpty) w
+         else w.option(GraftStore.AlsoReplacePartitionsOption,
+           vanished.map(v => GraftStore.encodePartValue(
+             partitionCol + "=" + GraftStore.encodePartValue(
+               if (v == null) null else v.toString))).mkString(",")))
+          .overwritePartitions()
+        LastTouchedGroupBaseRows.set(
+          try {
+            import scala.concurrent.duration._
+            val row = scala.concurrent.Await.result(baseObs.future, 30.seconds)
+            if (row.length == 0 || row.schema == null) -1L // see observed()
+            else row.getAs[Long]("rows")
+          } catch {
+            case _: java.util.concurrent.TimeoutException => -1L
+          })
+        observed(obs, changelog)
+      } finally { republish.unpersist(); () }
+    } finally { keyFrame.unpersist(); () }
+  }
+
   /** Above this many touched group keys the base prune switches from an
     * IN-list (store-scan pushdown) to a broadcast semi join.
     */

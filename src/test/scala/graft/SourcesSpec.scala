@@ -2265,6 +2265,80 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.xivmdb.view2")
   }
 
+  test("partitioned touched-group IVM: both prunings compose — base ∝ touched groups, view I/O ∝ touched partitions, one commit") {
+    // The partitioned form of the MIN/MAX refresh: changelog keys prune
+    // the base scan, the republish is the pruned dynamic overwrite
+    // (vanished partitions in the same atomic commit), untouched
+    // partitions keep their exact files, and a touched partition's
+    // UNTOUCHED groups (view grouped finer than its partitioning) carry
+    // through verbatim.
+    ensureGraftCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pxivmdb")
+    spark.sql("DROP TABLE IF EXISTS graft.pxivmdb.t")
+    spark.sql("DROP TABLE IF EXISTS graft.pxivmdb.view")
+    spark.sql("CREATE TABLE graft.pxivmdb.t (id BIGINT, k BIGINT, k2 BIGINT, v BIGINT)")
+    spark.sql("""INSERT INTO graft.pxivmdb.t
+                |SELECT id, id % 6, (id DIV 6) % 2, id FROM range(0, 600)""".stripMargin) // v2
+    spark.sql("""CREATE TABLE graft.pxivmdb.view
+                |  (k BIGINT, k2 BIGINT, n BIGINT, sv BIGINT, mx BIGINT)
+                |PARTITIONED BY (k)""".stripMargin)
+    spark.sql("""INSERT INTO graft.pxivmdb.view
+                |SELECT k, k2, count(*), sum(v), max(v)
+                |FROM graft.pxivmdb.t GROUP BY k, k2""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val tpath = s"$wh/pxivmdb/t"
+    val vpath = s"$wh/pxivmdb/view"
+    def filesIn(k: Long): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$vpath/k=$k").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sortBy(_._1)
+    val untouchedBefore = Seq(0L, 1L, 5L).map(k => k -> filesIn(k)).toMap
+    val v0 = graft.sources.GraftMaintenance.currentVersion(tpath).get
+
+    // churn: kill group (2,0)'s max; grow partition 4; partition 3
+    // vanishes entirely — partitions 0/1/5 never touched
+    spark.sql("DELETE FROM graft.pxivmdb.t WHERE k = 2 AND k2 = 0 AND v >= 500")
+    spark.sql("""INSERT INTO graft.pxivmdb.t
+                |SELECT id, 4L, (id DIV 6) % 2, id FROM range(1000, 1020)""".stripMargin)
+    spark.sql("DELETE FROM graft.pxivmdb.t WHERE k = 3")
+    val viewV0 = graft.sources.GraftMaintenance.currentVersion(vpath).get
+    graft.sources.GraftIVM.refreshAggregateTouchedGroupsPartitioned(spark,
+      spark.sql(s"SELECT * FROM graft.pxivmdb.t.changes WHERE _commit_version > $v0"),
+      spark.table("graft.pxivmdb.t"), "graft.pxivmdb.view", "k",
+      Seq("k", "k2"), "n", sums = Seq("sv" -> "v"),
+      mins = Seq.empty, maxs = Seq("mx" -> "v"))
+    // ONE atomic commit, vanished partition included
+    assert(graft.sources.GraftMaintenance.currentVersion(vpath).get
+      == viewV0 + 1, "the partitioned touched-group refresh must be ONE version")
+    val got = spark.table("graft.pxivmdb.view").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exp = spark.sql(
+      """SELECT k, k2, count(*) n, sum(v) sv, max(v) mx
+        |FROM graft.pxivmdb.t GROUP BY k, k2""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp, s"partitioned touched-group drift: $got vs $exp")
+    assert(!got.keys.exists(_._1 == 3L), "the vanished partition must retire")
+    assert(got((2L, 0L))._3 == 494L, "the killed max must refresh to the runner-up")
+    assert(got.contains((2L, 1L)),
+      "the touched partition's UNTOUCHED group must carry through")
+    // untouched partitions never moved; base input ∝ touched groups
+    Seq(0L, 1L, 5L).foreach { k =>
+      assert(filesIn(k) == untouchedBefore(k),
+        s"untouched view partition k=$k moved: ${filesIn(k)} vs ${untouchedBefore(k)}")
+    }
+    val touchedRows = spark.sql(
+      """SELECT count(*) FROM graft.pxivmdb.t
+        |WHERE (k = 2 AND k2 = 0) OR k = 3 OR k = 4""".stripMargin)
+      .head().getLong(0)
+    assert(graft.sources.GraftIVM.LastTouchedGroupBaseRows.get() == touchedRows,
+      s"base input ${graft.sources.GraftIVM.LastTouchedGroupBaseRows.get()} " +
+        s"must equal the touched groups' $touchedRows rows")
+    spark.sql("DROP TABLE graft.pxivmdb.t")
+    spark.sql("DROP TABLE graft.pxivmdb.view")
+  }
+
   test("partitioned-view IVM refresh: one atomic commit, untouched partitions keep their exact files, vanished partitions retire") {
     // VERDICT r15 task 5 + r16 task 3: a view partitioned on a group
     // column republishes ONLY the partitions the changelog touches, the
