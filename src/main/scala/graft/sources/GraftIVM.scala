@@ -279,20 +279,25 @@ object GraftIVM {
   def refreshAggregateTouchedGroups(spark: SparkSession, changelog: DataFrame,
       base: DataFrame, viewTable: String, groupCols: Seq[String],
       countCol: String, sums: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)]): Long =
+    refreshTouchedGroupsFrom(changelog.sparkSession.table(viewTable),
+      changelog, base, viewTable, groupCols, countCol, sums, mins, maxs)
+
+  private def refreshTouchedGroupsFrom(view: DataFrame, changelog: DataFrame,
+      base: DataFrame, viewTable: String, groupCols: Seq[String],
+      countCol: String, sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)]): Long = {
     require(groupCols.nonEmpty, "graft-ivm: at least one group column")
     require(mins.nonEmpty || maxs.nonEmpty,
       "graft-ivm: no MIN/MAX columns — use refreshAggregate (signed " +
         "deltas, no base scan at all) for purely invertible views")
     val session = changelog.sparkSession
-    require((base.sparkSession eq session) &&
-      (session.table(viewTable).sparkSession eq session),
-      "graft-ivm: the base and changelog frames must share one SparkSession")
+    require((base.sparkSession eq session) && (view.sparkSession eq session),
+      "graft-ivm: the view, base and changelog frames must share one SparkSession")
     val obs = org.apache.spark.sql.Observation(
       s"graft_ivm_${java.util.UUID.randomUUID().toString.take(8)}")
     val baseObs = org.apache.spark.sql.Observation(
       s"graft_ivm_base_${java.util.UUID.randomUUID().toString.take(8)}")
-    val view = session.table(viewTable)
     val keyFrame = changelog
       .observe(obs, count(lit(1)).as("consumed"))
       .select(groupCols.map(col): _*).distinct().cache()
@@ -354,6 +359,15 @@ object GraftIVM {
       changelog: DataFrame, base: DataFrame, viewTable: String,
       partitionCol: String, groupCols: Seq[String], countCol: String,
       sums: Seq[(String, String)], mins: Seq[(String, String)],
+      maxs: Seq[(String, String)]): Long =
+    refreshTouchedGroupsPartitionedFrom(
+      changelog.sparkSession.table(viewTable), changelog, base, viewTable,
+      partitionCol, groupCols, countCol, sums, mins, maxs)
+
+  private def refreshTouchedGroupsPartitionedFrom(view: DataFrame,
+      changelog: DataFrame, base: DataFrame, viewTable: String,
+      partitionCol: String, groupCols: Seq[String], countCol: String,
+      sums: Seq[(String, String)], mins: Seq[(String, String)],
       maxs: Seq[(String, String)]): Long = {
     require(groupCols.contains(partitionCol),
       s"graft-ivm: view partition column '$partitionCol' must be a group column")
@@ -361,13 +375,12 @@ object GraftIVM {
       "graft-ivm: no MIN/MAX columns — use refreshAggregatePartitioned " +
         "(signed deltas, no base scan at all) for purely invertible views")
     val session = changelog.sparkSession
-    require(base.sparkSession eq session,
-      "graft-ivm: the base and changelog frames must share one SparkSession")
+    require((base.sparkSession eq session) && (view.sparkSession eq session),
+      "graft-ivm: the view, base and changelog frames must share one SparkSession")
     val obs = org.apache.spark.sql.Observation(
       s"graft_ivm_${java.util.UUID.randomUUID().toString.take(8)}")
     val baseObs = org.apache.spark.sql.Observation(
       s"graft_ivm_base_${java.util.UUID.randomUUID().toString.take(8)}")
-    val view = session.table(viewTable)
     val touchedParts: Seq[Any] = changelog.select(col(partitionCol))
       .distinct().collect().map(_.get(0)).toSeq
     if (touchedParts.isEmpty) return 0L
@@ -575,6 +588,90 @@ object GraftIVM {
       .foreachBatch { (df: DataFrame, _: Long) =>
         applyBatchExactlyOnce(spark, df, viewTable, viewPath,
           groupCols, countCol, sums, partitionCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  // ------------------------------------- streaming, non-invertible (r16)
+
+  /** [[applyBatchExactlyOnce]] for MIN/MAX views: one changelog batch
+    * drives a TOUCHED-GROUP re-aggregation. Exactly-once needs TWO pins
+    * here: the touched groups recompute from the BASE table AS OF the
+    * batch's end version (`basePath` read at `hi` — a replay hits the
+    * identical snapshot even if the base moved on), and the untouched
+    * groups carry from the view AS OF the watermark's pinned view
+    * version (the state before this batch first applied). Together a
+    * crash between the view overwrite and the watermark write replays
+    * to the byte-identical result — same contract, different algebra.
+    */
+  def applyBatchExactlyOnceTouchedGroups(spark: SparkSession,
+      batch: DataFrame, basePath: String, viewTable: String,
+      viewPath: String, groupCols: Seq[String], countCol: String,
+      sums: Seq[(String, String)], mins: Seq[(String, String)],
+      maxs: Seq[(String, String)],
+      partitionCol: Option[String] = None): Long = {
+    val (applied, viewV) = binding(viewPath).getOrElse(
+      throw new IllegalStateException(
+        s"graft-ivm: no $AppliedMarker under $viewPath — call " +
+          "GraftIVM.bind(viewPath, baseVersion) after materializing the view"))
+    val hiRow = batch.agg(max(col(GraftChanges.CommitVersionColumn))).head()
+    if (hiRow.isNullAt(0)) return 0L // empty batch
+    val hi = hiRow.getLong(0)
+    if (hi <= applied) return 0L // full replay of an applied batch
+    val live = batch.filter(col(GraftChanges.CommitVersionColumn) > applied)
+    val session = batch.sparkSession
+    val base = session.read
+      .format("graft.sources.GraftStoreProvider")
+      .option("path", basePath)
+      .option(GraftStore.VersionAsOfOption, hi.toString).load()
+    val view = session.read
+      .format("graft.sources.GraftStoreProvider")
+      .option("path", viewPath)
+      .option(GraftStore.VersionAsOfOption, viewV.toString).load()
+    val consumed = partitionCol match {
+      case Some(pc) => refreshTouchedGroupsPartitionedFrom(view, live, base,
+        viewTable, pc, groupCols, countCol, sums, mins, maxs)
+      case None => refreshTouchedGroupsFrom(view, live, base, viewTable,
+        groupCols, countCol, sums, mins, maxs)
+    }
+    val newViewV = GraftCommit.currentManifestVersion(new java.io.File(viewPath))
+      .getOrElse(throw new IllegalStateException(
+        s"graft-ivm: view $viewPath lost its manifest mid-refresh"))
+    GraftCommit.writeAtomic(new java.io.File(viewPath), AppliedMarker,
+      s"$hi\t$newViewV\n")
+    consumed
+  }
+
+  /** [[streamRefresh]] for MIN/MAX views — the checkpointed changelog
+    * drives [[applyBatchExactlyOnceTouchedGroups]], completing the IVM
+    * matrix: {batch, streaming} × {invertible signed-delta,
+    * non-invertible touched-group} × {full view, partitioned pruned
+    * republish}, all under the one checkpoint + applied-watermark
+    * exactly-once contract.
+    */
+  def streamRefreshTouchedGroups(spark: SparkSession, basePath: String,
+      viewTable: String, viewPath: String, groupCols: Seq[String],
+      countCol: String, sums: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)],
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      partitionCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (applied, _) = binding(viewPath).getOrElse(
+      throw new IllegalStateException(
+        s"graft-ivm: no $AppliedMarker under $viewPath — call " +
+          "GraftIVM.bind(viewPath, baseVersion) after materializing the view"))
+    spark.readStream.format("graft.sources.GraftStoreProvider")
+      .option("path", basePath)
+      .option(GraftChanges.ChangesFromOption, applied.toString).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        applyBatchExactlyOnceTouchedGroups(spark, df, basePath, viewTable,
+          viewPath, groupCols, countCol, sums, mins, maxs, partitionCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -517,4 +517,97 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spivmdb.t")
     spark.sql("DROP TABLE graft.spivmdb.view")
   }
+
+  test("streaming touched-group IVM: MIN/MAX exactly-once across restart and crash window, pruned republish") {
+    // The streaming form of the non-invertible refresh (completes the
+    // IVM matrix): each micro-batch re-aggregates ONLY the touched
+    // groups from the base AS OF the batch's end version, republishes
+    // only the touched partitions, and replays byte-identically — the
+    // base pin makes the recompute idempotent even though no signed
+    // delta exists for MIN/MAX.
+    import graft.sources.{GraftCDC, GraftIVM, GraftMaintenance}
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        graft.util.TempDirs.create("graft_sivm_wh_"))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sxivmdb")
+    spark.sql("DROP TABLE IF EXISTS graft.sxivmdb.t")
+    spark.sql("DROP TABLE IF EXISTS graft.sxivmdb.view")
+    spark.sql("CREATE TABLE graft.sxivmdb.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.sxivmdb.t SELECT id, id % 8, id FROM range(0, 800)") // v2
+    spark.sql("""CREATE TABLE graft.sxivmdb.view
+                |  (k BIGINT, n BIGINT, sv BIGINT, mn BIGINT, mx BIGINT)
+                |PARTITIONED BY (k)""".stripMargin)
+    spark.sql("""INSERT INTO graft.sxivmdb.view
+                |SELECT k, count(*), sum(v), min(v), max(v)
+                |FROM graft.sxivmdb.t GROUP BY k""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val basePath = s"$wh/sxivmdb/t"
+    val viewPath = s"$wh/sxivmdb/view"
+    GraftIVM.bind(viewPath, GraftMaintenance.currentVersion(basePath).get)
+    val ckpt = graft.util.TempDirs.create("graft_sxivm_ckpt_")
+    def runStream(): Unit = GraftIVM.streamRefreshTouchedGroups(spark,
+      basePath, "graft.sxivmdb.view", viewPath, Seq("k"), "n",
+      Seq("sv" -> "v"), Seq("mn" -> "v"), Seq("mx" -> "v"), ckpt,
+      partitionCol = Some("k")).awaitTermination()
+    def viewState(): Map[Long, (Long, Long, Long, Long)] =
+      spark.table("graft.sxivmdb.view").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def recompute(): Map[Long, (Long, Long, Long, Long)] =
+      spark.sql("""SELECT k, count(*), sum(v), min(v), max(v)
+                  |FROM graft.sxivmdb.t GROUP BY k""".stripMargin).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def filesIn(k: Long): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$viewPath/k=$k").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sortBy(_._1)
+    val before = Seq(0L, 1L, 3L, 4L, 6L, 7L).map(k => k -> filesIn(k)).toMap
+
+    // batch 1 through the stream: a MAX-KILLING delete in k=2 — group
+    // 2's max (794) goes, the runner-up (698) must surface
+    spark.sql("DELETE FROM graft.sxivmdb.t WHERE k = 2 AND v >= 700") // v3
+    runStream()
+    assert(viewState() == recompute(), "stream run 1 must refresh MIN/MAX")
+    assert(viewState()(2L)._4 == 698L, "the killed max must become the runner-up")
+    assert(Seq(0L, 1L, 3L, 4L, 6L, 7L).map(k => k -> filesIn(k)).toMap == before,
+      "untouched partitions moved in the extrema streaming refresh")
+
+    // batch 2 DIRECT + crash window: a MOR update pushes k=5's max UP
+    val b1 = GraftIVM.binding(viewPath).get
+    spark.conf.set("spark.graft.store.update.mode", "merge-on-read")
+    try spark.sql("UPDATE graft.sxivmdb.t SET v = v + 100000 WHERE k = 5 AND id < 100")
+    finally spark.conf.unset("spark.graft.store.update.mode")
+    val v = GraftMaintenance.currentVersion(basePath).get
+    val slice = GraftCDC.changes(spark, basePath, b1._1, Some(v))
+    assert(GraftIVM.applyBatchExactlyOnceTouchedGroups(spark, slice,
+      basePath, "graft.sxivmdb.view", viewPath, Seq("k"), "n",
+      Seq("sv" -> "v"), Seq("mn" -> "v"), Seq("mx" -> "v"), Some("k")) > 0L)
+    val after2 = viewState()
+    assert(after2 == recompute())
+    java.nio.file.Files.writeString( // simulated crash: old marker back
+      java.nio.file.Paths.get(viewPath, "_IVM_APPLIED"),
+      s"${b1._1}\t${b1._2}\n")
+    assert(GraftIVM.applyBatchExactlyOnceTouchedGroups(spark, slice,
+      basePath, "graft.sxivmdb.view", viewPath, Seq("k"), "n",
+      Seq("sv" -> "v"), Seq("mn" -> "v"), Seq("mx" -> "v"), Some("k")) > 0L,
+      "the crash-window replay recomputes from the PINNED base+view versions")
+    assert(viewState() == after2,
+      "a crash-window extrema replay must land on the identical state")
+    assert(Seq(0L, 1L, 3L, 4L, 6L, 7L).map(k => k -> filesIn(k)).toMap == before,
+      "a crash-window extrema replay moved untouched partitions' files")
+
+    // batch 3 through a RESTARTED stream: only k=7 grows (new max)
+    spark.sql("INSERT INTO graft.sxivmdb.t SELECT id, 7L, id * 10 FROM range(900, 905)")
+    runStream()
+    assert(viewState() == recompute(),
+      "the restarted extrema stream must converge on the exact view")
+    assert(viewState()(7L)._4 == 9040L)
+    assert(GraftIVM.binding(viewPath).get._1 ==
+      GraftMaintenance.currentVersion(basePath).get)
+    spark.sql("DROP TABLE graft.sxivmdb.t")
+    spark.sql("DROP TABLE graft.sxivmdb.view")
+  }
 }
