@@ -401,7 +401,10 @@ object DedupQueries {
     // lambda; 78 s at sf0.1). The relational build hashes each token once
     // and pairs neighbors with one narrow window shuffle.
     val tokRows = Tables.documents(s, d)
-      .repartition(32) // one small parquet file = one task otherwise
+      // one small parquet file = one task otherwise; width from the
+      // session, not a constant (r16: the driver also benches at low core
+      // counts, where a hard-coded 32 makes tiny tasks for nothing)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("lang"), col("pos"),
@@ -1263,7 +1266,7 @@ object DedupQueries {
     */
   private def q81(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan; width from the session (r16)
       .select(col("doc_id"), simhashExpr.as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 2).map { i =>

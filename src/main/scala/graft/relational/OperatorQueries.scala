@@ -333,14 +333,22 @@ object OperatorQueries {
     */
   private def q127(s: SparkSession, d: String): DataFrame = {
     def audit(name: String) =
-      Tables.table(s, d, name)
-        // Extract the TABLE-level "<name>.parquet" path segment, not the
-        // leaf basename: under a Spark-written directory layout the leaf
-        // is part-*.snappy.parquet and the table name is the parent dir.
-        // Leftmost-match keeps the single-file layout working unchanged.
-        .select(regexp_extract(input_file_name(), "([^/]+\\.parquet)(/|$)", 1).as("file"))
+      Tables.table(s, d, name).select(input_file_name().as("path"))
+    // r16 optimization (§1.2 per-task work): count by the RAW path first —
+    // constant within a scan partition, so the partial aggregate collapses
+    // each partition to ~1 row — and run the regexp on the few distinct
+    // paths AFTER, instead of once per scanned row (~800k evaluations).
+    // The second groupBy re-merges basenames in case two raw paths share
+    // one table-level segment, so results are identical by construction.
+    // Extract the TABLE-level "<name>.parquet" path segment, not the
+    // leaf basename: under a Spark-written directory layout the leaf
+    // is part-*.snappy.parquet and the table name is the parent dir.
+    // Leftmost-match keeps the single-file layout working unchanged.
     audit("lineitem").unionAll(audit("orders")).unionAll(audit("customer"))
-      .groupBy("file").agg(count(lit(1)).as("n"))
+      .groupBy("path").agg(count(lit(1)).as("pn"))
+      .select(regexp_extract(col("path"), "([^/]+\\.parquet)(/|$)", 1).as("file"),
+        col("pn"))
+      .groupBy("file").agg(sum("pn").as("n"))
       .orderBy("file")
   }
 
@@ -490,6 +498,12 @@ object OperatorQueries {
     // (4 consumers; uncached each re-runs the 600k-row join+distinct).
     // localCheckpoint (row-based, lineage-cutting) measured faster here
     // than the columnar cache, whose encode cost exceeded the recompute.
+    // (r16 re-probed both alternatives, interleaved A/B: repartition(src)
+    // + cache DOES eliminate the four downstream edge exchanges in-plan —
+    // InMemoryRelation preserves the partitioning — but the encode cost
+    // still loses, 7.0 s vs 4.7 s median; repartition(src) +
+    // localCheckpoint loses the partitioning metadata entirely, probed
+    // UnknownPartitioning(0). The r12 layout stands.)
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))

@@ -1339,15 +1339,32 @@ object SimilarityQueries {
     (enc, lut, q)
   }
 
+  /** The ADC distance aggregate shared by q181/q190: Σ_j d in pinned
+    * j order over a frame with EXACTLY one row per j ∈ [0,32) per
+    * (q_id, vec_id) group (enc holds one code per (vec, j); lut holds one
+    * d per (q, j, code)). r16 optimization: extract each d_j with a
+    * conditional sum (a single-element sum is exact) and add the 32 terms
+    * left-associatively from 0.0 — IEEE-identical to the previous
+    * aggregate(array_sort(collect_list(struct(j, d)))) sequential fold,
+    * but whole-stage-codegen HashAggregate arithmetic instead of an
+    * interpreted ObjectHashAggregate building/sorting a 32-struct list
+    * per group (the ADC scan stage is the nq × n hot path).
+    */
+  private def adcAggregate(joined: DataFrame): DataFrame = {
+    val sums = (0 to 31).map(k =>
+      sum(when(col("j") === k, col("d"))).as(s"d$k"))
+    joined.groupBy("q_id", "vec_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("q_id"), col("vec_id"),
+        (0 to 31).foldLeft(lit(0.0): Column)(
+          (acc, k) => acc + col(s"d$k")).as("adist"))
+  }
+
   private def q181(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val (enc, lut, q) = pqIndex(s, d)
-    val approx = enc.join(lut, Seq("j", "code_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("j"), col("d")))),
-        lit(0.0), (acc, x) => acc + x("d")).as("adist"))
+    val approx = adcAggregate(enc.join(lut, Seq("j", "code_id"))
+      .filter(col("vec_id") =!= col("q_id")))
     val wA = Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))
     val cand = approx.withColumn("ar", row_number().over(wA))
       .filter(col("ar") <= 100).select("q_id", "vec_id")
@@ -1479,13 +1496,9 @@ object SimilarityQueries {
       lbl.select(col("vec_id").as("q_id"), col("label")).filter(col("q_id") < 20))
     val lutL = broadcast(lut.join(qLbl, "q_id")
       .select(col("q_id"), col("j"), col("code_id"), col("d"), col("label")))
-    val approx = enc.join(lbl, "vec_id")
+    val approx = adcAggregate(enc.join(lbl, "vec_id")
       .join(lutL, Seq("j", "code_id", "label"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("j"), col("d")))),
-        lit(0.0), (acc, x) => acc + x("d")).as("adist"))
+      .filter(col("vec_id") =!= col("q_id")))
     val wA = Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))
     val cand = approx.withColumn("ar", row_number().over(wA))
       .filter(col("ar") <= 20).select("q_id", "vec_id")

@@ -53,8 +53,12 @@ object ProfileQuery {
         val det = si.details.linesIterator
           .filter(l => l.contains("graft") || l.contains("Queries.scala"))
           .take(3).mkString(" | ")
+        // under AQE every stage's callsite is an anonymous materialization
+        // future; the RDD scope names carry the actual operator chain
+        val ops = si.rddInfos.flatMap(_.scope).map(_.name).distinct
+          .mkString(" > ")
         stages.synchronized {
-          stages += ((secs, s"stage ${si.stageId} (${si.numTasks} tasks): ${si.name} :: $det"))
+          stages += ((secs, s"stage ${si.stageId} (${si.numTasks} tasks): ${si.name} :: $det :: $ops"))
         }
       }
     })

@@ -19,9 +19,25 @@ object TempDirs {
       catch { case e: java.io.IOException => System.err.println(s"TempDirs: could not delete $p: ${e.getMessage}") }
     })))
 
-  /** Create a registered temp directory; returns its absolute path. */
+  /** Create a registered temp directory; returns its absolute path.
+    *
+    * Prefers tmpfs (/dev/shm) when present — the same policy, for the
+    * same reason, as `Pipeline.checkpointDir` (r16 optimization): these
+    * stores are throwaway round-trip scratch whose durability is
+    * irrelevant (a production deployment points the store at HDFS/S3),
+    * but their write path is commit-protocol-heavy (per-partition
+    * renames, marker files, store-version manifests), so host disk
+    * latency spikes otherwise dominate the queries that write them.
+    * Everything still goes through the real FileSystem API and the real
+    * committers; only the medium changes. Falls back to java.io.tmpdir
+    * where /dev/shm does not exist.
+    */
   def create(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val useShm = Files.isDirectory(shm) &&
+      graft.tools.OptToggle.on("tmpfs_scratch")
+    val p = if (useShm) Files.createTempDirectory(shm, prefix)
+            else Files.createTempDirectory(prefix)
     registered.synchronized { registered += p }
     p.toString
   }
