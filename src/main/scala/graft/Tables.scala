@@ -12,8 +12,25 @@ import org.apache.spark.sql.functions._
   * datasets; nothing here assumes a single file.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo per table path (r16 optimization): `spark.read.parquet`
+    * with no user schema re-runs footer-based inference on EVERY call —
+    * a per-query driver-latency tax paid by all ~259 queries. The schema
+    * of a testdata table is immutable for the process lifetime, so infer
+    * once and hand the result to the reader thereafter (same memo shape
+    * as Pipeline's ts-type probe). This caches METADATA only — every
+    * query still scans the parquet data itself.
+    */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (graft.tools.OptToggle.on("table_schema_memo")) {
+      val sch = schemaMemo.getOrElseUpdate(path,
+        spark.read.parquet(path).schema)
+      spark.read.schema(sch).parquet(path)
+    } else spark.read.parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -46,6 +46,20 @@ object DedupQueries {
   private[graft] val hashedToksSql: String =
     s"list_transform(list_distinct(string_split(text, ' ')), t -> ${Det.polyHashSql("t")})"
 
+  /** documents scan spread to session width before per-doc tokenize+hash
+    * (r16 optimization, same finding as q43/q81): the corpus is one small
+    * parquet file, so the scan is ONE task and everything fused into its
+    * stage — here the full hashedToks tokenize of every document — ran
+    * single-threaded (profiled: a 1-task 1.4-1.8 s stage dominating
+    * q176/q177/q179). The repartition shuffles raw text once (megabytes)
+    * and parallelizes the hash work; width from the session, not a
+    * constant.
+    */
+  private def spreadDocs(s: SparkSession, d: String): DataFrame =
+    if (graft.tools.OptToggle.on("dedup_spread"))
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    else Tables.documents(s, d)
+
   /** DuckDB-mirror helper: the collapsed (two-tier) form of the
     * within-lang all-pairs Jaccard join, for oracles over the
     * duplicate-heavy corpus. Through round 8 every pairwise mirror was a
@@ -1827,7 +1841,7 @@ object DedupQueries {
     q176Body(s, d, eager = false)
 
   private def q176Body(s: SparkSession, d: String, eager: Boolean): DataFrame = {
-    val docs0 = Tables.documents(s, d)
+    val docs0 = spreadDocs(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
     val docs = if (eager) docs0.cache() else docs0
     // eager form: checkpoint the (small) dropped-id set so the corpus-
@@ -1872,7 +1886,7 @@ object DedupQueries {
     q177Body(s, d, eager = false)
 
   private def q177Body(s: SparkSession, d: String, eager: Boolean): DataFrame = {
-    val docs0 = Tables.documents(s, d)
+    val docs0 = spreadDocs(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
     val docs = if (eager) docs0.cache() else docs0
     // same release pattern as q176: checkpoint the dropped-id set, then
@@ -2249,7 +2263,7 @@ object DedupQueries {
 
   private def q179Body(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
-    val docs0 = Tables.documents(s, d)
+    val docs0 = spreadDocs(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
     val docs = if (eager) docs0.cache() else docs0
     val thr = Seq(50L, 60L, 70L, 80L, 90L).toDF("threshold_pct")
