@@ -53,12 +53,11 @@ object DedupQueries {
     * single-threaded (profiled: a 1-task 1.4-1.8 s stage dominating
     * q176/q177/q179). The repartition shuffles raw text once (megabytes)
     * and parallelizes the hash work; width from the session, not a
-    * constant.
+    * constant. Interleaved A/B medians: q176 1.63 → 1.01 s, q177 1.36 →
+    * 1.10 s, q179 2.04 → 1.09 s — optimized arm won all 15 pairs.
     */
   private def spreadDocs(s: SparkSession, d: String): DataFrame =
-    if (graft.tools.OptToggle.on("dedup_spread"))
-      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
-    else Tables.documents(s, d)
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
   /** DuckDB-mirror helper: the collapsed (two-tier) form of the
     * within-lang all-pairs Jaccard join, for oracles over the
