@@ -609,17 +609,24 @@ object CurationQueries {
     * are over the bare symbols, identical in both engines). q145's
     * posexplode + lead spine, per round.
     */
-  private def bpePairs(sp: DataFrame): DataFrame = {
-    val cw = Window.partitionBy("w").orderBy("cpos")
-    sp.select(col("w"), col("freq"),
-        posexplode(split(col("s"), " ")).as(Seq("cpos", "c")))
-      .select(col("freq"),
-        call_function("replace", col("c"), lit("|"), lit("")).as("a"),
-        call_function("replace", lead("c", 1).over(cw), lit("|"), lit(""))
-          .as("b"))
-      .filter(col("b").isNotNull)
+  private def bpePairs(sp: DataFrame): DataFrame =
+    // r16 optimization: adjacency within one word needs no Window — the
+    // symbols are already an in-row sequence, so build the (a, b) pairs
+    // with a per-row array comprehension instead of posexplode +
+    // lead().over(partitionBy(w)). That deletes one exchange + sort per
+    // training round (the loop re-plans this frame every round);
+    // interleaved A/B on q192: median 3.82 → 3.38 s, 5/5 pairs.
+    // `sequence(1, n-1)` guarded by the size filter (sequence(1, 0)
+    // would DESCEND); single-symbol and empty words produce no pairs,
+    // exactly like the lead-null filter they replace.
+    sp.select(col("freq"), split(col("s"), " ").as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(cs) - 1), i -> struct(" +
+          "replace(cs[i-1], '|', '') AS a, " +
+          "replace(cs[i], '|', '') AS b))")).as("p"))
+      .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(sum("freq").as("n"))
-  }
 
   /** Apply the 1-row winner frame `win` (a, b) as one BPE merge step. */
   private def bpeMergeStep(sp: DataFrame, win: DataFrame): DataFrame =
@@ -908,6 +915,10 @@ object CurationQueries {
       val rankW = Window.orderBy(desc("n"), asc("a"), asc("b"))
       val cand0 = bpePairs(sp)
         .orderBy(desc("n"), asc("a"), asc("b")).limit(candM)
+      // r16 probe, rejected: consuming cand0 lazily (no checkpoint)
+      // duplicates its subtree inside the batch job — measured WORSE
+      // (interleaved A/B median 3.69 vs 3.05 s): the two serial stage
+      // chains inside one job cost more than the checkpoint round-trip.
       val cand = (if (eager) cand0.localCheckpoint(true) else cand0)
         .withColumn("rk", row_number().over(rankW))
       val hi = cand.select(col("rk").as("hrk"),
@@ -964,12 +975,28 @@ object CurationQueries {
   }
 
   private def q192(s: SparkSession, d: String): DataFrame = withAqeOff(s) {
-    val (batches, _, release) = bpeBatchTrainSpine(bpeSpine(s, d),
-      Q192Rounds, Q192CandM, Q192BatchM, eager = true)
-    val out = batches.reduce(_ unionAll _).orderBy("round", "j")
-      .localCheckpoint(true) // materialize while AQE is off; ≤64 rows
-    release()
-    out
+    // r16 optimization: every frame in the round loop is vocab-bounded
+    // (the spine is the word-freq table; candidates/batches are ≤32
+    // rows), yet with AQE off each round ran ~3 shuffles at the session
+    // width (32) plus 32-task cache scans — per-task constants, not
+    // compute. Materialize the (only corpus-sized) spine pass FIRST at
+    // session width, re-lay the vocab-sized result out at the round
+    // width, then scope the loop's shuffles to that width. The width is
+    // min(defaultParallelism, 8), not a host constant: bounded frames
+    // stay narrow at any scale while the corpus pass keeps full width.
+    // Interleaved A/B (with the bpePairs rewrite in): median 3.53 →
+    // 3.22 s, 5/5 pairs.
+    val k = math.min(s.sparkContext.defaultParallelism, 8)
+    val spine = bpeSpine(s, d).repartition(k).cache()
+    spine.count() // corpus pass runs NOW, before the conf narrows
+    graft.streaming.Pipeline.withShufflePartitions(s, k) {
+      val (batches, _, release) = bpeBatchTrainSpine(spine,
+        Q192Rounds, Q192CandM, Q192BatchM, eager = true)
+      val out = batches.reduce(_ unionAll _).orderBy("round", "j")
+        .localCheckpoint(true) // materialize while AQE is off; ≤64 rows
+      release() // unpersists the spine (bpeBatchTrainSpine re-cached it)
+      out
+    }
   }
 
   /** Lazy small-rounds form for plan audits (see [[bpeBatchTrainSpine]]). */

@@ -54,7 +54,14 @@ object DedupQueries {
     * q176/q177/q179). The repartition shuffles raw text once (megabytes)
     * and parallelizes the hash work; width from the session, not a
     * constant. Interleaved A/B medians: q176 1.63 → 1.01 s, q177 1.36 →
-    * 1.10 s, q179 2.04 → 1.09 s — optimized arm won all 15 pairs.
+    * 1.10 s, q179 2.04 → 1.09 s — optimized arm won all 15 pairs; q42
+    * 1.33 → 0.45 s, q149 0.90 → 0.44 s (5/5 each). The spread helps
+    * exactly where the hashed frame is CACHED directly (a 1-partition
+    * cache serializes every consumer stage); at the family's
+    * groupBy(lang, toks) sites (q44/q58-cluster/q161/q184) the shuffle
+    * re-widens anyway and the extra raw-text exchange measured WORSE
+    * (q44 1.58 → 1.95, q58 0.93 → 1.38, q161 2.28 → 2.80, q184 2.79 →
+    * 3.33) — those keep the plain scan.
     */
   private def spreadDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
@@ -383,7 +390,7 @@ object DedupQueries {
     * approximates.
     */
   private def q42(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = spreadDocs(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
       .cache() // evaluate token hashing once per doc, not per pair (see q43)
     jaccardPairs(docs, 9, 10, BlockCap, langStatsFrame(s, d))
@@ -1807,7 +1814,7 @@ object DedupQueries {
   }
 
   private def q149(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = spreadDocs(s, d)
       .select(col("doc_id"), col("lang"), hashedToks(col("text")).as("arr"))
       .cache()
     containmentPairs(docs, BlockCap, langStatsFrame(s, d))

@@ -828,6 +828,13 @@ object SimilarityQueries {
   private val IvfK = 10
   private val IvfIters = 2
 
+  // r16 probe, rejected: running the sweep with AQE off (q192's trick —
+  // the profile showed ~29 tiny jobs + ~1.3 s of driver planning gaps)
+  // measured 2× WORSE in interleaved A/B (median 5.91 vs 3.15 s): the
+  // non-hinted tiny joins (cent↔means, exact↔hits, ↔nCand) fall back to
+  // 32-partition sort-merge joins that AQE was converting to broadcasts
+  // at runtime — same adjudication as q236/q232, opposite of q192 (whose
+  // loop has no joinable frames). The sweep keeps AQE.
   private def q223(s: SparkSession, d: String): DataFrame =
     q223Impl(s, d, IvfIters, eager = true)
 
