@@ -62,9 +62,21 @@ object DedupQueries {
     * re-widens anyway and the extra raw-text exchange measured WORSE
     * (q44 1.58 → 1.95, q58 0.93 → 1.38, q161 2.28 → 2.80, q184 2.79 →
     * 3.33) — those keep the plain scan.
+    *
+    * CONDITIONAL (r16, caught by the sf1 re-record): the spread exists to
+    * fix a scan NARROWER than the session (the testdata corpus is one
+    * parquet file → one task). When the corpus already scans wide (the
+    * sf1 ScaleGen dir is 32 part files → 32 splits; any production
+    * corpus likewise), the extra full-text exchange is pure cost — sf1
+    * showed the unconditional form tracking WORSE than host drift (q177
+    * 1.57× vs the 1.14 drift median). `docs.rdd.getNumPartitions` is
+    * driver-side planning (file listing + split packing), no job.
     */
-  private def spreadDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  private def spreadDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val width = s.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < width) docs.repartition(width) else docs
+  }
 
   /** DuckDB-mirror helper: the collapsed (two-tier) form of the
     * within-lang all-pairs Jaccard join, for oracles over the
@@ -420,11 +432,9 @@ object DedupQueries {
     // showed the polyhash transform appearing four times inside the bigram
     // lambda; 78 s at sf0.1). The relational build hashes each token once
     // and pairs neighbors with one narrow window shuffle.
-    val tokRows = Tables.documents(s, d)
+    val tokRows = spreadDocs(s, d)
       // one small parquet file = one task otherwise; width from the
-      // session, not a constant (r16: the driver also benches at low core
-      // counts, where a hard-coded 32 makes tiny tasks for nothing)
-      .repartition(s.sparkContext.defaultParallelism)
+      // session, not a constant, and only when the scan is narrow (r16)
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("lang"), col("pos"),
@@ -1285,8 +1295,7 @@ object DedupQueries {
     * (half the dedup shuffle). The verify is one xor+popcount.
     */
   private def q81(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan; width from the session (r16)
+    val docs = spreadDocs(s, d) // spread the 1-file scan iff narrow (r16)
       .select(col("doc_id"), simhashExpr.as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 2).map { i =>
